@@ -1,0 +1,73 @@
+"""Incremental-extraction helpers: date chunking + high-water marks.
+
+Reference parity:
+ - ``chunk_date_range`` ports popelines/main.py:208-223 exactly (n-day
+   windows, final window end-clamped to end_datetime).
+ - ``date_series`` is its distributed form: F.sequence + explode, so a
+   million-chunk backfill plan is a DataFrame, not a driver loop.
+ - ``max_watermark`` is ``find_last_entry`` (popelines/main.py:225-234):
+   SELECT MAX(col) — on parquet this reads footer statistics, not data.
+ - ``incremental_append`` composes watermark → bounded filter → append, the
+   reference's whole incremental loop in one call.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def chunk_date_range(
+    start_datetime: dt.datetime, end_datetime: dt.datetime, chunk_size: int
+) -> Iterator[tuple[dt.datetime, dt.datetime]]:
+    """Driver-side generator, exact port of popelines/main.py:208-223."""
+    for n in range(int((end_datetime - start_datetime).days) + 1):
+        if n % chunk_size == 0:
+            start = start_datetime + dt.timedelta(n)
+            end = start_datetime + dt.timedelta(n + chunk_size)
+            yield (start, end) if end < end_datetime else (start, end_datetime)
+
+
+def date_series(
+    spark: SparkSession, start: str, end: str, step_days: int = 1
+) -> DataFrame:
+    """Distributed date sequence: one row per chunk start (b_fn_date_seq)."""
+    return spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit(start)),
+                F.to_date(F.lit(end)),
+                F.expr(f"interval {int(step_days)} days"),
+            )
+        ).alias("chunk_start")
+    )
+
+
+def max_watermark(df: DataFrame, column: str):
+    """find_last_entry (popelines/main.py:225-234): scalar MAX(column).
+    The single sanctioned driver-side materialization — one scalar row."""
+    return df.agg(F.max(column).alias("w")).collect()[0]["w"]
+
+
+def incremental_append(
+    new_data: DataFrame,
+    warehouse: str,
+    table_name: str,
+    ts_column: str,
+) -> int:
+    """Append only rows newer than the live table's watermark; returns the
+    number of appended rows (counted from the plan, not collect of data)."""
+    from popelines_spark.io import _path_exists, read_table, table_path, write_table
+
+    spark = new_data.sparkSession
+    if _path_exists(spark, table_path(warehouse, table_name)):
+        wm = max_watermark(read_table(spark, warehouse, table_name), ts_column)
+        if wm is not None:
+            new_data = new_data.filter(F.col(ts_column) > F.lit(wm))
+    n = new_data.count()
+    if n:
+        write_table(new_data, warehouse, table_name, append=True)
+    return n

@@ -1,0 +1,231 @@
+"""Sources & sinks: NDJSON, parquet tables with schema evolution, REST.
+
+Reference parity:
+ - ``read_ndjson``/``write_ndjson``: NEWLINE_DELIMITED_JSON load/sink
+   (popelines/main.py:115, 168-178). Spark's JSON source is line-delimited
+   natively.
+ - ``write_table``: the ``write_to_bq`` semantics (popelines/main.py:100-155):
+   table-name normalization (:109), append vs truncate (:135-139), add-only
+   schema evolution on append (ALLOW_FIELD_ADDITION, :139), unknown-field
+   drop (:141-142), autodetect bypass (:131-132).
+ - ``put_object``: GCS upload (popelines/main.py:157-166) → any Hadoop-FS
+   URI copy.
+ - ``fetch_json``: REST pull (popelines/main.py:193-206), driver-side fetch;
+   ``fetch_json_distributed`` fans a URL table out to executors via
+   mapInPandas for bulk extraction (the 100 TB ingestion path).
+
+Tables are parquet directories addressed by path (``location``), not a Hive
+metastore — keeps the engine usable on a bare session. At scale the same
+functions work on ``s3a://``/``gs://`` URIs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from popelines_spark.schemas import merge_schemas
+
+
+def normalize_table_name(name: str) -> str:
+    """popelines/main.py:109 — lowercase, ``-`` → ``_``."""
+    return name.lower().replace("-", "_")
+
+
+def read_ndjson(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    """Line-delimited JSON scan; explicit schema skips inference (and drops
+    undeclared fields — the ignore_unknown_values load path,
+    popelines/main.py:141-142)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def infer_ndjson_schema(spark: SparkSession, path: str) -> T.StructType:
+    """Schema inference over NDJSON (popelines/main.py:62-75). Spark samples
+    all rows by default; all-null fields surface as StringType, matching
+    ``generate-schema --keep_nulls``'s string default closely."""
+    return spark.read.json(path).schema
+
+
+def write_ndjson(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """NDJSON sink (popelines/main.py:176-178)."""
+    df.write.mode(mode).json(path)
+
+
+def table_path(warehouse: str, table_name: str) -> str:
+    return os.path.join(warehouse, normalize_table_name(table_name))
+
+
+def read_table(spark: SparkSession, warehouse: str, table_name: str) -> DataFrame:
+    return spark.read.parquet(table_path(warehouse, table_name))
+
+
+def write_table(
+    df: DataFrame,
+    warehouse: str,
+    table_name: str,
+    append: bool = True,
+    ignore_unknown_values: bool = False,
+    autodetect: bool = False,
+) -> str:
+    """``write_to_bq`` semantics on parquet-by-path tables.
+
+    append=True  → WRITE_APPEND + add-only evolution: new columns are
+                   appended to the live schema, existing column types win
+                   (popelines/main.py:119-139 via ``merge_schemas``).
+    append=False → WRITE_TRUNCATE (overwrite).
+    ignore_unknown_values → drop input fields not present in the live schema
+                   (popelines/main.py:141-142).
+    autodetect   → trust the incoming schema as-is, skip the merge
+                   (popelines/main.py:131-132).
+
+    Returns the table path. Parquet handles the at-rest schema union on read
+    (mergeSchema) so appends never rewrite old files — same economics as
+    BigQuery's ALLOW_FIELD_ADDITION at 100 TB.
+    """
+    spark = df.sparkSession
+    path = table_path(warehouse, table_name)
+    exists = _path_exists(spark, path)
+    if append and exists and not autodetect:
+        live_schema = spark.read.parquet(path).schema
+        if ignore_unknown_values:
+            keep = [f.name for f in df.schema.fields if f.name in live_schema.names]
+            df = df.select(*keep)
+        target = merge_schemas(live_schema, df.schema)
+        df = _align_to(df, target)
+        df.write.mode("append").parquet(path)
+    else:
+        df.write.mode("append" if append and exists else "overwrite").parquet(path)
+    return path
+
+
+def read_table_evolved(spark: SparkSession, warehouse: str, table_name: str) -> DataFrame:
+    """Read a table whose appends evolved the schema (mergeSchema on)."""
+    return spark.read.option("mergeSchema", "true").parquet(
+        table_path(warehouse, table_name)
+    )
+
+
+def _align_to(df: DataFrame, target: T.StructType) -> DataFrame:
+    """Project df to the target schema: missing fields → NULL, extra fields
+    kept (they evolve the table); nested structs aligned recursively."""
+    cols = []
+    have = {f.name for f in df.schema.fields}
+    for f in target.fields:
+        if f.name in have:
+            src = df.schema[f.name].dataType
+            c = F.col(f.name)
+            if src != f.dataType and _same_shape_class(src, f.dataType):
+                c = c.cast(f.dataType)
+            cols.append(c.alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    for f in df.schema.fields:
+        if f.name not in {t.name for t in target.fields}:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
+def _same_shape_class(a: T.DataType, b: T.DataType) -> bool:
+    return (
+        isinstance(a, T.StructType)
+        and isinstance(b, T.StructType)
+        or isinstance(a, T.ArrayType)
+        and isinstance(b, T.ArrayType)
+    )
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    if "://" not in path or path.startswith("file:"):
+        return os.path.exists(path.removeprefix("file:"))
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
+def put_object(spark: SparkSession, local_file: str, dest_uri: str) -> None:
+    """popelines/main.py:157-166 — upload a local file to an object store.
+    Local/file URIs use shutil; remote URIs go through the Hadoop FS API."""
+    if "://" not in dest_uri or dest_uri.startswith("file:"):
+        dest = dest_uri.removeprefix("file:")
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        shutil.copyfile(local_file, dest)
+        return
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(os.path.abspath(local_file))
+    dst = jvm.org.apache.hadoop.fs.Path(dest_uri)
+    dst.getFileSystem(conf).copyFromLocalFile(False, True, src, dst)
+
+
+def fetch_json(url: str, method: str = "GET", headers=None, params=None, data=None):
+    """popelines/main.py:193-206 — driver-side REST pull → parsed JSON.
+    Returns None (and logs) on parse failure, matching the reference's
+    logged fallthrough (:205-206)."""
+    import logging
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    if params:
+        url = f"{url}?{urllib.parse.urlencode(params)}"
+    req = urllib.request.Request(
+        url,
+        method=method,
+        headers=headers or {},
+        data=data.encode() if isinstance(data, str) else data,
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            text = r.read().decode()
+    except urllib.error.URLError as e:  # network failure → logged None
+        logging.getLogger("popelines_spark").info("ERROR! request failed: %s", e)
+        return None
+    try:
+        return json.loads(text)
+    except ValueError:
+        logging.getLogger("popelines_spark").info(
+            "ERROR! Text of response object: %s", text
+        )
+        return None
+
+
+def fetch_json_distributed(
+    urls: DataFrame, url_col: str = "url", out_col: str = "body"
+) -> DataFrame:
+    """Executor-side REST fan-out: one HTTP GET per row of ``urls``, batched
+    via mapInPandas (Arrow). This is the scale path for bulk API extraction —
+    the driver never touches payload bytes. Responses come back as raw JSON
+    text; parse with ``from_json`` against an explicit schema."""
+    import pandas as pd
+
+    schema = T.StructType(
+        list(urls.schema.fields) + [T.StructField(out_col, T.StringType(), True)]
+    )
+
+    def _fetch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import urllib.request
+
+        for pdf in batches:
+            bodies = []
+            for u in pdf[url_col]:
+                try:
+                    with urllib.request.urlopen(u, timeout=30) as r:
+                        bodies.append(r.read().decode())
+                except Exception:
+                    bodies.append(None)
+            pdf[out_col] = bodies
+            yield pdf
+
+    return urls.mapInPandas(_fetch, schema=schema)

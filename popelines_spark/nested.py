@@ -1,0 +1,92 @@
+"""Nested-data operators: deep rename, outer flatten, struct rebuild.
+
+Replaces the reference's SQL-text generation for nested renames
+(popelines/main.py:288-310 + popelines/copy_table.py:11-97) with pure
+DataFrame transforms: a same-shape struct cast renames fields at any depth
+with NO data rewrite beyond a narrow map, and ``explode_outer`` provides the
+LEFT JOIN UNNEST semantics (copy_table.py:63-65 — parents with empty/null
+arrays survive with NULLs).
+
+Scale: rename is shuffle-free (metadata + narrow projection). ``flatten``
+multiplies rows but stays narrow (no shuffle) — at 100 TB the output
+partition sizes grow by the average array length; callers repartition after
+if the fan-out is large.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from popelines_spark.schemas import rename_schema, _rename_type
+
+
+def rename_fields(df: DataFrame, callback: Callable[[str], str]) -> DataFrame:
+    """Rename every column/field at every nesting level via ``callback``.
+
+    Top-level columns whose callback result is falsy are dropped
+    (copy_table.py:87-89); nested renames are applied with a same-shape
+    struct cast (field names differ, positions/types identical — Spark casts
+    structs positionally, so this is rename-only)."""
+    cols = []
+    for f in df.schema.fields:
+        new_name = callback(f.name)
+        if not new_name:
+            continue
+        new_type = _rename_type(f.dataType, callback)
+        c = F.col(f.name)
+        if new_type != f.dataType:
+            c = c.cast(new_type)
+        cols.append(c.alias(new_name))
+    return df.select(*cols)
+
+
+def flatten(
+    df: DataFrame, array_col: str, alias: str | None = None, outer: bool = True
+) -> DataFrame:
+    """LEFT JOIN UNNEST (outer=True, copy_table.py:63-65) or inner UNNEST:
+    explode ``array_col``; struct elements expand to one column per field."""
+    alias = alias or array_col
+    fn = F.explode_outer if outer else F.explode
+    out = df.withColumn(alias, fn(F.col(array_col)))
+    if alias != array_col:
+        out = out.drop(array_col)
+    elem = out.schema[alias].dataType
+    if isinstance(elem, T.StructType):
+        out = out.select(
+            *[c for c in out.columns if c != alias],
+            *[
+                F.col(f"{alias}.{f.name}").alias(f"{alias}_{f.name}")
+                for f in elem.fields
+            ],
+        )
+    return out
+
+
+def flatten_all(df: DataFrame, outer: bool = True, max_depth: int = 8) -> DataFrame:
+    """Fully flatten: repeatedly explode top-level arrays and splat structs
+    until only leaf columns remain (bounded by ``max_depth``)."""
+    for _ in range(max_depth):
+        arrays = [
+            f.name for f in df.schema.fields if isinstance(f.dataType, T.ArrayType)
+        ]
+        structs = [
+            f.name for f in df.schema.fields if isinstance(f.dataType, T.StructType)
+        ]
+        if not arrays and not structs:
+            return df
+        for name in structs:
+            fields = df.schema[name].dataType.fields
+            df = df.select(
+                *[c for c in df.columns if c != name],
+                *[
+                    F.col(f"{name}.{f.name}").alias(f"{name}_{f.name}")
+                    for f in fields
+                ],
+            )
+        for name in arrays:
+            df = flatten(df, name, outer=outer)
+    return df

@@ -1,0 +1,162 @@
+"""``Popeline`` — the user-facing facade, Spark edition.
+
+One class with the reference's 16-method surface (popelines/main.py:16-310),
+each method delegating to the engine modules. A popelines user can switch by
+replacing ``popeline(dataset_id=..., project=...)`` with
+``Popeline(warehouse=...)`` and keeping their call shapes
+(README.md:26-58 composite: call_api → fix_json_keys → write_to_json →
+write_to_bq → find_last_entry / chunk_date_range).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+
+from pyspark.sql import DataFrame, SparkSession
+
+from popelines_spark import incremental, io, nested, schemas
+from popelines_spark.session import get_spark
+
+
+class Popeline:
+    def __init__(
+        self,
+        warehouse: str = "/tmp/popelines_spark_warehouse",
+        spark: SparkSession | None = None,
+        verbose: bool = False,
+    ):
+        """popelines/main.py:16-43 — clients+dataset context → session+warehouse."""
+        self.warehouse = warehouse
+        self.spark = spark or get_spark()
+        self.log = self.get_logger(verbose)
+
+    @staticmethod
+    def get_logger(verbose: bool = False) -> logging.Logger:
+        """popelines/main.py:45-60."""
+        log = logging.getLogger("popelines_spark")
+        if not log.handlers:
+            h = logging.StreamHandler()
+            h.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
+            log.addHandler(h)
+        log.setLevel(logging.DEBUG if verbose else logging.INFO)
+        return log
+
+    # --- schema ---------------------------------------------------------
+    def generate_schema(self, file_name: str):
+        """popelines/main.py:62-75 — NDJSON schema inference."""
+        return io.infer_ndjson_schema(self.spark, file_name)
+
+    def merge_schemas(self, old_schm, new_schm):
+        """popelines/main.py:77-98 — add-only recursive merge."""
+        return schemas.merge_schemas(old_schm, new_schm)
+
+    # --- load / extract --------------------------------------------------
+    def write_to_table(
+        self,
+        table_name: str,
+        file_name: str | None = None,
+        df: DataFrame | None = None,
+        append: bool = True,
+        ignore_unknown_values: bool = False,
+        schema_autodetect: bool = False,
+    ) -> str:
+        """popelines/main.py:100-155 — load NDJSON (or a DataFrame) into a
+        table with append/truncate + add-only evolution."""
+        if df is None:
+            if file_name is None:
+                raise ValueError("need file_name or df")
+            df = io.read_ndjson(self.spark, file_name)
+        return io.write_table(
+            df,
+            self.warehouse,
+            table_name,
+            append=append,
+            ignore_unknown_values=ignore_unknown_values,
+            autodetect=schema_autodetect,
+        )
+
+    def write_to_store(self, dest_uri: str, file_name: str) -> None:
+        """popelines/main.py:157-166 — object-store upload."""
+        io.put_object(self.spark, file_name, dest_uri)
+
+    def write_to_json(self, file_name, jayson, mode="w", prep_for_BQ=False):
+        """popelines/main.py:168-178 — dicts → NDJSON file (driver-side,
+        API-edge only; bulk sinks go through io.write_ndjson)."""
+        if prep_for_BQ:
+            jayson = self.fix_json_keys(jayson, schemas.sanitize_identifier)
+        with open(file_name, mode) as f:
+            for line in jayson:
+                f.write(json.dumps(line) + "\n")
+
+    def call_api(self, url, method="GET", headers=None, params=None, data=None):
+        """popelines/main.py:193-206."""
+        return io.fetch_json(url, method=method, headers=headers, params=params, data=data)
+
+    def chunk_date_range(self, start_datetime, end_datetime, chunk_size):
+        """popelines/main.py:208-223."""
+        return incremental.chunk_date_range(start_datetime, end_datetime, chunk_size)
+
+    def find_last_entry(self, table_name: str, date_column: str):
+        """popelines/main.py:225-234."""
+        return incremental.max_watermark(
+            io.read_table(self.spark, self.warehouse, table_name), date_column
+        )
+
+    # --- query -----------------------------------------------------------
+    def query(self, sql: str) -> list:
+        """bq_query (popelines/main.py:236-243): arbitrary SQL → row list.
+        Tables under the warehouse must be registered via register_table.
+        NOTE: materializes on the driver like the reference — prefer
+        query_df for anything large."""
+        return self.query_df(sql).collect()
+
+    def query_df(self, sql: str) -> DataFrame:
+        """The scale-safe spelling: SQL → lazy DataFrame."""
+        return self.spark.sql(sql)
+
+    def register_table(self, table_name: str) -> None:
+        io.read_table_evolved(self.spark, self.warehouse, table_name).createOrReplaceTempView(
+            io.normalize_table_name(table_name)
+        )
+
+    # --- JSON wrangling ---------------------------------------------------
+    def fix_json_keys(self, obj, callback):
+        """popelines/main.py:245-262 — recursive key rewrite (driver-side,
+        API-edge); for at-rest data use nested.rename_fields (distributed)."""
+        if isinstance(obj, list):
+            return [self.fix_json_keys(x, callback) for x in obj]
+        if isinstance(obj, dict):
+            return {
+                callback(k): self.fix_json_keys(v, callback)
+                if isinstance(v, (list, dict))
+                else v
+                for k, v in obj.items()
+            }
+        return obj
+
+    def fix_json_values(self, obj, callback, **kwargs):
+        """popelines/main.py:264-286 — recursive value rewrite; callback
+        signature (value, key, **kwargs), exactly as the reference."""
+        if isinstance(obj, list):
+            return [self.fix_json_values(x, callback, **kwargs) for x in obj]
+        if isinstance(obj, dict):
+            out = {}
+            for k, v in obj.items():
+                if isinstance(v, (list, dict)):
+                    out[k] = self.fix_json_values(callback(v, k, **kwargs), callback, **kwargs)
+                else:
+                    out[k] = callback(v, k, **kwargs)
+            return out
+        return obj
+
+    def copy_and_replace_keys(self, table_name: str, key_callback) -> None:
+        """popelines/main.py:288-310 re-grounded: no SQL-text generation —
+        read table, deep-rename via struct cast, overwrite in place."""
+        df = io.read_table_evolved(self.spark, self.warehouse, table_name)
+        renamed = nested.rename_fields(df, key_callback)
+        # Materialize before overwrite (source files are being replaced).
+        renamed.cache()
+        renamed.count()
+        io.write_table(renamed, self.warehouse, table_name, append=False)
+        renamed.unpersist()

@@ -1,0 +1,133 @@
+"""Schema system: inference, add-only merge, deep rename, identifier rules.
+
+Reference parity:
+ - ``sanitize_identifier`` ports the 3-rule BigQuery column sanitizer
+   (popelines/main.py:180-191) exactly, including rule order.
+ - ``merge_schemas`` ports the add-only recursive field-name union where the
+   old field's type wins on conflict (popelines/main.py:77-98).
+ - ``rename_schema`` replaces the entire SQL-text codegen of
+   popelines/copy_table.py with a pure StructType transform; the falsy-name
+   drop mirrors popelines/copy_table.py:87-89.
+ - ``TYPE_MAP`` is the legacy↔standard table at popelines/copy_table.py:1-9
+   re-targeted at Spark types.
+
+All functions are pure driver-side metadata transforms — zero data movement;
+at 100 TB the subsequent ``cast``/select is a narrow map stage with no
+shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from pyspark.sql import types as T
+
+#: popelines/copy_table.py:1-9 (legacy → standard), re-targeted at Spark.
+TYPE_MAP: dict[str, T.DataType] = {
+    "INTEGER": T.LongType(),
+    "INT64": T.LongType(),
+    "FLOAT": T.DoubleType(),
+    "FLOAT64": T.DoubleType(),
+    "STRING": T.StringType(),
+    "BOOLEAN": T.BooleanType(),
+    "BOOL": T.BooleanType(),
+    "TIMESTAMP": T.TimestampType(),
+    "DATE": T.DateType(),
+}
+
+
+def sanitize_identifier(key: str) -> str:
+    """The exact 3-rule sanitizer of popelines/main.py:184-191.
+
+    1. prefix ``_`` when the first character is numeric;
+    2. ``.`` and space → ``_``;
+    3. strip every other character outside ``[a-zA-Z0-9_]``.
+
+    Empty input returns empty (the reference would raise on ``key[0]``; we
+    treat empty as a drop signal, matching copy_table.py:87-89 falsy-drop).
+    """
+    if not key:
+        return ""
+    if key[0].isnumeric():
+        key = "_" + key
+    key = re.sub(r"[. ]", "_", key)
+    key = re.sub(r"[^a-zA-Z0-9_]", "", key)
+    return key
+
+
+def merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
+    """Add-only recursive merge: fields of ``new`` missing from ``old`` are
+    appended; on a name match the old field's type wins, but nested struct
+    field lists merge recursively (popelines/main.py:83-96) — including
+    structs nested inside arrays (REPEATED RECORD)."""
+    out: list[T.StructField] = []
+    new_by_name = {f.name: f for f in new.fields}
+    for f in old.fields:
+        nf = new_by_name.get(f.name)
+        out.append(
+            T.StructField(f.name, _merge_type(f.dataType, nf.dataType), True)
+            if nf is not None
+            else f
+        )
+    old_names = {f.name for f in old.fields}
+    for f in new.fields:
+        if f.name not in old_names:
+            out.append(f)
+    return T.StructType(out)
+
+
+def _merge_type(old: T.DataType, new: T.DataType) -> T.DataType:
+    if isinstance(old, T.StructType) and isinstance(new, T.StructType):
+        return merge_schemas(old, new)
+    if isinstance(old, T.ArrayType) and isinstance(new, T.ArrayType):
+        return T.ArrayType(
+            _merge_type(old.elementType, new.elementType), old.containsNull
+        )
+    return old  # old type wins (popelines/main.py:87)
+
+
+def rename_schema(
+    schema: T.StructType, callback: Callable[[str], str]
+) -> T.StructType:
+    """Apply ``callback`` to every field name at every nesting level
+    (struct / array<struct> / map<_, struct>); fields whose callback result
+    is falsy are dropped (copy_table.py:87-89)."""
+    fields = []
+    for f in schema.fields:
+        new_name = callback(f.name)
+        if not new_name:
+            continue
+        fields.append(
+            T.StructField(
+                new_name, _rename_type(f.dataType, callback), f.nullable
+            )
+        )
+    return T.StructType(fields)
+
+
+def _rename_type(dt: T.DataType, callback: Callable[[str], str]) -> T.DataType:
+    if isinstance(dt, T.StructType):
+        return rename_schema(dt, callback)
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_rename_type(dt.elementType, callback), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            dt.keyType, _rename_type(dt.valueType, callback), dt.valueContainsNull
+        )
+    return dt
+
+
+def schema_paths(schema: T.StructType, prefix: str = "") -> list[str]:
+    """Dotted paths of every leaf field (diagnostics / tests)."""
+    out = []
+    for f in schema.fields:
+        path = f"{prefix}{f.name}"
+        dt = f.dataType
+        while isinstance(dt, T.ArrayType):
+            dt = dt.elementType
+        if isinstance(dt, T.StructType):
+            out.extend(schema_paths(dt, path + "."))
+        else:
+            out.append(path)
+    return out

@@ -1,0 +1,162 @@
+"""Local mimic of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+over the same sf dir, then compares row count, column-name set, and an
+order-insensitive value comparison (columns sorted by name, rows sorted).
+
+Usage:
+    python tools/parity.py [--sf /root/testdata/sf0.01] [--only a,b] [-v]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import math
+import os
+import sys
+import time
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+
+from popelines_spark.session import get_spark  # noqa: E402
+from popelines_spark.tables import TABLES  # noqa: E402
+
+
+def _canon(v):
+    """Normalize a cell value for cross-engine comparison."""
+    import numpy as np
+    import pandas as pd
+
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, np.floating):
+        v = float(v)
+    if isinstance(v, np.integer):
+        v = int(v)
+    if isinstance(v, np.bool_):
+        v = bool(v)
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, dt.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, dt.date):
+        return ("date", v.isoformat())
+    if isinstance(v, float):
+        # exact compare is done separately; canonical key rounds to 9 sig places
+        return ("f", f"{v:.9g}")
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return ("arr", tuple(_canon(x) for x in v))
+    if isinstance(v, (bytes, bytearray)):
+        return ("bytes", bytes(v))
+    return v
+
+
+def _frame_key(pdf):
+    cols = sorted(pdf.columns)
+    rows = []
+    for _, row in pdf[cols].iterrows():
+        rows.append(tuple(_canon(row[c]) for c in cols))
+    rows.sort(key=repr)
+    return cols, rows
+
+
+def compare(name, spark_pdf, duck_pdf, verbose=False):
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    scols, srows = _frame_key(spark_pdf)
+    dcols, drows = _frame_key(duck_pdf)
+    if scols != dcols:
+        problems.append(f"columns spark={scols} duck={dcols}")
+    elif srows != drows:
+        n_bad = sum(1 for a, b in zip(srows, drows) if a != b)
+        problems.append(f"values differ ({n_bad}/{len(srows)} sorted rows)")
+        if verbose:
+            shown = 0
+            for a, b in zip(srows, drows):
+                if a != b and shown < 5:
+                    problems.append(f"  spark={a}")
+                    problems.append(f"  duck ={b}")
+                    shown += 1
+    return problems
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None)
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = set(args.only.split(",")) if args.only else None
+
+    spark = get_spark(cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    n_pass = n_fail = n_rows_only = 0
+    failures = []
+    for name in sorted(qs):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf)
+            spark_pdf = sdf.toPandas()
+        except Exception:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL {name}: spark raised")
+            traceback.print_exc()
+            continue
+        if name not in oracles:
+            n_rows_only += 1
+            print(f"rows {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            duck_pdf = con.execute(oracles[name]).df()
+        except Exception:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL {name}: duckdb raised")
+            traceback.print_exc()
+            continue
+        problems = compare(name, spark_pdf, duck_pdf, args.verbose)
+        if problems:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL {name} ({time.time()-t0:.1f}s)")
+            for p in problems:
+                print(f"   {p}")
+        else:
+            n_pass += 1
+            print(f"PASS {name} ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
+
+    print(
+        f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only "
+        f"(of {len(qs)} registered) =="
+    )
+    if failures:
+        print("failing:", ",".join(failures))
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
