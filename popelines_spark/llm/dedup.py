@@ -1,0 +1,264 @@
+"""Deduplication operators for LLM data pipelines (SURVEY.md §2 Part C).
+
+Four families:
+ - exact:    hash-groupBy on a normalized key (one shuffle).
+ - MinHash:  shingle → n-permutation min-hash signature → banded LSH →
+             candidate pairs via band-bucket self-join (NEVER a full cross
+             join — the 100 TB-safe plan) → verify on signature agreement.
+ - SimHash:  64-bit majority-vote fingerprint → chunk-banded self-join →
+             hamming filter (pigeonhole: hamming ≤ 3 over 4 chunks ⇒ at
+             least one 16-bit chunk is identical).
+ - n-gram Jaccard: exact set similarity on shingle sets for candidate pairs
+             from a cheap blocking key.
+
+All hashing is xxhash64 with fixed salts — deterministic across runs,
+machines and partitionings. No randomness at runtime.
+
+Scale notes: every pair-generating join is keyed (band hash / chunk value /
+blocking key); skew in a hot bucket is bounded by band width choice, and the
+self-join dedups with id_a < id_b before the verify stage.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from popelines_spark.llm.text import shingles
+
+_MERSENNE31 = (1 << 31) - 1
+
+
+def exact_dedup(
+    df: DataFrame, keys: list[str], id_col: str, normalize_case: bool = False
+) -> DataFrame:
+    """Keep the lowest-id row per key group; adds ``n_copies``.
+
+    One hash shuffle on ``keys``; at 100 TB prefer this over
+    dropDuplicates when you need a deterministic survivor.
+    """
+    key_cols = [
+        F.lower(F.col(k)).alias(k) if normalize_case else F.col(k) for k in keys
+    ]
+    w = W.partitionBy(*[c for c in keys]).orderBy(id_col)
+    return (
+        df.select(*key_cols, F.col(id_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count("*").over(W.partitionBy(*keys)))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _hash_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(n)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — classic a·h+b mod p permutation MinHash
+    over xxhash64'd shingles. One explode + one groupBy(id) shuffle; the n
+    min-aggregations are map-side combined."""
+    params = _hash_params(num_hashes)
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias(
+            "__shingle"
+        ),
+    ).withColumn("__h", F.pmod(F.xxhash64("__shingle"), F.lit(_MERSENNE31)))
+    aggs = [
+        F.min(F.pmod(F.col("__h") * a + b, F.lit(_MERSENNE31))).alias(f"__m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, est_jaccard ≥ threshold).
+
+    banding: sig split into ``bands`` rows of r = n/bands; candidates =
+    ids sharing any band hash (equi-join on the band key — no cross join);
+    verification: fraction of agreeing signature components.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    banded = sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * r + i + 1).cast("string")
+                                    for i in range(r)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", "bb.band", "bb.bucket")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.withColumn(
+            "est_jaccard", agree.cast("double") / F.lit(float(num_hashes))
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash: bigint) — 64-bit majority-vote over token xxhash64
+    bits. One explode + one groupBy(id); the 64 bit-votes are sums with
+    map-side combine."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__w")
+    ).withColumn("__h", F.xxhash64("__w"))
+    votes = [
+        F.sum(
+            F.when(F.col("__h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+        ).alias(f"__b{j}")
+        for j in range(63)  # bit 63 = sign bit; keep fingerprints positive
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    fp = None
+    for j in range(63):
+        bit = F.when(F.col(f"__b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return agg.select(id_col, fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming via chunk
+    banding: ≤ 3 differing bits over 4 × 16-bit chunks ⇒ some chunk equal
+    (requires chunks > max_hamming)."""
+    if chunks <= max_hamming:
+        raise ValueError("need chunks > max_hamming for banding completeness")
+    width = 64 // chunks
+    sh = simhash(df, id_col, text_col)
+    banded = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(
+                            F.col("simhash"), c * width
+                        ).bitwiseAND(F.lit((1 << width) - 1)).alias("val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cv"),
+    ).select(id_col, "simhash", "cv.chunk", "cv.val")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "val"
+    )
+    return (
+        a.join(b, ["chunk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over distinct k-token shingle sets for pairs sharing a
+    blocking key (cheap candidate generation; the blocking key bounds the
+    join fan-out at scale)."""
+    base = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("__sh"),
+    )
+    a = base.select(
+        *block_cols, F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a")
+    )
+    b = base.select(
+        *block_cols, F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (
+        F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
+    )
+    return (
+        a.join(b, block_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,108 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The pattern for image/audio/video at 100 TB: payload as a ``binary`` column
+(or an object-store URI for very large blobs), metadata as a typed struct
+beside it, and decode/feature-extraction as Arrow-batched ``mapInPandas``
+stages. Spark never interprets the bytes; Python touches them in columnar
+batches only.
+
+The decode step itself is STUBBED here (no image/audio libraries in this
+container): ``decode_stub`` produces a deterministic fake decode from the
+byte content, and ``decode_image``/``decode_audio`` raise
+``NotImplementedError`` unless PIL/soundfile are importable. The Spark-side
+plumbing — schema, batching, partition-parallelism — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("source", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def attach_payload(
+    df: DataFrame, id_col: str, content_col: str, source_col: str, mime: str
+) -> DataFrame:
+    """Wrap a content column as (id, payload binary, meta struct)."""
+    payload = F.encode(F.col(content_col), "utf-8")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.col(source_col).alias("source"),
+        ).alias("meta"),
+    )
+
+
+_DECODED_SCHEMA = (
+    "doc_id long, mime string, n_bytes long, width long, height long, "
+    "n_frames long, sha1 string"
+)
+
+
+def decode_stub(payloads: DataFrame) -> DataFrame:
+    """Deterministic fake decoder over mapInPandas — the real shape of a
+    distributed media-decode stage (Arrow batches in, typed features out).
+    width/height/frames derive from the payload bytes, so results are
+    stable and testable without media libraries."""
+
+    def _decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                }
+            )
+            digests = [hashlib.sha1(bytes(b)).hexdigest() for b in pdf["payload"]]
+            out["width"] = [(int(d[:4], 16) % 1920) + 1 for d in digests]
+            out["height"] = [(int(d[4:8], 16) % 1080) + 1 for d in digests]
+            out["n_frames"] = [(int(d[8:10], 16) % 16) + 1 for d in digests]
+            out["sha1"] = digests
+            yield out
+
+    return payloads.mapInPandas(_decode, schema=_DECODED_SCHEMA)
+
+
+def decode_image(payloads: DataFrame) -> DataFrame:  # pragma: no cover
+    """Real image decode (PIL) — unavailable in this container."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires pillow; container ships without media "
+            "libraries — use decode_stub for plumbing tests"
+        ) from e
+    raise NotImplementedError("wire PIL decode here when the library lands")
+
+
+def frame_sample(payloads: DataFrame, every_n: int = 10) -> DataFrame:  # pragma: no cover
+    """Video frame sampling — same mapInPandas shape as decode_stub."""
+    raise NotImplementedError(
+        "video decode requires av/ffmpeg; container ships without media libs"
+    )

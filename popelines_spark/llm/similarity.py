@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (SURVEY.md §2 Part C).
+
+Two paths:
+ - brute-force cosine top-k: exact; crossJoin(queries × corpus). Correct
+   baseline at any scale where |queries|·|corpus| fits the cluster — at
+   100 TB use it only with a bounded query set (broadcast the queries, the
+   corpus streams through: one narrow pass, no corpus shuffle).
+ - LSH-bucketed (random-hyperplane sign bits): approximate; candidates are
+   corpus rows sharing the query's bucket (equi-join on bucket id). The
+   hyperplanes are pseudo-random from fixed hashes — deterministic across
+   runs/machines, no stored model needed.
+
+Vector math is F.zip_with/F.aggregate — JVM codegen over the array columns,
+no Python. PAPERS.md [1]/[3]-style distributed top-k: per-partition heads
+then global TakeOrdered via the row_number window on the bounded candidate
+set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double"),
+    )
+
+
+def norm(a) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double"))
+    )
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+    exclude_self: bool = True,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Exact top-k by cosine. Queries are broadcast (bounded set) so the
+    corpus is read in one narrow pass — no corpus shuffle; the only wide
+    stage is the per-query top-k window over |q|·k candidates."""
+    q = F.broadcast(queries) if broadcast_queries else queries
+    pairs = corpus.crossJoin(q)
+    if exclude_self:
+        pairs = pairs.filter(F.col(q_id) != F.col(c_id))
+    scored = pairs.select(
+        q_id,
+        c_id,
+        cosine(F.col(q_vec), F.col(c_vec)).alias("cos_sim"),
+    )
+    w = W.partitionBy(q_id).orderBy(F.col("cos_sim").desc(), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(q_id, "rank", c_id, "cos_sim")
+    )
+
+
+def hyperplane_bucket(vec, n_planes: int = 12, dim: int = 64, salt: int = 42) -> Column:
+    """Random-hyperplane LSH bucket id (sign-bit concatenation).
+
+    Plane p, component i = deterministic pseudo-random in [-1, 1) derived
+    from xxhash64(salt:p:i) — identical on every executor with no broadcast
+    state."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(
+            *[
+                (
+                    F.pmod(
+                        F.xxhash64(F.lit(f"{salt}:{p}:{i}")), F.lit(2_000_000)
+                    ).cast("double")
+                    / 1_000_000.0
+                    - 1.0
+                )
+                for i in range(dim)
+            ]
+        )
+        bit = F.when(dot(vec, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def knn_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share the LSH bucket (equi-join on
+    bucket), exact cosine re-rank inside the bucket. At 100 TB the corpus is
+    pre-bucketed and written partitioned by bucket id, so a query probes one
+    partition — this function computes buckets on the fly for parity with
+    that design."""
+    qb = queries.withColumn("__bucket", hyperplane_bucket(F.col(q_vec), n_planes, dim))
+    cb = corpus.withColumn("__bucket", hyperplane_bucket(F.col(c_vec), n_planes, dim))
+    pairs = qb.join(cb, "__bucket").filter(F.col(q_id) != F.col(c_id))
+    scored = pairs.select(
+        q_id, c_id, cosine(F.col(q_vec), F.col(c_vec)).alias("cos_sim")
+    )
+    w = W.partitionBy(q_id).orderBy(F.col("cos_sim").desc(), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(q_id, "rank", c_id, "cos_sim")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.99,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold, LSH-bucketed
+    (near-identical vectors land in the same sign-bit bucket with high
+    probability; no cross join)."""
+    b = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("__bucket"),
+    )
+    a = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "__bucket"
+    )
+    c = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "__bucket"
+    )
+    return (
+        a.join(c, "__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine("va", "vb").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,115 @@
+"""Text-analysis operators for LLM data pipelines (SURVEY.md §2 Part C).
+
+All pure column expressions (JVM codegen, no Python in the row path):
+tokenization, document stats, quality scoring, language-ID heuristic,
+fingerprinting, BPE-ish token counting.
+
+Scale: every operator is a narrow per-row map — no shuffle, no state. At
+100 TB these run at parquet-scan speed; the only shuffle in this module's
+consumers is the optional groupBy in token frequency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language marker vocabularies for the n-gram/stopword heuristic.
+#: Deterministic and SQL-mirrorable; real pipelines plug fastText here.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "value", "fast"),
+    "es": ("el", "la", "de", "y", "que", "valor"),
+    "de": ("der", "die", "das", "und", "ist", "wert"),
+    "fr": ("le", "la", "et", "de", "est", "valeur"),
+}
+
+#: BPE-ish pre-tokenizer: word pieces, digit runs, single punctuation — the
+#: GPT-2-style pretokenization shape, ASCII-simplified so the identical
+#: pattern runs on any regex engine (oracle parity).
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def tokens(text: str | Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(text, " ")
+
+
+def n_tokens(text: str | Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def n_distinct_tokens(text: str | Column) -> Column:
+    return F.size(F.array_distinct(tokens(text))).cast("long")
+
+
+def avg_token_len(text: str | Column) -> Column:
+    """Mean token length = chars-excluding-separators / token count.
+    Integer inputs → one double division: bit-identical cross-engine."""
+    c = F.col(text) if isinstance(text, str) else text
+    non_space = F.length(F.regexp_replace(c, " ", "")).cast("double")
+    return (non_space / n_tokens(c)).alias("avg_token_len")
+
+
+def bpe_ish_token_count(text: str | Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)).cast(
+        "long"
+    )
+
+
+def marker_score(text: str | Column, markers: tuple[str, ...]) -> Column:
+    """Occurrences (with multiplicity) of marker tokens."""
+    return F.size(
+        F.filter(tokens(text), lambda w: w.isin(*markers))
+    ).cast("long")
+
+
+def lang_id(text: str | Column) -> Column:
+    """Argmax marker-score language as a CASE chain in declaration order —
+    earlier language wins ties (en > es > de > fr), 'und' when every score
+    is 0. Deterministic and exactly mirrorable in SQL."""
+    codes = list(LANG_MARKERS)
+    scores = {code: marker_score(text, LANG_MARKERS[code]) for code in codes}
+    expr = None
+    for i, code in enumerate(codes):
+        cond = scores[code] > 0
+        for later in codes[i + 1 :]:
+            cond = cond & (scores[code] >= scores[later])
+        expr = F.when(cond, F.lit(code)) if expr is None else expr.when(
+            cond, F.lit(code)
+        )
+    return expr.otherwise(F.lit("und"))
+
+
+def quality_score(text: str | Column) -> Column:
+    """Heuristic document quality in [0,1]: rewards moderate length, word
+    diversity, low punctuation density. Deterministic double math (counts →
+    single divisions → fixed-order weighted sum)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = n_tokens(c).cast("double")
+    distinct_ratio = n_distinct_tokens(c).cast("double") / n
+    punct = F.length(F.regexp_replace(c, "[A-Za-z0-9 ]", "")).cast("double")
+    punct_ratio = punct / F.length(c).cast("double")
+    length_component = F.least(n / 100.0, F.lit(1.0))
+    return (
+        length_component * 0.4 + distinct_ratio * 0.4 + (1.0 - punct_ratio) * 0.2
+    )
+
+
+def shingles(text: str | Column, k: int = 3) -> Column:
+    """k-token shingles as strings (for fingerprints / MinHash)."""
+    ws = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (k - 1), F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(ws, i, k), " ")
+    )
+
+
+def fingerprint(text: str | Column, k: int = 3) -> Column:
+    """Deterministic document fingerprint: the minimum MD5 over k-token
+    shingles (a 1-hash MinHash — stable under small reorderings at the
+    shingle level). Falls back to MD5 of the whole text for short docs."""
+    c = F.col(text) if isinstance(text, str) else text
+    sh = shingles(c, k)
+    min_md5 = F.array_min(F.transform(sh, lambda s: F.md5(F.encode(s, "utf-8"))))
+    return F.coalesce(min_md5, F.md5(F.encode(c, "utf-8")))

@@ -1,1 +1,151 @@
-"""(stub — filled in this round)"""
+"""SURVEY.md §2 Part C — deduplication over `documents`.
+
+The synthetic corpus has no natural duplicates (500/500 distinct texts), so
+each query builds a corpus with DETERMINISTIC planted duplicates:
+ - exact copies at doc_id + 100000;
+ - near copies at doc_id + 200000 (every 7th token dropped — ~86% token
+   overlap, Jaccard(3-shingles) ≈ 0.5-0.7).
+That makes recall measurable: the planted pairs are known.
+
+Implementations: popelines_spark/llm/dedup.py. MinHash/SimHash use fixed
+xxhash64 salts — deterministic across machines — but their pair sets are
+algorithm-tuned, so those two are rows-only checks (SURVEY §2 marks
+c_dedup_fuzzy `rows`); exact dedup and n-gram Jaccard hash-match DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from popelines_spark.llm import dedup as D
+from popelines_spark.registry import query
+from popelines_spark.queries._util import T
+
+#: every-7th-token drop, 1-based positions 1,8,15,… (Spark 0-based i%7==0).
+_DROP7_SQL = (
+    "array_to_string([ws[i] FOR i IN generate_series(1, len(ws)) "
+    "IF (i % 7) != 1], ' ')"
+)
+
+_CORPUS_SQL = f"""
+    WITH base AS (SELECT doc_id, text, lang FROM documents),
+         near AS (SELECT doc_id + 200000 AS doc_id,
+                         {_DROP7_SQL} AS text, lang
+                  FROM (SELECT doc_id, str_split(text, ' ') AS ws, lang
+                        FROM documents)),
+         corpus AS (
+           SELECT * FROM base
+           UNION ALL SELECT doc_id + 100000, text, lang FROM base
+           UNION ALL SELECT * FROM near)
+"""
+
+
+def _corpus(spark, sf_dir) -> DataFrame:
+    """documents + exact copies (+100000) + near copies (+200000)."""
+    base = T(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    exact = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+    )
+    ws = F.split("text", " ")
+    near = base.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(
+            F.filter(ws, lambda w, i: i % 7 != 0), " "
+        ).alias("text"),
+        "lang",
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+@query(
+    "c_dedup_exact",
+    oracle=_CORPUS_SQL
+    + """
+    SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+    FROM corpus GROUP BY text
+    """,
+)
+def c_dedup_exact(spark, sf_dir):
+    """Exact text dedup, deterministic survivor (lowest doc_id). Every base
+    doc collapses with its planted copy (n_copies=2); near copies stay."""
+    kept = D.exact_dedup(_corpus(spark, sf_dir), keys=["text"], id_col="doc_id")
+    return kept.select(F.col("doc_id").alias("keep_id"), "n_copies")
+
+
+@query("c_dedup_fuzzy")  # rows-only: LSH pair set is algorithm-specific
+def c_dedup_fuzzy(spark, sf_dir):
+    """MinHash-LSH near-dup pairs (64 hashes, 16 bands × 4). Exact copies
+    est_jaccard=1.0; near copies land ≈ their true shingle Jaccard. The
+    pair generation is a band-bucket equi-join — no cross join at any
+    scale."""
+    pairs = D.minhash_lsh_pairs(
+        _corpus(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=64,
+        bands=16,
+        threshold=0.4,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
+@query("c_dedup_simhash")  # rows-only
+def c_dedup_simhash(spark, sf_dir):
+    """SimHash (63-bit majority vote) pairs with hamming ≤ 3 via 4-chunk
+    banding (pigeonhole-complete for hamming ≤ 3)."""
+    return D.simhash_pairs(
+        _corpus(spark, sf_dir), id_col="doc_id", text_col="text", max_hamming=3
+    )
+
+
+@query(
+    "c_dedup_ngram",
+    oracle=_CORPUS_SQL
+    + """
+    , sh AS (SELECT doc_id, lang,
+                    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                   FOR i IN generate_series(1, len(ws) - 2)])
+                      AS shset
+             FROM (SELECT doc_id, str_split(text, ' ') AS ws, lang FROM corpus))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+             / (len(a.shset) + len(b.shset)
+                - len(list_intersect(a.shset, b.shset))) AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+          / (len(a.shset) + len(b.shset)
+             - len(list_intersect(a.shset, b.shset))) >= 0.3
+    """,
+)
+def c_dedup_ngram(spark, sf_dir):
+    """Exact 3-gram-shingle Jaccard over lang-blocked candidate pairs.
+    Integer set sizes → one double division: bit-identical cross-engine."""
+    return D.ngram_jaccard_pairs(
+        _corpus(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        block_cols=["lang"],
+        shingle_k=3,
+        threshold=0.3,
+    )
+
+
+@query("c_dedup_embedding")  # rows-only: LSH bucketing is algorithm-specific
+def c_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dups: embeddings + deterministically perturbed
+    copies (+0.005 per component → cosine ≈ 0.9992, vec_id + 100000),
+    LSH-bucketed pair generation, cosine ≥ 0.995 filter."""
+    from popelines_spark.llm.similarity import embedding_near_dups
+
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.005)).alias("embedding"),
+    )
+    corpus = emb.unionByName(pert)
+    pairs = embedding_near_dups(
+        corpus, id_col="vec_id", vec_col="embedding", threshold=0.995, dim=64
+    )
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))

@@ -1,1 +1,159 @@
-"""(stub — filled in this round)"""
+"""SURVEY.md §2 Part C — text analysis over `documents`.
+
+Driver-mandated extension ops (BASELINE.json:6): token stats, frequency,
+filtering, language-ID heuristic, quality scoring, fingerprinting, BPE-ish
+token counting. Implementations in popelines_spark/llm/text.py; every oracle
+mirrors the exact arithmetic so doubles stay bit-identical (counts →
+single divisions → fixed-order weighted sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from popelines_spark.llm import text as X
+from popelines_spark.registry import query
+from popelines_spark.queries._util import T
+
+_WS = "str_split(text, ' ')"
+
+
+@query(
+    "c_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_WS}) AS BIGINT) AS n_toks,
+           CAST(len(list_distinct({_WS})) AS BIGINT) AS n_distinct,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len({_WS}) AS avg_tok_len
+    FROM documents
+    """,
+)
+def c_text_stats(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.n_tokens("text").alias("n_toks"),
+        X.n_distinct_tokens("text").alias("n_distinct"),
+        X.avg_token_len("text").alias("avg_tok_len"),
+    )
+
+
+@query(
+    "c_token_freq",
+    oracle=f"""
+    SELECT u.word, CAST(count(*) AS BIGINT) AS cnt
+    FROM documents, UNNEST({_WS}) AS u(word)
+    GROUP BY u.word
+    ORDER BY cnt DESC, u.word
+    LIMIT 50
+    """,
+)
+def c_token_freq(spark, sf_dir):
+    """Corpus token frequency: explode → groupBy → top-k. At 100 TB this is
+    the canonical skew case (Zipf): map-side partial counts absorb the hot
+    tokens before the shuffle."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(X.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(50)
+    )
+
+
+@query(
+    "c_text_filter",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE lang IN ('en', 'de') AND n_chars BETWEEN 100 AND 900
+    """,
+)
+def c_text_filter(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.filter(
+        F.col("lang").isin("en", "de") & F.col("n_chars").between(100, 900)
+    ).select("doc_id", "lang", "n_chars")
+
+
+def _marker_sql(markers: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{m}'" for m in markers)
+    return f"CAST(len(list_filter({_WS}, w -> w IN ({quoted}))) AS BIGINT)"
+
+
+def _lang_case_sql() -> str:
+    codes = list(X.LANG_MARKERS)
+    scores = {c: _marker_sql(X.LANG_MARKERS[c]) for c in codes}
+    branches = []
+    for i, c in enumerate(codes):
+        conds = [f"{scores[c]} > 0"] + [
+            f"{scores[c]} >= {scores[later]}" for later in codes[i + 1 :]
+        ]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{c}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+@query(
+    "c_lang_id",
+    oracle=f"""
+    SELECT doc_id, {_lang_case_sql()} AS pred_lang
+    FROM documents
+    """,
+)
+def c_lang_id(spark, sf_dir):
+    """Marker-vocabulary language ID (n-gram heuristic): argmax of per-lang
+    stopword counts, fixed tie-break. The heuristic itself is the operator
+    under test — not agreement with the `lang` column."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", X.lang_id("text").alias("pred_lang"))
+
+
+@query(
+    "c_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           least(len({_WS}) / 100.0, 1.0) * 0.4
+           + (CAST(len(list_distinct({_WS})) AS DOUBLE) / len({_WS})) * 0.4
+           + (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                         AS DOUBLE) / length(text)) * 0.2 AS quality
+    FROM documents
+    """,
+)
+def c_quality_score(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", X.quality_score("text").alias("quality"))
+
+
+@query(
+    "c_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_WS} AS ws, text FROM documents)
+    SELECT doc_id,
+           coalesce(
+             list_sort([md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                        FOR i IN generate_series(1, len(ws) - 2)])[1],
+             md5(text)) AS fp
+    FROM t
+    """,
+)
+def c_fingerprint(spark, sf_dir):
+    """Document fingerprint: min-MD5 over 3-token shingles (1-hash MinHash;
+    rolling over the token stream)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", X.fingerprint("text", k=3).alias("fp"))
+
+
+@query(
+    "c_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{X.BPE_ISH_PATTERN}')) AS BIGINT)
+             AS n_bpe_toks
+    FROM documents
+    """,
+)
+def c_token_count(spark, sf_dir):
+    """BPE-ish token counting (GPT-2-style pre-tokenizer regex, ASCII form)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", X.bpe_ish_token_count("text").alias("n_bpe_toks"))

@@ -1,1 +1,193 @@
-"""(stub — filled in this round)"""
+"""SURVEY.md §2 Part A — the reference's own operations, end-to-end.
+
+Part A is mostly covered by unit tests (tests/test_part_a.py) since the ops
+are API-level; the entries here exercise the composite pipelines
+(popelines README.md:26-58 shape) through the driver's oracle gate:
+
+ - a_load_evolve:      write_to_bq append + ALLOW_FIELD_ADDITION
+                       (popelines/main.py:100-155) through Popeline.
+ - a_chunk_dates:      chunk_date_range exact port (popelines/main.py:208-223).
+ - a_fix_values:       fix_json_values callback contract
+                       (popelines/main.py:264-286), driver-side at the API
+                       edge, then distributed.
+ - a_copy_replace_keys: the whole nested-rename path
+                       (popelines/main.py:288-310 + copy_table.py) with NO
+                       SQL-text generation.
+ - a_source_rest:      call_api (popelines/main.py:193-206) distributed via
+                       mapInPandas over file:// URLs (hermetic).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from popelines_spark.registry import query
+from popelines_spark.queries._util import T
+
+_SCRATCH = "/tmp/popelines_spark_scratch"
+
+
+@query(
+    "a_load_evolve",
+    oracle="""
+    SELECT c_custkey, c_name, NULL AS c_acctbal FROM customer
+      WHERE c_nationkey < 10
+    UNION ALL BY NAME
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE c_nationkey >= 10
+    """,
+)
+def a_load_evolve(spark, sf_dir):
+    """Append-with-evolution through the Popeline facade: v1 rows lack
+    c_acctbal; the v2 append adds the column; v1 rows read back NULL."""
+    from popelines_spark.pipeline import Popeline
+
+    wh = os.path.join(_SCRATCH, "a_load_evolve_wh")
+    shutil.rmtree(wh, ignore_errors=True)
+    p = Popeline(warehouse=wh, spark=spark)
+    c = T(spark, sf_dir, "customer")
+    v1 = c.filter(F.col("c_nationkey") < 10).select("c_custkey", "c_name")
+    v2 = c.filter(F.col("c_nationkey") >= 10).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    p.write_to_table("Cust-Evolved", df=v1, append=False)
+    p.write_to_table("Cust-Evolved", df=v2, append=True)
+    from popelines_spark.io import read_table_evolved
+
+    return read_table_evolved(spark, wh, "Cust-Evolved")
+
+
+@query(
+    "a_chunk_dates",
+    oracle="""
+    SELECT gs AS chunk_start,
+           least(gs + INTERVAL 7 DAY, TIMESTAMP '1995-03-10') AS chunk_end
+    FROM (SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+                                        TIMESTAMP '1995-03-10',
+                                        INTERVAL 7 DAY)) AS gs)
+    """,
+)
+def a_chunk_dates(spark, sf_dir):
+    """chunk_date_range exact port (n-day windows, final end-clamped)."""
+    import datetime as dt
+
+    from popelines_spark.incremental import chunk_date_range
+
+    chunks = list(
+        chunk_date_range(
+            dt.datetime(1995, 1, 1), dt.datetime(1995, 3, 10), chunk_size=7
+        )
+    )
+    return spark.createDataFrame(
+        chunks, "chunk_start timestamp, chunk_end timestamp"
+    )
+
+
+@query(
+    "a_fix_values",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(2 AS BIGINT),  'x!', CAST(20 AS BIGINT)),
+      (CAST(4 AS BIGINT),  'y!', CAST(40 AS BIGINT)),
+      (CAST(6 AS BIGINT),  'z!', CAST(60 AS BIGINT))
+    ) t(a, b, nested_c)
+    """,
+)
+def a_fix_values(spark, sf_dir):
+    """fix_json_values callback contract: callback(value, key, **kwargs)
+    rewrites every scalar in a dict/list tree (driver-side, API edge), then
+    the batch ships to Spark."""
+    from popelines_spark.pipeline import Popeline
+
+    p = Popeline(warehouse=os.path.join(_SCRATCH, "unused_wh"), spark=spark)
+    batch = [
+        {"a": 1, "b": "x", "nested": {"c": 10}},
+        {"a": 2, "b": "y", "nested": {"c": 20}},
+        {"a": 3, "b": "z", "nested": {"c": 30}},
+    ]
+
+    def cb(value, key, **kwargs):
+        if isinstance(value, int):
+            return value * 2
+        if isinstance(value, str):
+            return value + "!"
+        return value
+
+    fixed = p.fix_json_values(batch, cb)
+    df = spark.createDataFrame(
+        [(r["a"], r["b"], r["nested"]["c"]) for r in fixed],
+        "a long, b string, nested_c long",
+    )
+    return df
+
+
+@query(
+    "a_copy_replace_keys",
+    oracle="""
+    SELECT s_suppkey AS supp_key, s_name AS supp_name, s_acctbal AS acct_bal
+    FROM supplier
+    """,
+)
+def a_copy_replace_keys(spark, sf_dir):
+    """The copy_and_replace_keys path end-to-end: nested table with messy
+    field names → in-place deep rename (struct cast, no SQL text) → read
+    back and flatten."""
+    from popelines_spark.pipeline import Popeline
+    from popelines_spark.schemas import sanitize_identifier
+
+    wh = os.path.join(_SCRATCH, "a_copy_replace_wh")
+    shutil.rmtree(wh, ignore_errors=True)
+    p = Popeline(warehouse=wh, spark=spark)
+    s = T(spark, sf_dir, "supplier")
+    nested = s.select(
+        F.col("s_suppkey").alias("supp key"),
+        F.struct(
+            F.col("s_name").alias("supp name"),
+            F.col("s_acctbal").alias("acct.bal"),
+        ).alias("info!"),
+    )
+    p.write_to_table("supp_nested", df=nested, append=False)
+    p.copy_and_replace_keys("supp_nested", sanitize_identifier)
+    out = p.spark.read.parquet(os.path.join(wh, "supp_nested"))
+    return out.select(
+        F.col("supp_key"),
+        F.col("info.supp_name").alias("supp_name"),
+        F.col("info.acct_bal").alias("acct_bal"),
+    )
+
+
+@query(
+    "a_source_rest",
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, CAST(0 AS BIGINT)), (1, CAST(10 AS BIGINT)), (2, CAST(20 AS BIGINT)),
+      (3, CAST(30 AS BIGINT)), (4, CAST(40 AS BIGINT)), (5, CAST(50 AS BIGINT))
+    ) t(page, payload_sum)
+    """,
+)
+def a_source_rest(spark, sf_dir):
+    """call_api distributed: a URL table fans out via mapInPandas, each task
+    fetches and returns raw JSON text, parsed with from_json. file:// URLs
+    keep the test hermetic; the code path is byte-identical for http(s)."""
+    from popelines_spark.io import fetch_json_distributed
+
+    pages_dir = os.path.join(_SCRATCH, "rest_pages")
+    shutil.rmtree(pages_dir, ignore_errors=True)
+    os.makedirs(pages_dir)
+    for i in range(6):
+        with open(os.path.join(pages_dir, f"page{i}.json"), "w") as f:
+            json.dump({"page": i, "payload": {"sum": i * 10}}, f)
+    urls = spark.createDataFrame(
+        [(i, f"file://{pages_dir}/page{i}.json") for i in range(6)],
+        "page int, url string",
+    )
+    fetched = fetch_json_distributed(urls, url_col="url", out_col="body")
+    parsed = fetched.select(
+        "page",
+        F.from_json("body", "page int, payload struct<sum: bigint>").alias("j"),
+    )
+    return parsed.select("page", F.col("j.payload.sum").alias("payload_sum"))

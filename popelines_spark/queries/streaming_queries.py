@@ -1,1 +1,144 @@
-"""(stub — filled in this round)"""
+"""SURVEY.md §2 B.9 — Structured Streaming over the events shape.
+
+Each query replays the static events parquet through a file-source stream,
+drains it to completion, and returns the final state; oracles are the
+batch-equivalent DuckDB aggregations (SURVEY.md §2 B.9 oracle column).
+
+Output-mode choices: grouped aggregates drain in ``complete`` mode (finite
+replay → final state == batch result); dedup drains in ``append`` (row
+emission is exactly-once per key). s_watermark_late is rows-only: its whole
+point is dropping late rows, which has no batch equivalent.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from popelines_spark.registry import query
+from popelines_spark.queries._util import T, sql_dsum
+from popelines_spark.streaming import ops
+from popelines_spark.streaming.runner import events_stream, run_to_completion
+
+
+@query(
+    "s_tumbling",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS win_start,
+           CAST(count(*) AS BIGINT) AS n,
+           {sql_dsum('value')} AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def s_tumbling(spark, sf_dir):
+    ev = events_stream(spark, sf_dir)
+    return run_to_completion(ops.tumbling_counts(ev, "1 hour"), "complete")
+
+
+@query(
+    "s_sliding",
+    oracle="""
+    WITH starts AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts)
+               - unnest([INTERVAL '0 minutes', INTERVAL '30 minutes'])
+               AS win_start
+      FROM events)
+    SELECT win_start, CAST(count(*) AS BIGINT) AS n
+    FROM starts GROUP BY win_start
+    """,
+)
+def s_sliding(spark, sf_dir):
+    """1h windows sliding every 30min — each event lands in exactly two
+    windows; the oracle materializes both starts per event."""
+    ev = events_stream(spark, sf_dir)
+    return run_to_completion(ops.sliding_counts(ev, "1 hour", "30 minutes"), "complete")
+
+
+@query(
+    "s_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM flagged)
+    SELECT user_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, sess
+    """,
+)
+def s_session(spark, sf_dir):
+    """Per-user session windows (30-min gap). Oracle is the classic
+    gaps-and-islands rewrite; Spark merges events whose gap is < 30min, so
+    the oracle starts a new session at gap >= 30min."""
+    ev = events_stream(spark, sf_dir)
+    return run_to_completion(ops.session_counts(ev, "30 minutes"), "complete")
+
+
+@query("s_watermark_late")  # rows-only: late-drop semantics, no batch equiv
+def s_watermark_late(spark, sf_dir):
+    """Late-data drop: replay events as two files — the bulk, then stragglers
+    2h older than the stream's max ts — with a 10-minute watermark and
+    append output. The straggler rows fall beyond the watermark and are
+    dropped; append mode emits only watermark-finalized windows."""
+    scratch = "/tmp/popelines_spark_scratch/late_events"
+    shutil.rmtree(scratch, ignore_errors=True)
+    ev = T(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]  # driver scalar: test setup
+    bulk = ev.filter(F.col("ts") >= F.lit(max_ts) - F.expr("interval 6 hours"))
+    late = bulk.withColumn("ts", F.col("ts") - F.expr("interval 2 hours")).limit(50)
+    # Two plain files, written in arrival order (file source triggers by
+    # modification time): bulk first, stragglers second.
+    import glob
+
+    for i, df in enumerate((bulk, late)):
+        tmp = os.path.join(scratch, f"_stage{i}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.rename(part, os.path.join(scratch, f"{i}.parquet"))
+        shutil.rmtree(tmp)
+
+    raw = spark.read.parquet(os.path.join(scratch, "0.parquet"))
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(scratch)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "n")
+    )
+    return run_to_completion(agg, "append")
+
+
+@query(
+    "s_dedup_stream",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def s_dedup_stream(spark, sf_dir):
+    ev = events_stream(spark, sf_dir)
+    return run_to_completion(
+        ops.stream_distinct(ev, ["user_id", "event_type"]), "append"
+    )
+
+
+@query(
+    "s_incremental_max",
+    oracle="SELECT max(ts) AS max_ts FROM events",
+)
+def s_incremental_max(spark, sf_dir):
+    """The high-water mark (find_last_entry, popelines/main.py:229) as
+    incrementally-maintained streaming state."""
+    ev = events_stream(spark, sf_dir)
+    return run_to_completion(ops.running_max(ev, "ts"), "complete")

@@ -1,0 +1,72 @@
+"""Streaming operators (SURVEY.md §2 B.9) as composable functions.
+
+Each takes the streaming events DataFrame and returns the transformed
+streaming DataFrame; the runner drains it for tests, production attaches a
+real sink. Watermarks bound state at scale: every grouped operator here
+carries one so state stores don't grow unboundedly on a 100 TB/day stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from popelines_spark.queries._util import DEC
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window count+sum (the chunked fixed windows of
+    popelines/main.py:214-217, as a stream)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", width).alias("win"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "n", "sum_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", width, slide).alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "n")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (gap-merged)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id", F.col("win.start").alias("session_start"), "n_events"
+        )
+    )
+
+
+def stream_distinct(events: DataFrame, cols: list[str]) -> DataFrame:
+    """Stateful stream dedup on a key set (append-only loads re-running
+    safely — popelines/main.py:137). Unbounded state on a finite replay;
+    production pairs it with a watermark via dropDuplicatesWithinWatermark."""
+    return events.select(*cols).dropDuplicates(cols)
+
+
+def stream_dedup_within_watermark(
+    events: DataFrame, cols: list[str], delay: str = "1 hour"
+) -> DataFrame:
+    """Watermark-bounded stream dedup — state evicts as the watermark
+    advances (the 100 TB-safe variant)."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(cols)
+
+
+def running_max(events: DataFrame, col: str = "ts") -> DataFrame:
+    """find_last_entry (popelines/main.py:229) as streaming state: the
+    high-water mark maintained incrementally instead of re-queried."""
+    return events.agg(F.max(col).alias(f"max_{col}"))

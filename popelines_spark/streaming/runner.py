@@ -1,0 +1,66 @@
+"""Run-to-completion harness for Structured Streaming queries.
+
+The reference's incremental loop (find_last_entry + chunk_date_range +
+append, popelines/main.py:208-234,137-139) is a hand-rolled micro-batch
+pipeline; its Spark form is Structured Streaming. For correctness checks we
+replay the static events parquet through a file source and drain it
+synchronously into a memory sink (processAllAvailable), so the final state
+is comparable to a batch oracle.
+
+At 100 TB the same streaming DAGs run against Kafka/object-store sources
+with checkpointing; nothing here is test-only except the memory sink.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_COUNTER = itertools.count()
+
+
+def events_stream(spark: SparkSession, sf_dir: str, path: str | None = None) -> DataFrame:
+    """readStream over the events parquet (ns→µs conversion as in
+    tables.load). ``path`` overrides the source location (e.g. a scratch
+    dir with multiple files for multi-micro-batch replays)."""
+    src = path or os.path.join(sf_dir, "events.parquet")
+    if os.path.isfile(src):
+        # The file source requires a directory; expose the single parquet
+        # file through a scratch dir symlink (testdata stays untouched).
+        link_dir = os.path.join(
+            "/tmp/popelines_spark_scratch/stream_src",
+            src.strip("/").replace("/", "_"),
+        )
+        os.makedirs(link_dir, exist_ok=True)
+        link = os.path.join(link_dir, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+        src = link_dir
+    raw_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(raw_schema).parquet(src)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_to_completion(
+    result: DataFrame, output_mode: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Drain a streaming DataFrame into a memory sink; return the final
+    table as a batch DataFrame."""
+    name = f"pls_stream_{next(_COUNTER)}_{os.getpid()}"
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return result.sparkSession.table(name)
