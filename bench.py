@@ -1,0 +1,86 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": N}.
+
+Each query executes its full plan through the no-op sink (format("noop")) so
+timing covers scan→compute→write without driver materialization. Session
+build/warmup is excluded from timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+#: Headline set (BASELINE.md): relational spine + window + LLM ops + stream.
+BENCH_QUERIES = [
+    "flagship_star_revenue",   # 3-way star join + grouped agg
+    "b_agg_group",             # TPC-H Q1-style pricing summary
+    "b_topk_per_group",        # window top-k
+    "b_join_asof",             # as-of join
+    "c_dedup_exact",           # exact dedup w/ planted copies
+    "c_dedup_fuzzy",           # MinHash-LSH near-dup (banded join)
+    "c_knn_cosine",            # brute-force cosine top-k
+    "c_text_stats",            # per-doc token stats
+    "s_tumbling",              # streaming tumbling window (replay)
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+
+    from popelines_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="popelines_spark_bench")
+    qs = entrymod.queries()
+
+    # Warm the JVM/codegen/parquet-reader/broadcast paths once (excluded
+    # from timings, like the session build): a trivial action, one footer
+    # read per benched table, and one real multi-stage job at the smallest
+    # scale factor.
+    spark.range(1000).count()
+    for t in ("lineitem", "orders", "customer", "documents", "embeddings", "events"):
+        from popelines_spark.tables import load
+
+        load(spark, sf_dir, t).limit(1).count()
+    qs["flagship_star_revenue"](spark, "/root/testdata/sf0.001").write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        if df.isStreaming:  # pragma: no cover - streaming queries pre-drained
+            df = df.sparkSession.createDataFrame(df.collect())
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -21,26 +21,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from popelines_spark.schemas import rename_schema, _rename_type
+from popelines_spark.schemas import rename_schema  # noqa: F401 (re-export)
+
+
+def _rebuild(col, dt: T.DataType, callback: Callable[[str], str]):
+    """Recursively rebuild a column with every nested field renamed via
+    ``callback``; fields whose new name is falsy are dropped (the
+    copy_table.py:87-89 drop rule, applied at every level). A pure
+    projection — narrow, shuffle-free, works at any nesting depth."""
+    if isinstance(dt, T.StructType):
+        parts = []
+        for f in dt.fields:
+            new_name = callback(f.name)
+            if not new_name:
+                continue
+            parts.append(
+                _rebuild(col.getField(f.name), f.dataType, callback).alias(new_name)
+            )
+        # a NULL struct must stay NULL, not become a struct of NULLs
+        return F.when(col.isNull(), F.lit(None)).otherwise(F.struct(*parts))
+    if isinstance(dt, T.ArrayType):
+        return F.transform(col, lambda x: _rebuild(x, dt.elementType, callback))
+    if isinstance(dt, T.MapType):
+        return F.transform_values(
+            col, lambda _, v: _rebuild(v, dt.valueType, callback)
+        )
+    return col
 
 
 def rename_fields(df: DataFrame, callback: Callable[[str], str]) -> DataFrame:
-    """Rename every column/field at every nesting level via ``callback``.
+    """Rename every column/field at every nesting level via ``callback``;
+    columns/fields with falsy new names are dropped (copy_table.py:87-89).
 
-    Top-level columns whose callback result is falsy are dropped
-    (copy_table.py:87-89); nested renames are applied with a same-shape
-    struct cast (field names differ, positions/types identical — Spark casts
-    structs positionally, so this is rename-only)."""
+    Note: a plain same-shape struct cast would be enough for rename-only
+    callbacks, but breaks when a nested field is dropped (struct casts are
+    positional and require equal field counts) — hence the rebuild."""
     cols = []
     for f in df.schema.fields:
         new_name = callback(f.name)
         if not new_name:
             continue
-        new_type = _rename_type(f.dataType, callback)
-        c = F.col(f.name)
-        if new_type != f.dataType:
-            c = c.cast(new_type)
-        cols.append(c.alias(new_name))
+        cols.append(_rebuild(F.col(f.name), f.dataType, callback).alias(new_name))
     return df.select(*cols)
 
 

@@ -1,0 +1,47 @@
+"""asof_join semantics: backward match, strict mode, inner mode, ties."""
+
+import datetime as dt
+
+from popelines_spark.operators.asof import asof_join
+
+
+def _ts(m):
+    return dt.datetime(2020, 1, 1, 0, m)
+
+
+def test_backward_latest_and_unmatched(spark):
+    left = spark.createDataFrame(
+        [(1, "k", _ts(10)), (2, "k", _ts(5)), (3, "other", _ts(10))],
+        "lid long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", _ts(4), "r4"), ("k", _ts(9), "r9"), ("k", _ts(11), "r11")],
+        "rk string, rts timestamp, tag string",
+    )
+    out = {r.lid: r.tag for r in asof_join(
+        left, right, "k", "rk", "ts", "rts").collect()}
+    assert out == {1: "r9", 2: "r4", 3: None}
+
+
+def test_inclusive_vs_strict(spark):
+    left = spark.createDataFrame([(1, "k", _ts(5))], "lid long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("k", _ts(5), "same"), ("k", _ts(3), "older")],
+        "rk string, rts timestamp, tag string",
+    )
+    inc = asof_join(left, right, "k", "rk", "ts", "rts").collect()[0]
+    assert inc.tag == "same"  # <= matches equal ts (DuckDB ASOF parity)
+    strict = asof_join(left, right, "k", "rk", "ts", "rts", strict=True).collect()[0]
+    assert strict.tag == "older"
+
+
+def test_inner_drops_unmatched(spark):
+    left = spark.createDataFrame(
+        [(1, "k", _ts(10)), (2, "nomatch", _ts(10))],
+        "lid long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", _ts(1), "r")], "rk string, rts timestamp, tag string"
+    )
+    out = asof_join(left, right, "k", "rk", "ts", "rts", how="inner").collect()
+    assert [r.lid for r in out] == [1]

@@ -1,0 +1,95 @@
+"""io.py: write_to_bq-equivalent semantics (popelines/main.py:100-166)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from popelines_spark import io as pio
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_normalize_table_name():
+    assert pio.normalize_table_name("My-Table") == "my_table"  # main.py:109
+    assert pio.normalize_table_name("UPPER-case-X") == "upper_case_x"
+
+
+def test_ndjson_roundtrip(spark, scratch):
+    df = _df(spark, [(1, "a", 1.5), (2, "b", None)], "id long, s string, v double")
+    pio.write_ndjson(df, f"{scratch}/nd")
+    back = pio.read_ndjson(spark, f"{scratch}/nd", schema="id long, s string, v double")
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_read_ndjson_explicit_schema_drops_unknown(spark, scratch):
+    # ignore_unknown_values load path (main.py:141-142)
+    with open(f"{scratch}/x.ndjson", "w") as f:
+        f.write('{"id": 1, "known": "k", "unknown": 99}\n')
+    back = pio.read_ndjson(spark, f"{scratch}/x.ndjson", schema="id long, known string")
+    assert back.columns == ["id", "known"]
+    assert back.collect()[0].known == "k"
+
+
+def test_append_evolution_null_fills(spark, scratch):
+    v1 = _df(spark, [(1, "a")], "id long, name string")
+    v2 = _df(spark, [(2, "b", 9.5)], "id long, name string, extra double")
+    pio.write_table(v1, scratch, "t", append=False)
+    pio.write_table(v2, scratch, "t", append=True)
+    back = pio.read_table_evolved(spark, scratch, "t")
+    rows = {r.id: r for r in back.collect()}
+    assert rows[1].extra is None and rows[2].extra == 9.5
+
+
+def test_append_evolution_nested_add(spark, scratch):
+    v1 = spark.read.json(spark.sparkContext.parallelize(
+        ['{"id": 1, "meta": {"x": 1}}']))
+    v2 = spark.read.json(spark.sparkContext.parallelize(
+        ['{"id": 2, "meta": {"x": 2, "y": "new"}}']))
+    pio.write_table(v1, scratch, "t", append=False)
+    pio.write_table(v2, scratch, "t", append=True)
+    back = pio.read_table_evolved(spark, scratch, "t")
+    rows = {r.id: r for r in back.collect()}
+    assert rows[1].meta.x == 1 and rows[1].meta.asDict().get("y") is None
+    assert rows[2].meta.y == "new"
+
+
+def test_ignore_unknown_values_drops_new_columns(spark, scratch):
+    v1 = _df(spark, [(1, "a")], "id long, name string")
+    v2 = _df(spark, [(2, "b", 9.5)], "id long, name string, extra double")
+    pio.write_table(v1, scratch, "t", append=False)
+    pio.write_table(v2, scratch, "t", append=True, ignore_unknown_values=True)
+    back = pio.read_table_evolved(spark, scratch, "t")
+    assert set(back.columns) == {"id", "name"}
+
+
+def test_overwrite_truncates(spark, scratch):
+    a = _df(spark, [(1,)], "id long")
+    b = _df(spark, [(2,)], "id long")
+    pio.write_table(a, scratch, "t", append=False)
+    pio.write_table(b, scratch, "t", append=False)
+    assert [r.id for r in pio.read_table(spark, scratch, "t").collect()] == [2]
+
+
+def test_put_object_local(spark, scratch):
+    src = f"{scratch}/src.txt"
+    with open(src, "w") as f:
+        f.write("payload")
+    pio.put_object(spark, src, f"{scratch}/store/dest.txt")
+    assert open(f"{scratch}/store/dest.txt").read() == "payload"
+
+
+def test_fetch_json_file_url_and_parse_failure(scratch, caplog):
+    import json as _json
+
+    good = f"{scratch}/good.json"
+    with open(good, "w") as f:
+        _json.dump({"ok": 1}, f)
+    assert pio.fetch_json(f"file://{good}") == {"ok": 1}
+    bad = f"{scratch}/bad.json"
+    with open(bad, "w") as f:
+        f.write("not json {")
+    # logged fallthrough, returns None (main.py:205-206)
+    assert pio.fetch_json(f"file://{bad}") is None

@@ -1,0 +1,103 @@
+"""Part A driver-side semantics: chunk_date_range exact port, fix_json_keys/
+values contracts, incremental append, Popeline composite (§3.4)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from popelines_spark.incremental import chunk_date_range, incremental_append, max_watermark
+from popelines_spark.pipeline import Popeline
+from popelines_spark.schemas import sanitize_identifier
+
+
+class TestChunkDateRange:
+    def test_exact_windows_and_clamp(self):
+        # popelines/main.py:208-223: 7-day chunks over 10 days, end clamped
+        s, e = dt.datetime(2020, 1, 1), dt.datetime(2020, 1, 11)
+        got = list(chunk_date_range(s, e, 7))
+        assert got == [
+            (dt.datetime(2020, 1, 1), dt.datetime(2020, 1, 8)),
+            (dt.datetime(2020, 1, 8), e),
+        ]
+
+    def test_exact_multiple_includes_terminal_chunk(self):
+        # reference quirk: range(days+1) yields a final (e, e) window when
+        # the period divides evenly — preserved faithfully
+        s, e = dt.datetime(2020, 1, 1), dt.datetime(2020, 1, 15)
+        got = list(chunk_date_range(s, e, 7))
+        assert got[-1] == (e, e)
+        assert len(got) == 3
+
+
+class TestFixJson:
+    def test_fix_keys_recursive(self, spark):
+        p = Popeline(warehouse="/tmp/pls_test_wh", spark=spark)
+        obj = [{"1st": 1, "nested rec": {"9lives": "y"}, "l": [{"a.b": 2}]}]
+        out = p.fix_json_keys(obj, sanitize_identifier)
+        assert out == [{"_1st": 1, "nested_rec": {"_9lives": "y"},
+                        "l": [{"a_b": 2}]}]
+
+    def test_fix_values_callback_sees_key(self, spark):
+        p = Popeline(warehouse="/tmp/pls_test_wh", spark=spark)
+        seen = []
+
+        def cb(value, key, **kw):
+            seen.append(key)
+            return value * 2 if isinstance(value, int) else value
+
+        out = p.fix_json_values({"a": 1, "n": {"b": 3}}, cb)
+        assert out == {"a": 2, "n": {"b": 6}}
+        assert set(seen) >= {"a", "b"}
+
+    def test_fix_values_kwargs_passthrough(self, spark):
+        p = Popeline(warehouse="/tmp/pls_test_wh", spark=spark)
+
+        def cb(value, key, scale=1, **kw):
+            return value * scale if isinstance(value, int) else value
+
+        assert p.fix_json_values({"a": 2}, cb, scale=10) == {"a": 20}
+
+
+class TestIncremental:
+    def test_watermark_and_incremental_append(self, spark, scratch):
+        base = spark.createDataFrame(
+            [(1, dt.datetime(2020, 1, 1)), (2, dt.datetime(2020, 1, 5))],
+            "id long, ts timestamp",
+        )
+        from popelines_spark.io import write_table, read_table
+
+        write_table(base, scratch, "t", append=False)
+        assert max_watermark(read_table(spark, scratch, "t"), "ts") == dt.datetime(2020, 1, 5)
+
+        newer = spark.createDataFrame(
+            [(2, dt.datetime(2020, 1, 5)),   # duplicate of watermark: skipped
+             (3, dt.datetime(2020, 1, 9))],
+            "id long, ts timestamp",
+        )
+        n = incremental_append(newer, scratch, "t", ts_column="ts")
+        assert n == 1
+        assert read_table(spark, scratch, "t").count() == 3
+
+
+def test_composite_pipeline_end_to_end(spark, scratch):
+    """README.md:26-58 shape: messy JSON → sanitize → write → evolve-append
+    → query back (SURVEY.md §3.4)."""
+    p = Popeline(warehouse=scratch, spark=spark)
+    p.write_to_json(
+        f"{scratch}/batch1.ndjson",
+        [{"1st field": 1, "user name": "ann"},
+         {"1st field": 2, "user name": "bob"}],
+        prep_for_BQ=True,
+    )
+    p.write_to_table("Users-Table", file_name=f"{scratch}/batch1.ndjson", append=False)
+    p.write_to_json(
+        f"{scratch}/batch2.ndjson",
+        [{"1st field": 3, "user name": "cee", "new col": 4.5}],
+        prep_for_BQ=True,
+    )
+    p.write_to_table("Users-Table", file_name=f"{scratch}/batch2.ndjson", append=True)
+    p.register_table("Users-Table")
+    rows = sorted(p.query("SELECT * FROM users_table"), key=lambda r: r._1st_field)
+    assert [r.user_name for r in rows] == ["ann", "bob", "cee"]
+    assert rows[0].new_col is None and rows[2].new_col == 4.5
+    assert p.find_last_entry("Users-Table", "_1st_field") == 3
