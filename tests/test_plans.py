@@ -1,0 +1,87 @@
+"""Plan-shape assertions: the stock Catalyst optimizations the engine relies
+on (SURVEY.md §4) actually fire on the registered queries."""
+
+import __spark_entry__ as entrymod
+from pyspark.sql import functions as F
+
+from popelines_spark.plans.inspect import (
+    assert_no_cartesian,
+    assert_scan_pruned,
+    plan_report,
+)
+from tests.conftest import SF_DIR
+
+
+def _q(name, spark):
+    return entrymod.queries()[name](spark, SF_DIR)
+
+
+def test_flagship_broadcasts_and_prunes(spark):
+    df = _q("flagship_star_revenue", spark)
+    rep = plan_report(df)
+    assert rep["broadcast_joins"] + rep["sortmerge_joins"] >= 2
+    assert not rep["cartesian"]
+    # lineitem scan must read only the 4 referenced columns
+    assert_scan_pruned(df, {"l_quantity": 4})
+    assert rep["wholestage_codegen"]
+
+
+def test_dim_joins_broadcast(spark):
+    rep = plan_report(_q("b_join_broadcast", spark))
+    assert rep["broadcast_joins"] == 2
+    assert rep["exchanges"] <= 4  # no fact-side pre-join shuffle
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    rep = plan_report(_q("b_filter_range_dates", spark))
+    assert any("l_shipdate" in p for p in rep["pushed_filters"] if p)
+
+
+def test_minhash_lsh_no_cartesian(spark):
+    assert_no_cartesian(_q("c_dedup_fuzzy", spark))
+
+
+def test_embedding_neardup_no_cartesian(spark):
+    assert_no_cartesian(_q("c_dedup_embedding", spark))
+
+
+def test_knn_bruteforce_broadcasts_queries(spark):
+    # the deliberate cross join must be broadcast-nested-loop (bounded query
+    # side), never a shuffled CartesianProduct of the corpus
+    rep = plan_report(_q("c_knn_cosine", spark))
+    assert not rep["cartesian"]
+
+
+def test_scalar_functions_stay_jvm_side(spark):
+    # no Python eval stages in the built-in function families
+    for name in ("b_fn_string", "b_fn_math", "b_fn_json", "c_quality_score"):
+        assert plan_report(_q(name, spark))["python_udf_stages"] == 0, name
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from popelines_spark.operators.skew import salted_join
+
+    hot = spark.range(0, 1000).select(
+        F.lit("HOT").alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.createDataFrame([("HOT", "x"), ("COLD", "y")], "k string, d string")
+    out = salted_join(hot, dim, on="k", buckets=8, salt_from=["v"])
+    assert out.count() == 1000
+    assert set(out.select("d").distinct().toPandas()["d"]) == {"x"}
+
+
+def test_salted_count_distinct_exact(spark):
+    from popelines_spark.operators.skew import salted_count_distinct
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 97).alias("x")
+    )
+    got = {
+        r.g: r.n_distinct_x
+        for r in salted_count_distinct(df, "g", "x", buckets=8).collect()
+    }
+    want = {
+        r.g: r.n
+        for r in df.groupBy("g").agg(F.countDistinct("x").alias("n")).collect()
+    }
+    assert got == want
