@@ -55,6 +55,10 @@ def knn_bruteforce(
     """Exact top-k by cosine. Queries are broadcast (bounded set) so the
     corpus is read in one narrow pass — no corpus shuffle; the only wide
     stage is the per-query top-k window over |q|·k candidates."""
+    # Precompute norms once per row (not per pair): cuts the per-pair work
+    # to one dot product + one multiply.
+    queries = queries.withColumn("__qn", norm(F.col(q_vec)))
+    corpus = corpus.withColumn("__cn", norm(F.col(c_vec)))
     q = F.broadcast(queries) if broadcast_queries else queries
     pairs = corpus.crossJoin(q)
     if exclude_self:
@@ -62,7 +66,9 @@ def knn_bruteforce(
     scored = pairs.select(
         q_id,
         c_id,
-        cosine(F.col(q_vec), F.col(c_vec)).alias("cos_sim"),
+        (dot(F.col(q_vec), F.col(c_vec)) / (F.col("__qn") * F.col("__cn"))).alias(
+            "cos_sim"
+        ),
     )
     w = W.partitionBy(q_id).orderBy(F.col("cos_sim").desc(), F.col(c_id))
     return (
