@@ -53,6 +53,7 @@ def load_all() -> None:
         rel_agg,
         rel_window,
         rel_sort_setops,
+        rel_extra,
         fn_scalar,
         udf_surface,
         streaming_queries,
