@@ -71,3 +71,30 @@ def c_knn_lsh(spark, sf_dir):
     return out.select(
         "q_id", "rank", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim")
     )
+
+
+@query("c_knn_ivf")  # rows-only: approximate (probed cells)
+def c_knn_ivf(spark, sf_dir):
+    """IVF-flat ANN: deterministic centroid training (lowest-id seeds + 2
+    Lloyd iterations, pure DataFrame), corpus partitioned into 8 cells, each
+    query probes its 2 nearest cells with exact re-rank. The 100 TB layout
+    writes the corpus partitioned by cell id so probes read n_probe
+    partitions."""
+    from popelines_spark.llm.ivf import knn_ivf, train_centroids
+
+    emb = T(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cents = train_centroids(
+        corpus, "c_vec", n_cells=8, iterations=2, id_col="neighbor_id"
+    )
+    out = knn_ivf(
+        queries, corpus, k=5, centroids=cents, n_probe=2, c_id="neighbor_id"
+    )
+    return out.select(
+        "q_id", "rank", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim")
+    )

@@ -133,6 +133,18 @@ def s_dedup_stream(spark, sf_dir):
     )
 
 
+@query("s_custom_state")  # rows-only: stateful emissions are batch-dependent
+def s_custom_state(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    (n_events, total_value, high-water ts) kept in the state store and
+    emitted per micro-batch — the reference's re-query-the-table watermark
+    loop (popelines/main.py:225-234) as true incremental state."""
+    from popelines_spark.streaming.stateful import running_user_totals
+
+    ev = events_stream(spark, sf_dir)
+    return run_to_completion(running_user_totals(ev), "update")
+
+
 @query(
     "s_incremental_max",
     oracle="SELECT max(ts) AS max_ts FROM events",

@@ -1,0 +1,53 @@
+"""IVF ANN determinism/recall + applyInPandasWithState operator."""
+
+from pyspark.sql import functions as F
+
+from popelines_spark.llm.ivf import knn_ivf, train_centroids
+
+
+def _clustered_vecs(spark):
+    # 3 tight clusters around axis-ish directions in R^8
+    rows = []
+    for c, base in enumerate(([1, 0, 0], [0, 1, 0], [0, 0, 1])):
+        for i in range(10):
+            v = [0.0] * 8
+            v[c] = 1.0
+            v[3 + c] = 0.05 * i  # slight spread, deterministic
+            rows.append((c * 100 + i, v))
+    return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+
+def test_ivf_finds_same_cluster_neighbors(spark):
+    vecs = _clustered_vecs(spark)
+    corpus = vecs.select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_vec"))
+    cents = train_centroids(corpus, "c_vec", n_cells=3, iterations=2, id_col="c_id")
+    assert len(cents) == 3
+    q = vecs.filter(F.col("vec_id") == 105).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec"))
+    out = knn_ivf(q, corpus, k=3, centroids=cents, n_probe=1)
+    got = [r.c_id for r in sorted(out.collect(), key=lambda r: r.rank)]
+    assert all(100 <= c < 200 for c in got)  # same cluster only
+    # deterministic across repartitioning
+    cents2 = train_centroids(corpus.repartition(5), "c_vec", n_cells=3,
+                             iterations=2, id_col="c_id")
+    assert cents == cents2
+
+
+def test_stateful_running_totals(spark, scratch):
+    import datetime as dt
+
+    from popelines_spark.streaming.runner import run_to_completion
+    from popelines_spark.streaming.stateful import running_user_totals
+
+    src = spark.createDataFrame(
+        [(1, dt.datetime(2020, 1, 1, 0, m), float(m)) for m in range(5)]
+        + [(2, dt.datetime(2020, 1, 1, 1, 0), 10.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    src.write.parquet(f"{scratch}/ev")
+    stream = spark.readStream.schema(src.schema).parquet(f"{scratch}/ev")
+    out = run_to_completion(running_user_totals(stream), "update")
+    rows = {r.user_id: r for r in out.collect()}
+    assert rows[1].n_events == 5 and rows[1].total_value == 10.0
+    assert rows[2].n_events == 1 and rows[2].total_value == 10.0
+    assert rows[1].last_ts_us == int(dt.datetime(2020, 1, 1, 0, 4).timestamp() * 1e6)
