@@ -1,0 +1,145 @@
+"""Second wave of scalar-function coverage (delegated SQL surface,
+popelines/main.py:236-243): extended string ops, calendar functions,
+safe math, arg-extremes, partitioned sink with pruning.
+
+Cross-engine notes: DuckDB dayofweek is 0=Sunday vs Spark 1=Sunday
+(oracle adds 1); epoch() is DOUBLE in DuckDB (cast BIGINT both sides);
+transcendentals (exp/ln) are avoided in hash queries — JVM Math vs libm
+can differ in the last ulp; sqrt/power-with-small-int-exponent are exact.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from popelines_spark.registry import query
+from popelines_spark.queries._util import T
+
+
+@query(
+    "b_fn_string2",
+    oracle="""
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*') AS padded,
+           rpad(p_brand, 12, '.') AS rpadded,
+           reverse(p_name) AS rev_name,
+           CAST(instr(p_name, 'a') AS BIGINT) AS first_a,
+           left(p_name, 5) AS name5,
+           translate(p_type, 'AEIOU', 'aeiou') AS lowered_vowels,
+           repeat(p_brand, 2) AS brand2x
+    FROM part
+    """,
+)
+def b_fn_string2(spark, sf_dir):
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("padded"),
+        F.rpad("p_brand", 12, ".").alias("rpadded"),
+        F.reverse("p_name").alias("rev_name"),
+        F.instr("p_name", "a").cast("long").alias("first_a"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("lowered_vowels"),
+        F.repeat("p_brand", 2).alias("brand2x"),
+    )
+
+
+@query(
+    "b_fn_date2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_part('epoch', o_orderdate) AS BIGINT) AS epoch_s,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+    FROM orders
+    """,
+)
+def b_fn_date2(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.last_day(F.to_date("o_orderdate")).cast("timestamp").alias("month_end"),
+    )
+
+
+@query(
+    "b_fn_math2",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           sqrt(l_quantity) AS qty_sqrt,
+           pow(l_discount, 2) AS disc_sq,
+           CAST(sign(l_extendedprice - 30000.0) AS DOUBLE) AS above_30k,
+           greatest(l_quantity, 25.0) AS qty_floor25,
+           least(l_tax, 0.05) AS tax_cap
+    FROM lineitem
+    """,
+)
+def b_fn_math2(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.pow("l_discount", 2).alias("disc_sq"),
+        F.signum(F.col("l_extendedprice") - 30000.0).cast("double").alias(
+            "above_30k"
+        ),
+        F.greatest("l_quantity", F.lit(25.0)).alias("qty_floor25"),
+        F.least("l_tax", F.lit(0.05)).alias("tax_cap"),
+    )
+
+
+@query(
+    "b_agg_argminmax",
+    oracle="""
+    SELECT c_mktsegment,
+           arg_max(c_name, c_custkey) AS latest_cust,
+           arg_min(c_name, c_custkey) AS first_cust,
+           arg_max(c_custkey, c_acctbal) AS richest_key
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def b_agg_argminmax(spark, sf_dir):
+    """max_by/min_by (BQ ANY_VALUE(... HAVING MAX ...) family). The
+    c_acctbal arg uses a key with unique values per group? acctbal ties are
+    possible — tie-broken identically in both engines only if unique;
+    c_custkey orderings are unique, richest uses acctbal which is unique in
+    practice at these sfs (verified by parity)."""
+    c = T(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", "c_custkey").alias("latest_cust"),
+        F.min_by("c_name", "c_custkey").alias("first_cust"),
+        F.max_by("c_custkey", "c_acctbal").alias("richest_key"),
+    )
+
+
+@query(
+    "b_sink_partitioned",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INT) AS yr
+    FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def b_sink_partitioned(spark, sf_dir):
+    """Hive-style partitioned write + pruned read: the at-rest layout for
+    date-chunked extraction (popelines/main.py:208-223) at 100 TB — a
+    year's query touches one directory, not the table."""
+    path = "/tmp/popelines_spark_scratch/part_orders"
+    shutil.rmtree(path, ignore_errors=True)
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year("o_orderdate").cast("int").alias("yr"),
+    )
+    o.write.partitionBy("yr").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("yr") == 1996)
+    return back.select("o_orderkey", "o_totalprice", F.col("yr").cast("int").alias("yr"))

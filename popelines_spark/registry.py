@@ -55,6 +55,7 @@ def load_all() -> None:
         rel_sort_setops,
         rel_extra,
         fn_scalar,
+        fn_scalar2,
         udf_surface,
         streaming_queries,
         ext_dedup,

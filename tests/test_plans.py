@@ -85,3 +85,29 @@ def test_salted_count_distinct_exact(spark):
         for r in df.groupBy("g").agg(F.countDistinct("x").alias("n")).collect()
     }
     assert got == want
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
+    """bucketBy co-location: joining two tables bucketed on the key runs
+    with ZERO exchanges — the 100 TB pattern for repeated fact⋈fact joins."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    ta, tb = f"ba_{uuid.uuid4().hex[:8]}", f"bb_{uuid.uuid4().hex[:8]}"
+    try:
+        a.write.bucketBy(8, "k").sortBy("k").saveAsTable(ta)
+        b.write.bucketBy(8, "k").sortBy("k").saveAsTable(tb)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(ta).join(spark.table(tb), "k")
+        rep = plan_report(joined)
+        assert rep["exchanges"] == 0, rep
+        assert joined.count() == 10000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
