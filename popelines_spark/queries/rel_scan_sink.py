@@ -29,7 +29,8 @@ _SCRATCH = "/tmp/popelines_spark_scratch"
 
 
 def _scratch(name: str) -> str:
-    path = os.path.join(_SCRATCH, name)
+    # PID-qualified: concurrent harness processes must not share sink dirs.
+    path = os.path.join(_SCRATCH, f"{name}_{os.getpid()}")
     shutil.rmtree(path, ignore_errors=True)
     return path
 

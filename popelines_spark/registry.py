@@ -54,6 +54,7 @@ def load_all() -> None:
         rel_window,
         rel_sort_setops,
         rel_extra,
+        rel_extra2,
         fn_scalar,
         fn_scalar2,
         udf_surface,

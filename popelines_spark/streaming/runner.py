@@ -36,8 +36,10 @@ def events_stream(spark: SparkSession, sf_dir: str, path: str | None = None) -> 
         )
         os.makedirs(link_dir, exist_ok=True)
         link = os.path.join(link_dir, "events.parquet")
-        if not os.path.exists(link):
+        try:
             os.symlink(src, link)
+        except FileExistsError:
+            pass  # another process linked it first — same target
         src = link_dir
     raw_schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(raw_schema).parquet(src)
