@@ -1,0 +1,91 @@
+"""Final widening wave: CSV/ORC sources, bitwise functions, stream-static
+enrichment join.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from popelines_spark.registry import query
+from popelines_spark.queries._util import T
+
+
+def _scratch(name: str) -> str:
+    path = f"/tmp/popelines_spark_scratch/{name}_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+@query(
+    "b_scan_csv",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def b_scan_csv(spark, sf_dir):
+    """CSV round-trip with explicit schema (no inference in prod —
+    pyspark guide pitfall); header on, same values back."""
+    path = _scratch("scan_csv")
+    T(spark, sf_dir, "nation").write.option("header", True).csv(path)
+    return spark.read.schema(
+        "n_nationkey int, n_name string, n_regionkey int"
+    ).option("header", True).csv(path)
+
+
+@query(
+    "b_scan_orc",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def b_scan_orc(spark, sf_dir):
+    """ORC round-trip: the second columnar at-rest format (same pushdown /
+    pruning machinery as parquet)."""
+    path = _scratch("scan_orc")
+    T(spark, sf_dir, "supplier").write.orc(path)
+    return spark.read.orc(path)
+
+
+@query(
+    "b_fn_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255 AS low_byte,
+           l_orderkey | 1 AS odd_key,
+           xor(l_orderkey, l_partkey) AS key_xor,
+           l_linenumber << 2 AS shifted,
+           CAST(bit_count(l_orderkey) AS BIGINT) AS popcount
+    FROM lineitem
+    """,
+)
+def b_fn_bitwise(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("l_orderkey").bitwiseOR(F.lit(1)).alias("odd_key"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).alias("key_xor"),
+        F.shiftleft("l_linenumber", 2).alias("shifted"),
+        F.bit_count("l_orderkey").cast("long").alias("popcount"),
+    )
+
+
+@query(
+    "s_enrich",
+    oracle="""
+    SELECT e.event_id, e.event_type, c.c_mktsegment, c.c_name
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def s_enrich(spark, sf_dir):
+    """Stream-static enrichment join: the streaming events enrich against a
+    static dimension (broadcast per micro-batch) — the standard streaming
+    lookup pattern; state-free, append mode."""
+    from popelines_spark.streaming.runner import events_stream, run_to_completion
+
+    ev = events_stream(spark, sf_dir)
+    cust = F.broadcast(T(spark, sf_dir, "customer"))
+    joined = ev.join(cust, ev.user_id == cust.c_custkey).select(
+        "event_id", "event_type", "c_mktsegment", "c_name"
+    )
+    return run_to_completion(joined, "append")

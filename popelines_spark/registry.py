@@ -55,6 +55,7 @@ def load_all() -> None:
         rel_sort_setops,
         rel_extra,
         rel_extra2,
+        rel_extra3,
         fn_scalar,
         fn_scalar2,
         udf_surface,
