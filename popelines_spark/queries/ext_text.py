@@ -157,3 +157,58 @@ def c_token_count(spark, sf_dir):
     """BPE-ish token counting (GPT-2-style pre-tokenizer regex, ASCII form)."""
     d = T(spark, sf_dir, "documents")
     return d.select("doc_id", X.bpe_ish_token_count("text").alias("n_bpe_toks"))
+
+
+@query(
+    "c_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 20
+    """,
+)
+def c_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling: fixed quota per language stratum
+    (the training-data curation pattern: cap each source/language). Uses
+    rank-by-unique-key rather than rand() so every run, engine and
+    partitioning draws the same sample."""
+    from pyspark.sql.window import Window as W
+
+    d = T(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "c_profile",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(text) AS BIGINT) AS n_text,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(CAST(n_chars AS DECIMAL(20,4))) AS DOUBLE) / count(*)
+             AS mean_chars
+    FROM documents
+    """,
+)
+def c_profile(spark, sf_dir):
+    """Dataset profiling (null rates, cardinalities, length moments) — the
+    first thing a 100 TB ingest runs; one pass, map-side combined."""
+    d = T(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_rows"),
+        F.count("text").alias("n_text"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (F.sum(F.col("n_chars").cast("decimal(20,4)")).cast("double") / F.count("*")).alias("mean_chars"),
+    )
