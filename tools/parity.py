@@ -50,8 +50,9 @@ def _canon(v):
     if isinstance(v, dt.date):
         return ("date", v.isoformat())
     if isinstance(v, float):
-        # exact compare is done separately; canonical key rounds to 9 sig places
-        return ("f", f"{v:.9g}")
+        # full-precision shortest repr: catches last-ulp engine divergence
+        # (the driver may hash full precision — so must we)
+        return ("f", repr(v))
     if isinstance(v, (list, tuple, np.ndarray)):
         return ("arr", tuple(_canon(x) for x in v))
     if isinstance(v, (bytes, bytearray)):
