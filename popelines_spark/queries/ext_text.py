@@ -212,3 +212,86 @@ def c_profile(spark, sf_dir):
         F.max("n_chars").alias("max_chars"),
         (F.sum(F.col("n_chars").cast("decimal(20,4)")).cast("double") / F.count("*")).alias("mean_chars"),
     )
+
+
+@query(
+    "c_pii_redact",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      text || ' contact ' || source || '_' ||
+                      CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
+                      CAST(1000 + doc_id % 9000 AS VARCHAR) AS body
+               FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(body,
+               '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+               '\\+?[0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(body,
+               '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS BIGINT) AS n_emails
+    FROM t
+    """,
+)
+def c_pii_redact(spark, sf_dir):
+    """PII redaction (emails/phones → placeholder tokens) — standard
+    training-data scrubbing. The fixture plants one deterministic email +
+    phone per doc so recall is measurable; pure regexp_replace (codegen'd,
+    identical pattern both engines)."""
+    d = T(spark, sf_dir, "documents")
+    body = F.concat(
+        "text", F.lit(" contact "), "source", F.lit("_"),
+        F.col("doc_id").cast("string"), F.lit("@example.com or +1-555-"),
+        (1000 + F.col("doc_id") % 9000).cast("string"),
+    )
+    email_re = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+    phone_re = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+    redacted = F.regexp_replace(
+        F.regexp_replace(body, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all(body, F.lit(email_re), 0)).cast("long").alias(
+            "n_emails"
+        ),
+    )
+
+
+@query(
+    "c_pack_sequences",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, len(str_split(text, ' ')) AS n_toks FROM documents),
+    cum AS (
+      SELECT doc_id, n_toks,
+             sum(n_toks) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS toks_before
+      FROM sized)
+    SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+           CAST(coalesce(toks_before, 0) // 2048 AS BIGINT) AS bin_id
+    FROM cum
+    """,
+)
+def c_pack_sequences(spark, sf_dir):
+    """Sequence packing: assign docs to fixed-token-budget bins (2048) by
+    cumulative token count in deterministic doc order — the
+    pack-short-documents-into-context-windows step of a training pipeline.
+
+    Scale note: the global cumulative sum is a single total-order window —
+    at 100 TB pack per shard instead (partitionBy(source) windows), which
+    this operator parameterizes in llm form; the query uses the global
+    order to stay oracle-checkable."""
+    from pyspark.sql.window import Window as W
+
+    d = T(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_toks")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    return sized.select(
+        "doc_id",
+        "n_toks",
+        F.floor(F.coalesce(F.sum("n_toks").over(w), F.lit(0)) / 2048)
+        .cast("long")
+        .alias("bin_id"),
+    )

@@ -51,3 +51,31 @@ def test_stateful_running_totals(spark, scratch):
     assert rows[1].n_events == 5 and rows[1].total_value == 10.0
     assert rows[2].n_events == 1 and rows[2].total_value == 10.0
     assert rows[1].last_ts_us == int(dt.datetime(2020, 1, 1, 0, 4).timestamp() * 1e6)
+
+
+def test_foreach_batch_exactly_once_sink(spark, scratch):
+    """foreachBatch + idempotent write: re-delivered micro-batches must not
+    duplicate output (the exactly-once sink pattern for non-transactional
+    stores)."""
+    import datetime as dt
+    import os
+
+    src = spark.createDataFrame(
+        [(i, dt.datetime(2020, 1, 1, 0, i), float(i)) for i in range(20)],
+        "event_id long, ts timestamp, value double",
+    )
+    src.write.parquet(f"{scratch}/src")
+    out_dir = f"{scratch}/sink"
+
+    def write_batch(df, epoch_id):
+        # idempotence: the epoch id keys the output path; a retry of the
+        # same epoch overwrites rather than appends
+        df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    stream = spark.readStream.schema(src.schema).parquet(f"{scratch}/src")
+    q = stream.writeStream.foreachBatch(write_batch).start()
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    first = spark.read.parquet(out_dir).count()
+    # simulate a redelivery of epoch 0
+    write_batch(spark.read.parquet(f"{scratch}/src"), 0)
+    assert spark.read.parquet(out_dir).count() == first == 20
