@@ -89,3 +89,43 @@ def s_enrich(spark, sf_dir):
         "event_id", "event_type", "c_mktsegment", "c_name"
     )
     return run_to_completion(joined, "append")
+
+
+@query(
+    "b_merge_upsert",
+    oracle="""
+    WITH src AS (SELECT c_custkey, c_acctbal * 2 AS c_acctbal,
+                        'UPDATED' AS c_mktsegment
+                 FROM customer WHERE c_custkey % 10 = 0
+                 UNION ALL
+                 SELECT 900001, 111.11, 'NEW'
+                 UNION ALL SELECT 900002, 222.22, 'NEW')
+    SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+           t.c_name,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                ELSE t.c_acctbal END AS c_acctbal,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
+                ELSE t.c_mktsegment END AS c_mktsegment
+    FROM customer t FULL JOIN src s ON t.c_custkey = s.c_custkey
+    """,
+)
+def b_merge_upsert(spark, sf_dir):
+    """MERGE INTO emulation (the delegated BigQuery MERGE surface): keyed
+    upsert where matched rows take the source's values and new keys insert.
+    One full-outer keyed join; see operators/upsert.py for semantics and
+    the bucketed/Delta scale notes."""
+    from popelines_spark.operators.upsert import upsert
+
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    updates = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") * 2).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    inserts = spark.createDataFrame(
+        [(900001, 111.11, "NEW"), (900002, 222.22, "NEW")],
+        "c_custkey long, c_acctbal double, c_mktsegment string",
+    )
+    return upsert(c, updates.unionByName(inserts), keys=["c_custkey"])
