@@ -1,0 +1,20 @@
+"""Smoke the end-to-end curation example (examples/training_data_pipeline)."""
+
+import sys
+
+from tests.conftest import REPO, SF_DIR
+
+sys.path.insert(0, f"{REPO}/examples")
+
+
+def test_curation_pipeline_end_to_end(spark, scratch):
+    from training_data_pipeline import curate
+
+    stats = curate(spark, SF_DIR, scratch, tokens_per_bin=512)
+    assert stats["input_docs"] == 500
+    assert 0 < stats["after_gate"] <= stats["input_docs"]
+    assert stats["after_fuzzy_dedup"] <= stats["after_exact_dedup"]
+    assert stats["curated"] == stats["after_fuzzy_dedup"]
+    assert stats["bins"] >= 1
+    # deterministic: same input → same counts on a rerun
+    assert curate(spark, SF_DIR, scratch, tokens_per_bin=512) == stats
