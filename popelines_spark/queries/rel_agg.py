@@ -85,18 +85,6 @@ def b_agg_count_distinct(spark, sf_dir):
     )
 
 
-@query("b_agg_approx_distinct")  # rows-only: HLL estimates are engine-specific
-def b_agg_approx_distinct(spark, sf_dir):
-    """approx_count_distinct (HLL++). No hash oracle — estimate values are
-    algorithm-specific; the driver records the rows-only check
-    (SURVEY.md §2 marks this `rows`)."""
-    return (
-        T(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_orderkey").alias("approx_orders"))
-    )
-
-
 @query(
     "b_agg_distinct_rows",
     oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
