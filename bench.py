@@ -27,7 +27,10 @@ BENCH_QUERIES = [
     "b_join_asof",             # as-of join
     "c_dedup_exact",           # exact dedup w/ planted copies
     "c_dedup_fuzzy",           # MinHash-LSH near-dup (banded join)
+    "c_dedup_ngram",           # exact-Jaccard near-dup (prefix filtering)
     "c_knn_cosine",            # brute-force cosine top-k
+    "c_knn_lsh",               # LSH-bucketed approximate kNN
+    "c_knn_ivf",               # IVF (centroid-probe) approximate kNN
     "c_text_stats",            # per-doc token stats
     "s_tumbling",              # streaming tumbling window (replay)
 ]

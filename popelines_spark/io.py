@@ -10,9 +10,9 @@ Reference parity:
    drop (:141-142), autodetect bypass (:131-132).
  - ``put_object``: GCS upload (popelines/main.py:157-166) → any Hadoop-FS
    URI copy.
- - ``fetch_json``: REST pull (popelines/main.py:193-206), driver-side fetch;
-   ``fetch_json_distributed`` fans a URL table out to executors via
-   mapInPandas for bulk extraction (the 100 TB ingestion path).
+
+REST sources (``fetch_json``/``fetch_json_distributed``) live in
+``popelines_spark.sources.rest``.
 
 Tables are parquet directories addressed by path (``location``), not a Hive
 metastore — keeps the engine usable on a bare session. At scale the same
@@ -21,10 +21,8 @@ functions work on ``s3a://``/``gs://`` URIs.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
-from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -125,7 +123,14 @@ def _align_to(df: DataFrame, target: T.StructType) -> DataFrame:
         if f.name in have:
             src = df.schema[f.name].dataType
             c = F.col(f.name)
-            if src != f.dataType and _same_shape_class(src, f.dataType):
+            if src != f.dataType:
+                # Conflicting primitives cast to the live table's type too
+                # (ADVICE r1): appending them un-cast writes parquet files
+                # that disagree on the column type, and the failure only
+                # surfaces later in read_table_evolved's mergeSchema —
+                # far from the write that caused it. Mirrors BigQuery's
+                # load-time coercion/rejection in the reference
+                # (popelines/main.py:121-139).
                 c = c.cast(f.dataType)
             cols.append(c.alias(f.name))
         else:
@@ -134,15 +139,6 @@ def _align_to(df: DataFrame, target: T.StructType) -> DataFrame:
         if f.name not in {t.name for t in target.fields}:
             cols.append(F.col(f.name))
     return df.select(*cols)
-
-
-def _same_shape_class(a: T.DataType, b: T.DataType) -> bool:
-    return (
-        isinstance(a, T.StructType)
-        and isinstance(b, T.StructType)
-        or isinstance(a, T.ArrayType)
-        and isinstance(b, T.ArrayType)
-    )
 
 
 def _path_exists(spark: SparkSession, path: str) -> bool:
@@ -167,65 +163,3 @@ def put_object(spark: SparkSession, local_file: str, dest_uri: str) -> None:
     src = jvm.org.apache.hadoop.fs.Path(os.path.abspath(local_file))
     dst = jvm.org.apache.hadoop.fs.Path(dest_uri)
     dst.getFileSystem(conf).copyFromLocalFile(False, True, src, dst)
-
-
-def fetch_json(url: str, method: str = "GET", headers=None, params=None, data=None):
-    """popelines/main.py:193-206 — driver-side REST pull → parsed JSON.
-    Returns None (and logs) on parse failure, matching the reference's
-    logged fallthrough (:205-206)."""
-    import logging
-    import urllib.error
-    import urllib.parse
-    import urllib.request
-
-    if params:
-        url = f"{url}?{urllib.parse.urlencode(params)}"
-    req = urllib.request.Request(
-        url,
-        method=method,
-        headers=headers or {},
-        data=data.encode() if isinstance(data, str) else data,
-    )
-    try:
-        with urllib.request.urlopen(req, timeout=30) as r:
-            text = r.read().decode()
-    except urllib.error.URLError as e:  # network failure → logged None
-        logging.getLogger("popelines_spark").info("ERROR! request failed: %s", e)
-        return None
-    try:
-        return json.loads(text)
-    except ValueError:
-        logging.getLogger("popelines_spark").info(
-            "ERROR! Text of response object: %s", text
-        )
-        return None
-
-
-def fetch_json_distributed(
-    urls: DataFrame, url_col: str = "url", out_col: str = "body"
-) -> DataFrame:
-    """Executor-side REST fan-out: one HTTP GET per row of ``urls``, batched
-    via mapInPandas (Arrow). This is the scale path for bulk API extraction —
-    the driver never touches payload bytes. Responses come back as raw JSON
-    text; parse with ``from_json`` against an explicit schema."""
-    import pandas as pd
-
-    schema = T.StructType(
-        list(urls.schema.fields) + [T.StructField(out_col, T.StringType(), True)]
-    )
-
-    def _fetch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import urllib.request
-
-        for pdf in batches:
-            bodies = []
-            for u in pdf[url_col]:
-                try:
-                    with urllib.request.urlopen(u, timeout=30) as r:
-                        bodies.append(r.read().decode())
-                except Exception:
-                    bodies.append(None)
-            pdf[out_col] = bodies
-            yield pdf
-
-    return urls.mapInPandas(_fetch, schema=schema)

@@ -97,12 +97,18 @@ def quality_score(text: str | Column) -> Column:
 
 
 def shingles(text: str | Column, k: int = 3) -> Column:
-    """k-token shingles as strings (for fingerprints / MinHash)."""
+    """k-token shingles as strings (for fingerprints / MinHash); empty
+    array for docs with fewer than k tokens.
+
+    The < k guard matters: sequence(1, 0) is DESCENDING [1, 0] in Spark,
+    so the unguarded form crashed slice() on short docs (ADVICE r1) and
+    made fingerprint()'s short-doc fallback unreachable."""
     ws = tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (k - 1), F.lit(0)))
-    return F.transform(
-        idx, lambda i: F.array_join(F.slice(ws, i, k), " ")
-    )
+    idx = F.sequence(F.lit(1), F.size(ws) - (k - 1))
+    return F.when(
+        F.size(ws) >= k,
+        F.transform(idx, lambda i: F.array_join(F.slice(ws, i, k), " ")),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def fingerprint(text: str | Column, k: int = 3) -> Column:

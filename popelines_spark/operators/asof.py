@@ -4,28 +4,36 @@ Reference basis: generalizes the incremental high-water-mark pattern
 (popelines/main.py:225-234). Spark has no native as-of join (SURVEY.md §7
 hard-part 5); this implements it with stock primitives.
 
-Test-scale plan: equi-join on the key + range predicate, then keep the
-newest match per left row via a row_number window partitioned by a synthetic
-left-row id.
+Plan — the 100 TB-safe shape (replaces round 1's equi+range join, whose
+fan-out was unbounded: a key with 10^5 right rows shuffled 10^5 candidates
+PER left row before the window dedup):
 
-100 TB scale path (documented, selectable): the equi+range join can fan out
-badly when a key has many right rows. Options, in preference order:
- 1. ``coarse_bucket`` — additionally equi-join on a coarse time bucket of
-    the ts (e.g. day) plus the previous bucket, bounding fan-out to ~2
-    buckets of right rows per left row before the window dedup.
- 2. ``applyInPandas`` per key-group using ``pandas.merge_asof`` after
-    repartitioning both sides by key (right side sorted within group).
-Both keep the shuffle keyed on the join key only.
+  1. union both sides into one relation keyed on (key, ts, side), each row
+     carrying its origin as a struct (left payload or right payload);
+  2. one hash shuffle on the key, sort within partition by
+     (ts, side, tiebreak);
+  3. a single running ``last(right_struct, ignorenulls=true)`` window — at
+     each left row that is exactly "the most recent right row seen so far";
+  4. keep left rows, project both structs flat.
+
+No join node at all (tests/test_plans.py asserts it): every row is shuffled
+exactly once, per-key state is O(1) (the running struct), and the frame
+UNBOUNDED PRECEDING..CURRENT ROW is evaluated incrementally by Spark's
+window exec. Skew bound = total rows of the hottest key (inherent to any
+sort-based as-of), never |left_key| x |right_key|.
+
+Determinism: no monotonically_increasing_id (nondeterministic under task
+retries — ADVICE r1); ties between right rows at the same (key, ts) are
+broken by xxhash64 of the right payload, so retries and partitionings
+always pick the same survivor.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
-
-_LID = "__asof_lid"
-_RN = "__asof_rn"
 
 
 def asof_join(
@@ -42,20 +50,57 @@ def asof_join(
     greatest ``right_ts`` satisfying ``right_ts <= left_ts`` (``<`` when
     ``strict``) and key equality. Unmatched left rows keep NULL right
     columns when ``how='left'``; are dropped when ``how='inner'``.
+
+    Left and right column names must be disjoint (rename before joining) —
+    the output carries both sides flat, like a join would.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join: how must be left|inner, got {how!r}")
-    lid = left.withColumn(_LID, F.monotonically_increasing_id())
-    ts_pred = (
-        (F.col(right_ts) < F.col(left_ts))
-        if strict
-        else (F.col(right_ts) <= F.col(left_ts))
+    overlap = sorted(set(left.columns) & set(right.columns))
+    if overlap:
+        raise ValueError(f"asof_join: overlapping column names {overlap}")
+
+    l_type = T.StructType(left.schema.fields)
+    r_type = T.StructType(right.schema.fields)
+    # Sort position of right vs left rows at EQUAL ts decides inclusivity:
+    # right before left (0 < 1) -> right row at ts == left_ts matches (<=);
+    # right after left (2 > 1) -> it does not (strict <).
+    r_side = 2 if strict else 0
+    lu = left.select(
+        F.col(left_on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(0).cast("long").alias("__tb"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None).cast(r_type).alias("__r"),
     )
-    cond = (lid[left_on] == right[right_on]) & ts_pred
-    joined = lid.join(right, cond, "left" if how == "left" else "inner")
-    w = W.partitionBy(_LID).orderBy(F.col(right_ts).desc_nulls_last())
-    return (
-        joined.withColumn(_RN, F.row_number().over(w))
-        .filter(F.col(_RN) == 1)
-        .drop(_LID, _RN)
+    # Right rows with NULL key or NULL ts can never match (join-predicate
+    # NULL semantics); drop them so the NULL-key window partition stays
+    # left-only instead of null-safe-matching.
+    ru = (
+        right.filter(F.col(right_on).isNotNull() & F.col(right_ts).isNotNull())
+        .select(
+            F.col(right_on).alias("__k"),
+            F.col(right_ts).alias("__ts"),
+            F.lit(r_side).alias("__side"),
+            F.xxhash64(F.struct(*[F.col(c) for c in right.columns])).alias("__tb"),
+            F.lit(None).cast(l_type).alias("__l"),
+            F.struct(*[F.col(c) for c in right.columns]).alias("__r"),
+        )
+    )
+    w = (
+        W.partitionBy("__k")
+        .orderBy("__ts", "__side", "__tb")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = (
+        lu.unionByName(ru)
+        .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__l").isNotNull())
+    )
+    if how == "inner":
+        matched = matched.filter(F.col("__m").isNotNull())
+    return matched.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__m.{c}").alias(c) for c in right.columns],
     )

@@ -16,6 +16,7 @@ import logging
 from pyspark.sql import DataFrame, SparkSession
 
 from popelines_spark import incremental, io, nested, schemas
+from popelines_spark.sources import rest
 from popelines_spark.session import get_spark
 
 
@@ -91,7 +92,7 @@ class Popeline:
 
     def call_api(self, url, method="GET", headers=None, params=None, data=None):
         """popelines/main.py:193-206."""
-        return io.fetch_json(url, method=method, headers=headers, params=params, data=data)
+        return rest.fetch_json(url, method=method, headers=headers, params=params, data=data)
 
     def chunk_date_range(self, start_datetime, end_datetime, chunk_size):
         """popelines/main.py:208-223."""

@@ -104,19 +104,26 @@ def c_dedup_simhash(spark, sf_dir):
     "c_dedup_ngram",
     oracle=_CORPUS_SQL
     + """
-    , sh AS (SELECT doc_id, lang,
-                    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                                   FOR i IN generate_series(1, len(ws) - 2)])
-                      AS shset
-             FROM (SELECT doc_id, str_split(text, ' ') AS ws, lang FROM corpus))
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
-             / (len(a.shset) + len(b.shset)
-                - len(list_intersect(a.shset, b.shset))) AS jaccard
-    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
-          / (len(a.shset) + len(b.shset)
-             - len(list_intersect(a.shset, b.shset))) >= 0.3
+    , shl AS (SELECT doc_id, lang,
+                     list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                    FOR i IN generate_series(1, len(ws) - 2)])
+                       AS shset
+              FROM (SELECT doc_id, str_split(text, ' ') AS ws, lang
+                    FROM corpus)),
+      sh AS (SELECT doc_id, lang, unnest(shset) AS s FROM shl),
+      sizes AS (SELECT doc_id, len(shset) AS n FROM shl),
+      -- pairs sharing zero shingles have jaccard 0 < threshold, so the
+      -- shingle equi-join (not a block cross join) loses nothing
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(count(*) AS DOUBLE) AS i
+                FROM sh a JOIN sh b
+                  ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, i / (na.n + nb.n - i) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE i / (na.n + nb.n - i) >= 0.3
     """,
 )
 def c_dedup_ngram(spark, sf_dir):

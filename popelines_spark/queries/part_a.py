@@ -173,7 +173,7 @@ def a_source_rest(spark, sf_dir):
     """call_api distributed: a URL table fans out via mapInPandas, each task
     fetches and returns raw JSON text, parsed with from_json. file:// URLs
     keep the test hermetic; the code path is byte-identical for http(s)."""
-    from popelines_spark.io import fetch_json_distributed
+    from popelines_spark.sources.rest import fetch_json_distributed
 
     pages_dir = os.path.join(_SCRATCH, "rest_pages")
     shutil.rmtree(pages_dir, ignore_errors=True)

@@ -74,15 +74,18 @@ def b_limit(spark, sf_dir):
 )
 def b_topk_per_group(spark, sf_dir):
     """Top-k per group — 'latest entry per key' generalization of
-    find_last_entry (popelines/main.py:225-234). One shuffle on the group
-    key; rank prune happens within partitions."""
-    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-    return (
-        T(spark, sf_dir, "orders")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice")
-    )
+    find_last_entry (popelines/main.py:225-234). Shares the keyed
+    survivor-selection implementation with exact_dedup and upsert
+    (operators/keyed.keep_first): one shuffle on the group key; rank prune
+    happens within partitions."""
+    from popelines_spark.operators.keyed import keep_first
+
+    return keep_first(
+        T(spark, sf_dir, "orders"),
+        keys=["o_custkey"],
+        order=[F.col("o_totalprice").desc(), "o_orderkey"],
+        n=3,
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
 
 
 @query(

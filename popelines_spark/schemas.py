@@ -92,7 +92,13 @@ def rename_schema(
 ) -> T.StructType:
     """Apply ``callback`` to every field name at every nesting level
     (struct / array<struct> / map<_, struct>); fields whose callback result
-    is falsy are dropped (copy_table.py:87-89)."""
+    is falsy are dropped (copy_table.py:87-89).
+
+    Raises when two surviving fields at the same level map to one name
+    (e.g. sanitize_identifier sends both ``a.b`` and ``a b`` to ``a_b``) —
+    failing fast beats emitting an ambiguous schema the write path would
+    trip over later (VERDICT r1 #4). The recursion applies the same guard
+    at every nesting level."""
     fields = []
     for f in schema.fields:
         new_name = callback(f.name)
@@ -102,6 +108,13 @@ def rename_schema(
             T.StructField(
                 new_name, _rename_type(f.dataType, callback), f.nullable
             )
+        )
+    names = [f.name for f in fields]
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    if dupes:
+        raise ValueError(
+            f"rename_schema: callback maps multiple fields to {dupes} — "
+            "distinct inputs collided after sanitization"
         )
     return T.StructType(fields)
 

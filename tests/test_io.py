@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from popelines_spark import io as pio
+from popelines_spark.sources import rest
 
 
 def _df(spark, rows, schema):
@@ -87,9 +88,26 @@ def test_fetch_json_file_url_and_parse_failure(scratch, caplog):
     good = f"{scratch}/good.json"
     with open(good, "w") as f:
         _json.dump({"ok": 1}, f)
-    assert pio.fetch_json(f"file://{good}") == {"ok": 1}
+    assert rest.fetch_json(f"file://{good}") == {"ok": 1}
     bad = f"{scratch}/bad.json"
     with open(bad, "w") as f:
         f.write("not json {")
     # logged fallthrough, returns None (main.py:205-206)
-    assert pio.fetch_json(f"file://{bad}") is None
+    assert rest.fetch_json(f"file://{bad}") is None
+
+
+def test_append_casts_conflicting_primitive_to_live_type(spark, scratch):
+    """ADVICE r1: a primitive column whose type conflicts with the live
+    schema must be cast to the live type at write time — never appended
+    un-cast (which poisons the table for mergeSchema reads)."""
+    wh = f"{scratch}/wh_cast"
+    pio.write_table(
+        _df(spark, [(1, "s1")], "id long, tag string"), wh, "t", append=True
+    )
+    # second append carries tag as LONG: live type (string) must win
+    pio.write_table(
+        _df(spark, [(2, 7)], "id long, tag long"), wh, "t", append=True
+    )
+    back = pio.read_table_evolved(spark, wh, "t")
+    assert dict(back.dtypes)["tag"] == "string"
+    assert {r.tag for r in back.collect()} == {"s1", "7"}

@@ -115,3 +115,71 @@ def test_multimodal_decode_stub_shapes(spark):
     # deterministic fake decode: same payload → same features
     out2 = {r.doc_id: r for r in M.decode_stub(wrapped).collect()}
     assert out == out2
+
+
+def test_exact_dedup_keeps_payload_columns(spark):
+    """VERDICT r1 #3: every input column must survive dedup — callers must
+    not need a re-join to recover their payload."""
+    df = _docs(spark).withColumn("meta", F.lit("m")).withColumn(
+        "score", F.col("doc_id") * 2
+    )
+    out = D.exact_dedup(df, keys=["text"], id_col="doc_id")
+    assert set(out.columns) == {"doc_id", "text", "meta", "score", "n_copies"}
+    survivor = out.filter(F.col("doc_id") == 0).collect()[0]
+    assert survivor.meta == "m" and survivor.score == 0 and survivor.n_copies == 2
+
+
+def test_shingles_short_doc_guard(spark):
+    """ADVICE r1: docs with < k tokens must yield an empty shingle set (not
+    a sequence(1,0) slice crash), and fingerprint's whole-text MD5 fallback
+    must actually fire for them."""
+    from popelines_spark.llm.text import fingerprint, shingles
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two tokens"), (3, "three token doc")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.sh, r.fp)
+        for r in df.select(
+            "doc_id",
+            shingles("text", 3).alias("sh"),
+            fingerprint("text", 3).alias("fp"),
+        ).collect()
+    }
+    assert rows[1][0] == [] and rows[2][0] == []
+    assert rows[3][0] == ["three token doc"]
+    assert rows[1][1] is not None  # md5(whole text) fallback
+    # minhash over a corpus containing short docs must not crash either
+    D.minhash_signatures(df, "doc_id", "text").collect()
+
+
+def test_ngram_prefix_filter_is_complete(spark):
+    """The prefix-filtered candidate join must return EXACTLY the pairs a
+    brute-force all-pairs Jaccard finds (threshold-completeness)."""
+    df = _docs(spark).withColumn("blk", F.lit(1))
+    for thr in (0.3, 0.5, 0.8):
+        got = {
+            (r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in D.ngram_jaccard_pairs(
+                df, "doc_id", "text", ["blk"], threshold=thr
+            ).collect()
+        }
+        from popelines_spark.llm.text import shingles as _sh
+
+        base = df.select(
+            "doc_id", F.array_distinct(_sh(F.col("text"), 3)).alias("s")
+        )
+        a = base.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+        b = base.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+        inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+        union = F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb"))
+        brute = {
+            (r.id_a, r.id_b): round(r.j, 9)
+            for r in a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("j", inter / union.cast("double"))
+            .filter(F.col("j") >= thr)
+            .collect()
+        }
+        assert got == brute, f"threshold {thr}: {got.keys() ^ brute.keys()}"

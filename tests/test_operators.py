@@ -1,0 +1,55 @@
+"""Operator-level semantics: upsert MERGE guards, keyed survivor selection."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import PythonException
+
+from popelines_spark.operators.keyed import keep_first
+from popelines_spark.operators.upsert import upsert
+
+
+def _t(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, s string, v long"
+    )
+
+
+def test_upsert_raises_on_duplicate_source_keys(spark):
+    """ADVICE r1: BigQuery/Delta MERGE raises on multiple source matches;
+    the emulation must not silently fan target rows out."""
+    src = spark.createDataFrame(
+        [(1, "x", 11), (1, "y", 12)], "k long, s string, v long"
+    )
+    out = upsert(_t(spark), src, keys=["k"])
+    with pytest.raises(Exception) as ei:
+        out.collect()
+    assert "duplicate source rows" in str(ei.value)
+
+
+def test_upsert_dedup_source_order_keeps_first(spark):
+    src = spark.createDataFrame(
+        [(1, "x", 11), (1, "y", 12), (3, "c", 30)], "k long, s string, v long"
+    )
+    out = {
+        r.k: (r.s, r.v)
+        for r in upsert(
+            _t(spark), src, keys=["k"], dedup_source_order=["v"]
+        ).collect()
+    }
+    assert out == {1: ("x", 11), 2: ("b", 20), 3: ("c", 30)}
+
+
+def test_upsert_unique_source_passes_guard(spark):
+    src = spark.createDataFrame([(2, "B", 21)], "k long, s string, v long")
+    out = {r.k: r.s for r in upsert(_t(spark), src, keys=["k"]).collect()}
+    assert out == {1: "a", 2: "B"}
+
+
+def test_keep_first_n(spark):
+    df = spark.createDataFrame(
+        [(1, i) for i in range(5)] + [(2, 9)], "g long, x long"
+    )
+    out = sorted(
+        (r.g, r.x) for r in keep_first(df, ["g"], [F.col("x").desc()], n=2).collect()
+    )
+    assert out == [(1, 3), (1, 4), (2, 9)]

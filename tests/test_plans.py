@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from popelines_spark.plans.inspect import (
     assert_no_cartesian,
     assert_scan_pruned,
+    physical_plan,
     plan_report,
 )
 from tests.conftest import SF_DIR
@@ -111,3 +112,18 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_asof_join_has_no_join_node(spark):
+    """The as-of join is a union + one keyed window — NO join operator at
+    all, so there is no equi+range fan-out to bound (VERDICT r1 #2). One
+    exchange for the window partitioning, nothing per-candidate."""
+    rep = plan_report(_q("b_join_asof", spark))
+    assert (
+        rep["broadcast_joins"]
+        + rep["sortmerge_joins"]
+        + rep["shuffled_hash_joins"]
+    ) == 0
+    assert not rep["cartesian"] and not rep["bcast_nested_loop"]
+    plan = physical_plan(_q("b_join_asof", spark))
+    assert "Window" in plan

@@ -5,6 +5,8 @@ sanitizer (popelines/main.py:184-191), deep rename with falsy drop
 
 import re
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import types as T
@@ -139,3 +141,14 @@ def test_rename_schema_deep_and_drop():
     out = rename_schema(schema, sanitize_identifier)
     # nested falsy-named field is dropped too
     assert schema_paths(out) == ["order_id", "line_items.sku_id"]
+
+
+def test_rename_schema_raises_on_collision():
+    """VERDICT r1 #4: sanitize maps 'a.b' and 'a b' both to 'a_b' — that
+    must fail fast, not produce an ambiguous schema."""
+    schema = S(("a.b", T.LongType()), ("a b", T.StringType()))
+    with pytest.raises(ValueError, match="a_b"):
+        rename_schema(schema, sanitize_identifier)
+    nested = S(("outer", S(("x.y", T.LongType()), ("x y", T.LongType()))))
+    with pytest.raises(ValueError, match="x_y"):
+        rename_schema(nested, sanitize_identifier)
