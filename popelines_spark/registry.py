@@ -64,6 +64,7 @@ def load_all() -> None:
         udf_surface,
         fn_scalar,
         fn_scalar2,
+        tpch,
         rel_extra,
         rel_extra2,
         rel_extra3,

@@ -127,3 +127,16 @@ def test_asof_join_has_no_join_node(spark):
     assert not rep["cartesian"] and not rep["bcast_nested_loop"]
     plan = physical_plan(_q("b_join_asof", spark))
     assert "Window" in plan
+
+
+def test_tpch_plans_broadcast_dims_and_prune(spark):
+    """TPC-H suite plan spot-checks: fixed-cardinality dims broadcast, no
+    accidental cartesian anywhere, and Q6's filter + 3-column projection
+    reach the parquet scan."""
+    for name in ("tpch_q5", "tpch_q9"):
+        rep = plan_report(_q(name, spark))
+        assert rep["broadcast_joins"] >= 1, name
+        assert not rep["cartesian"] and not rep["bcast_nested_loop"], name
+    rep6 = plan_report(_q("tpch_q6", spark))
+    assert any("l_shipdate" in p or "l_discount" in p for p in rep6["pushed_filters"] if p)
+    assert_scan_pruned(_q("tpch_q6", spark), {"l_quantity": 4})
