@@ -296,11 +296,24 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("__rk") <= prefix_len)
     )
-    a = prefix.select(*block_cols, F.col(id_col).alias("id_a"), "__s")
-    b = prefix.select(*block_cols, F.col(id_col).alias("id_b"), "__s")
+    a = prefix.select(
+        *block_cols, F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "__s"
+    )
+    b = prefix.select(
+        *block_cols, F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"), "__s"
+    )
+    # length filter, also threshold-complete: J >= t implies
+    # min(|A|,|B|) >= t * max(|A|,|B|) — prunes size-mismatched pairs
+    # before the distinct/verify stages.
     cand = (
         a.join(b, [*block_cols, "__s"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("__na", "__nb").cast("double")
+                >= F.lit(threshold) * F.greatest("__na", "__nb")
+            )
+        )
         .select("id_a", "id_b")
         .distinct()
     )

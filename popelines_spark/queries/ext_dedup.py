@@ -127,8 +127,10 @@ def c_dedup_simhash(spark, sf_dir):
     """,
 )
 def c_dedup_ngram(spark, sf_dir):
-    """Exact 3-gram-shingle Jaccard over lang-blocked candidate pairs.
-    Integer set sizes → one double division: bit-identical cross-engine."""
+    """Exact 3-gram-shingle Jaccard, candidates via threshold-complete
+    prefix filtering within lang blocks (llm/dedup.py — round 2 replaced
+    the quadratic lang-only blocking). Integer set sizes → one double
+    division: bit-identical cross-engine."""
     return D.ngram_jaccard_pairs(
         _corpus(spark, sf_dir),
         id_col="doc_id",
@@ -156,3 +158,41 @@ def c_dedup_embedding(spark, sf_dir):
         corpus, id_col="vec_id", vec_col="embedding", threshold=0.995, dim=64
     )
     return pairs.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+_SHINGLE3_SQL = (
+    "list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
+    "FOR i IN generate_series(1, len(ws) - 2)])"
+)
+
+
+@query(
+    "c_decontaminate",
+    oracle=f"""
+    WITH bench AS (
+      SELECT DISTINCT unnest({_SHINGLE3_SQL}) AS s
+      FROM (SELECT str_split(text, ' ') AS ws FROM documents
+            WHERE doc_id % 50 = 0)),
+    cor AS (
+      SELECT doc_id, unnest({_SHINGLE3_SQL}) AS s
+      FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+            WHERE doc_id % 50 <> 0))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+    FROM cor JOIN bench USING (s)
+    GROUP BY doc_id HAVING count(*) >= 2
+    """,
+)
+def c_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: every 50th document plays the eval set;
+    the rest is the training corpus; docs sharing >= 2 distinct 3-shingles
+    with the eval set are flagged. Benchmark shingles broadcast — the
+    corpus side never shuffles its text (llm/decontam.py)."""
+    from popelines_spark.llm.decontam import decontaminate
+
+    docs = T(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(
+        corpus, bench, id_col="doc_id", text_col="text",
+        shingle_k=3, min_overlap=2,
+    )

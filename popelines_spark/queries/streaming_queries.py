@@ -154,3 +154,37 @@ def s_incremental_max(spark, sf_dir):
     incrementally-maintained streaming state."""
     ev = events_stream(spark, sf_dir)
     return run_to_completion(ops.running_max(ev, "ts"), "complete")
+
+
+@query(
+    "s_join_interval",
+    oracle="""
+    SELECT e.event_id AS err_id, p.event_id AS pur_id, p.ts AS pur_ts
+    FROM events e JOIN events p
+      ON e.user_id = p.user_id
+     AND p.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts
+    WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+    """,
+)
+def s_join_interval(spark, sf_dir):
+    """Stream-stream interval join: purchases within the hour before each
+    error, per user. Replaying the full log in order makes the streaming
+    result equal the batch join (no rows fall behind the watermark), so the
+    oracle is exact — the state-cleanup bound is what the streaming form
+    adds at scale."""
+    err = events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "error"
+    ).select(F.col("event_id").alias("err_id"), "user_id", "ts")
+    pur = events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("event_id").alias("pur_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("pur_ts"),
+    )
+    joined = ops.stream_interval_join(
+        err, pur, "user_id", "p_user_id", "ts", "pur_ts", lookback="1 hour"
+    )
+    return run_to_completion(
+        joined.select("err_id", "pur_id", "pur_ts"), "append"
+    )

@@ -66,6 +66,32 @@ def stream_dedup_within_watermark(
     return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(cols)
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "1 hour",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner interval join: right rows within ``lookback``
+    BEFORE each left row, equi on the key. Both sides carry a watermark and
+    the join condition bounds event time on both — Spark's requirement for
+    state cleanup, so per-key join state is O(rows in the lookback window)
+    at any stream length (the 100 TB-stream-safe shape). Column names must
+    be disjoint (rename before joining)."""
+    l = left.withWatermark(left_ts, delay)
+    r = right.withWatermark(right_ts, delay)
+    cond = (
+        (l[left_key] == r[right_key])
+        & (r[right_ts] >= l[left_ts] - F.expr(f"interval {lookback}"))
+        & (r[right_ts] <= l[left_ts])
+    )
+    return l.join(r, cond, "inner")
+
+
 def running_max(events: DataFrame, col: str = "ts") -> DataFrame:
     """find_last_entry (popelines/main.py:229) as streaming state: the
     high-water mark maintained incrementally instead of re-queried."""
