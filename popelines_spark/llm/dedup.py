@@ -239,6 +239,56 @@ def simhash_pairs(
     )
 
 
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) where component = min id reachable over ``edges`` —
+    the cluster step that turns pairwise near-dup matches into dedup
+    groups (keep min-id per component, drop the rest).
+
+    Algorithm: min-label propagation to fixpoint. Each iteration is one
+    keyed join (labels x symmetric edges) + one keyed min-aggregate; the
+    driver reads only a changed-row COUNT per iteration (convergence
+    check, the sanctioned scalar edge). Lineage is truncated per iteration
+    with an eager localCheckpoint, so plans stay flat regardless of
+    iteration count. Iterations needed = component diameter; for
+    web-scale graphs swap in the large-star/small-star contraction, which
+    is built from these same two primitives.
+    """
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionByName(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("v"), F.col(id_col).alias("component")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neigh = (
+            labels.join(sym, labels.v == sym.s)
+            .select(F.col("d").alias("v"), "component")
+        )
+        new = (
+            labels.unionByName(neigh)
+            .groupBy("v")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias(id_col), "component")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,47 @@
+"""Domain-mixture sampling for LLM training corpora.
+
+Training mixes are specified as per-domain keep-rates ("keep 100% of en,
+25% of de, ..."); the sampler must be deterministic (re-runs and retries
+keep the SAME rows), partition-independent, and shuffle-free. Both follow
+from deciding membership per row from a multiplicative hash of the id —
+no RNG, no state, mirrorable in plain SQL for the oracle.
+
+Scale: a narrow map over the corpus — no shuffle, no driver data. At
+100 TB this runs at scan speed and composes with any downstream op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Knuth multiplicative constant — fixed salt, same literal in oracle SQL.
+_KNUTH = 2654435761
+
+
+def sample_to_mixture(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    keep_rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff hash(id) mod 10000 < rate(group) * 10000.
+
+    ``keep_rates`` maps group values to [0, 1] keep fractions; unlisted
+    groups fall back to ``default_rate``. Exact-rate guarantee is per-id
+    (fractions converge by the hash's uniformity); determinism is exact.
+    """
+    bucket = F.pmod(F.col(id_col).cast("long") * F.lit(_KNUTH), F.lit(10000))
+    rate = None
+    for val, r in keep_rates.items():
+        cond = F.col(group_col) == val
+        rate = (
+            F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
+        )
+    rate = (
+        rate.otherwise(F.lit(default_rate))
+        if rate is not None
+        else F.lit(default_rate)
+    )
+    return df.filter(bucket < rate * 10000)

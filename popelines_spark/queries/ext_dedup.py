@@ -100,10 +100,11 @@ def c_dedup_simhash(spark, sf_dir):
     )
 
 
-@query(
-    "c_dedup_ngram",
-    oracle=_CORPUS_SQL
-    + """
+#: exact-Jaccard pair CTEs over `corpus` (shared by the n-gram dedup oracle
+#: and the cluster oracle). Pairs sharing zero shingles have jaccard
+#: 0 < threshold, so the shingle equi-join (not a block cross join) loses
+#: nothing.
+_NGRAM_CTES = """
     , shl AS (SELECT doc_id, lang,
                      list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
                                     FOR i IN generate_series(1, len(ws) - 2)])
@@ -112,19 +113,23 @@ def c_dedup_simhash(spark, sf_dir):
                     FROM corpus)),
       sh AS (SELECT doc_id, lang, unnest(shset) AS s FROM shl),
       sizes AS (SELECT doc_id, len(shset) AS n FROM shl),
-      -- pairs sharing zero shingles have jaccard 0 < threshold, so the
-      -- shingle equi-join (not a block cross join) loses nothing
       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                        CAST(count(*) AS DOUBLE) AS i
                 FROM sh a JOIN sh b
                   ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
-                GROUP BY a.doc_id, b.doc_id)
-    SELECT id_a, id_b, i / (na.n + nb.n - i) AS jaccard
-    FROM inter
-    JOIN sizes na ON na.doc_id = id_a
-    JOIN sizes nb ON nb.doc_id = id_b
-    WHERE i / (na.n + nb.n - i) >= 0.3
-    """,
+                GROUP BY a.doc_id, b.doc_id),
+      jpairs AS (SELECT id_a, id_b, i / (na.n + nb.n - i) AS jaccard
+                 FROM inter
+                 JOIN sizes na ON na.doc_id = id_a
+                 JOIN sizes nb ON nb.doc_id = id_b
+                 WHERE i / (na.n + nb.n - i) >= 0.3)
+"""
+
+
+@query(
+    "c_dedup_ngram",
+    oracle=_CORPUS_SQL + _NGRAM_CTES
+    + "SELECT id_a, id_b, jaccard FROM jpairs",
 )
 def c_dedup_ngram(spark, sf_dir):
     """Exact 3-gram-shingle Jaccard, candidates via threshold-complete
@@ -196,3 +201,33 @@ def c_decontaminate(spark, sf_dir):
         corpus, bench, id_col="doc_id", text_col="text",
         shingle_k=3, min_overlap=2,
     )
+
+
+@query(
+    "c_dedup_cluster",
+    oracle=_CORPUS_SQL.replace("WITH", "WITH RECURSIVE", 1) + _NGRAM_CTES
+    + """
+    , edges AS (SELECT id_a AS s, id_b AS d FROM jpairs
+                UNION ALL SELECT id_b, id_a FROM jpairs),
+      reach AS (SELECT doc_id AS v, doc_id AS label FROM corpus
+                UNION
+                SELECT e.d AS v, r.label FROM reach r JOIN edges e ON e.s = r.v)
+    SELECT v AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY v
+    """,
+)
+def c_dedup_cluster(spark, sf_dir):
+    """Near-dup pairs -> dedup CLUSTERS: connected components over the
+    exact-Jaccard pair graph (min-label propagation, llm/dedup.py). Every
+    planted base/exact-copy/near-copy triple collapses to one component
+    labeled by the base doc_id; survivors = one row per cluster_id. The
+    oracle computes the same transitive closure with a recursive CTE."""
+    corpus = _corpus(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(
+        corpus, id_col="doc_id", text_col="text",
+        block_cols=["lang"], shingle_k=3, threshold=0.3,
+    )
+    comp = D.connected_components(
+        corpus.select("doc_id"), pairs, id_col="doc_id"
+    )
+    return comp.select("doc_id", F.col("component").alias("cluster_id"))

@@ -295,3 +295,25 @@ def c_pack_sequences(spark, sf_dir):
         .cast("long")
         .alias("bin_id"),
     )
+
+
+@query(
+    "c_mix_domains",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE (doc_id * 2654435761) % 10000 <
+          CASE lang WHEN 'en' THEN 10000.0 WHEN 'es' THEN 5000.0
+                    WHEN 'de' THEN 2500.0 ELSE 1000.0 END
+    """,
+)
+def c_mix_domains(spark, sf_dir):
+    """Training-mixture sampling: per-language keep-rates (en 100%, es 50%,
+    de 25%, rest 10%) decided by a multiplicative id-hash — deterministic,
+    partition-independent, shuffle-free (llm/mix.py)."""
+    from popelines_spark.llm.mix import sample_to_mixture
+
+    docs = T(spark, sf_dir, "documents")
+    return sample_to_mixture(
+        docs, group_col="lang", id_col="doc_id",
+        keep_rates={"en": 1.0, "es": 0.5, "de": 0.25}, default_rate=0.1,
+    ).select("doc_id", "lang")

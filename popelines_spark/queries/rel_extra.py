@@ -126,3 +126,46 @@ def b_subquery_in(spark, sf_dir):
                               WHERE n_regionkey = 2)
         """
     )
+
+
+@query(
+    "b_agg_corr",
+    oracle="""
+    SELECT l_returnflag,
+           (count(*) * CAST(SUM(CAST(l_quantity * l_extendedprice
+                                     AS DECIMAL(30,4))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE)
+              * CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE))
+           / sqrt((count(*) * CAST(SUM(CAST(l_quantity * l_quantity
+                                            AS DECIMAL(30,4))) AS DOUBLE)
+                   - CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE)
+                     * CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE))
+                  * (count(*) * CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                                              AS DECIMAL(30,4))) AS DOUBLE)
+                     - CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)
+                       * CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)))
+             AS corr_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def b_agg_corr(spark, sf_dir):
+    """Pearson correlation from decimal-accumulated moments (not the
+    builtin corr(), whose accumulation order differs between engines):
+    exact sums -> bit-identical doubles -> identical per-row arithmetic."""
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    n = F.count("*")
+    sq = F.sum(q.cast(DEC)).cast("double")
+    sp = F.sum(p.cast(DEC)).cast("double")
+    sqq = F.sum((q * q).cast("decimal(30,4)")).cast("double")
+    spp = F.sum((p * p).cast("decimal(30,4)")).cast("double")
+    sqp = F.sum((q * p).cast("decimal(30,4)")).cast("double")
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            (
+                (n * sqp - sq * sp)
+                / F.sqrt((n * sqq - sq * sq) * (n * spp - sp * sp))
+            ).alias("corr_qty_price")
+        )
+    )

@@ -161,3 +161,34 @@ def b_win_first_last(spark, sf_dir):
         F.first("value").over(w).alias("first_val"),
         F.last("value").over(w).alias("last_val"),
     )
+
+
+@query(
+    "b_win_ntile_dist",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           nth_value(o_orderkey, 2) OVER
+             (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def b_win_ntile_dist(spark, sf_dir):
+    """Distribution window functions: ntile / percent_rank / cume_dist are
+    integer-rank-derived (deterministic given the total order); nth_value
+    pinned to the full-partition frame on both engines."""
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_key"),
+    )

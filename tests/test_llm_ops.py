@@ -183,3 +183,16 @@ def test_ngram_prefix_filter_is_complete(spark):
             .collect()
         }
         assert got == brute, f"threshold {thr}: {got.keys() ^ brute.keys()}"
+
+
+def test_connected_components_chain(spark):
+    """Min-label propagation must converge past diameter 1: a 4-node chain
+    collapses to its min id, disconnected pair keeps its own, singleton
+    stays itself."""
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 99)], "id long")
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r.id: r.component for r in
+           D.connected_components(verts, edges, id_col="id").collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
