@@ -3,7 +3,8 @@
 Composes the engine's operators the way a 100 TB curation job would:
 
   profile → language/quality filter → PII redaction → exact dedup →
-  MinHash-LSH near-dedup → stratified sampling → sequence packing →
+  MinHash-LSH near-dedup (cluster-collapsed via connected components) →
+  benchmark decontamination → mixture sampling → sequence packing →
   partitioned parquet sink
 
 Run:  python examples/training_data_pipeline.py [sf_dir] [out_dir]
@@ -28,7 +29,13 @@ from pyspark.sql.window import Window as W
 
 def curate(spark, sf_dir: str, out_dir: str, tokens_per_bin: int = 2048):
     from popelines_spark.llm import text as X
-    from popelines_spark.llm.dedup import exact_dedup, minhash_lsh_pairs
+    from popelines_spark.llm.decontam import decontaminate
+    from popelines_spark.llm.dedup import (
+        connected_components,
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+    from popelines_spark.llm.mix import sample_to_mixture
     from popelines_spark.tables import load
 
     docs = load(spark, sf_dir, "documents")
@@ -57,17 +64,35 @@ def curate(spark, sf_dir: str, out_dir: str, tokens_per_bin: int = 2048):
     )
     exact_deduped = scrubbed.join(kept_ids, "doc_id")
 
-    # 4. fuzzy dedup: drop the higher id of each near-dup pair
+    # 4. fuzzy dedup: near-dup pairs → connected components → keep the
+    # min-id survivor per cluster (chains a-b-c collapse to one doc even
+    # when a and c never matched directly)
     pairs = minhash_lsh_pairs(
         exact_deduped, id_col="doc_id", text_col="text", threshold=0.7
     )
-    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    deduped = exact_deduped.join(losers, "doc_id", "left_anti")
+    comp = connected_components(
+        exact_deduped.select("doc_id"), pairs, id_col="doc_id"
+    )
+    survivors = comp.filter(F.col("doc_id") == F.col("component")).select("doc_id")
+    deduped = exact_deduped.join(survivors, "doc_id")
 
-    # 5. stratified cap per language (deterministic)
+    # 4b. benchmark decontamination: drop training docs overlapping the
+    # eval set (stand-in: every 97th doc plays the benchmark)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    contaminated = decontaminate(
+        deduped, bench, id_col="doc_id", text_col="text", min_overlap=2
+    ).select("doc_id")
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+
+    # 5. mixture sampling: per-language keep-rates, deterministic id-hash
+    # (plus a per-language cap as a guard rail)
+    mixed = sample_to_mixture(
+        clean, group_col="lang", id_col="doc_id",
+        keep_rates={"en": 1.0, "es": 0.8, "de": 0.6, "fr": 0.5},
+    )
     w = W.partitionBy("lang").orderBy("doc_id")
     sampled = (
-        deduped.withColumn("__rn", F.row_number().over(w))
+        mixed.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= 100_000)
         .drop("__rn")
     )
@@ -96,6 +121,8 @@ def curate(spark, sf_dir: str, out_dir: str, tokens_per_bin: int = 2048):
         "after_gate": gated.count(),
         "after_exact_dedup": exact_deduped.count(),
         "after_fuzzy_dedup": deduped.count(),
+        "after_decontam": clean.count(),
+        "after_mix": sampled.count(),
         "curated": out.count(),
         "bins": out.select("source", "bin_id").distinct().count(),
     }

@@ -14,7 +14,9 @@ def test_curation_pipeline_end_to_end(spark, scratch):
     assert stats["input_docs"] == 500
     assert 0 < stats["after_gate"] <= stats["input_docs"]
     assert stats["after_fuzzy_dedup"] <= stats["after_exact_dedup"]
-    assert stats["curated"] == stats["after_fuzzy_dedup"]
+    assert stats["after_decontam"] <= stats["after_fuzzy_dedup"]
+    assert 0 < stats["after_mix"] <= stats["after_decontam"]
+    assert stats["curated"] == stats["after_mix"]
     assert stats["bins"] >= 1
     # deterministic: same input → same counts on a rerun
     assert curate(spark, SF_DIR, scratch, tokens_per_bin=512) == stats
