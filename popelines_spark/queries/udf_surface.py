@@ -112,3 +112,39 @@ def u_udtf(spark, sf_dir):
 
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") <= 40)
     return d.select("doc_id", F.explode(bigrams("text")).alias("bigram"))
+
+
+@query(
+    "u_grouped_agg",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_mktsegment, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS rn,
+             count(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM customer)
+    SELECT c_mktsegment,
+           (max(CASE WHEN rn = (n + 1) // 2 THEN c_acctbal END)
+            + max(CASE WHEN rn = n // 2 + 1 THEN c_acctbal END)) / 2
+             AS med_bal
+    FROM ranked GROUP BY c_mktsegment
+    """,
+)
+def u_grouped_agg(spark, sf_dir):
+    """Grouped-AGGREGATE pandas UDF (one Arrow batch per group -> one
+    scalar): the fourth Python-surface shape next to scalar / grouped-map /
+    UDTF. Median: numpy computes (lo + hi) / 2 at the middle order stats,
+    and the oracle spells the SAME expression over row_number order
+    statistics — bit-identical, unlike QUANTILE_CONT's lo + (hi-lo)*0.5
+    interpolation."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def np_median(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy()))
+
+    return (
+        T(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(np_median("c_acctbal").alias("med_bal"))
+    )

@@ -111,3 +111,17 @@ def test_append_casts_conflicting_primitive_to_live_type(spark, scratch):
     back = pio.read_table_evolved(spark, wh, "t")
     assert dict(back.dtypes)["tag"] == "string"
     assert {r.tag for r in back.collect()} == {"s1", "7"}
+
+
+def test_compact_table_shrinks_files_preserves_rows(spark, scratch):
+    df = spark.range(0, 10000).selectExpr("id", "id * 2 AS v")
+    df.repartition(40).write.parquet(f"{scratch}/wh_c/t")
+    before, after = pio.compact_table(
+        spark, f"{scratch}/wh_c", "t", target_file_bytes=1 << 30
+    )
+    assert before >= 40 and after == 1
+    back = spark.read.parquet(f"{scratch}/wh_c/t")
+    assert back.count() == 10000
+    assert back.selectExpr("sum(v)").collect()[0][0] == df.selectExpr(
+        "sum(v)"
+    ).collect()[0][0]
