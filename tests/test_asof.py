@@ -45,3 +45,35 @@ def test_inner_drops_unmatched(spark):
     )
     out = asof_join(left, right, "k", "rk", "ts", "rts", how="inner").collect()
     assert [r.lid for r in out] == [1]
+
+
+def test_asof_matches_bruteforce_on_random_inputs(spark):
+    """Property check: the union+window as-of join must equal the
+    quadratic reference semantics (greatest right_ts <= left_ts per key)
+    on adversarial inputs — duplicate timestamps, keys with no matches,
+    right rows after every left row, multi-row keys."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    for trial in range(4):
+        keys = ["a", "b", "c", "d"]
+        left = [
+            (i, rng.choice(keys), _ts(rng.randrange(0, 30)))
+            for i in range(25)
+        ]
+        right = [
+            (rng.choice(keys), _ts(rng.randrange(0, 30)), f"r{j}")
+            for j in range(25)
+        ]
+        ldf = spark.createDataFrame(left, "lid long, k string, ts timestamp")
+        rdf = spark.createDataFrame(right, "rk string, rts timestamp, tag string")
+        got = {
+            r.lid: r.rts
+            for r in asof_join(ldf, rdf, "k", "rk", "ts", "rts").collect()
+        }
+        want = {}
+        for lid, k, ts in left:
+            cands = [rts for (rk, rts, _) in right if rk == k and rts <= ts]
+            want[lid] = max(cands) if cands else None
+        assert got == want, f"trial {trial}"
