@@ -57,10 +57,11 @@ def b_unpivot(spark, sf_dir):
     oracle="""
     SELECT c_mktsegment,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE) AS s1,
-           CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(30,4))) AS DOUBLE)
-             AS s2,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))
+                    * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s2,
            CAST(count(*) AS BIGINT) AS n,
-           (CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(30,4))) AS DOUBLE)
+           (CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))
+                     * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
             - CAST(SUM(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE)
               * CAST(SUM(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE)
               / count(*))
@@ -71,12 +72,12 @@ def b_unpivot(spark, sf_dir):
 def b_agg_stats(spark, sf_dir):
     """Exact sample variance from decimal-accumulated moments: both engines
     derive var from bit-identical doubles, sidestepping their different
-    internal stddev accumulation orders."""
+    internal stddev accumulation orders. The square multiplies IN DECIMAL
+    (2-decimal input -> exact), never double-then-round (see b_agg_corr)."""
     c = T(spark, sf_dir, "customer")
+    b2 = F.col("c_acctbal").cast("decimal(18,2)")
     s1 = F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
-    s2 = F.sum(
-        (F.col("c_acctbal") * F.col("c_acctbal")).cast("decimal(30,4)")
-    ).cast("double")
+    s2 = F.sum(b2 * b2).cast("double")
     n = F.count("*")
     return c.groupBy("c_mktsegment").agg(
         s1.alias("s1"),
@@ -131,41 +132,56 @@ def b_subquery_in(spark, sf_dir):
 @query(
     "b_agg_corr",
     oracle="""
+    WITH c AS (SELECT l_returnflag,
+                      CAST(l_quantity AS BIGINT) AS q,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+               FROM lineitem),
+    m AS (SELECT l_returnflag,
+                 count(*) AS n,
+                 CAST(SUM(q) AS BIGINT) AS sq,
+                 CAST(SUM(pc) AS BIGINT) AS sp,
+                 CAST(SUM(q * q) AS BIGINT) AS sqq,
+                 CAST(SUM(q * pc) AS BIGINT) AS sqp,
+                 SUM(CAST(pc AS DECIMAL(19,0)) * CAST(pc AS DECIMAL(19,0)))
+                   AS spp
+          FROM c GROUP BY l_returnflag)
     SELECT l_returnflag,
-           (count(*) * CAST(SUM(CAST(l_quantity * l_extendedprice
-                                     AS DECIMAL(30,4))) AS DOUBLE)
-            - CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE)
-              * CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE))
-           / sqrt((count(*) * CAST(SUM(CAST(l_quantity * l_quantity
-                                            AS DECIMAL(30,4))) AS DOUBLE)
-                   - CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE)
-                     * CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE))
-                  * (count(*) * CAST(SUM(CAST(l_extendedprice * l_extendedprice
-                                              AS DECIMAL(30,4))) AS DOUBLE)
-                     - CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)
-                       * CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)))
+           (n * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+           / sqrt((n * CAST(sqq AS DOUBLE)
+                   - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                  * (n * CAST(spp AS DOUBLE)
+                     - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
              AS corr_qty_price
-    FROM lineitem GROUP BY l_returnflag
+    FROM m
     """,
 )
 def b_agg_corr(spark, sf_dir):
-    """Pearson correlation from decimal-accumulated moments (not the
-    builtin corr(), whose accumulation order differs between engines):
-    exact sums -> bit-identical doubles -> identical per-row arithmetic."""
-    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    """Pearson correlation from EXACT INTEGER moments (not the builtin
+    corr(), whose accumulation order differs between engines).
+
+    Why cents, not decimals: correlation is scale-invariant, so prices map
+    to integer cents and every moment accumulates exactly in BIGINT (the
+    squared-cents sum in DECIMAL(38,0) — still scale 0). The subtle trap
+    this sidesteps: DuckDB converts a scaled decimal to double as
+    unscaled-int -> double -> / 10^scale (TWO roundings), while Spark's
+    BigDecimal conversion rounds once — for sums whose unscaled value
+    exceeds 2^53 the engines can land one ulp apart (observed at sf0.001).
+    Scale-0 decimals and bigints convert in a single correctly-rounded
+    step on both engines, and the remaining arithmetic is identical
+    per-value double math."""
+    q = F.col("l_quantity").cast("long")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    base = T(spark, sf_dir, "lineitem").select("l_returnflag", q.alias("q"), pc.alias("pc"))
     n = F.count("*")
-    sq = F.sum(q.cast(DEC)).cast("double")
-    sp = F.sum(p.cast(DEC)).cast("double")
-    sqq = F.sum((q * q).cast("decimal(30,4)")).cast("double")
-    spp = F.sum((p * p).cast("decimal(30,4)")).cast("double")
-    sqp = F.sum((q * p).cast("decimal(30,4)")).cast("double")
-    return (
-        T(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            (
-                (n * sqp - sq * sp)
-                / F.sqrt((n * sqq - sq * sq) * (n * spp - sp * sp))
-            ).alias("corr_qty_price")
-        )
+    sq = F.sum("q").cast("double")
+    sp = F.sum("pc").cast("double")
+    sqq = F.sum(F.col("q") * F.col("q")).cast("double")
+    sqp = F.sum(F.col("q") * F.col("pc")).cast("double")
+    pdec = F.col("pc").cast("decimal(19,0)")
+    spp = F.sum(pdec * pdec).cast("double")
+    return base.groupBy("l_returnflag").agg(
+        (
+            (n * sqp - sq * sp)
+            / F.sqrt((n * sqq - sq * sq) * (n * spp - sp * sp))
+        ).alias("corr_qty_price")
     )

@@ -294,3 +294,32 @@ def b_unnest_inner(spark, sf_dir):
         "doc_id",
         F.explode(F.slice(F.split(F.col("text"), " "), 1, 5)).alias("word"),
     )
+
+
+@query(
+    "b_join_asof_strict",
+    oracle="""
+    WITH err AS (SELECT * FROM events WHERE event_type = 'error'),
+         pur AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT err.event_id, CAST(max(pur.ts) AS TIMESTAMP) AS prev_purchase_ts
+    FROM err JOIN pur
+      ON err.user_id = pur.user_id AND pur.ts < err.ts
+    GROUP BY err.event_id
+    """,
+)
+def b_join_asof_strict(spark, sf_dir):
+    """Strict (<) inner as-of: latest purchase STRICTLY before each error,
+    unmatched errors dropped — the other half of the as-of contract
+    (operators/asof.py strict/how parameters), same no-join union+window
+    plan."""
+    from popelines_spark.operators.asof import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+    )
+    return asof_join(
+        err, pur, left_on="user_id", right_on="p_user_id",
+        left_ts="ts", right_ts="p_ts", how="inner", strict=True,
+    ).select("event_id", F.col("p_ts").alias("prev_purchase_ts"))

@@ -196,3 +196,14 @@ def test_connected_components_chain(spark):
     out = {r.id: r.component for r in
            D.connected_components(verts, edges, id_col="id").collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_exact_dedup_normalize_case_groups_but_preserves_values(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello World"), (2, "hello world"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.text, r.n_copies) for r in D.exact_dedup(
+        df, keys=["text"], id_col="doc_id", normalize_case=True).collect()}
+    # case-insensitive grouping, survivor keeps its ORIGINAL casing
+    assert out == {1: ("Hello World", 2), 3: ("other", 1)}
