@@ -143,3 +143,49 @@ def b_sink_partitioned(spark, sf_dir):
     o.write.partitionBy("yr").parquet(path)
     back = spark.read.parquet(path).filter(F.col("yr") == 1996)
     return back.select("o_orderkey", "o_totalprice", F.col("yr").cast("int").alias("yr"))
+
+
+@query(
+    "b_fn_try",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(o_orderstatus AS BIGINT) AS status_num,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
+           CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                ELSE o_totalprice / (o_orderkey % 10) END AS safe_div
+    FROM orders
+    """,
+)
+def b_fn_try(spark, sf_dir):
+    """Error-safe function family: try_cast returns NULL instead of
+    raising on malformed input (non-numeric status vs numeric priority
+    prefix), try_divide returns NULL on division by zero — per-row double
+    division, bit-identical cross-engine."""
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").try_cast("long").alias("status_num"),
+        F.substring("o_orderpriority", 1, 1).try_cast("long").alias("prio_num"),
+        F.try_divide("o_totalprice", F.col("o_orderkey") % 10).alias("safe_div"),
+    )
+
+
+@query(
+    "b_agg_bool",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_discount <= 0.1) AS all_small_disc,
+           bool_or(l_quantity >= 49) AS any_big_qty,
+           CAST(count_if(l_tax > 0.05) AS BIGINT) AS n_taxed
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def b_agg_bool(spark, sf_dir):
+    """Boolean aggregates (every/any/count_if): per-row predicates are
+    exact comparisons, aggregation is order-insensitive."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_discount") <= 0.1).alias("all_small_disc"),
+        F.bool_or(F.col("l_quantity") >= 49).alias("any_big_qty"),
+        F.count_if(F.col("l_tax") > 0.05).cast("long").alias("n_taxed"),
+    )
