@@ -20,3 +20,13 @@ def test_curation_pipeline_end_to_end(spark, scratch):
     assert stats["bins"] >= 1
     # deterministic: same input → same counts on a rerun
     assert curate(spark, SF_DIR, scratch, tokens_per_bin=512) == stats
+
+
+def test_ann_search_example(spark, scratch):
+    from ann_search import build_and_probe
+
+    stats = build_and_probe(spark, SF_DIR, scratch, n_cells=8, n_probe=2, k=3)
+    assert stats["corpus_vectors"] == 500
+    assert stats["partition_dirs"] == 8
+    assert stats["hits"] == stats["queries"] * 3
+    assert stats["pruned_scan"]
