@@ -189,3 +189,33 @@ def b_agg_bool(spark, sf_dir):
         F.bool_or(F.col("l_quantity") >= 49).alias("any_big_qty"),
         F.count_if(F.col("l_tax") > 0.05).cast("long").alias("n_taxed"),
     )
+
+
+@query(
+    "b_fn_hof",
+    oracle="""
+    SELECT o_orderkey,
+           [x * 2 FOR x IN rng] AS doubled,
+           [x FOR x IN rng IF x % 2 = 0] AS evens,
+           len([x FOR x IN rng IF x % 2 = 0]) > 0 AS has_even,
+           CAST(list_sum(rng) AS BIGINT) AS total
+    FROM (SELECT o_orderkey, generate_series(1, o_orderkey % 5 + 1) AS rng
+          FROM orders)
+    """,
+)
+def b_fn_hof(spark, sf_dir):
+    """Array higher-order functions (transform / filter / exists /
+    aggregate) over a per-row integer sequence — exact integer lambda
+    arithmetic, mirrored by DuckDB list comprehensions. (HOFs run in
+    interpreted expression mode — fine for per-row arrays like these;
+    hot-loop array math belongs in explode+agg, see llm/dedup.py.)"""
+    rng = F.sequence(F.lit(1).cast("long"), (F.col("o_orderkey") % 5) + 1)
+    return T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.transform(rng, lambda x: x * 2).alias("doubled"),
+        F.filter(rng, lambda x: x % 2 == 0).alias("evens"),
+        F.exists(rng, lambda x: x % 2 == 0).alias("has_even"),
+        F.aggregate(rng, F.lit(0).cast("long"), lambda a, x: a + x)
+        .cast("long")
+        .alias("total"),
+    )
