@@ -41,15 +41,36 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# Round-3 rotation (VERDICT r2 "Next round" #1): the driver scores a bounded
+# 50-entry prefix of the registry per round.  Rounds 1+2 covered 99 distinct
+# queries; these 46 never received a driver row, so they move to the FRONT of
+# the registry this round.  After r3 every registered query has a driver-green
+# row on file.  (tools/parity.py still covers the full registry every run.)
+_DRIVER_WINDOW_FIRST: tuple[str, ...] = (
+    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
+    "tpch_q9", "tpch_q10", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",
+    "b_topk_per_group", "b_union_all", "b_union_evolve", "b_union_distinct",
+    "b_intersect", "b_except",
+    "b_pivot", "b_unpivot", "b_subquery_scalar", "b_subquery_in",
+    "b_agg_stats", "b_agg_corr", "b_agg_median", "b_agg_argminmax",
+    "b_agg_bool",
+    "b_win_range_frame", "b_win_ntile_dist",
+    "b_fn_string2", "b_fn_date2", "b_fn_math2", "b_fn_try", "b_fn_bitwise",
+    "b_fn_hof",
+    "b_scan_csv", "b_scan_orc", "b_sink_partitioned", "b_merge_upsert",
+    "b_join_asof_strict", "c_sessionize", "s_enrich",
+)
+
+
 def load_all() -> None:
     """Import every module that registers queries (idempotent).
 
     ORDER MATTERS: the driver's correctness gate scores a bounded prefix of
-    the registry (50 entries in round 1), so the highest-risk families
-    register first — the invariant-shaped approx aggregate, Part C
-    (dedup/similarity/text/multimodal), streaming, the UDF surface and the
-    scalar-function batteries — and the long-driver-green relational basics
-    last. The judge independently re-runs whatever the driver window misses
+    the registry (50 entries per round), so after importing every module the
+    registry is rotated to put ``_DRIVER_WINDOW_FIRST`` — the queries that
+    have never been scored by a driver round — at the front.  The judge
+    independently re-runs whatever the driver window misses
     (tools/parity.py covers the full registry either way).
     """
     # Imports are inside the function so `import popelines_spark.registry`
@@ -76,3 +97,9 @@ def load_all() -> None:
         rel_scan_sink,
         part_a,
     )
+
+    front = [n for n in _DRIVER_WINDOW_FIRST if n in SPARK_QUERIES]
+    rest = [n for n in SPARK_QUERIES if n not in _DRIVER_WINDOW_FIRST]
+    rotated = {n: SPARK_QUERIES[n] for n in front + rest}
+    SPARK_QUERIES.clear()
+    SPARK_QUERIES.update(rotated)
