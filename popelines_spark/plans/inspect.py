@@ -72,3 +72,41 @@ def assert_no_cartesian(df: DataFrame) -> None:
     rep = plan_report(df)
     assert not rep["cartesian"], "plan contains CartesianProduct"
     assert not rep["bcast_nested_loop"], "plan contains BroadcastNestedLoopJoin"
+
+
+# First argument inside windowspecdefinition(...).  Catalyst's
+# ExtractWindowExpressions rewrites complex partition/order expressions into
+# projected attributes, so each spec argument is a bare attribute ref
+# (`shard#12L`), an order spec (`doc_id#3L ASC NULLS FIRST`), or the frame.
+_WSPEC_FIRST_ARG = re.compile(r"windowspecdefinition\(([^,)]*)[,)]")
+
+
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Return the window specs in ``df``'s physical plan that have an EMPTY
+    partition clause — the 'all rows through one partition' shape Spark
+    itself warns about (``WindowExec: No Partition Defined``).
+
+    A spec is unpartitioned iff its first argument is already the ordering
+    (contains ``ASC``/``DESC``) or the frame (no partition columns at all).
+    """
+    plan = formatted_plan(df)
+    bad = []
+    for m in _WSPEC_FIRST_ARG.finditer(plan):
+        first = m.group(1).strip()
+        if (
+            " ASC" in first
+            or " DESC" in first
+            or first.startswith("specifiedwindowframe")
+            or first == ""
+        ):
+            bad.append(plan[m.start() : m.end() + 60])
+    return bad
+
+
+def assert_no_global_window(df: DataFrame) -> None:
+    """SURVEY.md §4 scale rule: no registered query may funnel its input
+    through a partition-less window (single-partition bottleneck at 100 TB).
+    Enforced over the whole registry by tools/parity.py and
+    tests/test_plans.py (allowlist: none)."""
+    bad = unpartitioned_windows(df)
+    assert not bad, f"unpartitioned window(s) in plan: {bad}"

@@ -260,37 +260,49 @@ def c_pii_redact(spark, sf_dir):
     "c_pack_sequences",
     oracle="""
     WITH sized AS (
-      SELECT doc_id, len(str_split(text, ' ')) AS n_toks FROM documents),
+      SELECT doc_id, len(str_split(text, ' ')) AS n_toks,
+             doc_id % 64 AS shard
+      FROM documents),
     cum AS (
-      SELECT doc_id, n_toks,
-             sum(n_toks) OVER (ORDER BY doc_id
+      SELECT doc_id, n_toks, shard,
+             sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
                                ROWS BETWEEN UNBOUNDED PRECEDING
                                AND 1 PRECEDING) AS toks_before
       FROM sized)
     SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+           CAST(shard AS BIGINT) AS shard,
            CAST(coalesce(toks_before, 0) // 2048 AS BIGINT) AS bin_id
     FROM cum
     """,
 )
 def c_pack_sequences(spark, sf_dir):
     """Sequence packing: assign docs to fixed-token-budget bins (2048) by
-    cumulative token count in deterministic doc order — the
+    cumulative token count, packed WITHIN a 64-way shard of doc_id — the
     pack-short-documents-into-context-windows step of a training pipeline.
 
-    Scale note: the global cumulative sum is a single total-order window —
-    at 100 TB pack per shard instead (partitionBy(source) windows), which
-    this operator parameterizes in llm form; the query uses the global
-    order to stay oracle-checkable."""
+    Scale note (VERDICT r2 #2): packing is per shard, so the cumulative-sum
+    window is ``partitionBy(shard)`` — 64 independent partitions instead of
+    one global total order.  A packed bin is identified by (shard, bin_id);
+    at 100 TB raise the shard count to match executor parallelism.  The
+    shard key ``doc_id % 64`` is deterministic and expressible identically
+    in the DuckDB oracle, so the query stays hash-checkable."""
     from pyspark.sql.window import Window as W
 
     d = T(spark, sf_dir, "documents")
     sized = d.select(
-        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_toks")
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+        (F.col("doc_id") % 64).cast("long").alias("shard"),
     )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
     return sized.select(
         "doc_id",
         "n_toks",
+        "shard",
         F.floor(F.coalesce(F.sum("n_toks").over(w), F.lit(0)) / 2048)
         .cast("long")
         .alias("bin_id"),

@@ -466,18 +466,21 @@ def tpch_q14(spark, sf_dir):
     """,
 )
 def tpch_q15(spark, sf_dir):
-    """Q15 top supplier: the revenue view + scalar-max subquery becomes a
-    rank-1 window over the aggregated view (ties all kept, as in the
-    spec); no second scan of lineitem."""
+    """Q15 top supplier: the spec's scalar-max subquery is computed as a
+    one-row aggregate over the revenue view and broadcast-joined back as an
+    equi-filter (ties all kept, as in the spec) — the same pattern q22 uses
+    for its avg cutoff.  No global rank window: every stage stays
+    partitioned (VERDICT r2 #3); no second scan of lineitem."""
     l = T(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum(_rev()).alias("total_revenue")
     )
-    top = rev.withColumn(
-        "__rk", F.rank().over(W.orderBy(F.col("total_revenue").desc()))
-    ).filter(F.col("__rk") == 1)
+    max_rev = rev.agg(F.max("total_revenue").alias("__max_rev"))
+    top = rev.join(
+        F.broadcast(max_rev), F.col("total_revenue") == F.col("__max_rev")
+    ).drop("__max_rev")
     s = T(spark, sf_dir, "supplier")
     return (
         s.join(top, s.s_suppkey == top.supplier_no)

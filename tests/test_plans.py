@@ -6,9 +6,11 @@ from pyspark.sql import functions as F
 
 from popelines_spark.plans.inspect import (
     assert_no_cartesian,
+    assert_no_global_window,
     assert_scan_pruned,
     physical_plan,
     plan_report,
+    unpartitioned_windows,
 )
 from tests.conftest import SF_DIR
 
@@ -127,6 +129,35 @@ def test_asof_join_has_no_join_node(spark):
     assert not rep["cartesian"] and not rep["bcast_nested_loop"]
     plan = physical_plan(_q("b_join_asof", spark))
     assert "Window" in plan
+
+
+def test_tpch_q15_no_global_rank_window(spark):
+    """Q15's top-supplier cutoff is a scalar-max aggregate broadcast back as
+    an equi-filter — NOT a global rank window (VERDICT r2 #3). The plan must
+    contain no partition-less WindowExec and at least one broadcast join."""
+    df = _q("tpch_q15", spark)
+    assert_no_global_window(df)
+    rep = plan_report(df)
+    assert rep["broadcast_joins"] >= 1
+    assert not rep["cartesian"]
+
+
+def test_no_unpartitioned_window_anywhere(spark):
+    """Registry-wide scale rule (VERDICT r2 #9): NO registered query may
+    move all rows through a single partition via a window with an empty
+    PARTITION BY. Explains every registered query; allowlist: none."""
+    qs = entrymod.queries()
+    offenders = {}
+    for name, fn in qs.items():
+        try:
+            df = fn(spark, SF_DIR)
+        except Exception as exc:  # plan-build failure is its own offense
+            offenders[name] = f"build failed: {exc}"
+            continue
+        bad = unpartitioned_windows(df)
+        if bad:
+            offenders[name] = bad[0]
+    assert not offenders, offenders
 
 
 def test_tpch_plans_broadcast_dims_and_prune(spark):
