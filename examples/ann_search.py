@@ -28,41 +28,36 @@ from pyspark.sql import functions as F
 
 def build_and_probe(spark, sf_dir: str, out_dir: str, n_cells: int = 16,
                     n_probe: int = 4, k: int = 5):
-    from popelines_spark.llm.ivf import assign_cells, knn_ivf, train_centroids
+    from popelines_spark.llm.ivf import (
+        build_ivf_index,
+        load_ivf_index,
+        probe_ivf_index,
+    )
     from popelines_spark.tables import load
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    # 1. train (deterministic seed + Lloyd steps; only n_cells x dim
-    #    vectors ever reach the driver)
-    centroids = train_centroids(
-        emb, "embedding", n_cells=n_cells, id_col="vec_id"
+    # 1. BUILD ONCE (the amortized step): train deterministic centroids
+    #    (lowest-id seeds + Lloyd, only n_cells x dim vectors reach the
+    #    driver) and write the corpus PARTITIONED BY cell id.
+    index_path = os.path.join(out_dir, "ivf_index")
+    build_ivf_index(
+        emb, vec_col="embedding", id_col="vec_id", path=index_path,
+        n_cells=n_cells,
     )
 
-    # 2. at-rest layout: corpus partitioned by cell
-    index_path = os.path.join(out_dir, "ivf_index")
-    assign_cells(emb, "embedding", "vec_id", centroids).write.mode(
-        "overwrite"
-    ).partitionBy("__cell").parquet(index_path)
-    indexed = spark.read.parquet(index_path)
-
-    # 3. probe: 10 deterministic queries against the partitioned index
+    # 2. PROBE MANY (the per-query step): reopen the at-rest index — the
+    #    handle is self-describing — and serve a deterministic query set.
+    index = load_ivf_index(spark, index_path)
     queries = emb.filter(F.col("vec_id") % 97 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    hits = knn_ivf(
-        queries,
-        indexed.select(
-            F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
-        ),
-        k=k,
-        centroids=centroids,
-        n_probe=n_probe,
-    )
+    hits = probe_ivf_index(index, queries, k=k, n_probe=n_probe)
 
-    # 4. verify partition pruning: a single-cell read plans only that
+    # 3. verify partition pruning: a single-cell read plans only that
     #    cell's files (partition filter on the directory column)
-    one_cell = indexed.filter(F.col("__cell") == centroids[0][0])
+    indexed = spark.read.parquet(index.cells_path)
+    one_cell = indexed.filter(F.col("__cell") == index.centroids[0][0])
     plan = one_cell._jdf.queryExecution().executedPlan().toString()
 
     return {
@@ -71,7 +66,7 @@ def build_and_probe(spark, sf_dir: str, out_dir: str, n_cells: int = 16,
         "queries": queries.count(),
         "hits": hits.count(),
         "partition_dirs": len(
-            [d for d in os.listdir(index_path) if d.startswith("__cell=")]
+            [d for d in os.listdir(index.cells_path) if d.startswith("__cell=")]
         ),
         "pruned_scan": "PartitionFilters: [isnotnull(__cell" in plan
         or "__cell" in plan.split("PartitionFilters:")[-1][:80],

@@ -52,49 +52,114 @@ def c_knn_cosine(spark, sf_dir):
     return out.select("q_id", "rank", "neighbor_id")
 
 
-@query("c_knn_lsh")  # rows-only: approximate (bucketed candidates)
+def _queries_and_corpus(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+    )
+    return queries, corpus
+
+
+def _mean_recall_invariant(queries, corpus, approx, k: int, threshold: float):
+    """(q_id, mean_recall_ok) — the hash-checkable form of an approximate
+    kNN result (same trick as b_agg_approx_distinct, approx.py): recall@k of
+    the approx result vs the in-Spark exact brute-force top-k, averaged over
+    the query set, compared against ``threshold``. The boolean is stamped on
+    every query row, so a recall regression flips the whole result and the
+    driver's value-hash catches it.
+
+    Why MEAN recall, not per-query: the synthetic embeddings are isotropic
+    random vectors (all-pairs cosine ≈ N(0, 0.125), top-1 ≈ 0.37), so true
+    neighbors are barely concentrated and per-query recall at any honest
+    probe fraction scatters down to 0. Mean recall is deterministic for a
+    given SF (fixed planes/centroids, no runtime randomness) and the
+    thresholds sit ~30% under the min observed across sf0.001/0.01/0.1
+    while staying well above the scanned-fraction chance baseline."""
+    exact = S.knn_bruteforce(
+        queries, corpus, k=k, c_id="neighbor_id", exclude_self=True
+    )
+    hits = (
+        approx.select("q_id", "neighbor_id")
+        .join(exact.select("q_id", "neighbor_id"), ["q_id", "neighbor_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("__hits"))
+    )
+    per_q = queries.select("q_id").join(hits, "q_id", "left").select(
+        "q_id",
+        (F.coalesce(F.col("__hits"), F.lit(0)) / float(k)).alias("__recall"),
+    )
+    mean_ok = per_q.agg(
+        (F.avg("__recall") >= threshold).alias("mean_recall_ok")
+    )
+    return per_q.select(F.col("q_id").cast("long").alias("q_id")).join(
+        F.broadcast(mean_ok)
+    )
+
+
+_RECALL_ORACLE = """
+    SELECT CAST(vec_id AS BIGINT) AS q_id, TRUE AS mean_recall_ok
+    FROM embeddings WHERE vec_id % 50 = 0
+    """
+
+
+@query("c_knn_lsh", oracle=_RECALL_ORACLE)
 def c_knn_lsh(spark, sf_dir):
     """Approximate top-5 via random-hyperplane LSH buckets (4 planes →
-    16 buckets ≈ 30 candidates each at sf0.01; candidates share the query's
-    bucket). The 100 TB path: corpus pre-partitioned by bucket id, a query
-    probes one partition; more planes as the corpus grows."""
-    emb = T(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
-    )
-    out = S.knn_lsh(
+    16 buckets; candidates share the query's bucket). The 100 TB path:
+    corpus pre-partitioned by bucket id, a query probes one partition;
+    more planes as the corpus grows.
+
+    Output is the recall invariant (VERDICT r2 #6): mean recall@5 vs exact
+    ≥ 0.08 — observed 0.12-0.16 across SFs vs a 1/16 ≈ 0.0625 chance
+    baseline for the bucket's scan fraction on isotropic vectors."""
+    queries, corpus = _queries_and_corpus(spark, sf_dir)
+    approx = S.knn_lsh(
         queries, corpus, k=5, c_id="neighbor_id", n_planes=4, dim=64
     )
-    return out.select(
-        "q_id", "rank", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim")
-    )
+    return _mean_recall_invariant(queries, corpus, approx, k=5, threshold=0.08)
 
 
-@query("c_knn_ivf")  # rows-only: approximate (probed cells)
+@query("c_knn_ivf", oracle=_RECALL_ORACLE)
 def c_knn_ivf(spark, sf_dir):
-    """IVF-flat ANN: deterministic centroid training (lowest-id seeds + 2
-    Lloyd iterations, pure DataFrame), corpus partitioned into 8 cells, each
-    query probes its 2 nearest cells with exact re-rank. The 100 TB layout
-    writes the corpus partitioned by cell id so probes read n_probe
-    partitions."""
-    from popelines_spark.llm.ivf import knn_ivf, train_centroids
+    """IVF-flat ANN on the BUILD-ONCE index API (VERDICT r2 #4): the first
+    call per sf_dir builds the at-rest index (8 cells, 2 Lloyd iterations,
+    corpus written PARTITIONED BY cell id) under the scratch dir; every
+    later call — including every bench iteration — only probes it (each
+    query reads its 2 nearest cell partitions, exact re-rank).
 
-    emb = T(spark, sf_dir, "embeddings")
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+    Output is the recall invariant (VERDICT r2 #6): mean recall@5 vs exact
+    ≥ 0.32 — observed 0.42-0.49 across SFs vs the 2/8 = 0.25 probed-cells
+    chance baseline on isotropic vectors."""
+    from popelines_spark.llm.ivf import probe_ivf_index
+
+    queries, corpus = _queries_and_corpus(spark, sf_dir)
+    index = ensure_ivf_index(spark, sf_dir)
+    approx = probe_ivf_index(index, queries, k=5, n_probe=2)
+    return _mean_recall_invariant(queries, corpus, approx, k=5, threshold=0.32)
+
+
+def ensure_ivf_index(spark, sf_dir):
+    """Build the embeddings IVF index for ``sf_dir`` if absent (checked via
+    the parquet _SUCCESS markers), else open it — build once, probe many.
+    bench.py calls this before timing so the benched path is the probe."""
+    import os
+
+    from popelines_spark.llm.ivf import build_ivf_index, load_ivf_index
+
+    root = os.path.join(
+        "/tmp/popelines_spark_scratch",
+        f"ivf_{os.path.basename(os.path.normpath(sf_dir))}",
     )
-    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    done = all(
+        os.path.exists(os.path.join(root, part, "_SUCCESS"))
+        for part in ("cells", "centroids")
     )
-    cents = train_centroids(
-        corpus, "c_vec", n_cells=8, iterations=2, id_col="neighbor_id"
-    )
-    out = knn_ivf(
-        queries, corpus, k=5, centroids=cents, n_probe=2, c_id="neighbor_id"
-    )
-    return out.select(
-        "q_id", "rank", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim")
+    if done:
+        return load_ivf_index(spark, root)
+    _, corpus = _queries_and_corpus(spark, sf_dir)
+    return build_ivf_index(
+        corpus, "c_vec", "neighbor_id", root, n_cells=8, iterations=2
     )
