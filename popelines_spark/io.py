@@ -162,10 +162,14 @@ def compact_table(
     footer overhead are governed by file count). Returns
     (files_before, files_after).
 
-    The rewrite stages into a sibling directory and swaps via rename, so
-    concurrent readers never observe a half-written table. BigQuery does
-    this server-side (the reference never sees it); a file-based engine
-    must own it."""
+    Single-writer semantics, NO concurrent readers (ADVICE r2): the swap is
+    two non-atomic renames, so between them the table path briefly does not
+    exist, and removing the backup can delete files an in-flight reader
+    already listed. Readers never see HALF-written data (the staging dir is
+    complete before the first rename), but they can hit a transient
+    missing-path error. A truly atomic swap needs a manifest/metadata layer
+    (Delta/Iceberg-style); BigQuery does this server-side (the reference
+    never sees it)."""
     import math
 
     path = table_path(warehouse, table_name)

@@ -269,6 +269,7 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("v"), F.col(id_col).alias("component")
     ).localCheckpoint(eager=True)
+    changed = -1
     for _ in range(max_iter):
         neigh = (
             labels.join(sym, labels.v == sym.s)
@@ -289,6 +290,16 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        # ADVICE r2: silently returning labels mid-propagation hands the
+        # caller WRONG dedup clusters. Diameter > max_iter is a real input
+        # property, not noise — fail loudly; the caller raises max_iter or
+        # switches to the large-star/small-star contraction.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({changed} labels still changing); raise max_iter or use "
+            "star-contraction for high-diameter graphs"
+        )
     return labels.select(F.col("v").alias(id_col), "component")
 
 

@@ -18,6 +18,11 @@ from pyspark.sql import functions as F
 #: Knuth multiplicative constant — fixed salt, same literal in oracle SQL.
 _KNUTH = 2654435761
 
+#: Prime fold modulus applied to the id before the multiply so the product
+#: never exceeds BIGINT (~1e6 * ~2.65e9 ≈ 2.7e15); prime to avoid aliasing
+#: with strided id spaces.
+_FOLD = 1000003
+
 
 def sample_to_mixture(
     df: DataFrame,
@@ -31,8 +36,15 @@ def sample_to_mixture(
     ``keep_rates`` maps group values to [0, 1] keep fractions; unlisted
     groups fall back to ``default_rate``. Exact-rate guarantee is per-id
     (fractions converge by the hash's uniformity); determinism is exact.
+
+    The id is folded into [0, 1000003) BEFORE the Knuth multiply (ADVICE
+    r2): a bare ``id * 2654435761`` overflows BIGINT for ids above ~3.47e9
+    — Spark (non-ANSI) wraps silently while an ANSI engine raises, so the
+    plain-SQL mirror would diverge exactly at the 100 TB id scales this
+    sampler targets. Bounded operand: max ≈ 1e6 * 2.65e9 ≈ 2.7e15 ≪ 2^63.
     """
-    bucket = F.pmod(F.col(id_col).cast("long") * F.lit(_KNUTH), F.lit(10000))
+    folded = F.pmod(F.col(id_col).cast("long"), F.lit(_FOLD))
+    bucket = F.pmod(folded * F.lit(_KNUTH), F.lit(10000))
     rate = None
     for val, r in keep_rates.items():
         cond = F.col(group_col) == val

@@ -313,7 +313,7 @@ def c_pack_sequences(spark, sf_dir):
     "c_mix_domains",
     oracle="""
     SELECT doc_id, lang FROM documents
-    WHERE (doc_id * 2654435761) % 10000 <
+    WHERE ((doc_id % 1000003) * 2654435761) % 10000 <
           CASE lang WHEN 'en' THEN 10000.0 WHEN 'es' THEN 5000.0
                     WHEN 'de' THEN 2500.0 ELSE 1000.0 END
     """,

@@ -198,6 +198,19 @@ def test_connected_components_chain(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_connected_components_raises_when_not_converged(spark):
+    """A graph whose diameter exceeds max_iter must RAISE, never return
+    mid-propagation labels as if they were final clusters (ADVICE r2)."""
+    import pytest
+
+    verts = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(verts, chain, id_col="id", max_iter=2)
+
+
 def test_exact_dedup_normalize_case_groups_but_preserves_values(spark):
     df = spark.createDataFrame(
         [(1, "Hello World"), (2, "hello world"), (3, "other")],
