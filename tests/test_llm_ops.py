@@ -117,6 +117,40 @@ def test_multimodal_decode_stub_shapes(spark):
     assert out == out2
 
 
+def test_ppm_decoder_parses_real_spec(spark):
+    """decode_ppm is a genuine netpbm parser: handles header comments and
+    arbitrary whitespace, recovers exact dims/pixels, and REJECTS payloads
+    whose pixel buffer doesn't match the declared dimensions."""
+    import pytest
+    from pyspark.sql import functions as F
+    from popelines_spark.llm import multimodal as M
+
+    def wrap(doc_id, buf: bytes):
+        return spark.createDataFrame(
+            [(doc_id, bytearray(buf), ("image/x-portable-pixmap", len(buf), "t"))],
+            "doc_id long, payload binary, "
+            "meta struct<mime:string,n_bytes:bigint,source:string>",
+        )
+
+    # 2x2 image, comment line in header, R channel = 10/50/90/130 → mean 70
+    pix = bytes([10, 0, 0, 50, 0, 0, 90, 0, 0, 130, 0, 0])
+    good = b"P6\n# a comment\n2 2\n255\n" + pix
+    row = M.decode_ppm(wrap(7, good)).collect()[0]
+    assert (row.width, row.height, row.maxval, row.n_pixel_bytes) == (2, 2, 255, 12)
+    assert row.mean_r == 70.0
+
+    # truncated pixel buffer must raise, not return garbage
+    with pytest.raises(Exception, match="pixel buffer"):
+        M.decode_ppm(wrap(8, b"P6\n2 2\n255\n" + pix[:9])).collect()
+
+    # make_ppm fixtures round-trip through the real decoder
+    fx = M.make_ppm(spark.range(5).select(F.col("id").alias("doc_id")))
+    got = {r.doc_id: r for r in M.decode_ppm(fx).collect()}
+    for i in range(5):
+        assert got[i].width == i % 16 + 1 and got[i].height == i % 9 + 1
+        assert got[i].mean_r == float(65 + i % 26)
+
+
 def test_exact_dedup_keeps_payload_columns(spark):
     """VERDICT r1 #3: every input column must survive dedup — callers must
     not need a re-join to recover their payload."""
