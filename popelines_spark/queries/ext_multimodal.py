@@ -67,3 +67,28 @@ def c_multimodal_decode(spark, sf_dir):
     gated entry point)."""
     d = T(spark, sf_dir, "documents")
     return M.decode_ppm(M.make_ppm(d, "doc_id"))
+
+
+@query(
+    "c_multimodal_audio",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(2 AS BIGINT) AS sample_width,
+           CAST(8000 AS BIGINT) AS frame_rate,
+           CAST(doc_id % 50 + 10 AS BIGINT) AS n_frames,
+           CAST(doc_id % 50 + 10 AS DOUBLE) / 8000 AS duration_sec,
+           CAST(doc_id % 100 - 50 AS DOUBLE) AS mean_amp
+    FROM documents
+    """,
+)
+def c_multimodal_audio(spark, sf_dir):
+    """Distributed audio decode, oracle-checked end to end: a deterministic
+    mono 16-bit PCM WAV is synthesized per document (make_wav, stdlib wave
+    encoder), then REALLY decoded — RIFF container parse + numpy sample
+    statistics — in the Arrow-batched mapInPandas stage (decode_wav). The
+    oracle recomputes channels/rate/frames/duration/mean amplitude
+    analytically from doc_id; a container-parse or PCM-unpack bug
+    hash-fails."""
+    d = T(spark, sf_dir, "documents")
+    return M.decode_wav(M.make_wav(d, "doc_id"))

@@ -151,6 +151,44 @@ def test_ppm_decoder_parses_real_spec(spark):
         assert got[i].mean_r == float(65 + i % 26)
 
 
+def test_wav_decoder_parses_real_spec(spark):
+    """decode_wav is a genuine RIFF/WAVE parser: recovers stereo layout and
+    true sample statistics from an independently-encoded clip, and
+    round-trips the make_wav fixtures."""
+    import io
+    import struct
+    import wave
+
+    from pyspark.sql import functions as F
+    from popelines_spark.llm import multimodal as M
+
+    # stereo clip, 4 frames, samples -100..700 → mean 300
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(struct.pack("<8h", -100, 0, 100, 200, 300, 400, 500, 700))
+    buf = bio.getvalue()
+    df = spark.createDataFrame(
+        [(3, bytearray(buf), ("audio/wav", len(buf), "t"))],
+        "doc_id long, payload binary, "
+        "meta struct<mime:string,n_bytes:bigint,source:string>",
+    )
+    row = M.decode_wav(df).collect()[0]
+    assert (row.n_channels, row.sample_width, row.frame_rate, row.n_frames) == (
+        2, 2, 16000, 4,
+    )
+    assert row.duration_sec == 4 / 16000
+    assert row.mean_amp == 262.5  # mean of the 8 interleaved samples
+
+    fx = M.make_wav(spark.range(4).select(F.col("id").alias("doc_id")))
+    got = {r.doc_id: r for r in M.decode_wav(fx).collect()}
+    for i in range(4):
+        assert got[i].n_frames == i % 50 + 10
+        assert got[i].mean_amp == float(i % 100 - 50)
+
+
 def test_exact_dedup_keeps_payload_columns(spark):
     """VERDICT r1 #3: every input column must survive dedup — callers must
     not need a re-join to recover their payload."""
