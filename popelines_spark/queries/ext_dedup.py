@@ -231,3 +231,33 @@ def c_dedup_cluster(spark, sf_dir):
         corpus.select("doc_id"), pairs, id_col="doc_id"
     )
     return comp.select("doc_id", F.col("component").alias("cluster_id"))
+
+
+@query(
+    "c_dedup_cluster_star",
+    oracle=_CORPUS_SQL.replace("WITH", "WITH RECURSIVE", 1) + _NGRAM_CTES
+    + """
+    , edges AS (SELECT id_a AS s, id_b AS d FROM jpairs
+                UNION ALL SELECT id_b, id_a FROM jpairs),
+      reach AS (SELECT doc_id AS v, doc_id AS label FROM corpus
+                UNION
+                SELECT e.d AS v, r.label FROM reach r JOIN edges e ON e.s = r.v)
+    SELECT v AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY v
+    """,
+)
+def c_dedup_cluster_star(spark, sf_dir):
+    """Same clustering as c_dedup_cluster, computed by large-star/small-star
+    CONTRACTION (llm/dedup.py connected_components_star) — the web-scale
+    path: O(log n) rounds regardless of component diameter, vs label
+    propagation's O(diameter). Identical recursive-CTE oracle: both
+    implementations must hash-match the same transitive closure."""
+    corpus = _corpus(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(
+        corpus, id_col="doc_id", text_col="text",
+        block_cols=["lang"], shingle_k=3, threshold=0.3,
+    )
+    comp = D.connected_components_star(
+        corpus.select("doc_id"), pairs, id_col="doc_id"
+    )
+    return comp.select("doc_id", F.col("component").alias("cluster_id"))

@@ -270,6 +270,38 @@ def test_connected_components_chain(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_star_contraction_matches_label_propagation(spark):
+    """large-star/small-star contraction returns EXACTLY the same
+    components as min-label propagation on random graphs (seeded), and
+    solves a diameter-63 chain within its O(log n) round budget — the case
+    where propagation's O(diameter) rounds would blow max_iter."""
+    import random
+
+    rng = random.Random(7)
+    n = 120
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(rng.randrange(n), rng.randrange(n)) for _ in range(90)],
+        "id_a long, id_b long",
+    ).filter("id_a <> id_b")
+    prop = {r.id: r.component for r in
+            D.connected_components(verts, edges, id_col="id").collect()}
+    star = {r.id: r.component for r in
+            D.connected_components_star(verts, edges, id_col="id").collect()}
+    assert star == prop
+
+    chain_n = 64
+    cverts = spark.createDataFrame([(i,) for i in range(chain_n)], "id long")
+    cedges = spark.createDataFrame(
+        [(i, i + 1) for i in range(chain_n - 1)], "id_a long, id_b long"
+    )
+    out = {r.id: r.component for r in
+           D.connected_components_star(
+               cverts, cedges, id_col="id", max_iter=10
+           ).collect()}
+    assert out == {i: 0 for i in range(chain_n)}
+
+
 def test_connected_components_raises_when_not_converged(spark):
     """A graph whose diameter exceeds max_iter must RAISE, never return
     mid-propagation labels as if they were final clusters (ADVICE r2)."""
