@@ -60,6 +60,11 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "b_fn_hof",
     "b_scan_csv", "b_scan_orc", "b_sink_partitioned", "b_merge_upsert",
     "b_join_asof_strict", "c_sessionize", "s_enrich",
+    # round-3 additions / reworked oracles (new star-contraction clustering,
+    # audio decode, and the three queries promoted from rows-only to
+    # hash-checked invariants) — scored while the slots are fresh:
+    "c_dedup_cluster_star", "c_multimodal_audio", "c_knn_ivf", "c_knn_lsh",
+    "c_multimodal_decode",
 )
 
 
