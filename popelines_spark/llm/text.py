@@ -119,3 +119,59 @@ def fingerprint(text: str | Column, k: int = 3) -> Column:
     sh = shingles(c, k)
     min_md5 = F.array_min(F.transform(sh, lambda s: F.md5(F.encode(s, "utf-8"))))
     return F.coalesce(min_md5, F.md5(F.encode(c, "utf-8")))
+
+
+def repetition_stats(df, id_col: str, text_col: str):
+    """Within-document repetition signals (Gopher/RefinedWeb-style quality
+    filters): duplicate-word fraction, most-common-word fraction, and
+    most-common-bigram fraction per document. High values mark boilerplate
+    and degenerate repetition that training pipelines drop.
+
+    Unlike the rest of this module this is a DataFrame op, not a column
+    expression: it explodes to one row per token and aggregates back — two
+    keyed shuffles on (id, token) / id, both partial-aggregated map-side.
+    Bigrams come from a lead() window keyed BY DOCUMENT (never global),
+    the same codegen shingling shape as llm/dedup. Docs with < 2 tokens
+    have no bigrams and are dropped (deterministic on both engines)."""
+    from pyspark.sql.window import Window as W
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("__pos", "__w"),
+    )
+    per_word = words.groupBy(id_col, "__w").agg(F.count("*").alias("__c"))
+    wagg = per_word.groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("n_words"),
+        F.count("*").cast("long").alias("n_distinct_words"),
+        F.max("__c").cast("long").alias("__top_w"),
+    )
+    nxt = words.select(
+        F.col(id_col),
+        "__w",
+        F.lead("__w")
+        .over(W.partitionBy(id_col).orderBy("__pos"))
+        .alias("__nxt"),
+    )
+    bigrams = nxt.filter(F.col("__nxt").isNotNull()).select(
+        F.col(id_col), F.concat_ws(" ", "__w", "__nxt").alias("__bg")
+    )
+    per_bg = bigrams.groupBy(id_col, "__bg").agg(F.count("*").alias("__c"))
+    bagg = per_bg.groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("__n_bg"),
+        F.max("__c").cast("long").alias("__top_bg"),
+    )
+    return wagg.join(bagg, id_col).select(
+        id_col,
+        "n_words",
+        "n_distinct_words",
+        (
+            (F.col("n_words") - F.col("n_distinct_words")).cast("double")
+            / F.col("n_words")
+        ).alias("dup_word_frac"),
+        (F.col("__top_w").cast("double") / F.col("n_words")).alias(
+            "top_word_frac"
+        ),
+        (F.col("__top_bg").cast("double") / F.col("__n_bg")).alias(
+            "top_bigram_frac"
+        ),
+    )

@@ -310,6 +310,51 @@ def c_pack_sequences(spark, sf_dir):
 
 
 @query(
+    "c_repetition_stats",
+    oracle="""
+    WITH arrs AS (
+      SELECT doc_id, str_split(text, ' ') AS arr FROM documents),
+    words AS (
+      SELECT doc_id, unnest(arr) AS w FROM arrs),
+    per_word AS (
+      SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+    wagg AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(count(*) AS BIGINT) AS n_distinct_words,
+             CAST(max(c) AS BIGINT) AS top_w
+      FROM per_word GROUP BY doc_id),
+    bigrams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(len(arr) - 1),
+                                   i -> arr[i + 1] || ' ' || arr[i + 2]))
+               AS bg
+      FROM arrs),
+    per_bg AS (
+      SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY doc_id, bg),
+    bagg AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bg,
+             CAST(max(c) AS BIGINT) AS top_bg
+      FROM per_bg GROUP BY doc_id)
+    SELECT w.doc_id, n_words, n_distinct_words,
+           CAST(n_words - n_distinct_words AS DOUBLE) / n_words
+             AS dup_word_frac,
+           CAST(top_w AS DOUBLE) / n_words AS top_word_frac,
+           CAST(top_bg AS DOUBLE) / n_bg AS top_bigram_frac
+    FROM wagg w JOIN bagg b ON w.doc_id = b.doc_id
+    """,
+)
+def c_repetition_stats(spark, sf_dir):
+    """Within-document repetition quality signals (Gopher/RefinedWeb-style
+    boilerplate filters): duplicate-word / top-word / top-bigram fractions
+    per doc (llm/text.py repetition_stats). Ratios are single IEEE double
+    divisions of exact BIGINTs — bit-identical across engines."""
+    from popelines_spark.llm.text import repetition_stats
+
+    d = T(spark, sf_dir, "documents")
+    return repetition_stats(d, id_col="doc_id", text_col="text")
+
+
+@query(
     "c_mix_domains",
     oracle="""
     SELECT doc_id, lang FROM documents
