@@ -144,22 +144,40 @@ def c_knn_ivf(spark, sf_dir):
 def ensure_ivf_index(spark, sf_dir):
     """Build the embeddings IVF index for ``sf_dir`` if absent (checked via
     the parquet _SUCCESS markers), else open it — build once, probe many.
-    bench.py calls this before timing so the benched path is the probe."""
-    import os
+    bench.py calls this before timing so the benched path is the probe.
 
-    from popelines_spark.llm.ivf import build_ivf_index, load_ivf_index
+    Concurrent-builder safe: the index is built under a process-private
+    staging path and published with one atomic directory rename, so a
+    parallel session never observes a half-written index — it either sees
+    the complete one (and loads it) or none (and builds its own, with the
+    loser of the rename race discarding its copy)."""
+    import os
+    import shutil
+
+    from popelines_spark.llm.ivf import IVFIndex, build_ivf_index, load_ivf_index
 
     root = os.path.join(
         "/tmp/popelines_spark_scratch",
         f"ivf_{os.path.basename(os.path.normpath(sf_dir))}",
     )
-    done = all(
-        os.path.exists(os.path.join(root, part, "_SUCCESS"))
-        for part in ("cells", "centroids")
-    )
-    if done:
+
+    def _complete(path):
+        return all(
+            os.path.exists(os.path.join(path, part, "_SUCCESS"))
+            for part in ("cells", "centroids")
+        )
+
+    if _complete(root):
         return load_ivf_index(spark, root)
+    staging = f"{root}.__building_{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
     _, corpus = _queries_and_corpus(spark, sf_dir)
-    return build_ivf_index(
-        corpus, "c_vec", "neighbor_id", root, n_cells=8, iterations=2
+    built = build_ivf_index(
+        corpus, "c_vec", "neighbor_id", staging, n_cells=8, iterations=2
     )
+    try:
+        os.rename(staging, root)
+    except OSError:  # another builder published first — use theirs
+        shutil.rmtree(staging, ignore_errors=True)
+        return load_ivf_index(spark, root)
+    return IVFIndex(root, built.centroids, built.id_col, built.vec_col)
