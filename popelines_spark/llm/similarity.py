@@ -113,15 +113,57 @@ def knn_lsh(
     c_vec: str = "c_vec",
     n_planes: int = 8,
     dim: int = 64,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates share the LSH bucket (equi-join on
     bucket), exact cosine re-rank inside the bucket. At 100 TB the corpus is
     pre-bucketed and written partitioned by bucket id, so a query probes one
     partition — this function computes buckets on the fly for parity with
-    that design."""
-    qb = queries.withColumn("__bucket", hyperplane_bucket(F.col(q_vec), n_planes, dim))
-    cb = corpus.withColumn("__bucket", hyperplane_bucket(F.col(c_vec), n_planes, dim))
-    pairs = qb.join(cb, "__bucket").filter(F.col(q_id) != F.col(c_id))
+    that design.
+
+    ``n_tables`` is the standard recall lever: each extra hash table draws
+    its hyperplanes from a different salt, candidates are the UNION of the
+    per-table bucket matches (dedup on (q, c) before the re-rank), and
+    recall rises roughly linearly in tables while the probed fraction stays
+    n_tables / 2^n_planes. The join stays keyed: (table, bucket) is one
+    composite equi-join key, never a cross join."""
+    if n_tables == 1:
+        qb = queries.withColumn(
+            "__bucket", hyperplane_bucket(F.col(q_vec), n_planes, dim)
+        )
+        cb = corpus.withColumn(
+            "__bucket", hyperplane_bucket(F.col(c_vec), n_planes, dim)
+        )
+        pairs = qb.join(cb, "__bucket").filter(F.col(q_id) != F.col(c_id))
+    else:
+        # each row fans out once per table, bucketed under that table's own
+        # hyperplane family (salt = 42 + t); (table, bucket) is the join key
+        def fan(df, vec_col):
+            per_table = F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            hyperplane_bucket(
+                                F.col(vec_col), n_planes, dim, salt=42 + t
+                            ).alias("b"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            )
+            return df.select("*", per_table.alias("__tb")).select(
+                "*",
+                F.col("__tb.t").alias("__t"),
+                F.col("__tb.b").alias("__bucket"),
+            ).drop("__tb")
+
+        pairs = (
+            fan(queries, q_vec)
+            .join(fan(corpus, c_vec), ["__t", "__bucket"])
+            .filter(F.col(q_id) != F.col(c_id))
+            .dropDuplicates([q_id, c_id])
+        )
     scored = pairs.select(
         q_id, c_id, cosine(F.col(q_vec), F.col(c_vec)).alias("cos_sim")
     )

@@ -91,6 +91,32 @@ def test_lsh_buckets_are_deterministic(spark):
     assert b1 == b2
 
 
+def test_multi_table_lsh_recall_dominates_single_table(spark):
+    """n_tables is the recall lever: every candidate a single table finds is
+    also found with 3 tables (table 0 shares salt 42), so multi-table
+    results per query are a superset pre-rank — and the join stays keyed
+    (no cartesian)."""
+    vecs = spark.createDataFrame(
+        [
+            (i, [float((i * 13 + j * 7) % 11) - 5.0 for j in range(16)])
+            for i in range(60)
+        ],
+        "vec_id long, v array<double>",
+    )
+    q = vecs.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+    c = vecs.select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_vec"))
+    one = S.knn_lsh(q, c, k=50, n_planes=4, dim=16, n_tables=1)
+    multi = S.knn_lsh(q, c, k=50, n_planes=4, dim=16, n_tables=3)
+    pairs1 = {(r.q_id, r.c_id) for r in one.collect()}
+    pairs3 = {(r.q_id, r.c_id) for r in multi.collect()}
+    assert pairs1 <= pairs3
+    plan = multi._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_lsh_join_plan_has_no_cartesian(spark):
     """The 100 TB guarantee: MinHash candidate generation is an equi-join on
     (band, bucket) — the physical plan must not contain a cartesian/BNLJ."""
