@@ -139,18 +139,24 @@ def repetition_stats(df, id_col: str, text_col: str):
         F.col(id_col),
         F.posexplode(tokens(F.col(text_col))).alias("__pos", "__w"),
     )
-    per_word = words.groupBy(id_col, "__w").agg(F.count("*").alias("__c"))
-    wagg = per_word.groupBy(id_col).agg(
-        F.sum("__c").cast("long").alias("n_words"),
-        F.count("*").cast("long").alias("n_distinct_words"),
-        F.max("__c").cast("long").alias("__top_w"),
-    )
+    # Deliberate TWO-pass shape: the word branch is scan→explode→partial-agg
+    # (no window — Catalyst prunes it), the bigram branch adds the per-doc
+    # lead() window. Sharing one materialized token relation (localCheckpoint
+    # barrier) would trade 2× pruned text scans for writing+reading the
+    # exploded token relation, which is LARGER than the text itself — the
+    # two streaming passes win at scale.
     nxt = words.select(
         F.col(id_col),
         "__w",
         F.lead("__w")
         .over(W.partitionBy(id_col).orderBy("__pos"))
         .alias("__nxt"),
+    )
+    per_word = words.groupBy(id_col, "__w").agg(F.count("*").alias("__c"))
+    wagg = per_word.groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("n_words"),
+        F.count("*").cast("long").alias("n_distinct_words"),
+        F.max("__c").cast("long").alias("__top_w"),
     )
     bigrams = nxt.filter(F.col("__nxt").isNotNull()).select(
         F.col(id_col), F.concat_ws(" ", "__w", "__nxt").alias("__bg")
