@@ -2,10 +2,11 @@
 
 Composes the engine's operators the way a 100 TB curation job would:
 
-  profile → language/quality filter → PII redaction → exact dedup →
-  MinHash-LSH near-dedup (cluster-collapsed via connected components) →
-  benchmark decontamination → mixture sampling → sequence packing →
-  partitioned parquet sink
+  profile → language/quality filter → repetition filter → PII redaction →
+  exact dedup → MinHash-LSH near-dedup (cluster-collapsed via large-star/
+  small-star contraction — O(log n) rounds at any diameter) → benchmark
+  decontamination → mixture sampling → sequence packing → partitioned
+  parquet sink
 
 Run:  python examples/training_data_pipeline.py [sf_dir] [out_dir]
 
@@ -31,7 +32,7 @@ def curate(spark, sf_dir: str, out_dir: str, tokens_per_bin: int = 2048):
     from popelines_spark.llm import text as X
     from popelines_spark.llm.decontam import decontaminate
     from popelines_spark.llm.dedup import (
-        connected_components,
+        connected_components_star,
         exact_dedup,
         minhash_lsh_pairs,
     )
@@ -47,6 +48,12 @@ def curate(spark, sf_dir: str, out_dir: str, tokens_per_bin: int = 2048):
         & (X.quality_score("text") > 0.5)
         & (X.n_tokens("text") >= 10)
     )
+
+    # 1b. repetition gate (Gopher-style): drop degenerate/boilerplate docs
+    # whose top bigram dominates the text
+    rep = X.repetition_stats(gated, id_col="doc_id", text_col="text")
+    rep_ok = rep.filter(F.col("top_bigram_frac") <= 0.2).select("doc_id")
+    gated = gated.join(rep_ok, "doc_id")
 
     # 2. PII scrub
     email_re = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
@@ -66,11 +73,13 @@ def curate(spark, sf_dir: str, out_dir: str, tokens_per_bin: int = 2048):
 
     # 4. fuzzy dedup: near-dup pairs → connected components → keep the
     # min-id survivor per cluster (chains a-b-c collapse to one doc even
-    # when a and c never matched directly)
+    # when a and c never matched directly). Star contraction converges in
+    # O(log n) rounds no matter how long the chains get — the web-scale
+    # choice for an unknown dup-graph shape.
     pairs = minhash_lsh_pairs(
         exact_deduped, id_col="doc_id", text_col="text", threshold=0.7
     )
-    comp = connected_components(
+    comp = connected_components_star(
         exact_deduped.select("doc_id"), pairs, id_col="doc_id"
     )
     survivors = comp.filter(F.col("doc_id") == F.col("component")).select("doc_id")
