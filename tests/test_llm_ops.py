@@ -328,6 +328,70 @@ def test_star_contraction_matches_label_propagation(spark):
     assert out == {i: 0 for i in range(chain_n)}
 
 
+def test_both_cc_implementations_match_union_find_ground_truth(spark):
+    """Property check vs an independent union-find oracle: on several
+    seeded random graphs (varying density, with singletons), BOTH
+    implementations return exactly min-id-per-component labels."""
+    import random
+
+    def union_find_labels(n, edge_list):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {v: find(v) for v in range(n)}
+
+    for seed, n, m in ((1, 40, 10), (2, 80, 120), (3, 25, 60)):
+        rng = random.Random(seed)
+        edge_list = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edge_list = [(a, b) for a, b in edge_list if a != b]
+        want = union_find_labels(n, edge_list)
+        verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edges = spark.createDataFrame(edge_list, "id_a long, id_b long")
+        for fn in (D.connected_components, D.connected_components_star):
+            got = {r.id: r.component
+                   for r in fn(verts, edges, id_col="id").collect()}
+            assert got == want, (fn.__name__, seed)
+
+
+def test_repetition_stats_matches_python_reference(spark):
+    """repetition_stats vs a direct Python computation on seeded random
+    token sequences (including max-repetition and all-distinct extremes)."""
+    import random
+    from collections import Counter
+
+    from popelines_spark.llm.text import repetition_stats
+
+    rng = random.Random(11)
+    docs = [(0, "a a a a a a"), (1, "b c d e f g")]
+    for i in range(2, 30):
+        words = [rng.choice("abcdefgh") for _ in range(rng.randint(2, 40))]
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           repetition_stats(df, id_col="doc_id", text_col="text").collect()}
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        bgs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        wc, bc = Counter(ws), Counter(bgs)
+        r = got[doc_id]
+        assert r.n_words == len(ws)
+        assert r.n_distinct_words == len(wc)
+        assert r.dup_word_frac == (len(ws) - len(wc)) / len(ws)
+        assert r.top_word_frac == max(wc.values()) / len(ws)
+        assert r.top_bigram_frac == max(bc.values()) / len(bgs)
+
+
 def test_connected_components_raises_when_not_converged(spark):
     """A graph whose diameter exceeds max_iter must RAISE, never return
     mid-propagation labels as if they were final clusters (ADVICE r2)."""
