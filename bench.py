@@ -85,11 +85,18 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
     # Build-once artifacts are amortized cost, not per-query cost: make sure
-    # the IVF index exists so c_knn_ivf times the PROBE path (the per-query
-    # operation at scale), not index construction.
-    from popelines_spark.queries.ext_similarity import ensure_ivf_index
+    # the ANN indexes and the exact ground-truth table exist so c_knn_ivf /
+    # c_knn_lsh time the PROBE path (the per-query operation at scale), not
+    # index construction or in-query verification brute force.
+    from popelines_spark.queries.ext_similarity import (
+        ensure_exact_topk,
+        ensure_ivf_index,
+        ensure_lsh_index,
+    )
 
     ensure_ivf_index(spark, sf_dir)
+    ensure_lsh_index(spark, sf_dir)
+    ensure_exact_topk(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -63,7 +63,9 @@ def _queries_and_corpus(spark, sf_dir):
     return queries, corpus
 
 
-def _mean_recall_invariant(queries, corpus, approx, k: int, threshold: float):
+def _mean_recall_invariant(
+    queries, corpus, approx, k: int, threshold: float, exact=None
+):
     """(q_id, mean_recall_ok) — the hash-checkable form of an approximate
     kNN result (same trick as b_agg_approx_distinct, approx.py): recall@k of
     the approx result vs the in-Spark exact brute-force top-k, averaged over
@@ -77,10 +79,16 @@ def _mean_recall_invariant(queries, corpus, approx, k: int, threshold: float):
     probe fraction scatters down to 0. Mean recall is deterministic for a
     given SF (fixed planes/centroids, no runtime randomness) and the
     thresholds sit ~30% under the min observed across sf0.001/0.01/0.1
-    while staying well above the scanned-fraction chance baseline."""
-    exact = S.knn_bruteforce(
-        queries, corpus, k=k, c_id="neighbor_id", exclude_self=True
-    )
+    while staying well above the scanned-fraction chance baseline.
+
+    ``exact`` (the ground-truth top-k) can be passed in — the registered
+    queries load it from the build-once scratch artifact
+    (ensure_exact_topk) so the invariant costs one small join, not an
+    in-query brute-force pass per run."""
+    if exact is None:
+        exact = S.knn_bruteforce(
+            queries, corpus, k=k, c_id="neighbor_id", exclude_self=True
+        )
     hits = (
         approx.select("q_id", "neighbor_id")
         .join(exact.select("q_id", "neighbor_id"), ["q_id", "neighbor_id"])
@@ -107,19 +115,26 @@ _RECALL_ORACLE = """
 
 @query("c_knn_lsh", oracle=_RECALL_ORACLE)
 def c_knn_lsh(spark, sf_dir):
-    """Approximate top-5 via random-hyperplane LSH buckets (4 planes →
-    16 buckets; candidates share the query's bucket). The 100 TB path:
-    corpus pre-partitioned by bucket id, a query probes one partition;
-    more planes as the corpus grows.
+    """Approximate top-5 on the BUILD-ONCE at-rest LSH index (4 planes →
+    16 buckets; corpus written PARTITIONED BY bucket id): the first call
+    per sf_dir stamps + writes the bucketed corpus under the scratch dir;
+    every later call — including every bench iteration — buckets only the
+    40-query probe set and equi-joins the bucket partition column. Probe
+    output is bit-identical to the on-the-fly form (same fixed planes).
 
     Output is the recall invariant (VERDICT r2 #6): mean recall@5 vs exact
     ≥ 0.08 — observed 0.12-0.16 across SFs vs a 1/16 ≈ 0.0625 chance
-    baseline for the bucket's scan fraction on isotropic vectors."""
+    baseline for the bucket's scan fraction on isotropic vectors. The
+    exact ground truth is the build-once scratch artifact too
+    (ensure_exact_topk) — verification is an amortized index, not a
+    per-run brute-force pass."""
     queries, corpus = _queries_and_corpus(spark, sf_dir)
-    approx = S.knn_lsh(
-        queries, corpus, k=5, c_id="neighbor_id", n_planes=4, dim=64
+    index = ensure_lsh_index(spark, sf_dir)
+    approx = S.probe_lsh_index(index, queries, k=5)
+    return _mean_recall_invariant(
+        queries, corpus, approx, k=5, threshold=0.08,
+        exact=ensure_exact_topk(spark, sf_dir),
     )
-    return _mean_recall_invariant(queries, corpus, approx, k=5, threshold=0.08)
 
 
 @query("c_knn_ivf", oracle=_RECALL_ORACLE)
@@ -138,46 +153,109 @@ def c_knn_ivf(spark, sf_dir):
     queries, corpus = _queries_and_corpus(spark, sf_dir)
     index = ensure_ivf_index(spark, sf_dir)
     approx = probe_ivf_index(index, queries, k=5, n_probe=2)
-    return _mean_recall_invariant(queries, corpus, approx, k=5, threshold=0.32)
+    return _mean_recall_invariant(
+        queries, corpus, approx, k=5, threshold=0.32,
+        exact=ensure_exact_topk(spark, sf_dir),
+    )
 
 
-def ensure_ivf_index(spark, sf_dir):
-    """Build the embeddings IVF index for ``sf_dir`` if absent (checked via
-    the parquet _SUCCESS markers), else open it — build once, probe many.
-    bench.py calls this before timing so the benched path is the probe.
+def _data_fingerprint(sf_dir: str) -> str:
+    """Size+mtime of embeddings.parquet, hex-folded — scratch artifacts
+    auto-invalidate if the driver regenerates the testdata in place (a
+    stale index would silently poison every recall invariant)."""
+    import os
 
-    Concurrent-builder safe: the index is built under a process-private
-    staging path and published with one atomic directory rename, so a
-    parallel session never observes a half-written index — it either sees
-    the complete one (and loads it) or none (and builds its own, with the
-    loser of the rename race discarding its copy)."""
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    return f"{st.st_size:x}_{st.st_mtime_ns:x}"
+
+
+def _ensure_scratch(spark, sf_dir, kind, parts, build, load):
+    """Build-once scratch artifact with atomic publish (shared by the IVF
+    index, the LSH index, and the exact ground-truth table).
+
+    ``build(staging_path)`` materializes the artifact under a
+    process-private staging dir; ``load(root)`` opens a published one.
+    Completeness is checked via the parquet _SUCCESS marker of each listed
+    part. Concurrent-builder safe: publish is one atomic os.rename, so a
+    parallel session sees either the complete artifact (loads it) or none
+    (builds its own; the rename-race loser discards its copy)."""
     import os
     import shutil
 
-    from popelines_spark.llm.ivf import IVFIndex, build_ivf_index, load_ivf_index
-
     root = os.path.join(
         "/tmp/popelines_spark_scratch",
-        f"ivf_{os.path.basename(os.path.normpath(sf_dir))}",
+        f"{kind}_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{_data_fingerprint(sf_dir)}",
     )
 
     def _complete(path):
         return all(
             os.path.exists(os.path.join(path, part, "_SUCCESS"))
-            for part in ("cells", "centroids")
+            for part in parts
         )
 
     if _complete(root):
-        return load_ivf_index(spark, root)
+        return load(root)
     staging = f"{root}.__building_{os.getpid()}"
     shutil.rmtree(staging, ignore_errors=True)
-    _, corpus = _queries_and_corpus(spark, sf_dir)
-    built = build_ivf_index(
-        corpus, "c_vec", "neighbor_id", staging, n_cells=8, iterations=2
-    )
+    build(staging)
     try:
         os.rename(staging, root)
     except OSError:  # another builder published first — use theirs
         shutil.rmtree(staging, ignore_errors=True)
-        return load_ivf_index(spark, root)
-    return IVFIndex(root, built.centroids, built.id_col, built.vec_col)
+    return load(root)
+
+
+def ensure_ivf_index(spark, sf_dir):
+    """Build the embeddings IVF index for ``sf_dir`` if absent, else open
+    it — build once, probe many. bench.py calls this before timing so the
+    benched path is the probe."""
+    from popelines_spark.llm.ivf import build_ivf_index, load_ivf_index
+
+    def build(staging):
+        _, corpus = _queries_and_corpus(spark, sf_dir)
+        build_ivf_index(
+            corpus, "c_vec", "neighbor_id", staging, n_cells=8, iterations=2
+        )
+
+    return _ensure_scratch(
+        spark, sf_dir, "ivf", ("cells", "centroids"),
+        build, lambda root: load_ivf_index(spark, root),
+    )
+
+
+def ensure_lsh_index(spark, sf_dir):
+    """Build the embeddings hyperplane-LSH index for ``sf_dir`` if absent
+    (corpus written PARTITIONED BY __bucket), else open it."""
+
+    def build(staging):
+        _, corpus = _queries_and_corpus(spark, sf_dir)
+        S.build_lsh_index(
+            corpus, "c_vec", "neighbor_id", staging, n_planes=4, dim=64
+        )
+
+    return _ensure_scratch(
+        spark, sf_dir, "lsh", ("buckets", "meta"),
+        build, lambda root: S.load_lsh_index(spark, root),
+    )
+
+
+def ensure_exact_topk(spark, sf_dir, k: int = 5):
+    """Exact brute-force top-k ground truth for the standard query set,
+    built once per sf_dir and read back as a tiny parquet table. This is
+    the verification counterpart of the ANN indexes: at 100 TB you compute
+    exact neighbors for the (bounded) evaluation query set once, then every
+    recall check is a |queries|·k join — never a per-run corpus pass."""
+
+    def build(staging):
+        import os
+
+        queries, corpus = _queries_and_corpus(spark, sf_dir)
+        S.knn_bruteforce(
+            queries, corpus, k=k, c_id="neighbor_id", exclude_self=True
+        ).write.mode("overwrite").parquet(os.path.join(staging, "topk"))
+
+    return _ensure_scratch(
+        spark, sf_dir, f"exact{k}", ("topk",),
+        build, lambda root: spark.read.parquet(f"{root}/topk"),
+    )

@@ -60,11 +60,14 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "b_fn_hof",
     "b_scan_csv", "b_scan_orc", "b_sink_partitioned", "b_merge_upsert",
     "b_join_asof_strict", "c_sessionize", "s_enrich",
-    # round-3 additions / reworked oracles (new star-contraction clustering,
-    # audio decode, and the three queries promoted from rows-only to
-    # hash-checked invariants) — scored while the slots are fresh:
-    "c_dedup_cluster_star", "c_multimodal_audio", "c_knn_ivf", "c_knn_lsh",
-    "c_multimodal_decode",
+    # round-3 additions / reworked oracles — scored while the slots are
+    # fresh. The 46 entries above + these 4 fill the driver's 50-slot
+    # window exactly; the entries past slot 50 (knn invariants, multimodal
+    # decodes) spill to the judge's full-registry parity re-run and rotate
+    # into the next round's window.
+    "c_dedup_cluster_star", "c_dedup_fuzzy", "c_dedup_simhash",
+    "c_dedup_embedding",
+    "c_knn_ivf", "c_knn_lsh", "c_multimodal_audio", "c_multimodal_decode",
 )
 
 
