@@ -2,10 +2,13 @@
 
 The reference delegates arbitrary analytic SQL to BigQuery (bq_query,
 popelines/main.py:236-243); a popelines user's day-one workload is exactly
-this class of query. The suite re-expresses the classic TPC-H set over the
-available tables (no ``partsupp``; no comment / shipmode / commitdate /
-receiptdate columns — Q2/Q11/Q16/Q20/Q21 are out of reach, Q4/Q9/Q12/Q13/
-Q17/Q22 are adapted to the columns that exist, the rest are faithful).
+this class of query. The suite re-expresses ALL 22 classic TPC-H queries
+over the available tables (no ``partsupp``; no comment / shipmode /
+commitdate / receiptdate columns): Q1/Q3/Q5-Q8/Q10/Q14/Q15/Q18/Q19 are
+faithful; Q4/Q9/Q12/Q13/Q17/Q22 adapt date/column details;
+Q2/Q11/Q16/Q20 run against a lineitem-DERIVED partsupp surrogate
+(_psupp: distinct supply pairs + observed min unit cost) and Q21 defines
+late as shipped-after-order-date.
 
 Plan notes (the 100 TB shapes, asserted in tests/test_plans.py):
  - region/nation are fixed-cardinality dims → explicit broadcast();
@@ -644,4 +647,354 @@ def tpch_q22(spark, sf_dir):
             F.count("*").cast("long").alias("numcust"),
             dsum("c_acctbal").alias("totacctbal"),
         )
+    )
+
+
+_CHARGE_DEC = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * CAST(1 - l_discount AS DECIMAL(4,2))"
+    " * CAST(1 + l_tax AS DECIMAL(4,2))"
+)
+
+
+@query(
+    "tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum(_REV)} AS sum_disc_price,
+           CAST(SUM({_CHARGE_DEC}) AS DOUBLE) AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark, sf_dir):
+    """Q1 pricing summary, faithful (b_agg_group is the §2 surface demo of
+    this shape; this is the full spec column set). One scan, one keyed agg,
+    4-way group cardinality — map-side combine does nearly all the work.
+
+    sum_charge multiplies THREE 2-decimal factors: computing it in double
+    and casting to decimal would round engine-specifically at half-ulp
+    boundaries, so the factors are cast to exact DECIMAL first and the
+    product accumulates exactly (the 6-decimal chain rule from
+    queries/_util: cast factors, not results)."""
+    l = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "2000-12-01"
+    )
+    charge = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+        * (F.lit(1) + F.col("l_tax")).cast("decimal(4,2)")
+    )
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(_rev()).alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+#: lineitem-derived part-supplier relation (the schema has no partsupp
+#: table): who has supplied what, at what observed unit cost. Derived once
+#: per query from the fact table — at 100 TB this is itself a candidate for
+#: a build-once rollup table, but it stays a one-shuffle groupBy here.
+_PSUPP_SQL = """
+    psupp AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2)
+"""
+
+
+def _psupp(spark, sf_dir):
+    """(ps_partkey, ps_suppkey, ps_supplycost): the partsupp surrogate.
+    Unit cost is MIN(extendedprice/quantity) — per-row IEEE division then
+    an order-insensitive MIN, so it is bit-identical across engines."""
+    l = T(spark, sf_dir, "lineitem")
+    return l.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "ps_supplycost"
+        )
+    )
+
+
+@query(
+    "tpch_q2",
+    oracle=f"""
+    WITH {_PSUPP_SQL},
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    cand AS (
+      SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name, ps_supplycost
+      FROM part JOIN psupp ON p_partkey = ps_partkey
+                JOIN eu ON ps_suppkey = s_suppkey
+      WHERE p_size = 15)
+    SELECT s_acctbal, s_name, n_name, p_partkey, CAST(s_suppkey AS BIGINT)
+             AS s_suppkey
+    FROM cand
+    WHERE ps_supplycost = (SELECT min(ps_supplycost) FROM cand c2
+                           WHERE c2.p_partkey = cand.p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark, sf_dir):
+    """Q2 minimum-cost supplier, adapted to the lineitem-derived partsupp
+    (no partsupp table in this schema; supply cost = observed min unit
+    price). The correlated min-subquery is a grouped aggregate joined back
+    on (partkey, cost) — the q17 pattern; ties all kept like the spec.
+    region/nation broadcast; LIMIT carries the full unique-key tiebreak."""
+    ps = _psupp(spark, sf_dir)
+    p = T(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    n = F.broadcast(T(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    s = T(spark, sf_dir, "supplier")
+    eu = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        p.join(ps, F.col("p_partkey") == F.col("ps_partkey"))
+        .join(eu, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name",
+            "ps_supplycost",
+        )
+    )
+    mincost = cand.groupBy(F.col("p_partkey").alias("__mk")).agg(
+        F.min("ps_supplycost").alias("__mc")
+    )
+    return (
+        cand.join(
+            mincost,
+            (F.col("p_partkey") == F.col("__mk"))
+            & (F.col("ps_supplycost") == F.col("__mc")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey",
+            "s_suppkey",
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q11",
+    oracle=f"""
+    WITH val AS (
+      SELECT l_partkey AS ps_partkey,
+             {sql_dsum('l_extendedprice')} AS value
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_8')
+      GROUP BY l_partkey)
+    SELECT ps_partkey, value
+    FROM val
+    WHERE value > (SELECT 2.0 / count(*) FROM val)
+                  * (SELECT CAST(SUM(CAST(value AS DECIMAL(20,4)))
+                             AS DOUBLE) FROM val)
+    ORDER BY value DESC, ps_partkey
+    """,
+)
+def tpch_q11(spark, sf_dir):
+    """Q11 important stock, adapted: stock value becomes shipped lineitem
+    value for two nations' suppliers (no partsupp availqty/supplycost;
+    nations 3+8 have suppliers at every SF). The spec's fixed 0.0001/SF
+    fraction is scale-dependent — this uses 'parts above 2x the average
+    share', which selects a stable slice at any scale. The cutoff is a
+    one-row aggregate over the SAME per-part rollup (sum of exact decimal
+    partials == the oracle's single-pass sum — associativity; never a
+    second fact-table scan), broadcast back as the HAVING filter."""
+    n = F.broadcast(
+        T(spark, sf_dir, "nation").filter(
+            F.col("n_name").isin("NATION_3", "NATION_8")
+        )
+    )
+    s = T(spark, sf_dir, "supplier")
+    l = T(spark, sf_dir, "lineitem")
+    per_part = (
+        l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(dsum("l_extendedprice").alias("value"))
+    )
+    total = per_part.agg(
+        (
+            (F.lit(2.0) / F.count("*"))
+            * F.sum(F.col("value").cast("decimal(20,4)")).cast("double")
+        ).alias("__cut")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("__cut"))
+        .select("ps_partkey", "value")
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+@query(
+    "tpch_q16",
+    oracle=f"""
+    WITH {_PSUPP_SQL}
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM psupp JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark, sf_dir):
+    """Q16 parts/supplier relationship, adapted: partsupp derives from
+    lineitem history, and the spec's complaint-supplier NOT IN is dropped
+    (no comment column). Exact COUNT(DISTINCT) per (brand, type, size) —
+    the expand+two-phase distinct Catalyst plans, no driver work."""
+    ps = _psupp(spark, sf_dir)
+    p = T(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    return (
+        ps.join(p, F.col("p_partkey") == F.col("ps_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("ps_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "tpch_q20",
+    oracle=f"""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey, {sql_dsum('l_quantity')} AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1999-01-01'
+      GROUP BY l_suppkey, l_partkey)
+    SELECT s_name, CAST(s_suppkey AS BIGINT) AS s_suppkey
+    FROM supplier
+    WHERE EXISTS (SELECT 1 FROM shipped
+                  WHERE l_suppkey = s_suppkey AND qty > 60)
+    ORDER BY s_name, s_suppkey
+    """,
+)
+def tpch_q20(spark, sf_dir):
+    """Q20 excess-stock suppliers, adapted: 'holds excess stock' becomes
+    'shipped > 60 units of some PROMO part over 1997-98' (no availqty; the
+    spec's nation filter is dropped so the result stays non-trivial at
+    every SF). Part filter pushes into the lineitem join; the EXISTS is a
+    semi join on the pre-aggregated (supplier, part) quantities."""
+    l = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1999-01-01")
+    )
+    p = T(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    heavy = (
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 60)
+        .select("l_suppkey")
+    )
+    s = T(spark, sf_dir, "supplier")
+    return (
+        s.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.col("s_suppkey").cast("long").alias("s_suppkey"))
+        .orderBy("s_name", "s_suppkey")
+    )
+
+
+@query(
+    "tpch_q21",
+    oracle="""
+    WITH f AS (SELECT o_orderkey, o_orderdate FROM orders
+               WHERE o_orderstatus = 'F'),
+    li AS (SELECT l_orderkey, l_suppkey,
+                  l_shipdate > o_orderdate AS late
+           FROM lineitem JOIN f ON l_orderkey = o_orderkey),
+    per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS ns,
+             count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nl
+      FROM li GROUP BY l_orderkey),
+    waiters AS (
+      SELECT DISTINCT li.l_orderkey, li.l_suppkey
+      FROM li JOIN per_order USING (l_orderkey)
+      WHERE ns > 1 AND nl = 1 AND late)
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM waiters JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21(spark, sf_dir):
+    """Q21 suppliers who kept orders waiting, adapted: 'late' = shipped
+    after the order date (no commit/receipt dates), over finished orders.
+    The spec's EXISTS/NOT-EXISTS pair over other suppliers' lineitems
+    becomes ONE grouped pass per order (distinct suppliers vs distinct
+    late suppliers) — no correlated re-scans of lineitem, no fan-out
+    join; the multi-supplier + sole-late-supplier conditions are a filter
+    on the rollup."""
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    l = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    li = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate")).alias("late"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("ns"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("nl"),
+    )
+    waiters = (
+        li.filter(F.col("late"))
+        .join(
+            per_order.filter((F.col("ns") > 1) & (F.col("nl") == 1)),
+            "l_orderkey",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    s = T(spark, sf_dir, "supplier")
+    return (
+        waiters.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
     )

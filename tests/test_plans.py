@@ -41,11 +41,34 @@ def test_filter_pushdown_reaches_parquet(spark):
 
 
 def test_minhash_lsh_no_cartesian(spark):
-    assert_no_cartesian(_q("c_dedup_fuzzy", spark))
+    # The scale-critical shape is the PAIR PIPELINE: banded equi-join, no
+    # cross join. (The registered query wraps it in the planted-pair
+    # invariant, whose one-row threshold stamp is a deliberate broadcast
+    # nested loop — same sanctioned pattern as the kNN recall stamps.)
+    from popelines_spark.llm import dedup as D
+    from popelines_spark.queries.ext_dedup import _corpus
+
+    pairs = D.minhash_lsh_pairs(
+        _corpus(spark, SF_DIR), id_col="doc_id", text_col="text",
+        num_hashes=64, bands=16, threshold=0.4,
+    )
+    assert_no_cartesian(pairs)
+    rep = plan_report(_q("c_dedup_fuzzy", spark))
+    assert not rep["cartesian"]
 
 
 def test_embedding_neardup_no_cartesian(spark):
-    assert_no_cartesian(_q("c_dedup_embedding", spark))
+    from popelines_spark.llm.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    pairs = embedding_near_dups(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.995, dim=64
+    )
+    assert_no_cartesian(pairs)
+    rep = plan_report(_q("c_dedup_embedding", spark))
+    assert not rep["cartesian"]
 
 
 def test_knn_bruteforce_broadcasts_queries(spark):
