@@ -85,6 +85,7 @@ def load_all() -> None:
     # stays cheap and circular-import-free.
     from popelines_spark.queries import (  # noqa: F401
         approx,
+        ext_curation,
         ext_dedup,
         ext_similarity,
         ext_text,
