@@ -91,20 +91,32 @@ def _planted_invariant(spark, sf_dir, pairs, near_threshold: float):
       SF (fixed hash salts, no runtime randomness); thresholds sit well
       under the min observed across sf0.001/0.01/0.1."""
     base = T(spark, sf_dir, "documents").select("doc_id")
-    exact_hits = pairs.filter(
-        F.col("id_b") == F.col("id_a") + 100000
-    ).select(F.col("id_a").alias("doc_id"), F.lit(True).alias("__e"))
-    near_hits = pairs.filter(
-        F.col("id_b") == F.col("id_a") + 200000
-    ).select(F.col("id_a").alias("doc_id"), F.lit(True).alias("__n"))
+    # ONE pass over the pair pipeline: both planted-pair flags come out of
+    # a single keyed aggregate. (Two filter branches would re-execute the
+    # whole sketch pipeline per branch — the cross-branch recompute trap
+    # localCheckpoint exists for; here one branch suffices.)
+    hits = (
+        pairs.filter(
+            (F.col("id_b") == F.col("id_a") + 100000)
+            | (F.col("id_b") == F.col("id_a") + 200000)
+        )
+        .groupBy(F.col("id_a").alias("doc_id"))
+        .agg(
+            F.max(F.col("id_b") == F.col("id_a") + 100000).alias("__e"),
+            F.max(F.col("id_b") == F.col("id_a") + 200000).alias("__n"),
+        )
+    )
+    # per_doc feeds BOTH the threshold aggregate and the final projection;
+    # the lazy checkpoint stops the upstream pair pipeline from running
+    # once per consumer. It is one boolean pair per base doc — tiny.
     per_doc = (
-        base.join(exact_hits, "doc_id", "left")
-        .join(near_hits, "doc_id", "left")
+        base.join(hits, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("__e", F.lit(False)).alias("exact_copy_found"),
             F.coalesce("__n", F.lit(False)).alias("__near_found"),
         )
+        .localCheckpoint(eager=False)
     )
     near_ok = per_doc.agg(
         (F.avg(F.col("__near_found").cast("double")) >= near_threshold).alias(
@@ -241,8 +253,15 @@ def c_dedup_embedding(spark, sf_dir):
     planted = pairs.filter(F.col("id_b") == F.col("id_a") + 100000).select(
         F.col("id_a").alias("vec_id"), F.lit(True).alias("__found")
     )
-    per_vec = emb.select("vec_id").join(planted, "vec_id", "left").select(
-        "vec_id", F.coalesce("__found", F.lit(False)).alias("__found")
+    # per_vec feeds the threshold agg AND the final projection — checkpoint
+    # so the bucketed pair pipeline runs once, not per consumer.
+    per_vec = (
+        emb.select("vec_id")
+        .join(planted, "vec_id", "left")
+        .select(
+            "vec_id", F.coalesce("__found", F.lit(False)).alias("__found")
+        )
+        .localCheckpoint(eager=False)
     )
     ok = per_vec.agg(
         (F.avg(F.col("__found").cast("double")) >= 0.6).alias(

@@ -95,10 +95,13 @@ def _mean_recall_invariant(
         .groupBy("q_id")
         .agg(F.count("*").alias("__hits"))
     )
+    # per_q feeds the mean aggregate AND the final projection — the lazy
+    # checkpoint keeps the approx pipeline from executing once per
+    # consumer (it is |queries| rows; the probe upstream is the real cost).
     per_q = queries.select("q_id").join(hits, "q_id", "left").select(
         "q_id",
         (F.coalesce(F.col("__hits"), F.lit(0)) / float(k)).alias("__recall"),
-    )
+    ).localCheckpoint(eager=False)
     mean_ok = per_q.agg(
         (F.avg("__recall") >= threshold).alias("mean_recall_ok")
     )

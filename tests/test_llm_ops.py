@@ -414,3 +414,46 @@ def test_exact_dedup_normalize_case_groups_but_preserves_values(spark):
         df, keys=["text"], id_col="doc_id", normalize_case=True).collect()}
     # case-insensitive grouping, survivor keeps its ORIGINAL casing
     assert out == {1: ("Hello World", 2), 3: ("other", 1)}
+
+
+def test_assign_split_group_constant_and_append_stable(spark):
+    from popelines_spark.llm.split import assign_split
+
+    rows = [(i, f"site_{i % 7}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = assign_split(df, group_col="source", id_col="doc_id")
+    # leakage safety: every group maps to exactly ONE split
+    per_group = out.groupBy("source").agg(
+        F.countDistinct("split").alias("k")
+    ).collect()
+    assert all(r.k == 1 for r in per_group)
+    # append stability: adding rows with LARGER ids (the only way ingest
+    # grows a domain) never moves an existing group's split — min(id)
+    # anchors are unchanged
+    grown = spark.createDataFrame(
+        rows + [(1000 + i, f"site_{i % 7}") for i in range(50)],
+        "doc_id long, source string",
+    )
+    before = {r.source: r.split for r in
+              assign_split(df, "source", "doc_id")
+              .select("source", "split").distinct().collect()}
+    after = {r.source: r.split for r in
+             assign_split(grown, "source", "doc_id")
+             .select("source", "split").distinct().collect()}
+    assert before == after
+
+
+def test_assign_split_custom_fractions_order(spark):
+    from popelines_spark.llm.split import assign_split
+
+    df = spark.createDataFrame(
+        [(i, f"g{i}") for i in range(200)], "doc_id long, source string"
+    )
+    out = assign_split(
+        df, "source", "doc_id", fractions={"a": 0.5, "b": 0.5}
+    )
+    counts = {r.split: r.cnt for r in out.groupBy("split")
+              .agg(F.count("*").alias("cnt")).collect()}
+    # fractions cover the whole hash range: no row falls to 'holdout',
+    # and both named splits are hit on 200 distinct groups
+    assert set(counts) == {"a", "b"}
