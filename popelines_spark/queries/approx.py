@@ -56,3 +56,43 @@ def b_agg_approx_distinct(spark, sf_dir):
             <= F.col("exact_orders") * 0.05
         ).alias("approx_within_5pct"),
     )
+
+
+@query(
+    "b_agg_approx_quantile",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS approx_within_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def b_agg_approx_quantile(spark, sf_dir):
+    """approx_percentile (Greenwald-Khanna sketch) next to the exact
+    percentile, same invariant shape as b_agg_approx_distinct: the sketch
+    estimate itself is algorithm-specific (and its interpolation differs
+    from DuckDB's quantile_cont in the last ulp), so the checkable output
+    is (group, row count, estimate-within-±1%-of-exact boolean). The GK
+    sketch is deterministic for a given input set; at accuracy=10000 the
+    rank error is ≤ 0.01%, far inside the 1% value band on this data.
+
+    Scale note: at 100 TB the exact percentile exists only for the
+    invariant; production callers keep the sketch alone — one map-side
+    mergeable summary per partition, no sort."""
+    agg = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("__gk"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("__exact"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        (
+            F.abs(F.col("__gk") - F.col("__exact"))
+            <= F.abs(F.col("__exact")) * 0.01
+        ).alias("approx_within_1pct"),
+    )

@@ -129,3 +129,41 @@ def b_merge_upsert(spark, sf_dir):
         "c_custkey long, c_acctbal double, c_mktsegment string",
     )
     return upsert(c, updates.unionByName(inserts), keys=["c_custkey"])
+
+
+@query(
+    "b_join_salted",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def b_join_salted(spark, sf_dir):
+    """Skew-mitigated equi-join as a first-class query: the fact side
+    salts its join key into 8 sub-keys, the other side replicates x8, and
+    the shuffle key becomes (key, salt) — a hot orderkey's rows spread
+    over 8 reducers instead of one (operators/skew.py; the manual
+    counterpart of AQE's skew-join splitting, for when the skew is known
+    up front). Salting must not change RESULTS: the oracle is the plain
+    join + rollup, so the hash match proves the rewrite is semantically
+    invisible."""
+    from popelines_spark.operators.skew import salted_join
+
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        l.withColumnRenamed("l_orderkey", "k"),
+        o.withColumnRenamed("o_orderkey", "k"),
+        on="k",
+        buckets=8,
+        salt_from=["k", "l_quantity"],
+    )
+    from popelines_spark.queries._util import dsum
+
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        dsum("l_quantity").alias("qty"),
+    )

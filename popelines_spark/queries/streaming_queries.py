@@ -133,16 +133,39 @@ def s_dedup_stream(spark, sf_dir):
     )
 
 
-@query("s_custom_state")  # rows-only: stateful emissions are batch-dependent
+@query(
+    "s_custom_state",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(20,4))) * 100 AS BIGINT)
+             AS total_cents,
+           CAST(epoch_us(max(ts)) AS BIGINT) AS last_ts_us
+    FROM events GROUP BY user_id
+    """,
+)
 def s_custom_state(spark, sf_dir):
     """Custom stateful operator (applyInPandasWithState): per-user running
-    (n_events, total_value, high-water ts) kept in the state store and
+    (n_events, total_cents, high-water ts) kept in the state store and
     emitted per micro-batch — the reference's re-query-the-table watermark
-    loop (popelines/main.py:225-234) as true incremental state."""
+    loop (popelines/main.py:225-234) as true incremental state.
+
+    Hash-checked via the FINAL-STATE invariant: intermediate emissions
+    depend on micro-batch boundaries, but each user's LAST emission (the
+    one with the max running n_events — strictly increasing, so
+    unambiguous) is a pure function of the event set because the state
+    accumulates in integer cents. Keeping only those rows makes the
+    result batch-split-invariant and equal to the batch rollup the oracle
+    computes."""
+    from popelines_spark.operators.keyed import keep_first
     from popelines_spark.streaming.stateful import running_user_totals
 
     ev = events_stream(spark, sf_dir)
-    return run_to_completion(running_user_totals(ev), "update")
+    emissions = run_to_completion(running_user_totals(ev), "update")
+    final = keep_first(
+        emissions, keys=["user_id"],
+        order=[F.col("n_events").desc()],
+    )
+    return final.select("user_id", "n_events", "total_cents", "last_ts_us")
 
 
 @query(

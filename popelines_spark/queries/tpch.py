@@ -760,9 +760,12 @@ def _psupp(spark, sf_dir):
 def tpch_q2(spark, sf_dir):
     """Q2 minimum-cost supplier, adapted to the lineitem-derived partsupp
     (no partsupp table in this schema; supply cost = observed min unit
-    price). The correlated min-subquery is a grouped aggregate joined back
-    on (partkey, cost) — the q17 pattern; ties all kept like the spec.
-    region/nation broadcast; LIMIT carries the full unique-key tiebreak."""
+    price). The correlated min-subquery is a min window PARTITIONED BY
+    partkey over the candidate set — one keyed pass, no second branch off
+    the lineitem rollup (an agg+join-back would re-execute the candidate
+    pipeline unless exchange reuse happens to fire); ties all kept like
+    the spec. region/nation broadcast; LIMIT carries the full unique-key
+    tiebreak."""
     ps = _psupp(spark, sf_dir)
     p = T(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     n = F.broadcast(T(spark, sf_dir, "nation"))
@@ -783,15 +786,10 @@ def tpch_q2(spark, sf_dir):
             "ps_supplycost",
         )
     )
-    mincost = cand.groupBy(F.col("p_partkey").alias("__mk")).agg(
-        F.min("ps_supplycost").alias("__mc")
-    )
+    wmin = W.partitionBy("p_partkey")
     return (
-        cand.join(
-            mincost,
-            (F.col("p_partkey") == F.col("__mk"))
-            & (F.col("ps_supplycost") == F.col("__mc")),
-        )
+        cand.withColumn("__mc", F.min("ps_supplycost").over(wmin))
+        .filter(F.col("ps_supplycost") == F.col("__mc"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey",
             F.col("s_suppkey").cast("long").alias("s_suppkey"),

@@ -19,37 +19,48 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
-    """Per-user running (n_events, total_value, last_ts), emitted each time
-    the key appears in a micro-batch."""
+    """Per-user running (n_events, total_cents, last_ts), emitted each time
+    the key appears in a micro-batch.
+
+    The money total accumulates in INTEGER CENTS, not float: float
+    accumulation across micro-batches makes the final state depend on how
+    the stream happened to be batched (and on pandas' summation order) —
+    the exact nondeterminism-under-re-batching this engine's ground rules
+    exclude. With integer state every emission, including the final one,
+    is a pure function of the event SET, so the final state equals the
+    batch rollup bit-for-bit (that equality is hash-checked by the
+    s_custom_state oracle)."""
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
-        n, total, last_us = (
-            state.get if state.exists else (0, 0.0, 0)
+        n, cents, last_us = (
+            state.get if state.exists else (0, 0, 0)
         )
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
+            # per-row cents are exact for 2-decimal values; Python-int sum
+            # is associative — no accumulation-order dependence
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
             batch_max = pdf["ts"].max()
             if pd.notna(batch_max):
                 us = int(pd.Timestamp(batch_max).value // 1000)
                 last_us = max(last_us, us)
-        state.update((n, total, last_us))
+        state.update((n, cents, last_us))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [round(total, 4)],
+                "total_cents": [cents],
                 "last_ts_us": [last_us],
             }
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,
-        outputStructType="user_id long, n_events long, total_value double, "
+        outputStructType="user_id long, n_events long, total_cents long, "
         "last_ts_us long",
-        stateStructType="n long, total double, last_us long",
+        stateStructType="n long, cents long, last_us long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -48,8 +48,8 @@ def test_stateful_running_totals(spark, scratch):
     stream = spark.readStream.schema(src.schema).parquet(f"{scratch}/ev")
     out = run_to_completion(running_user_totals(stream), "update")
     rows = {r.user_id: r for r in out.collect()}
-    assert rows[1].n_events == 5 and rows[1].total_value == 10.0
-    assert rows[2].n_events == 1 and rows[2].total_value == 10.0
+    assert rows[1].n_events == 5 and rows[1].total_cents == 1000
+    assert rows[2].n_events == 1 and rows[2].total_cents == 1000
     assert rows[1].last_ts_us == int(dt.datetime(2020, 1, 1, 0, 4).timestamp() * 1e6)
 
 
