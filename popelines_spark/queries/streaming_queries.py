@@ -84,28 +84,52 @@ def s_session(spark, sf_dir):
     return run_to_completion(ops.session_counts(ev, "30 minutes"), "complete")
 
 
-@query("s_watermark_late")  # rows-only: late-drop semantics, no batch equiv
+@query(
+    "s_watermark_late",
+    oracle="""
+    WITH m AS (SELECT max(ts) AS mx FROM events),
+    bulk AS (SELECT ts FROM events, m WHERE ts >= mx - INTERVAL 6 HOUR)
+    SELECT date_trunc('hour', ts) AS win_start,
+           CAST(count(*) AS BIGINT) AS n
+    FROM bulk, m
+    GROUP BY win_start, m.mx
+    HAVING win_start + INTERVAL 1 HOUR <= m.mx - INTERVAL 10 MINUTE
+    """,
+)
 def s_watermark_late(spark, sf_dir):
-    """Late-data drop: replay events as two files — the bulk, then stragglers
-    2h older than the stream's max ts — with a 10-minute watermark and
-    append output. The straggler rows fall beyond the watermark and are
-    dropped; append mode emits only watermark-finalized windows."""
+    """Late-data drop, hash-checked. Replay is THREE files — the 6-hour
+    bulk, a one-row nudge at the stream max, then stragglers (every 5th
+    bulk event shifted 2h earlier) — because of the pinned one-batch-lag
+    semantics (tests/test_streaming_watermark.py): the watermark computed
+    from batch N takes effect in batch N+1 and state eviction runs at
+    batch END, so a straggler arriving in the FIRST batch after the
+    advance still merges. With the nudge batch in between, batch 2's
+    stragglers all hit evicted-or-finalized windows and are DROPPED —
+    every one of them, deterministically — so the append output is a pure
+    function of the event times: hourly bulk counts for windows finalized
+    by the watermark (window end ≤ max ts − 10 min), which is exactly
+    what the oracle computes. The withheld unfinalized tail window and
+    the dropped stragglers are what distinguish this from s_tumbling."""
+    import glob
+
     scratch = "/tmp/popelines_spark_scratch/late_events"
     shutil.rmtree(scratch, ignore_errors=True)
     ev = T(spark, sf_dir, "events")
     max_ts = ev.agg(F.max("ts")).collect()[0][0]  # driver scalar: test setup
     bulk = ev.filter(F.col("ts") >= F.lit(max_ts) - F.expr("interval 6 hours"))
-    late = bulk.withColumn("ts", F.col("ts") - F.expr("interval 2 hours")).limit(50)
-    # Two plain files, written in arrival order (file source triggers by
-    # modification time): bulk first, stragglers second.
-    import glob
-
-    for i, df in enumerate((bulk, late)):
+    nudge = bulk.filter(F.col("ts") == F.lit(max_ts)).limit(1)
+    late = bulk.filter(F.col("event_id") % 5 == 0).withColumn(
+        "ts", F.col("ts") - F.expr("interval 2 hours")
+    )
+    for i, df in enumerate((bulk, nudge, late)):
         tmp = os.path.join(scratch, f"_stage{i}")
         df.coalesce(1).write.parquet(tmp)
         part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        os.rename(part, os.path.join(scratch, f"{i}.parquet"))
+        dest = os.path.join(scratch, f"{i}.parquet")
+        os.rename(part, dest)
         shutil.rmtree(tmp)
+        # file-source trigger order is by modification time; pin it
+        os.utime(dest, (1600000000 + i * 10,) * 2)
 
     raw = spark.read.parquet(os.path.join(scratch, "0.parquet"))
     stream = (
