@@ -167,3 +167,56 @@ def b_join_salted(spark, sf_dir):
         F.count("*").cast("long").alias("n"),
         dsum("l_quantity").alias("qty"),
     )
+
+
+@query(
+    "b_join_bucketed",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def b_join_bucketed(spark, sf_dir):
+    """Co-located join on BUCKETED tables — the zero-shuffle big⋈big path:
+    both sides are written bucketBy(8, key) + sortBy(key), so the join
+    reads bucket i of each table on the same task and sort-merges with NO
+    Exchange on either side (asserted in test_plans.py; the only shuffle
+    in the query is the final small rollup). At 100 TB this is the
+    standing layout for fact tables that join repeatedly on the same key:
+    pay the bucketed write once, skip the join shuffle forever. Results
+    must equal the plain join bit-for-bit — same oracle as b_join_salted."""
+    import os
+
+    base = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    root = _scratch(f"bucketed_{base}")
+    specs = {
+        f"bkt_lineitem_{base}_{os.getpid()}": T(
+            spark, sf_dir, "lineitem"
+        ).select(F.col("l_orderkey").alias("k"), "l_quantity"),
+        f"bkt_orders_{base}_{os.getpid()}": T(
+            spark, sf_dir, "orders"
+        ).select(F.col("o_orderkey").alias("k"), "o_orderpriority"),
+    }
+    for name, df in specs.items():
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, "k")
+            .sortBy("k")
+            .option("path", os.path.join(root, name))
+            .saveAsTable(name)
+        )
+    l, o = (spark.table(n) for n in specs)
+    # merge hint: at tiny SFs auto-broadcast would win and hide the
+    # bucketed path; the point of this query is the exchange-free SMJ
+    # (at 100 TB neither side broadcasts and SMJ is what you get anyway)
+    joined = l.join(o.hint("merge"), "k")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(20,4)"))
+        .cast("double")
+        .alias("qty"),
+    )

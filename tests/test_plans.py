@@ -194,3 +194,12 @@ def test_tpch_plans_broadcast_dims_and_prune(spark):
     rep6 = plan_report(_q("tpch_q6", spark))
     assert any("l_shipdate" in p or "l_discount" in p for p in rep6["pushed_filters"] if p)
     assert_scan_pruned(_q("tpch_q6", spark), {"l_quantity": 4})
+
+
+def test_bucketed_join_has_no_join_exchange(spark):
+    # both sides bucketBy(8, k) + sortBy(k): the SMJ must read buckets
+    # co-located — the ONLY exchange in the plan is the final rollup's
+    rep = plan_report(_q("b_join_bucketed", spark))
+    assert rep["sortmerge_joins"] == 1
+    assert rep["broadcast_joins"] == 0
+    assert rep["exchanges"] == 1  # the post-join groupBy only
