@@ -93,10 +93,17 @@ def curate(spark, sf_dir: str, out_dir: str, tokens_per_bin: int = 2048):
     ).select("doc_id")
     clean = deduped.join(contaminated, "doc_id", "left_anti")
 
+    # 4c. leakage-safe holdout split: assigned per SOURCE (near-dups within
+    # a domain can never straddle train/eval), append-stable min-id anchor
+    from popelines_spark.llm.split import assign_split
+
+    split = assign_split(clean, group_col="source", id_col="doc_id")
+    train = split.filter(F.col("split") == "train").drop("split")
+
     # 5. mixture sampling: per-language keep-rates, deterministic id-hash
     # (plus a per-language cap as a guard rail)
     mixed = sample_to_mixture(
-        clean, group_col="lang", id_col="doc_id",
+        train, group_col="lang", id_col="doc_id",
         keep_rates={"en": 1.0, "es": 0.8, "de": 0.6, "fr": 0.5},
     )
     w = W.partitionBy("lang").orderBy("doc_id")
@@ -131,6 +138,7 @@ def curate(spark, sf_dir: str, out_dir: str, tokens_per_bin: int = 2048):
         "after_exact_dedup": exact_deduped.count(),
         "after_fuzzy_dedup": deduped.count(),
         "after_decontam": clean.count(),
+        "after_split_train": train.count(),
         "after_mix": sampled.count(),
         "curated": out.count(),
         "bins": out.select("source", "bin_id").distinct().count(),

