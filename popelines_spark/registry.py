@@ -68,6 +68,11 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "c_dedup_cluster_star", "c_dedup_fuzzy", "c_dedup_simhash",
     "c_dedup_embedding",
     "c_knn_ivf", "c_knn_lsh", "c_multimodal_audio", "c_multimodal_decode",
+    # ROUND-4 ROTATION QUEUE (never driver-scored; put these in the first
+    # 50 next round): tpch_q1 tpch_q2 tpch_q11 tpch_q16 tpch_q20 tpch_q21
+    # c_split_holdout c_ngram_topk c_html_strip c_dedup_incremental
+    # c_fuzzy_match b_agg_approx_quantile b_join_salted b_join_bucketed
+    # s_custom_state s_watermark_late (both reworked in r3).
 )
 
 

@@ -457,3 +457,30 @@ def test_assign_split_custom_fractions_order(spark):
     # fractions cover the whole hash range: no row falls to 'holdout',
     # and both named splits are hit on 200 distinct groups
     assert set(counts) == {"a", "b"}
+
+
+def test_lsh_index_probe_matches_on_the_fly(spark, tmp_path):
+    """The at-rest bucket-partitioned index must return bit-identical
+    results to the on-the-fly knn_lsh at the same planes/salt — the
+    recall-invariant thresholds in ext_similarity assume this."""
+    from popelines_spark.llm.similarity import (
+        build_lsh_index, knn_lsh, load_lsh_index, probe_lsh_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    path = str(tmp_path / "lsh")
+    build_lsh_index(corpus, "c_vec", "neighbor_id", path, n_planes=4, dim=64)
+    probed = probe_lsh_index(load_lsh_index(spark, path), queries, k=5)
+    direct = knn_lsh(
+        queries, corpus, k=5, c_id="neighbor_id", n_planes=4, dim=64
+    )
+    a = sorted(map(tuple, probed.select("q_id", "rank", "neighbor_id").collect()))
+    b = sorted(map(tuple, direct.select("q_id", "rank", "neighbor_id").collect()))
+    assert a == b and a
