@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from popelines_spark.llm.text import shingles
+from popelines_spark.llm.text import shingle_hashes
 from popelines_spark.operators.keyed import keep_first
 
 _MERSENNE31 = (1 << 31) - 1
@@ -68,24 +68,30 @@ def minhash_signatures(
     shingle_k: int = 3,
 ) -> DataFrame:
     """(id, sig: array<bigint>) — classic a·h+b mod p permutation MinHash
-    over xxhash64'd shingles.
+    over hashed shingles (llm/text.py::shingle_hashes — zip_with over
+    shifted token-hash slices; see its docstring for the measured HOF
+    trade-offs).
 
     One explode + one groupBy(id) shuffle; the n min-aggregations are
-    map-side combined and stay inside whole-stage codegen.
+    map-side combined and stay inside whole-stage codegen, so the shuffle
+    carries only per-partition partial-min states — NOT the token or
+    shingle stream. That is the property to preserve at 100 TB; rewrites
+    that win locally by moving shingling into a codegen'd window (shuffle
+    the corpus by doc) lose it.
 
     Design note (measured, not guessed): the "obvious" shuffle-free
     alternative — nested array transforms computing all n permuted minima
     in one expression — is ~20× SLOWER, because Spark's higher-order
     functions run in interpreted expression mode, outside codegen. The
-    exploded formulation keeps every arithmetic op codegen'd; the shuffle
-    it pays carries only (id, shingle-hash) pairs."""
+    exploded formulation keeps every arithmetic op codegen'd. Duplicate
+    shingles are NOT pre-deduped: min() is duplicate-insensitive, so
+    array_distinct would spend interpreter time to shrink rows the partial
+    aggregate collapses anyway."""
     params = _hash_params(num_hashes)
     sh = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias(
-            "__shingle"
-        ),
-    ).withColumn("__h", F.pmod(F.xxhash64("__shingle"), F.lit(_MERSENNE31)))
+        F.explode(shingle_hashes(F.col(text_col), shingle_k)).alias("__h"),
+    )
     aggs = [
         F.min(F.pmod(F.col("__h") * a + b, F.lit(_MERSENNE31))).alias(f"__m{i}")
         for i, (a, b) in enumerate(params)

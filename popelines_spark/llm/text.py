@@ -111,6 +111,47 @@ def shingles(text: str | Column, k: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+#: 31-bit prime modulus for shingle-hash arithmetic (fits products of a
+#: bounded operand and the rolling weight inside a BIGINT under ANSI mode).
+SHINGLE_M = (1 << 31) - 1
+_SHINGLE_WEIGHT = 1000003
+
+
+def shingle_hashes(text: str | Column, k: int = 3) -> Column:
+    """k-token shingle HASHES in [0, SHINGLE_M) — the cheap form for
+    sketches (MinHash) that never need the shingle strings back.
+
+    Shape (measured at sf0.1, 15k docs, warm): hash each token once
+    (`transform` + xxhash64, bounded to 31 bits), then fold k shifted
+    `slice`s together with `zip_with` — 1.5 s vs 2.6 s for the
+    string-materializing `shingles()` + xxhash64 path, because the per-
+    shingle work is two bigint ops instead of slice+array_join string
+    construction. All variants run in Spark's interpreted HOF mode; what
+    differs is the work per element. Two traps this form avoids:
+     - embedding the token-hash array inside an index-based lambda
+       (`element_at(th, i)`) re-inlines the whole `transform` per element
+       → O(n²) evaluation (measured 6 s, worse than the string path);
+     - posexplode + lead()-window shingling is codegen'd and ~2× faster
+       locally, but shuffles the full token stream by doc — the wrong
+       trade at 100 TB when the consumer (MinHash) otherwise ships only
+       tiny map-side partial-aggregate states.
+    Bounded arithmetic: operands < 2^31, weight ~2^20 → products < 2^51,
+    no ANSI BIGINT overflow. Empty array for docs with < k tokens."""
+    ws = tokens(text)
+    th = F.transform(ws, lambda t: F.pmod(F.xxhash64(t), F.lit(SHINGLE_M)))
+    n_sh = F.size(ws) - (k - 1)
+    acc = F.slice(th, 1, n_sh)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(th, 1 + j, n_sh),
+            lambda a, b: F.pmod(a * _SHINGLE_WEIGHT + b, F.lit(SHINGLE_M)),
+        )
+    return F.when(F.size(ws) >= k, acc).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 def fingerprint(text: str | Column, k: int = 3) -> Column:
     """Deterministic document fingerprint: the minimum MD5 over k-token
     shingles (a 1-hash MinHash — stable under small reorderings at the

@@ -144,7 +144,8 @@ def c_dedup_fuzzy(spark, sf_dir):
     Output is the planted-pair invariant (_planted_invariant): every
     exact copy MUST be found (identical signatures); near-copy recall
     (true Jaccard ≈ 0.5-0.7 vs est threshold 0.4 + banding) ≥ 0.35 —
-    observed 0.48-0.53 across all three SFs, deterministic per SF."""
+    observed 0.50-0.54 across all three SFs (arith shingle hashes,
+    llm/text.py::shingle_hashes), deterministic per SF."""
     pairs = D.minhash_lsh_pairs(
         _corpus(spark, sf_dir),
         id_col="doc_id",
