@@ -1,0 +1,167 @@
+"""Frequency / membership sketches as plain keyed DataFrame ops.
+
+Two classic 100 TB primitives, built DIY so they are deterministic and
+value-replayable in ANSI SQL (the builtin `count_min_sketch` aggregate has
+no SQL-side estimator, and `bloom_filter_agg`/`might_contain` are
+Catalyst-internal runtime-filter expressions, not user functions):
+
+ - **Count-min sketch**: d×w counter grid; counters are SUMS, so the
+   merge is commutative — the sketch is partitioning- and retry-invariant
+   with no extra care. `estimate = min_j grid[j][h_j(x)]` never
+   undercounts (every counter is count(x) + nonneg collision mass).
+ - **Bloom filter**: m-bit bitmap packed 32 bits per BIGINT word (DuckDB
+   raises on `1::BIGINT << 63`, so 32-bit packing keeps the oracle
+   replayable); `bit_or` is likewise commutative. A key passes iff all k
+   probe bits are set — no false negatives by construction. This is the
+   DIY spelling of what Catalyst's runtime bloom-filter join injects
+   automatically: build on the small/selective side, broadcast the
+   bitmap, drop fact rows BEFORE they reach the shuffle.
+
+Hashing is md5-derived (`conv(substring(md5(salt:key),1,8),16,10)`) —
+slower than xxhash64 but EXACTLY mirrorable in DuckDB
+(`('0x'||substring(md5(...),1,8))::BIGINT`), which is what turns these
+sketches from rows-only demos into hash-checked queries. Pipelines that
+never need SQL replay can swap `_bucket` for xxhash64 wholesale.
+
+Scale shape:
+ - build: one explode (×d or ×k salts) + one groupBy over AT MOST d·w or
+   m/32 distinct keys — the aggregate output is a few hundred rows no
+   matter the corpus size, and map-side partial aggregation collapses
+   the exploded stream before it ships.
+ - probe: broadcast-join the tiny sketch table; the probed relation
+   streams through one narrow pass, no shuffle of the big side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bits packed per BIGINT bitmap word (see module docstring).
+WORD_BITS = 32
+
+
+def _bucket(col: Column, salt: int, m: int) -> Column:
+    """md5-derived hash of ``salt:key`` folded into [0, m) — bit-identical
+    in Spark and DuckDB (both emit lowercase md5 hex and identical
+    integer-to-string casts)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(m))
+
+
+def cms_build(
+    df: DataFrame, col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch of the values in ``col`` → (j, bucket, c) counter
+    rows (≤ depth·width of them). One explode(×depth) + one groupBy whose
+    partial aggregates collapse map-side; the shuffled stream is bounded
+    by depth·width per input partition, not by the corpus."""
+    c = F.col(col)
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), _bucket(c, j, width).alias("bucket")
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("jb")
+    ).select("jb.j", "jb.bucket")
+    return rows.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    probes: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    out_col: str = "cms_est",
+) -> DataFrame:
+    """Attach ``out_col`` = min_j counters[j][h_j(probe)] to ``probes``.
+    The counter table is broadcast (≤ depth·width rows); estimates never
+    undercount the true frequency. An absent counter row means nothing ever
+    hashed there → that counter is 0, so the join is LEFT and a miss pins
+    the estimate to 0 (never-seen keys estimate 0 unless every one of
+    their depth buckets collides)."""
+    c = F.col(col)
+    ppos = probes.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), _bucket(c, j, width).alias("bucket")
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("jb"),
+    ).select(*probes.columns, "jb.j", "jb.bucket")
+    joined = ppos.join(F.broadcast(cms), ["j", "bucket"], "left")
+    return joined.groupBy(*probes.columns).agg(
+        F.min(F.coalesce("c", F.lit(0).cast("long"))).alias(out_col)
+    )
+
+
+def bloom_build(
+    df: DataFrame, col: str, m_bits: int = 16384, k: int = 3
+) -> DataFrame:
+    """Bloom bitmap of the values in ``col`` → (word, bits) rows
+    (≤ m_bits/32 of them). bit_or partial aggregates collapse map-side;
+    the result is a broadcastable few-KB table."""
+    c = F.col(col)
+    pos = df.select(
+        F.explode(
+            F.array(*[_bucket(c, j, m_bits) for j in range(k)])
+        ).alias("pos")
+    )
+    return pos.select(
+        (F.col("pos") / WORD_BITS).cast("long").alias("word"),
+        F.expr(f"shiftleft(1L, cast(pos % {WORD_BITS} as int))").alias("w1"),
+    ).groupBy("word").agg(F.bit_or("w1").alias("bits"))
+
+
+def bloom_probe(
+    bitmap: DataFrame,
+    df: DataFrame,
+    col: str,
+    m_bits: int = 16384,
+    k: int = 3,
+    out_col: str = "bloom_pass",
+) -> DataFrame:
+    """Attach ``out_col`` (true iff every probe bit is set) to ``df``.
+
+    The bitmap is broadcast; the probed side streams through one narrow
+    explode(×k) + left-join + groupBy-its-own-columns pass. A missing
+    bitmap word means those bits were never set → the coalesce(FALSE).
+    No false negatives: members set exactly these bits at build time."""
+    c = F.col(col)
+    ppos = df.select(
+        "*",
+        F.explode(
+            F.array(*[_bucket(c, j, m_bits) for j in range(k)])
+        ).alias("pos"),
+    )
+    hit = (
+        ppos.withColumn("word", (F.col("pos") / WORD_BITS).cast("long"))
+        .join(F.broadcast(bitmap), "word", "left")
+        .withColumn(
+            "__bit_set",
+            F.coalesce(
+                F.expr(
+                    f"(bits & shiftleft(1L, cast(pos % {WORD_BITS} as int))) != 0"
+                ),
+                F.lit(False),
+            ),
+        )
+    )
+    return hit.groupBy(*df.columns).agg(F.min("__bit_set").alias(out_col))

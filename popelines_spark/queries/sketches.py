@@ -1,0 +1,162 @@
+"""SURVEY.md §2 B.4 — frequency / membership sketches (count-min, bloom).
+
+Reference basis: the reference exposes sketch-backed frequency and
+membership primitives on its delegated aggregate surface; here they are
+rebuilt as plain keyed DataFrame ops (popelines_spark/llm/sketch.py) so the
+whole computation — hashing included — replays bit-identically in DuckDB.
+That is what lets the ESTIMATES themselves be hash-checked rather than
+wrapped in a within-ε invariant: both engines run the same md5-derived
+bucket function, the counter/bitmap merges are commutative integer
+aggregates, and `min` over counters / `all bits set` over probes are
+order-insensitive.
+
+Scale shape (100 TB): the sketch tables are bounded by the sketch geometry
+(depth·width counters, m/32 bitmap words) no matter the corpus size, so the
+build is one map-side-collapsing groupBy and every probe is a broadcast
+join — the big side never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from popelines_spark.llm.sketch import bloom_build, bloom_probe, cms_build, cms_estimate
+from popelines_spark.registry import query
+from popelines_spark.queries._util import T
+
+# DuckDB spelling of sketch._bucket (md5 of "salt:key", first 8 hex digits
+# as an integer, modulo m — all operands nonnegative so % == pmod).
+_BUCKET = (
+    "('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || CAST({key} AS VARCHAR)), 1, 8))"
+    "::BIGINT % {m}"
+)
+
+
+@query(
+    "b_sketch_cms",
+    oracle=f"""
+    WITH js AS (SELECT unnest(range(4)) AS j),
+    grid AS (
+        SELECT j, bucket, CAST(count(*) AS BIGINT) AS c
+        FROM (
+            SELECT j, {_BUCKET.format(key="l_suppkey", m=1024)} AS bucket
+            FROM lineitem, js
+        )
+        GROUP BY j, bucket
+    ),
+    probe AS (
+        SELECT s_suppkey, j, {_BUCKET.format(key="s_suppkey", m=1024)} AS bucket
+        FROM supplier, js
+    ),
+    est AS (
+        SELECT s_suppkey, MIN(COALESCE(c, 0)) AS cms_est
+        FROM probe LEFT JOIN grid USING (j, bucket)
+        GROUP BY s_suppkey
+    ),
+    exact AS (
+        SELECT l_suppkey AS s_suppkey, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           COALESCE(exact_cnt, 0) AS exact_cnt,
+           cms_est >= COALESCE(exact_cnt, 0) AS never_undercounts
+    FROM est LEFT JOIN exact USING (s_suppkey)
+    """,
+)
+def b_sketch_cms(spark, sf_dir):
+    """Count-min sketch of lineitem.l_suppkey frequencies, probed with every
+    supplier key. The estimate column hash-matches the oracle because both
+    engines compute the identical md5 grid; `never_undercounts` states the
+    CMS guarantee (each counter = true count + nonnegative collision mass).
+
+    Plan shape: build is explode(×4)+groupBy collapsing to ≤4096 counter
+    rows map-side; the probe side broadcast-joins that grid — at 100 TB the
+    lineitem stream is touched once, shuffle bounded by depth·width per
+    input partition."""
+    li = T(spark, sf_dir, "lineitem")
+    sup = T(spark, sf_dir, "supplier").select("s_suppkey")
+    grid = cms_build(li, "l_suppkey", depth=4, width=1024)
+    est = cms_estimate(grid, sup, "s_suppkey", depth=4, width=1024)
+    exact = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    return est.join(exact, "s_suppkey", "left").select(
+        "s_suppkey",
+        F.col("cms_est").cast("long").alias("cms_est"),
+        F.coalesce("exact_cnt", F.lit(0).cast("long")).alias("exact_cnt"),
+        (F.col("cms_est") >= F.coalesce("exact_cnt", F.lit(0))).alias(
+            "never_undercounts"
+        ),
+    )
+
+
+@query(
+    "b_sketch_bloom",
+    oracle=f"""
+    WITH js AS (SELECT unnest(range(3)) AS j),
+    member AS (
+        SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    bitmap AS (
+        SELECT pos // 32 AS word,
+               bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+        FROM (
+            SELECT {_BUCKET.format(key="k", m=16384)} AS pos FROM member, js
+        )
+        GROUP BY word
+    ),
+    probe AS (
+        SELECT DISTINCT o_custkey FROM orders
+    ),
+    ppos AS (
+        SELECT o_custkey, {_BUCKET.format(key="o_custkey", m=16384)} AS pos
+        FROM probe, js
+    ),
+    hit AS (
+        SELECT o_custkey,
+               MIN(COALESCE((bits & (1::BIGINT << CAST(pos % 32 AS INT))) != 0,
+                            FALSE)) AS bloom_pass
+        FROM ppos LEFT JOIN bitmap ON bitmap.word = ppos.pos // 32
+        GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           bloom_pass,
+           EXISTS (SELECT 1 FROM member WHERE k = o_custkey) AS is_member,
+           (NOT EXISTS (SELECT 1 FROM member WHERE k = o_custkey))
+               OR bloom_pass AS no_false_negative
+    FROM hit
+    """,
+)
+def b_sketch_bloom(spark, sf_dir):
+    """Bloom membership of 'customer in BUILDING segment', probed with every
+    distinct ordering customer. Rebuilds Catalyst's runtime bloom-join
+    pruning as an explicit, replayable operator: build the bitmap on the
+    selective dim side, broadcast it, and gate fact keys before they reach
+    a shuffle. `no_false_negative` is the bloom guarantee, rowwise TRUE.
+
+    Plan shape: bitmap is ≤512 BIGINT words (bit_or collapses map-side);
+    the probe pass is explode(×3) + broadcast-join + re-group on the probe
+    key — the fact side shuffles only on its own key, never on the dim."""
+    cust = T(spark, sf_dir, "customer")
+    member = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    probe = T(spark, sf_dir, "orders").select("o_custkey").distinct()
+    bitmap = bloom_build(member, "k", m_bits=16384, k=3)
+    passed = bloom_probe(bitmap, probe, "o_custkey", m_bits=16384, k=3)
+    return (
+        passed.join(
+            F.broadcast(member.withColumn("is_member", F.lit(True))),
+            passed.o_custkey == F.col("k"),
+            "left",
+        )
+        .select(
+            "o_custkey",
+            "bloom_pass",
+            F.coalesce("is_member", F.lit(False)).alias("is_member"),
+            (
+                ~F.coalesce("is_member", F.lit(False)) | F.col("bloom_pass")
+            ).alias("no_false_negative"),
+        )
+    )

@@ -72,7 +72,8 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # 50 next round): tpch_q1 tpch_q2 tpch_q11 tpch_q16 tpch_q20 tpch_q21
     # c_split_holdout c_ngram_topk c_html_strip c_dedup_incremental
     # c_fuzzy_match b_agg_approx_quantile b_join_salted b_join_bucketed
-    # s_custom_state s_watermark_late (both reworked in r3).
+    # s_custom_state s_watermark_late (both reworked in r3)
+    # b_sketch_cms b_sketch_bloom (new in r3, never driver-scored).
 )
 
 
@@ -96,6 +97,7 @@ def load_all() -> None:
         ext_text,
         ext_multimodal,
         streaming_queries,
+        sketches,
         udf_surface,
         fn_scalar,
         fn_scalar2,
