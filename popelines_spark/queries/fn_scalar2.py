@@ -195,8 +195,8 @@ def b_agg_bool(spark, sf_dir):
     "b_fn_hof",
     oracle="""
     SELECT o_orderkey,
-           [x * 2 FOR x IN rng] AS doubled,
-           [x FOR x IN rng IF x % 2 = 0] AS evens,
+           array_to_string([x * 2 FOR x IN rng], ',') AS doubled,
+           array_to_string([x FOR x IN rng IF x % 2 = 0], ',') AS evens,
            len([x FOR x IN rng IF x % 2 = 0]) > 0 AS has_even,
            CAST(list_sum(rng) AS BIGINT) AS total
     FROM (SELECT o_orderkey, generate_series(1, o_orderkey % 5 + 1) AS rng
@@ -206,14 +206,25 @@ def b_agg_bool(spark, sf_dir):
 def b_fn_hof(spark, sf_dir):
     """Array higher-order functions (transform / filter / exists /
     aggregate) over a per-row integer sequence — exact integer lambda
-    arithmetic, mirrored by DuckDB list comprehensions. (HOFs run in
-    interpreted expression mode — fine for per-row arrays like these;
+    arithmetic, mirrored by DuckDB list comprehensions. Array results are
+    serialized via array_join so the hash-compare sees plain strings (raw
+    array cells aren't hashable in the driver's canonicalizer). (HOFs run
+    in interpreted expression mode — fine for per-row arrays like these;
     hot-loop array math belongs in explode+agg, see llm/dedup.py.)"""
     rng = F.sequence(F.lit(1).cast("long"), (F.col("o_orderkey") % 5) + 1)
     return T(spark, sf_dir, "orders").select(
         "o_orderkey",
-        F.transform(rng, lambda x: x * 2).alias("doubled"),
-        F.filter(rng, lambda x: x % 2 == 0).alias("evens"),
+        F.array_join(F.transform(rng, lambda x: x * 2).cast("array<string>"), ",").alias(
+            "doubled"
+        ),
+        # nullif: DuckDB's array_to_string yields NULL for an empty list
+        # where Spark's array_join yields '' — align on NULL.
+        F.nullif(
+            F.array_join(
+                F.filter(rng, lambda x: x % 2 == 0).cast("array<string>"), ","
+            ),
+            F.lit(""),
+        ).alias("evens"),
         F.exists(rng, lambda x: x % 2 == 0).alias("has_even"),
         F.aggregate(rng, F.lit(0).cast("long"), lambda a, x: a + x)
         .cast("long")

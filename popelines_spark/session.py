@@ -31,6 +31,11 @@ _RUNTIME_CONFS = {
     # events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
     # read as long and convert (tables.load) — DuckDB-equivalent truncation.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # testdata timestamps are written isAdjustedToUTC=false; by default Spark
+    # reads those as TIMESTAMP_NTZ, which withWatermark / unix_micros reject.
+    # Read them as session-tz (UTC) timestamps instead — identical instants,
+    # and exactly how the DuckDB oracle sees them.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

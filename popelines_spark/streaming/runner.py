@@ -45,7 +45,9 @@ def events_stream(spark: SparkSession, sf_dir: str, path: str | None = None) -> 
     stream = spark.readStream.schema(raw_schema).parquet(src)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    from .. import tables
+
+    return tables._ntz_to_ltz(stream)
 
 
 def run_to_completion(

@@ -45,7 +45,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return _ntz_to_ltz(df)
+
+
+def _ntz_to_ltz(df: DataFrame):
+    """Cast any TIMESTAMP_NTZ column to session-tz TIMESTAMP.
+
+    Defensive twin of session's ``parquet.inferTimestampNTZ.enabled=false``:
+    if the driver's session was built before our conf applied (reader confs
+    are captured per-read, but a cached relation keeps its schema), the
+    loader still hands every consumer LTZ. Under the UTC session timezone
+    the naive→instant cast is value-identical to what DuckDB reads, and
+    watermarks / unix_micros / window ranges all require LTZ.
+    """
+    ntz = [n for n, t in df.dtypes if t == "timestamp_ntz"]
+    if not ntz:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.withColumns({n: F.col(n).cast("timestamp") for n in ntz})
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
