@@ -45,11 +45,18 @@ def asof_join(
     right_ts: str,
     how: str = "left",
     strict: bool = False,
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """Backward as-of join: for each left row, the right row with the
     greatest ``right_ts`` satisfying ``right_ts <= left_ts`` (``<`` when
     ``strict``) and key equality. Unmatched left rows keep NULL right
     columns when ``how='left'``; are dropped when ``how='inner'``.
+
+    ``tolerance_us`` bounds the lookback: a candidate older than
+    ``left_ts - tolerance_us`` microseconds is treated as no match (the
+    pandas ``merge_asof(tolerance=...)`` semantics). Implemented as a
+    post-window predicate on the winning candidate — the single-shuffle
+    union+running-last plan is unchanged, so the scale story is identical.
 
     Left and right column names must be disjoint (rename before joining) —
     the output carries both sides flat, like a join would.
@@ -98,6 +105,17 @@ def asof_join(
         .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
         .filter(F.col("__l").isNotNull())
     )
+    if tolerance_us is not None:
+        # Null out a winner that is older than the lookback bound; the
+        # window already guaranteed __m.right_ts <= left ts, so one lower-
+        # bound comparison suffices.
+        within = (
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m")[right_ts])
+            <= F.lit(tolerance_us)
+        )
+        matched = matched.withColumn(
+            "__m", F.when(F.col("__m").isNotNull() & within, F.col("__m"))
+        )
     if how == "inner":
         matched = matched.filter(F.col("__m").isNotNull())
     return matched.select(

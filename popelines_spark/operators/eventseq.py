@@ -1,0 +1,284 @@
+"""Event-sequence analytics: funnel, cohort retention, time rollup,
+per-group deterministic sampling, and distribution monitoring (z-score
+outliers, PSI drift).
+
+Reference basis: the reference's users compose these from its delegated SQL
+surface (popelines/main.py:236-243 ``bq_query``); here they are first-class
+operators with 100 TB-safe plans.
+
+Scale shapes (the one-line audit per operator):
+ - ``funnel``       — per-step keyed agg + equi-join on the user key; each
+   step's input is the (shrinking) survivor set of the previous step, so
+   shuffle volume is monotonically decreasing down the funnel.
+ - ``retention``    — two keyed shuffles (first-touch agg, cohort-cell agg);
+   no window, no driver data.
+ - ``time_rollup``  — coarse grains aggregate the FINER grain's partials,
+   never rescanning the raw table (classic rollup reuse); exactness kept by
+   carrying decimal accumulators between grains.
+ - ``sample_per_group`` — one keyed window; survivor choice is a
+   multiplicative id-hash (no RNG) so retries/AQE re-runs keep identical
+   rows (ARCHITECTURE.md ground rule 4).
+ - ``zscore_outliers`` / ``psi_terms`` — tiny per-group stats frame
+   broadcast back against the full table: one shuffle for stats, zero for
+   the scoring pass.
+
+Cross-engine float rule (tools/parity.py): all multi-row accumulation is
+decimal-exact, then cast to double; per-row arithmetic after that is IEEE
+and bit-identical in Spark and DuckDB (queries/_util.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+#: Same multiplicative-hash constants as llm/mix.py — fixed salt,
+#: fold-before-multiply so the product never leaves BIGINT.
+_KNUTH = 2654435761
+_FOLD = 1000003
+
+#: Exact accumulator for 2dp metric doubles ≤ ~1e7 (events.value).
+_DEC = "decimal(12,4)"
+
+
+def id_hash(col: Column) -> Column:
+    """Deterministic pseudo-random BIGINT in [0, 1e9+7) from an id column.
+
+    No RNG and no xxhash64: this exact arithmetic is mirrorable in any
+    ANSI engine, so oracles and retried tasks agree bit-for-bit.
+    """
+    folded = F.pmod(col.cast("long"), F.lit(_FOLD))
+    return F.pmod(folded * F.lit(_KNUTH), F.lit(1000000007))
+
+
+def funnel(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Ordered-funnel counts: one row per step with the number of users who
+    completed steps[0..i] in strictly increasing event-time order.
+
+    Semantics: a user reaches step i when they have an event of type
+    ``steps[i]`` STRICTLY after their earliest completion time of step i-1
+    (the standard min-time funnel chaining — earliest completion is optimal,
+    so this is exact, not greedy).
+
+    Plan: step 0 is a keyed min-agg; each later step is a pushed-down type
+    filter joined to the previous survivor set (shrinking), re-aggregated on
+    the same key — AQE reuses the hash partitioning across the chain. The
+    per-step count rows are unioned lazily; nothing is collected.
+    """
+    if not steps:
+        raise ValueError("funnel: need at least one step")
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t"))
+        .localCheckpoint(eager=False)
+    )
+    out = []
+    for i, step in enumerate(steps):
+        if i:
+            # Each stage feeds BOTH its count branch and the next stage —
+            # barrier it (|survivors| rows) or the count union re-executes
+            # the whole prefix chain per step.
+            cur = (
+                events.filter(F.col(type_col) == step)
+                .join(cur.select(user_col, "__t"), user_col)
+                .filter(F.col(ts_col) > F.col("__t"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("__t"))
+                .localCheckpoint(eager=False)
+            )
+        out.append(
+            cur.agg(F.count("*").cast("long").alias("n_users")).select(
+                F.lit(i).cast("long").alias("step_idx"),
+                F.lit(step).alias("step"),
+                "n_users",
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def retention(events: DataFrame, user_col: str, ts_col: str) -> DataFrame:
+    """Weekly cohort retention: (cohort_week, week_offset) → distinct users.
+
+    cohort_week = ISO-week truncation of the user's first event;
+    week_offset = whole 7-day periods between first event and the activity
+    event (exact integer microsecond math — no calendar ambiguity).
+    """
+    first = events.groupBy(user_col).agg(F.min(ts_col).alias("__first"))
+    usec_week = 7 * 86400 * 1_000_000
+    return (
+        events.join(first, user_col)
+        .select(
+            F.col(user_col),
+            F.date_trunc("week", F.col("__first")).alias("cohort_week"),
+            F.floor(
+                (F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__first")))
+                / usec_week
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct(F.col(user_col)).cast("long").alias("n_users"))
+    )
+
+
+def time_rollup(
+    events: DataFrame,
+    ts_col: str,
+    value_col: str,
+    grains: Sequence[str] = ("hour", "day"),
+) -> DataFrame:
+    """Multi-resolution time rollup: one output row per (grain, bucket_ts)
+    with event count and exact value sum.
+
+    ``grains`` must be ordered fine → coarse; each coarser grain aggregates
+    the PREVIOUS grain's partial aggregates (hypertable-style rollup reuse):
+    the raw table is scanned once, and every coarser level runs over
+    |buckets| rows, not |events|. Decimal accumulators flow between levels
+    so the double emitted at the end is bit-exact at every grain.
+    """
+    if not grains:
+        raise ValueError("time_rollup: need at least one grain")
+    level = (
+        events.groupBy(F.date_trunc(grains[0], F.col(ts_col)).alias("bucket_ts"))
+        .agg(
+            F.count("*").cast("long").alias("__n"),
+            F.sum(F.col(value_col).cast(_DEC)).alias("__s"),
+        )
+    )
+    if len(grains) > 1:
+        # The finest grain feeds BOTH its own output branch and every
+        # coarser level; Spark does not CSE across union branches, so
+        # without a barrier the raw scan+agg would re-execute per grain.
+        # |buckets| rows — the checkpoint is tiny.
+        level = level.localCheckpoint(eager=False)
+    outs = [
+        level.select(
+            F.lit(grains[0]).alias("grain"),
+            "bucket_ts",
+            F.col("__n").alias("n_events"),
+            F.col("__s").cast("double").alias("sum_value"),
+        )
+    ]
+    for g in grains[1:]:
+        level = (
+            level.groupBy(F.date_trunc(g, F.col("bucket_ts")).alias("bucket_ts"))
+            .agg(F.sum("__n").cast("long").alias("__n"), F.sum("__s").alias("__s"))
+        )
+        outs.append(
+            level.select(
+                F.lit(g).alias("grain"),
+                "bucket_ts",
+                F.col("__n").alias("n_events"),
+                F.col("__s").cast("double").alias("sum_value"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def sample_per_group(
+    df: DataFrame, group_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Deterministic k-per-group sample: keep the k rows with the smallest
+    multiplicative id-hash in each group (ties broken by the id itself).
+
+    The distributed form of reservoir sampling with a fixed seed: hash
+    order is a uniform pseudo-random permutation, identical across retries,
+    partitionings, and engines. One keyed window shuffle; no RNG state.
+    """
+    w = W.partitionBy(group_col).orderBy(id_hash(F.col(id_col)), F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def zscore_outliers(
+    df: DataFrame, group_col: str, value_col: str, threshold: float
+) -> DataFrame:
+    """Rows whose value deviates more than ``threshold`` standard deviations
+    from their group mean; emits the z-score.
+
+    Population moments from decimal-exact sums (sum, sum-of-squares, count)
+    so mean/std are bit-identical cross-engine; the per-row z is then plain
+    IEEE arithmetic. Stats frame is |groups| rows → broadcast join back.
+    """
+    vq = F.col(value_col).cast(_DEC)
+    stats = df.groupBy(group_col).agg(
+        F.sum(vq).cast("double").alias("__s"),
+        F.sum(vq * vq).cast("double").alias("__s2"),
+        F.count(value_col).cast("double").alias("__n"),
+    )
+    mean = F.col("__s") / F.col("__n")
+    var = F.col("__s2") / F.col("__n") - mean * mean
+    z = (F.col(value_col) - mean) / F.sqrt(var)
+    return (
+        df.join(F.broadcast(stats), group_col)
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > threshold)
+        .drop("__s", "__s2", "__n")
+    )
+
+
+def psi_terms(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    split: Column,
+    n_buckets: int = 10,
+    bucket_width: float = 50.0,
+) -> DataFrame:
+    """Population-stability-index terms per (group, value bucket) between
+    the two halves of ``split`` (a boolean column: False = reference
+    population, True = comparison population).
+
+    Emits one row per (group, bucket) with both distributions' proportions
+    and the PSI contribution (p-q)·ln(p/q) — per-bucket terms rather than a
+    blind total so drift is attributable. Laplace-style +1 smoothing keeps
+    empty buckets finite. Proportions come from exact integer counts; the
+    single ln per row is per-row IEEE arithmetic.
+
+    Plan: one groupBy over (group, bucket, side) then a pivot-free
+    conditional agg — a single shuffle sized |groups|·|buckets|.
+    """
+    bucket = F.least(
+        F.greatest(F.floor(F.col(value_col) / bucket_width), F.lit(0)),
+        F.lit(n_buckets - 1),
+    ).cast("long")
+    counted = (
+        df.select(F.col(group_col), bucket.alias("bucket"), split.alias("__cmp"))
+        .groupBy(group_col, "bucket")
+        .agg(
+            F.count_if(~F.col("__cmp")).cast("long").alias("n_ref"),
+            F.count_if(F.col("__cmp")).cast("long").alias("n_cmp"),
+        )
+    )
+    totals = W.partitionBy(group_col)
+    p = (F.col("n_ref") + 1) / (F.sum(F.col("n_ref") + 1).over(totals))
+    q = (F.col("n_cmp") + 1) / (F.sum(F.col("n_cmp") + 1).over(totals))
+    return counted.select(
+        group_col,
+        "bucket",
+        "n_ref",
+        "n_cmp",
+        p.alias("p_ref"),
+        q.alias("p_cmp"),
+        ((p - q) * F.log(p / q)).alias("psi_term"),
+    )

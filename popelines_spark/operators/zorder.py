@@ -1,0 +1,74 @@
+"""Z-order (Morton) interleaving for multi-dimensional data layout.
+
+At 100 TB, range queries over TWO correlated dimensions (e.g. time ×
+tenant, custkey × orderkey) defeat single-column sort layouts: files sorted
+by dim A give no min/max pruning on dim B. Interleaving the bits of both
+dimensions into one Morton key and range-partitioning + sorting on it gives
+every file a tight bounding BOX in (A, B) space, so parquet min/max stats
+prune on either predicate — the standard Z-ORDER table-layout optimization.
+
+The bit-spread is the classic 4-step magic-mask doubling, expressed as
+plain shift/AND/OR integer arithmetic: runs in whole-stage codegen, and the
+identical expression is emitted as ANSI SQL for the DuckDB oracle
+(``zorder_sql``) — one source of truth for both engines.
+
+``layout_by_zorder`` is the write-path: repartitionByRange on the key (a
+range shuffle driven by sampled split points) + sortWithinPartitions, the
+exact recipe for producing the pruned layout at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: (shift, mask) doubling schedule spreading 16 bits over 32.
+_SPREAD = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _spread16(c: Column) -> Column:
+    """Spread the low 16 bits of ``c`` to the even bit positions of 32."""
+    x = c.bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in _SPREAD:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def zorder_key(a: Column, b: Column) -> Column:
+    """Morton key interleaving the low 16 bits of ``a`` (even positions)
+    and ``b`` (odd positions) into one BIGINT."""
+    return _spread16(a).bitwiseOR(F.shiftleft(_spread16(b), 1)).cast("long")
+
+
+def _sql_spread16(expr: str) -> str:
+    x = f"({expr} & 65535)"
+    for shift, mask in _SPREAD:
+        x = f"(({x} | ({x} << {shift})) & {mask})"
+    return x
+
+
+def zorder_sql(a_expr: str, b_expr: str) -> str:
+    """The identical Morton-key arithmetic as ANSI SQL (oracle mirror)."""
+    return (
+        f"CAST(({_sql_spread16(a_expr)} | ({_sql_spread16(b_expr)} << 1)) AS BIGINT)"
+    )
+
+
+def layout_by_zorder(
+    df: DataFrame, a: str, b: str, n_files: int | None = None
+) -> DataFrame:
+    """Cluster ``df`` for write: range-partition + sort on the Morton key of
+    (a, b). Each output partition (→ parquet file) then covers a compact
+    rectangle of (a, b) space, giving min/max pruning on both columns."""
+    keyed = df.withColumn("__z", zorder_key(F.col(a), F.col(b)))
+    parted = (
+        keyed.repartitionByRange(n_files, "__z")
+        if n_files
+        else keyed.repartitionByRange("__z")
+    )
+    return parted.sortWithinPartitions("__z").drop("__z")

@@ -1,0 +1,301 @@
+"""Event-sequence + ranking analytics queries (round 4).
+
+Product-analytics operators (funnel, cohort retention, time rollup,
+anomaly/drift monitoring) and lexical ranking (TF-IDF, BM25) — the query
+surface a reference user composes in delegated SQL (popelines/main.py:236),
+made first-class with 100 TB-safe plans (operators/eventseq.py,
+llm/rank.py, operators/zorder.py docstrings carry the scale audits).
+
+Float determinism per SURVEY.md §5: exact decimal/integer accumulation
+everywhere; the only libm calls (ln in TF-IDF / BM25 / PSI) are per-row
+single calls rounded to 6dp on both engines, with integer or lexicographic
+tie-breaks wherever ordering feeds row selection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from popelines_spark.llm import rank
+from popelines_spark.operators import eventseq, zorder
+from popelines_spark.registry import query
+from popelines_spark.queries._util import T
+
+_FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+@query(
+    "c_funnel",
+    oracle="""
+    WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+         s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t
+                WHERE e.event_type = 'click' GROUP BY e.user_id),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+                WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT CAST(0 AS BIGINT) AS step_idx, 'signup' AS step,
+           CAST(count(*) AS BIGINT) AS n_users FROM s0
+    UNION ALL SELECT CAST(1 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM s1
+    UNION ALL SELECT CAST(2 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM s2
+    """,
+)
+def c_funnel(spark, sf_dir):
+    """signup → click → purchase ordered funnel (strictly-increasing ts,
+    min-time chaining — exact, not greedy). operators/eventseq.py:funnel."""
+    return eventseq.funnel(
+        T(spark, sf_dir, "events"), "user_id", "ts", "event_type", _FUNNEL_STEPS
+    )
+
+
+@query(
+    "c_retention_cohort",
+    oracle="""
+    WITH first AS (SELECT user_id, min(ts) AS first_ts
+                   FROM events GROUP BY user_id)
+    SELECT CAST(date_trunc('week', first_ts) AS TIMESTAMP) AS cohort_week,
+           CAST(floor((epoch_us(ts) - epoch_us(first_ts)) / 604800000000)
+                AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN first USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def c_retention_cohort(spark, sf_dir):
+    """Weekly cohort retention matrix. operators/eventseq.py:retention —
+    offsets from exact integer microsecond math, no calendar arithmetic."""
+    return eventseq.retention(T(spark, sf_dir, "events"), "user_id", "ts")
+
+
+@query(
+    "c_rollup_multi",
+    oracle="""
+    SELECT 'hour' AS grain, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'day', CAST(date_trunc('day', ts) AS TIMESTAMP),
+           CAST(count(*) AS BIGINT),
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE)
+    FROM events GROUP BY 2
+    """,
+)
+def c_rollup_multi(spark, sf_dir):
+    """Hypertable-style multi-grain rollup: the day grain aggregates the
+    hour grain's decimal partials (one raw scan total); the oracle recomputes
+    each grain from raw — exact decimal accumulation makes them identical.
+    operators/eventseq.py:time_rollup."""
+    return eventseq.time_rollup(
+        T(spark, sf_dir, "events"), "ts", "value", grains=("hour", "day")
+    )
+
+
+@query(
+    "c_sample_per_group",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM (SELECT e.*, row_number() OVER (
+            PARTITION BY user_id
+            ORDER BY ((event_id % 1000003) * 2654435761) % 1000000007, event_id
+          ) AS rn FROM events e)
+    WHERE rn <= 3
+    """,
+)
+def c_sample_per_group(spark, sf_dir):
+    """Deterministic 3-per-user reservoir sample via multiplicative id-hash
+    order (no RNG — identical rows under retries/AQE and in the oracle).
+    operators/eventseq.py:sample_per_group."""
+    return eventseq.sample_per_group(
+        T(spark, sf_dir, "events"), "user_id", "event_id", k=3
+    ).select("event_id", "user_id", "event_type")
+
+
+@query(
+    "c_anomaly_zscore",
+    oracle="""
+    WITH st AS (SELECT event_type,
+            CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS s,
+            CAST(SUM(CAST(value AS DECIMAL(12,4))
+                     * CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS s2,
+            CAST(count(value) AS DOUBLE) AS n
+        FROM events GROUP BY event_type)
+    SELECT event_id, e.event_type, value,
+           round((value - s/n) / sqrt(s2/n - (s/n)*(s/n)), 6) AS zscore
+    FROM events e JOIN st USING (event_type)
+    WHERE abs((value - s/n) / sqrt(s2/n - (s/n)*(s/n))) > 2.5
+    """,
+)
+def c_anomaly_zscore(spark, sf_dir):
+    """Per-group z-score outliers: moments from decimal-exact sums, so the
+    threshold comparison is bit-identical cross-engine (division and sqrt
+    are IEEE-correctly-rounded). operators/eventseq.py:zscore_outliers."""
+    return (
+        eventseq.zscore_outliers(
+            T(spark, sf_dir, "events"), "event_type", "value", threshold=2.5
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("zscore", 6).alias("zscore"),
+        )
+    )
+
+
+@query(
+    "c_drift_psi",
+    oracle="""
+    WITH counted AS (
+      SELECT event_type,
+             CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT) AS bucket,
+             CAST(count_if(event_id % 2 = 0) AS BIGINT) AS n_ref,
+             CAST(count_if(event_id % 2 = 1) AS BIGINT) AS n_cmp
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT *,
+            sum(n_ref + 1) OVER (PARTITION BY event_type) AS tr,
+            sum(n_cmp + 1) OVER (PARTITION BY event_type) AS tc
+            FROM counted)
+    SELECT event_type, bucket, n_ref, n_cmp,
+           (n_ref + 1) / tr AS p_ref,
+           (n_cmp + 1) / tc AS p_cmp,
+           round(((n_ref+1)/tr - (n_cmp+1)/tc)
+                 * ln(((n_ref+1)/tr) / ((n_cmp+1)/tc)), 6) AS psi_term
+    FROM tot
+    """,
+)
+def c_drift_psi(spark, sf_dir):
+    """Population-stability drift between even/odd event-id halves, per
+    (event_type, value bucket) — attributable per-bucket PSI terms, +1
+    smoothing. operators/eventseq.py:psi_terms."""
+    t = eventseq.psi_terms(
+        T(spark, sf_dir, "events"),
+        "event_type",
+        "value",
+        split=F.col("event_id") % 2 == 1,
+        n_buckets=10,
+        bucket_width=50.0,
+    )
+    return t.withColumn("psi_term", F.round("psi_term", 6))
+
+
+@query(
+    "c_tfidf_topk",
+    oracle="""
+    WITH tf AS (SELECT doc_id, u.term, CAST(count(*) AS BIGINT) AS tf
+                FROM documents, UNNEST(str_split(text, ' ')) AS u(term)
+                GROUP BY doc_id, u.term),
+         dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                   FROM tf GROUP BY term),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         scored AS (SELECT doc_id, term, tf, df,
+                           round(tf * ln((n + 1) / (df + 1)), 6) AS score
+                    FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, score, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def c_tfidf_topk(spark, sf_dir):
+    """Top-3 keywords per document by smoothed TF-IDF; ranking runs on the
+    ROUNDED score with a term tie-break so rank order is engine-independent.
+    llm/rank.py:tfidf_topk."""
+    return rank.tfidf_topk(T(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+_BM25_TERMS = ("spark", "join", "stream")
+
+
+@query(
+    "c_bm25",
+    oracle=f"""
+    WITH tf AS (SELECT doc_id, u.term, CAST(count(*) AS BIGINT) AS tf
+                FROM documents, UNNEST(str_split(text, ' ')) AS u(term)
+                WHERE u.term IN {str(tuple(_BM25_TERMS))}
+                GROUP BY doc_id, u.term),
+         dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                   FROM tf GROUP BY term),
+         stats AS (SELECT doc_id,
+                          CAST(len(str_split(text, ' ')) AS BIGINT) AS dl
+                   FROM documents),
+         consts AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(dl) AS DOUBLE) AS dlsum FROM stats),
+         perterm AS (SELECT tf.doc_id, tf.term,
+                 ln(1 + (n - df + 0.5) / (df + 0.5))
+                 * (tf * (1.2 + 1)
+                    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (dlsum / n)))) AS c
+             FROM tf JOIN dfreq USING (term)
+                     JOIN stats USING (doc_id) CROSS JOIN consts)
+    SELECT doc_id,
+           round(list_sum(list(c ORDER BY term)), 6) AS bm25
+    FROM perterm GROUP BY doc_id
+    """,
+)
+def c_bm25(spark, sf_dir):
+    """BM25 relevance vs a fixed query bag; per-term float contributions
+    summed in term order on BOTH engines (sort_array + fold / list ORDER BY)
+    so the sum is bit-stable. llm/rank.py:bm25."""
+    return rank.bm25(
+        T(spark, sf_dir, "documents"), "doc_id", "text", _BM25_TERMS
+    )
+
+
+@query(
+    "b_join_asof_tolerance",
+    oracle="""
+    WITH err AS (SELECT * FROM events WHERE event_type = 'error'),
+         pur AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT err.event_id, err.user_id,
+           CAST(max(pur.ts) AS TIMESTAMP) AS last_purchase_ts
+    FROM err LEFT JOIN pur
+      ON err.user_id = pur.user_id AND pur.ts <= err.ts
+         AND pur.ts >= err.ts - INTERVAL 7 DAY
+    GROUP BY err.event_id, err.user_id
+    """,
+)
+def b_join_asof_tolerance(spark, sf_dir):
+    """As-of join with a 7-day lookback bound (pandas merge_asof tolerance
+    semantics) — same single-shuffle union+running-last plan as b_join_asof,
+    one extra post-window predicate. operators/asof.py."""
+    from popelines_spark.operators.asof import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+    )
+    return asof_join(
+        err,
+        pur,
+        left_on="user_id",
+        right_on="p_user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        tolerance_us=7 * 86400 * 1_000_000,
+    ).select("event_id", "user_id", F.col("p_ts").alias("last_purchase_ts"))
+
+
+@query(
+    "c_zorder_key",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           {zorder.zorder_sql('o_custkey', 'o_orderkey')} AS zkey
+    FROM orders
+    """,
+)
+def c_zorder_key(spark, sf_dir):
+    """Morton (Z-order) interleave of (custkey, orderkey) — the clustering
+    key for two-dimensional min/max file pruning; pure shift/AND integer
+    arithmetic, identical expression emitted for both engines
+    (operators/zorder.py:zorder_sql is the single source of truth)."""
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        zorder.zorder_key(F.col("o_custkey"), F.col("o_orderkey")).alias("zkey"),
+    )

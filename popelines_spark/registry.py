@@ -91,6 +91,7 @@ def load_all() -> None:
     # stays cheap and circular-import-free.
     from popelines_spark.queries import (  # noqa: F401
         approx,
+        ext_analytics,
         ext_curation,
         ext_dedup,
         ext_similarity,
