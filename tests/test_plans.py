@@ -203,3 +203,42 @@ def test_bucketed_join_has_no_join_exchange(spark):
     assert rep["sortmerge_joins"] == 1
     assert rep["broadcast_joins"] == 0
     assert rep["exchanges"] == 1  # the post-join groupBy only
+
+
+def test_round4_analytics_plans(spark):
+    """Round-4 operator plan audit: keyed joins only (no cartesian outside
+    the broadcast one-row constant frames), scans pruned, windows
+    partitioned (the global rule covers these too — this pins the rest)."""
+    # funnel: every stage join is keyed on user_id; no cartesian
+    rep = plan_report(_q("c_funnel", spark))
+    assert not rep["cartesian"]
+    # retention: two keyed aggs + one keyed join, events scan pruned to
+    # the two referenced columns
+    df = _q("c_retention_cohort", spark)
+    assert_no_cartesian(df)
+    assert_scan_pruned(df, {"user_id": 2})
+    # rollup: no join at all; one raw scan feeding the (checkpointed)
+    # finest grain
+    rep = plan_report(_q("c_rollup_multi", spark))
+    assert (
+        rep["broadcast_joins"] + rep["sortmerge_joins"] + rep["shuffled_hash_joins"]
+    ) == 0
+    # tfidf: scoring join keyed on term; the one-row N frame broadcasts
+    rep = plan_report(_q("c_tfidf_topk", spark))
+    assert not rep["cartesian"]
+    assert rep["broadcast_joins"] >= 1
+    # bm25: dictionary + consts broadcast, per-doc join keyed
+    rep = plan_report(_q("c_bm25", spark))
+    assert not rep["cartesian"]
+    assert rep["broadcast_joins"] >= 1
+    # asof tolerance keeps the join-free union+window shape
+    rep = plan_report(_q("b_join_asof_tolerance", spark))
+    assert (
+        rep["broadcast_joins"] + rep["sortmerge_joins"] + rep["shuffled_hash_joins"]
+    ) == 0
+    assert "Window" in physical_plan(_q("b_join_asof_tolerance", spark))
+    # zorder key is pure codegen arithmetic: no exchange, no join, pruned scan
+    rep = plan_report(_q("c_zorder_key", spark))
+    assert rep["exchanges"] == 0
+    assert rep["wholestage_codegen"]
+    assert_scan_pruned(_q("c_zorder_key", spark), {"o_custkey": 2})
