@@ -30,3 +30,18 @@ def test_ann_search_example(spark, scratch):
     assert stats["partition_dirs"] == 8
     assert stats["hits"] == stats["queries"] * 3
     assert stats["pruned_scan"]
+
+
+def test_product_analytics_example(spark, scratch):
+    from product_analytics import build_mart
+
+    stats = build_mart(spark, SF_DIR, scratch)
+    assert stats["events"] == 1000
+    assert stats["zordered_events"] == 1000  # layout preserves every row
+    assert stats["funnel"]["signup"] >= stats["funnel"]["click"] >= stats[
+        "funnel"
+    ]["purchase"]
+    assert stats["cohort_cells"] >= 1
+    assert stats["rollup_rows"] > 0
+    # deterministic end to end
+    assert build_mart(spark, SF_DIR, scratch) == stats
