@@ -75,6 +75,58 @@ def tfidf_topk(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame
     )
 
 
+def unigram_xent(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus unigram LM:
+    H(doc) = -(1/n_doc) · Σ_tokens ln p(w),  p(w) = count(w) / total_tokens.
+
+    The classic cheap LM quality signal for corpus curation: low H = the
+    doc is made of globally common tokens (boilerplate-ish), high H = rare
+    vocabulary; both tails are filter candidates. (KenLM-style n-gram
+    models slot into the same shape — the unigram dictionary join below
+    becomes an n-gram table join.)
+
+    Exactness: p(w) is an exact rational (two BIGINTs); per-(doc,term)
+    contribution tf·ln(p) is one ln; contributions are summed in term
+    order via the sort_array+fold trick so the float sum is bit-stable
+    cross-engine; output rounded to 6dp.
+
+    Scale: the unigram dictionary is a corpus-wide term agg (map-side
+    combine absorbs the Zipf head); the scoring pass is one keyed join of
+    the (doc, term, tf) frame against it — same shuffle profile as TF-IDF.
+    """
+    tf = _term_freqs(docs, id_col, text_col).localCheckpoint(eager=False)
+    vocab = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("long").alias("__t"))
+    per_term = (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.struct(
+                F.col("term"),
+                (F.col("tf") * F.log(F.col("cnt") / F.col("__t"))).alias("c"),
+            ).alias("__tc"),
+            F.col("tf"),
+        )
+    )
+    return (
+        per_term.groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list("__tc")).alias("__tcs"),
+            F.sum("tf").cast("long").alias("n_toks"),
+        )
+        .select(
+            F.col(id_col),
+            "n_toks",
+            F.round(
+                -F.aggregate("__tcs", F.lit(0.0), lambda a, x: a + x["c"])
+                / F.col("n_toks"),
+                6,
+            ).alias("xent"),
+        )
+    )
+
+
 def bm25(
     docs: DataFrame,
     id_col: str,

@@ -210,6 +210,54 @@ def sample_per_group(
     )
 
 
+def time_to_convert(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    from_type: str,
+    to_type: str,
+) -> DataFrame:
+    """Conversion-latency distribution per weekly cohort: for users whose
+    earliest ``to_type`` event follows their earliest ``from_type`` event,
+    the median and p90 of the gap in seconds, grouped by the cohort week of
+    the ``from_type`` event.
+
+    Exact (not approximate) percentiles: both engines linearly interpolate
+    between the two neighboring order statistics of exact integer
+    microsecond gaps — the arithmetic is two BIGINTs and one IEEE division,
+    so cross-engine hashes match. Exact grouped percentiles sort within the
+    (small) cohort groups only — no global sort; at extreme per-cohort
+    cardinalities the same query runs with approx_percentile and a widened
+    tolerance oracle (the b_agg_approx_quantile pattern).
+    """
+    first_from = (
+        events.filter(F.col(type_col) == from_type)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t0"))
+    )
+    first_to = (
+        events.filter(F.col(type_col) == to_type)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t1"))
+    )
+    gaps = (
+        first_from.join(first_to, user_col)
+        .filter(F.col("__t1") > F.col("__t0"))
+        .select(
+            F.date_trunc("week", F.col("__t0")).alias("cohort_week"),
+            (
+                (F.unix_micros("__t1") - F.unix_micros("__t0")) / 1e6
+            ).alias("__gap_s"),
+        )
+    )
+    return gaps.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(__gap_s, 0.5)"), 6).alias("median_s"),
+        F.round(F.expr("percentile(__gap_s, 0.9)"), 6).alias("p90_s"),
+    )
+
+
 def zscore_outliers(
     df: DataFrame, group_col: str, value_col: str, threshold: float
 ) -> DataFrame:

@@ -244,6 +244,55 @@ def c_bm25(spark, sf_dir):
 
 
 @query(
+    "c_unigram_xent",
+    oracle="""
+    WITH tf AS (SELECT doc_id, u.term, CAST(count(*) AS BIGINT) AS tf
+                FROM documents, UNNEST(str_split(text, ' ')) AS u(term)
+                GROUP BY doc_id, u.term),
+         vocab AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt
+                   FROM tf GROUP BY term),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab),
+         perterm AS (SELECT doc_id, term, tf, tf * ln(cnt / t) AS c
+                     FROM tf JOIN vocab USING (term) CROSS JOIN tot)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+           round(-list_sum(list(c ORDER BY term)) / sum(tf), 6) AS xent
+    FROM perterm GROUP BY doc_id
+    """,
+)
+def c_unigram_xent(spark, sf_dir):
+    """Per-doc cross-entropy under the corpus unigram LM — the cheap LM
+    quality signal (both tails are curation filter candidates). Term-order
+    float summation on both engines. llm/rank.py:unigram_xent."""
+    return rank.unigram_xent(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "c_time_to_convert",
+    oracle="""
+    WITH f0 AS (SELECT user_id, min(ts) AS t0 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+         f1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'purchase' GROUP BY user_id),
+         gaps AS (SELECT CAST(date_trunc('week', t0) AS TIMESTAMP) AS cohort_week,
+                         (epoch_us(t1) - epoch_us(t0)) / 1e6 AS gap_s
+                  FROM f0 JOIN f1 USING (user_id) WHERE t1 > t0)
+    SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(gap_s, 0.5), 6) AS median_s,
+           round(quantile_cont(gap_s, 0.9), 6) AS p90_s
+    FROM gaps GROUP BY cohort_week
+    """,
+)
+def c_time_to_convert(spark, sf_dir):
+    """Signup→purchase conversion-latency distribution per weekly cohort:
+    exact interpolated median/p90 over integer-µs gaps.
+    operators/eventseq.py:time_to_convert."""
+    return eventseq.time_to_convert(
+        T(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        from_type="signup", to_type="purchase",
+    )
+
+
+@query(
     "b_join_asof_tolerance",
     oracle="""
     WITH err AS (SELECT * FROM events WHERE event_type = 'error'),

@@ -310,3 +310,36 @@ def test_layout_by_zorder_clusters_ranges(spark):
     spans = sorted((min(v), max(v)) for v in by_pid.values())
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2
+
+
+def test_unigram_xent_hand_computed(spark):
+    # corpus: "a a b" + "b" → counts a=2, b=2, T=4; p(a)=p(b)=0.5
+    docs = spark.createDataFrame([(1, "a a b"), (2, "b")], "doc_id long, text string")
+    out = {r.doc_id: (r.n_toks, r.xent) for r in rank.unigram_xent(
+        docs, "doc_id", "text"
+    ).collect()}
+    ln2 = round(math.log(2), 6)  # -ln(0.5) per token, every token p=0.5
+    assert out[1] == (3, ln2)
+    assert out[2] == (1, ln2)
+
+
+def test_time_to_convert_percentiles(spark):
+    base = dt.datetime(2024, 1, 1)  # a Monday → its own cohort week
+    rows = []
+    # users 1..5 sign up at base, convert after 10,20,30,40,100 seconds
+    for u, gap in zip((1, 2, 3, 4, 5), (10, 20, 30, 40, 100)):
+        rows.append((u, base, "signup", 0.0))
+        rows.append((u, base + dt.timedelta(seconds=gap), "purchase", 0.0))
+    # user 6 purchases BEFORE signing up — excluded
+    rows.append((6, base + dt.timedelta(seconds=5), "signup", 0.0))
+    rows.append((6, base, "purchase", 0.0))
+    ev = _events(spark, rows)
+    out = eventseq.time_to_convert(
+        ev, "user_id", "ts", "event_type", "signup", "purchase"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.cohort_week == base and r.n_converted == 5
+    assert r.median_s == 30.0
+    # p90 over [10,20,30,40,100]: idx 0.9*4=3.6 → 40 + 0.6*60 = 76
+    assert r.p90_s == 76.0
