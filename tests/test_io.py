@@ -125,3 +125,22 @@ def test_compact_table_shrinks_files_preserves_rows(spark, scratch):
     assert back.selectExpr("sum(v)").collect()[0][0] == df.selectExpr(
         "sum(v)"
     ).collect()[0][0]
+
+
+def test_ntz_columns_cast_to_session_tz(spark):
+    """tables._ntz_to_ltz: TIMESTAMP_NTZ columns become session-tz (UTC)
+    timestamps with identical wall-clock values — the defensive twin of the
+    session's inferTimestampNTZ=false (testdata switched encodings once
+    already; the loader must absorb either)."""
+    import datetime as dt
+
+    from popelines_spark.tables import _ntz_to_ltz
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 3, 1, 12, 30, 45))], "id long, ts timestamp_ntz"
+    )
+    out = _ntz_to_ltz(df)
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    assert out.collect()[0].ts == dt.datetime(2024, 3, 1, 12, 30, 45)
+    # idempotent on already-LTZ frames (no-op, same plan object)
+    assert _ntz_to_ltz(out) is out
