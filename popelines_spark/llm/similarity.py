@@ -345,3 +345,48 @@ def embedding_near_dups(
         .filter(F.col("cos_sim") >= threshold)
         .distinct()
     )
+
+
+def class_centroids(
+    emb: DataFrame, label_col: str, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per-class mean vector (nearest-class-mean / prototype classifier
+    primitive), emitted as (label, pos, mean_val) rows — one per dimension.
+
+    Determinism: per (label, dimension) the float values are folded in
+    id order (sort_array of (id, val) structs + HOF aggregate in double),
+    so the sum is bit-identical across partitionings, retries, and the
+    DuckDB oracle's ``list(... ORDER BY id)`` mirror. At 100 TB-per-class
+    cardinalities the ordered fold (which collects per-cell lists) swaps
+    for a fixed-shape two-level tree sum or a decimal-quantized plain
+    ``sum`` — the row-form output and shuffle profile stay identical.
+
+    Shuffle profile: posexplode (narrow, ×dim) then ONE shuffle keyed on
+    (label, pos) — cell count = |classes|·dim, independent of corpus size.
+    """
+    ex = emb.select(
+        F.col(label_col),
+        F.posexplode(F.col(vec_col)).alias("pos", "__v"),
+        F.col(id_col),
+    )
+    return (
+        ex.groupBy(label_col, "pos")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("__v").alias("v")))
+            ).alias("__vs"),
+            F.count("*").cast("long").alias("n_vecs"),
+        )
+        .select(
+            label_col,
+            F.col("pos").cast("long").alias("pos"),
+            "n_vecs",
+            F.round(
+                F.aggregate(
+                    "__vs", F.lit(0.0), lambda a, x: a + x["v"].cast("double")
+                )
+                / F.col("n_vecs"),
+                6,
+            ).alias("mean_val"),
+        )
+    )

@@ -330,6 +330,31 @@ def b_join_asof_tolerance(spark, sf_dir):
 
 
 @query(
+    "c_class_centroids",
+    oracle="""
+    WITH ex AS (SELECT label, vec_id,
+                       unnest(embedding) AS val,
+                       generate_subscripts(embedding, 1) AS pos
+                FROM embeddings)
+    SELECT label, CAST(pos - 1 AS BIGINT) AS pos,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(list_sum(list(CAST(val AS DOUBLE) ORDER BY vec_id))
+                 / count(*), 6) AS mean_val
+    FROM ex GROUP BY label, pos
+    """,
+)
+def c_class_centroids(spark, sf_dir):
+    """Per-class mean embedding (prototype classifier primitive) as
+    (label, dimension) rows; id-order float folding on both engines.
+    llm/similarity.py:class_centroids."""
+    from popelines_spark.llm.similarity import class_centroids
+
+    return class_centroids(
+        T(spark, sf_dir, "embeddings"), "label", "vec_id", "embedding"
+    )
+
+
+@query(
     "c_zorder_key",
     oracle=f"""
     SELECT o_orderkey, o_custkey,

@@ -57,18 +57,18 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "b_join_bucketed", "s_custom_state", "s_watermark_late",
     "b_sketch_cms", "b_sketch_bloom",
     "c_knn_ivf", "c_knn_lsh", "c_multimodal_audio", "c_multimodal_decode",
-    # -- new in round 4 (12)
+    # -- new in round 4 (13)
     "c_funnel", "c_retention_cohort", "c_rollup_multi", "c_sample_per_group",
     "c_anomaly_zscore", "c_drift_psi", "c_tfidf_topk", "c_bm25",
     "b_join_asof_tolerance", "c_zorder_key",
-    "c_unigram_xent", "c_time_to_convert",
+    "c_unigram_xent", "c_time_to_convert", "c_class_centroids",
     # -- errored in CORRECTNESS_r03, fixed this round (2)
     "b_fn_hof", "c_sessionize",
-    # -- timestamp-path regression re-proof after the NTZ testdata change (14)
+    # -- timestamp-path regression re-proof after the NTZ testdata change (13)
     "s_tumbling", "s_sliding", "s_session", "s_dedup_stream",
     "s_incremental_max", "s_join_interval",
     "b_join_asof", "b_join_asof_strict", "b_win_range_frame",
-    "b_filter_range_dates", "a_chunk_dates", "b_fn_date2",
+    "b_filter_range_dates", "a_chunk_dates",
     "flagship_star_revenue", "c_pack_sequences",
 )
 

@@ -343,3 +343,26 @@ def test_time_to_convert_percentiles(spark):
     assert r.median_s == 30.0
     # p90 over [10,20,30,40,100]: idx 0.9*4=3.6 → 40 + 0.6*60 = 76
     assert r.p90_s == 76.0
+
+
+def test_class_centroids_hand_computed(spark):
+    from popelines_spark.llm.similarity import class_centroids
+
+    emb = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 2.0]),
+            (2, 0, [3.0, 6.0]),
+            (3, 1, [10.0, 20.0]),
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    out = {
+        (r.label, r.pos): (r.n_vecs, r.mean_val)
+        for r in class_centroids(emb, "label", "vec_id", "embedding").collect()
+    }
+    assert out == {
+        (0, 0): (2, 2.0),
+        (0, 1): (2, 4.0),
+        (1, 0): (1, 10.0),
+        (1, 1): (1, 20.0),
+    }
