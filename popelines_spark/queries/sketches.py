@@ -160,3 +160,45 @@ def b_sketch_bloom(spark, sf_dir):
             ).alias("no_false_negative"),
         )
     )
+
+
+@query(
+    "b_sketch_hll_merge",
+    oracle="""
+    SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS merged_within_5pct
+    FROM events GROUP BY 1
+    """,
+)
+def b_sketch_hll_merge(spark, sf_dir):
+    """MERGEABLE distinct-count sketches — the rollup pattern approx_count_
+    distinct can't express: daily HLL sketches built once (the stored
+    partial aggregate), then UNIONED up to weekly without rescanning raw
+    events (hll_sketch_agg → hll_union_agg → hll_sketch_estimate).
+
+    At 100 TB this is how distinct-user rollups actually run: per-partition
+    sketch tables are bounded by sketch geometry, re-aggregate at any grain
+    with a tiny merge, and never re-expand the raw table. The exact
+    countDistinct here exists only for the hash-checkable invariant
+    (estimate within ±5% — Spark's datasketches binary can't be replayed
+    in DuckDB, same reasoning as b_agg_approx_distinct).
+    """
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("__sk")
+    )
+    weekly_est = daily.groupBy(F.date_trunc("week", "day").alias("week")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__est")
+    )
+    exact = ev.groupBy(F.date_trunc("week", "ts").alias("week")).agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users")
+    )
+    return exact.join(weekly_est, "week").select(
+        "week",
+        "exact_users",
+        (
+            F.abs(F.col("__est").cast("double") - F.col("exact_users"))
+            <= F.col("exact_users") * 0.05
+        ).alias("merged_within_5pct"),
+    )

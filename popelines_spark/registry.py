@@ -62,13 +62,14 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "c_anomaly_zscore", "c_drift_psi", "c_tfidf_topk", "c_bm25",
     "b_join_asof_tolerance", "c_zorder_key",
     "c_unigram_xent", "c_time_to_convert", "c_class_centroids",
+    "b_sketch_hll_merge",
     # -- errored in CORRECTNESS_r03, fixed this round (2)
     "b_fn_hof", "c_sessionize",
-    # -- timestamp-path regression re-proof after the NTZ testdata change (13)
+    # -- timestamp-path regression re-proof after the NTZ testdata change (12)
     "s_tumbling", "s_sliding", "s_session", "s_dedup_stream",
     "s_incremental_max", "s_join_interval",
     "b_join_asof", "b_join_asof_strict", "b_win_range_frame",
-    "b_filter_range_dates", "a_chunk_dates",
+    "a_chunk_dates",
     "flagship_star_revenue", "c_pack_sequences",
 )
 
