@@ -15,6 +15,7 @@ tie-breaks wherever ordering feeds row selection.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from popelines_spark.llm import rank
 from popelines_spark.operators import eventseq, zorder
@@ -327,6 +328,89 @@ def b_join_asof_tolerance(spark, sf_dir):
         right_ts="p_ts",
         tolerance_us=7 * 86400 * 1_000_000,
     ).select("event_id", "user_id", F.col("p_ts").alias("last_purchase_ts"))
+
+
+@query(
+    "c_event_transitions",
+    oracle="""
+    WITH t AS (SELECT lag(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+               event_type AS next
+               FROM events)
+    SELECT prev, next, CAST(count(*) AS BIGINT) AS n,
+           count(*) / (sum(count(*)) OVER (PARTITION BY prev)) AS p
+    FROM t WHERE prev IS NOT NULL
+    GROUP BY prev, next
+    """,
+)
+def c_event_transitions(spark, sf_dir):
+    """Markov path analysis: per-user consecutive event-type transition
+    counts and conditional probabilities. One keyed window (user) for the
+    lag, one keyed agg on the (prev, next) pair, one tiny keyed window for
+    the row-normalization — p is an exact rational of two BIGINTs so the
+    double is identical cross-engine."""
+    e = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            F.lag("event_type").over(w).alias("prev"),
+            F.col("event_type").alias("next"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", "next")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return trans.withColumn(
+        "p", F.col("n") / F.sum("n").over(W.partitionBy("prev"))
+    )
+
+
+#: DuckDB mirror of llm/text.py quality_score (same formula as the
+#: c_quality_score oracle in ext_text.py).
+_QUALITY_SQL = """
+    least(len(str_split(text, ' ')) / 100.0, 1.0) * 0.4
+    + (CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+       / len(str_split(text, ' '))) * 0.4
+    + (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                  AS DOUBLE) / length(text)) * 0.2
+"""
+
+
+@query(
+    "c_quality_deciles",
+    oracle=f"""
+    WITH scored AS (SELECT doc_id, lang, {_QUALITY_SQL} AS quality
+                    FROM documents),
+         binned AS (SELECT lang, quality,
+                           ntile(10) OVER (PARTITION BY lang
+                                           ORDER BY quality, doc_id) AS decile
+                    FROM scored)
+    SELECT lang, CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(quality) AS min_q, max(quality) AS max_q
+    FROM binned GROUP BY lang, decile
+    """,
+)
+def c_quality_deciles(spark, sf_dir):
+    """Curriculum/quality binning: per-language decile thresholds of the
+    quality score (llm/text.py) via a lang-partitioned ntile — the binning
+    step of quality-curriculum sampling. Window ordering ends in doc_id so
+    tie assignment is total-ordered; min/max per bin are order-insensitive
+    exact doubles."""
+    from popelines_spark.llm import text as X
+
+    d = T(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "lang", X.quality_score("text").alias("quality"))
+    w = W.partitionBy("lang").orderBy("quality", "doc_id")
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("lang", F.col("decile").cast("long").alias("decile"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("quality").alias("min_q"),
+            F.max("quality").alias("max_q"),
+        )
+    )
 
 
 @query(

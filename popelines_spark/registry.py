@@ -62,14 +62,15 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "c_anomaly_zscore", "c_drift_psi", "c_tfidf_topk", "c_bm25",
     "b_join_asof_tolerance", "c_zorder_key",
     "c_unigram_xent", "c_time_to_convert", "c_class_centroids",
-    "b_sketch_hll_merge",
+    "b_sketch_hll_merge", "c_event_transitions", "c_quality_deciles",
     # -- errored in CORRECTNESS_r03, fixed this round (2)
     "b_fn_hof", "c_sessionize",
-    # -- timestamp-path regression re-proof after the NTZ testdata change (12)
+    # -- timestamp-path regression re-proof after the NTZ testdata change
+    # (10 — b_join_asof_strict and c_sessionize-adjacent date queries that
+    # already carry post-NTZ r3 rows are not re-scored)
     "s_tumbling", "s_sliding", "s_session", "s_dedup_stream",
     "s_incremental_max", "s_join_interval",
-    "b_join_asof", "b_join_asof_strict", "b_win_range_frame",
-    "a_chunk_dates",
+    "b_join_asof", "b_win_range_frame",
     "flagship_star_revenue", "c_pack_sequences",
 )
 
