@@ -439,6 +439,78 @@ def c_class_centroids(spark, sf_dir):
 
 
 @query(
+    "c_dq_checks",
+    oracle="""
+    SELECT 'orderkey_not_null' AS check_name,
+           CAST(count_if(o_orderkey IS NULL) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_unique',
+           CAST(coalesce(sum(n) FILTER (n > 1), 0) AS BIGINT)
+    FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'totalprice_range',
+           CAST(count_if(o_totalprice < 0 OR o_totalprice > 1000000) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orderdate_not_null',
+           CAST(count_if(o_orderdate IS NULL) AS BIGINT)
+    FROM orders
+    """,
+)
+def c_dq_checks(spark, sf_dir):
+    """Data-quality expectations (the Deequ/Great-Expectations staple):
+    null, range and uniqueness constraints emitted as one row per check
+    with the violation count. The scalar checks share ONE scan via a
+    single conditional aggregate; uniqueness is its own keyed count.
+    At 100 TB this shape holds: scalar checks stay one pass, uniqueness
+    is one groupBy on the candidate key."""
+    o = T(spark, sf_dir, "orders")
+    scalars = o.agg(
+        F.count_if(F.col("o_orderkey").isNull()).cast("long").alias("nn"),
+        F.count_if(
+            (F.col("o_totalprice") < 0) | (F.col("o_totalprice") > 1_000_000)
+        )
+        .cast("long")
+        .alias("rng"),
+        F.count_if(F.col("o_orderdate").isNull()).cast("long").alias("dn"),
+    ).localCheckpoint(eager=False)  # one scan feeds three output branches
+    dups = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("n") > 1, F.col("n"))), F.lit(0))
+            .cast("long")
+            .alias("v")
+        )
+    )
+    return (
+        scalars.select(
+            F.lit("orderkey_not_null").alias("check_name"),
+            F.col("nn").alias("n_violations"),
+        )
+        .unionByName(
+            dups.select(
+                F.lit("orderkey_unique").alias("check_name"),
+                F.col("v").alias("n_violations"),
+            )
+        )
+        .unionByName(
+            scalars.select(
+                F.lit("totalprice_range").alias("check_name"),
+                F.col("rng").alias("n_violations"),
+            )
+        )
+        .unionByName(
+            scalars.select(
+                F.lit("orderdate_not_null").alias("check_name"),
+                F.col("dn").alias("n_violations"),
+            )
+        )
+    )
+
+
+@query(
     "c_zorder_key",
     oracle=f"""
     SELECT o_orderkey, o_custkey,

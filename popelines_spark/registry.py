@@ -63,15 +63,19 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "b_join_asof_tolerance", "c_zorder_key",
     "c_unigram_xent", "c_time_to_convert", "c_class_centroids",
     "b_sketch_hll_merge", "c_event_transitions", "c_quality_deciles",
+    "c_dq_checks",
     # -- errored in CORRECTNESS_r03, fixed this round (2)
     "b_fn_hof", "c_sessionize",
     # -- timestamp-path regression re-proof after the NTZ testdata change
-    # (10 — b_join_asof_strict and c_sessionize-adjacent date queries that
-    # already carry post-NTZ r3 rows are not re-scored)
+    # (9 — entries that already carry post-NTZ r3 rows are not re-scored)
     "s_tumbling", "s_sliding", "s_session", "s_dedup_stream",
     "s_incremental_max", "s_join_interval",
-    "b_join_asof", "b_win_range_frame",
+    "b_join_asof",
     "flagship_star_revenue", "c_pack_sequences",
+    # ROUND-5 NOTE: after this round's window every registered query has a
+    # driver-green row on file (rounds 1-3 covered the rest).  Next round:
+    # rotate round-5 additions first, then any entries whose r4 rows
+    # errored, then fill with heavy hitters.
 )
 
 
