@@ -35,10 +35,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-#: Same multiplicative-hash constants as llm/mix.py — fixed salt,
-#: fold-before-multiply so the product never leaves BIGINT.
-_KNUTH = 2654435761
-_FOLD = 1000003
+# Single source of the fixed-salt multiplicative-hash constants (their SQL
+# literals appear in the c_sample_per_group / mixture / split oracles —
+# importing keeps every consumer in lockstep).
+from popelines_spark.llm.mix import _FOLD, _KNUTH  # noqa: E402
 
 #: Exact accumulator for 2dp metric doubles ≤ ~1e7 (events.value).
 _DEC = "decimal(12,4)"
@@ -152,6 +152,16 @@ def time_rollup(
     """
     if not grains:
         raise ValueError("time_rollup: need at least one grain")
+    order = {g: i for i, g in enumerate(
+        ("second", "minute", "hour", "day", "week", "month", "quarter", "year")
+    )}
+    unknown = [g for g in grains if g not in order]
+    if unknown:
+        raise ValueError(f"time_rollup: unknown grain(s) {unknown}")
+    if any(order[a] >= order[b] for a, b in zip(grains, grains[1:])):
+        # out-of-order grains would silently mislabel: date_trunc('hour')
+        # over day-truncated buckets is a no-op, not an hourly rollup.
+        raise ValueError(f"time_rollup: grains must be fine→coarse, got {grains}")
     level = (
         events.groupBy(F.date_trunc(grains[0], F.col(ts_col)).alias("bucket_ts"))
         .agg(
@@ -276,11 +286,18 @@ def zscore_outliers(
     )
     mean = F.col("__s") / F.col("__n")
     var = F.col("__s2") / F.col("__n") - mean * mean
-    z = (F.col(value_col) - mean) / F.sqrt(var)
+    # One-pass variance can land an ulp BELOW zero for constant or
+    # single-row groups (float(v·v) - float(v)·float(v) ≈ -1e-11): sqrt
+    # would be NaN, and NaN > threshold is TRUE under Spark's NaN-high
+    # ordering — every row of the group would emit as an "outlier". Guard
+    # the whole z expression on var > 0 (identical IEEE bits on both
+    # engines, so the boundary decision matches the oracle); a zero-
+    # variance group has no deviation and therefore no outliers.
+    z = F.when(var > 0, (F.col(value_col) - mean) / F.sqrt(var))
     return (
         df.join(F.broadcast(stats), group_col)
         .withColumn("zscore", z)
-        .filter(F.abs(F.col("zscore")) > threshold)
+        .filter(F.col("zscore").isNotNull() & (F.abs(F.col("zscore")) > threshold))
         .drop("__s", "__s2", "__n")
     )
 

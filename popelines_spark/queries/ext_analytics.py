@@ -125,7 +125,9 @@ def c_sample_per_group(spark, sf_dir):
     SELECT event_id, e.event_type, value,
            round((value - s/n) / sqrt(s2/n - (s/n)*(s/n)), 6) AS zscore
     FROM events e JOIN st USING (event_type)
-    WHERE abs((value - s/n) / sqrt(s2/n - (s/n)*(s/n))) > 2.5
+    WHERE CASE WHEN s2/n - (s/n)*(s/n) > 0
+               THEN abs((value - s/n) / sqrt(s2/n - (s/n)*(s/n))) > 2.5
+               ELSE FALSE END
     """,
 )
 def c_anomaly_zscore(spark, sf_dir):
@@ -215,7 +217,7 @@ _BM25_TERMS = ("spark", "join", "stream")
     oracle=f"""
     WITH tf AS (SELECT doc_id, u.term, CAST(count(*) AS BIGINT) AS tf
                 FROM documents, UNNEST(str_split(text, ' ')) AS u(term)
-                WHERE u.term IN {str(tuple(_BM25_TERMS))}
+                WHERE u.term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
                 GROUP BY doc_id, u.term),
          dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
                    FROM tf GROUP BY term),
@@ -365,21 +367,13 @@ def c_event_transitions(spark, sf_dir):
     )
 
 
-#: DuckDB mirror of llm/text.py quality_score (same formula as the
-#: c_quality_score oracle in ext_text.py).
-_QUALITY_SQL = """
-    least(len(str_split(text, ' ')) / 100.0, 1.0) * 0.4
-    + (CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
-       / len(str_split(text, ' '))) * 0.4
-    + (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
-                  AS DOUBLE) / length(text)) * 0.2
-"""
+from popelines_spark.queries.ext_text import QUALITY_SQL  # noqa: E402
 
 
 @query(
     "c_quality_deciles",
     oracle=f"""
-    WITH scored AS (SELECT doc_id, lang, {_QUALITY_SQL} AS quality
+    WITH scored AS (SELECT doc_id, lang, {QUALITY_SQL} AS quality
                     FROM documents),
          binned AS (SELECT lang, quality,
                            ntile(10) OVER (PARTITION BY lang

@@ -109,14 +109,21 @@ def c_lang_id(spark, sf_dir):
     return d.select("doc_id", X.lang_id("text").alias("pred_lang"))
 
 
+#: DuckDB mirror of llm/text.py quality_score — THE shared spelling; every
+#: oracle that scores quality (here and ext_analytics.c_quality_deciles)
+#: must use this constant so the formula can't silently diverge.
+QUALITY_SQL = f"""
+    least(len({_WS}) / 100.0, 1.0) * 0.4
+    + (CAST(len(list_distinct({_WS})) AS DOUBLE) / len({_WS})) * 0.4
+    + (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                  AS DOUBLE) / length(text)) * 0.2
+"""
+
+
 @query(
     "c_quality_score",
     oracle=f"""
-    SELECT doc_id,
-           least(len({_WS}) / 100.0, 1.0) * 0.4
-           + (CAST(len(list_distinct({_WS})) AS DOUBLE) / len({_WS})) * 0.4
-           + (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
-                         AS DOUBLE) / length(text)) * 0.2 AS quality
+    SELECT doc_id, {QUALITY_SQL} AS quality
     FROM documents
     """,
 )

@@ -42,12 +42,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # Round-4 rotation: the driver scores a bounded 50-entry prefix of the
-# registry per round (rounds 1-3 covered 149 distinct queries; r3's window
-# stopped at slot 48 so c_knn_ivf/c_knn_lsh/c_multimodal_* never got a row).
-# This round's 50: the 22 never-driver-scored entries (r3's spill + queue),
-# the 10 new round-4 analytics queries, the 2 queries whose r3 rows errored
-# (b_fn_hof driver-canon arrays, c_sessionize NTZ — both fixed this round),
-# and 16 timestamp-heavy queries re-proven after the testdata's switch to
+# registry per round.  This round's 50 = 22 never-driver-scored entries
+# (r3's spill + queue) + 17 new round-4 queries + 2 whose r3 rows errored
+# (b_fn_hof driver-canon arrays, c_sessionize NTZ — both fixed this round)
+# + 9 timestamp-heavy queries re-proven after the testdata's switch to
 # TIMESTAMP_NTZ encoding. (tools/parity.py still covers the full registry.)
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # -- never driver-scored (22)
@@ -57,7 +55,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "b_join_bucketed", "s_custom_state", "s_watermark_late",
     "b_sketch_cms", "b_sketch_bloom",
     "c_knn_ivf", "c_knn_lsh", "c_multimodal_audio", "c_multimodal_decode",
-    # -- new in round 4 (13)
+    # -- new in round 4 (17)
     "c_funnel", "c_retention_cohort", "c_rollup_multi", "c_sample_per_group",
     "c_anomaly_zscore", "c_drift_psi", "c_tfidf_topk", "c_bm25",
     "b_join_asof_tolerance", "c_zorder_key",

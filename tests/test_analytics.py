@@ -263,7 +263,8 @@ def test_asof_tolerance_boundary(spark):
 
 def test_zorder_key_interleaves_bits(spark):
     df = spark.createDataFrame(
-        [(1, 0), (0, 1), (3, 5), (0xFFFF, 0)], "a long, b long"
+        [(1, 0), (0, 1), (3, 5), (0xFFFF, 0), (1 << 16, 0), (0, 1 << 30)],
+        "a long, b long",
     )
     out = [
         r.z
@@ -277,6 +278,11 @@ def test_zorder_key_interleaves_bits(spark):
     # a=3 (bits 0,1 → positions 0,2), b=5 (bits 0,2 → positions 1,5)
     assert out[2] == 0b100111
     assert out[3] == 0x55555555
+    # beyond 16 bits: bit 16 of a lands at even position 32 (no silent
+    # truncation below 2^31), bit 30 of b at odd position 61 — still a
+    # non-negative BIGINT so signed ordering is Morton ordering
+    assert out[4] == 1 << 32
+    assert out[5] == 1 << 61
 
 
 def test_zorder_sql_matches_column_expr(spark):
