@@ -372,3 +372,25 @@ def test_class_centroids_hand_computed(spark):
         (1, 0): (1, 10.0),
         (1, 1): (1, 20.0),
     }
+
+
+def test_zscore_zero_variance_group_emits_nothing(spark):
+    """Regression: one-pass variance lands an ulp below zero for constant
+    and single-row groups; sqrt(neg)=NaN and Spark's NaN-high ordering
+    would flag EVERY row. Guarded var>0 must emit zero outliers."""
+    rows = [(1, _ts(i), "const", 719.2) for i in range(5)] + [
+        (2, _ts(0), "single", 42.37)
+    ]
+    ev = _events(spark, rows)
+    out = eventseq.zscore_outliers(ev, "event_type", "value", threshold=2.5)
+    assert out.count() == 0
+
+
+def test_time_rollup_rejects_bad_grains(spark):
+    import pytest
+
+    ev = _events(spark, [(1, _ts(0), "view", 1.0)])
+    with pytest.raises(ValueError, match="fine→coarse"):
+        eventseq.time_rollup(ev, "ts", "value", grains=("day", "hour"))
+    with pytest.raises(ValueError, match="unknown grain"):
+        eventseq.time_rollup(ev, "ts", "value", grains=("fortnight",))
