@@ -394,3 +394,41 @@ def test_time_rollup_rejects_bad_grains(spark):
         eventseq.time_rollup(ev, "ts", "value", grains=("day", "hour"))
     with pytest.raises(ValueError, match="unknown grain"):
         eventseq.time_rollup(ev, "ts", "value", grains=("fortnight",))
+
+
+# --- z-order property: the key is a true bijective interleave ------------
+
+
+def _deinterleave(z):
+    a = b = 0
+    for i in range(62):
+        bit = (z >> i) & 1
+        if i % 2 == 0:
+            a |= bit << (i // 2)
+        else:
+            b |= bit << (i // 2)
+    return a, b
+
+
+def test_zorder_key_bijective_on_31_bits(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    pairs = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=(1 << 31) - 1),
+        st.integers(min_value=0, max_value=(1 << 31) - 1),
+    )
+    def collect(a, b):
+        pairs.append((a, b))
+
+    collect()
+    df = spark.createDataFrame(pairs, "a long, b long")
+    rows = df.select(
+        "a", "b", zorder.zorder_key(F.col("a"), F.col("b")).alias("z")
+    ).collect()
+    for r in rows:
+        assert r.z >= 0  # sign bit untouched → signed order = Morton order
+        assert _deinterleave(r.z) == (r.a, r.b)
