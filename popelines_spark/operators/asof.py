@@ -46,23 +46,32 @@ def asof_join(
     how: str = "left",
     strict: bool = False,
     tolerance_us: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the right row with the
-    greatest ``right_ts`` satisfying ``right_ts <= left_ts`` (``<`` when
-    ``strict``) and key equality. Unmatched left rows keep NULL right
-    columns when ``how='left'``; are dropped when ``how='inner'``.
+    """As-of join. ``direction='backward'`` (default): for each left row,
+    the right row with the greatest ``right_ts`` satisfying
+    ``right_ts <= left_ts`` (``<`` when ``strict``).
+    ``direction='forward'``: the SMALLEST ``right_ts`` with
+    ``right_ts >= left_ts`` (``>`` when ``strict``) — the traversal simply
+    runs in descending ts order, same single-shuffle union+running-last
+    plan. Unmatched left rows keep NULL right columns when ``how='left'``;
+    are dropped when ``how='inner'``.
 
-    ``tolerance_us`` bounds the lookback: a candidate older than
-    ``left_ts - tolerance_us`` microseconds is treated as no match (the
-    pandas ``merge_asof(tolerance=...)`` semantics). Implemented as a
-    post-window predicate on the winning candidate — the single-shuffle
-    union+running-last plan is unchanged, so the scale story is identical.
+    ``tolerance_us`` bounds the lookback (backward) / lookahead (forward):
+    a winning candidate further than ``tolerance_us`` microseconds from
+    ``left_ts`` is treated as no match (the pandas
+    ``merge_asof(tolerance=...)`` semantics). Implemented as a post-window
+    predicate on the winning candidate — plan shape unchanged.
 
     Left and right column names must be disjoint (rename before joining) —
     the output carries both sides flat, like a join would.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join: how must be left|inner, got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join: direction must be backward|forward, got {direction!r}"
+        )
     overlap = sorted(set(left.columns) & set(right.columns))
     if overlap:
         raise ValueError(f"asof_join: overlapping column names {overlap}")
@@ -95,9 +104,14 @@ def asof_join(
             F.struct(*[F.col(c) for c in right.columns]).alias("__r"),
         )
     )
+    # Backward walks ts ascending (running-last = greatest rts <= lts);
+    # forward walks ts DESCENDING (running-last = smallest rts >= lts).
+    # The __side ordering is unchanged: at equal ts the inclusive right row
+    # still sorts before the left row it may match.
+    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         W.partitionBy("__k")
-        .orderBy("__ts", "__side", "__tb")
+        .orderBy(ts_order, "__side", "__tb")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     matched = (
@@ -106,13 +120,12 @@ def asof_join(
         .filter(F.col("__l").isNotNull())
     )
     if tolerance_us is not None:
-        # Null out a winner that is older than the lookback bound; the
-        # window already guaranteed __m.right_ts <= left ts, so one lower-
-        # bound comparison suffices.
-        within = (
-            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m")[right_ts])
-            <= F.lit(tolerance_us)
-        )
+        # Null out a winner beyond the bound; the window already guaranteed
+        # the correct side of left_ts, so one signed comparison suffices.
+        gap = F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m")[right_ts])
+        if direction == "forward":
+            gap = -gap
+        within = gap <= F.lit(tolerance_us)
         matched = matched.withColumn(
             "__m", F.when(F.col("__m").isNotNull() & within, F.col("__m"))
         )

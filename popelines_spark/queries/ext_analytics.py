@@ -433,6 +433,42 @@ def c_class_centroids(spark, sf_dir):
 
 
 @query(
+    "b_join_asof_forward",
+    oracle="""
+    WITH err AS (SELECT * FROM events WHERE event_type = 'error'),
+         pur AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT err.event_id, err.user_id,
+           CAST(min(pur.ts) AS TIMESTAMP) AS next_purchase_ts
+    FROM err LEFT JOIN pur
+      ON err.user_id = pur.user_id AND pur.ts >= err.ts
+    GROUP BY err.event_id, err.user_id
+    """,
+)
+def b_join_asof_forward(spark, sf_dir):
+    """Forward as-of: for each error event, the EARLIEST purchase at
+    ts >= error ts — the descending-traversal twin of b_join_asof, same
+    join-free union+window plan. operators/asof.py (direction='forward')."""
+    from popelines_spark.operators.asof import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+    )
+    return asof_join(
+        err,
+        pur,
+        left_on="user_id",
+        right_on="p_user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        direction="forward",
+    ).select("event_id", "user_id", F.col("p_ts").alias("next_purchase_ts"))
+
+
+@query(
     "c_dq_checks",
     oracle="""
     SELECT 'orderkey_not_null' AS check_name,

@@ -77,3 +77,38 @@ def test_asof_matches_bruteforce_on_random_inputs(spark):
             cands = [rts for (rk, rts, _) in right if rk == k and rts <= ts]
             want[lid] = max(cands) if cands else None
         assert got == want, f"trial {trial}"
+
+
+def test_asof_forward_picks_earliest_at_or_after(spark):
+    import datetime as dt
+
+    from popelines_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(10), "L"), (1, t(50), "L2")], "k long, lts timestamp, lpay string"
+    )
+    right = spark.createDataFrame(
+        [(1, t(5), "past"), (1, t(10), "now"), (1, t(20), "soon"), (1, t(30), "later")],
+        "rk long, rts timestamp, rpay string",
+    )
+    out = {r.lpay: r.rpay for r in asof_join(
+        left, right, "k", "rk", "lts", "rts", direction="forward"
+    ).collect()}
+    assert out == {"L": "now", "L2": None}  # inclusive >=; nothing after t50
+    # strict: rts > lts skips the equal-ts row
+    out = {r.lpay: r.rpay for r in asof_join(
+        left, right, "k", "rk", "lts", "rts", direction="forward", strict=True
+    ).collect()}
+    assert out["L"] == "soon"
+    # forward tolerance: within 10 min keeps 'soon' for L at t10? gap=10min
+    out = {r.lpay: r.rpay for r in asof_join(
+        left, right, "k", "rk", "lts", "rts", direction="forward", strict=True,
+        tolerance_us=10 * 60 * 1_000_000,
+    ).collect()}
+    assert out["L"] == "soon"
+    out = {r.lpay: r.rpay for r in asof_join(
+        left, right, "k", "rk", "lts", "rts", direction="forward", strict=True,
+        tolerance_us=9 * 60 * 1_000_000,
+    ).collect()}
+    assert out["L"] is None
