@@ -302,6 +302,59 @@ def zscore_outliers(
     )
 
 
+def ab_test(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    convert_type: str,
+    variant: Column,
+) -> DataFrame:
+    """Two-proportion z-test between two experiment arms: per-user
+    conversion (any ``convert_type`` event), arms assigned by ``variant``
+    (a boolean column over the user grain — deterministic splits only, e.g.
+    ``user_id % 2 = 1``, never RNG).
+
+    One row: arm sizes, conversions, rates, and the pooled two-proportion
+    z statistic. Everything is exact integer counts + IEEE division/sqrt,
+    so the statistic is bit-identical cross-engine; the degenerate pooled
+    rates (0 or 1 — zero variance) yield NULL z on both engines via an
+    identical guarded branch.
+
+    Plan: one keyed agg to the user grain, then a single conditional
+    aggregate — two shuffles total, output is one row.
+    """
+    per_user = (
+        events.groupBy(user_col)
+        .agg(
+            F.max(F.when(F.col(type_col) == convert_type, 1).otherwise(0)).alias(
+                "__conv"
+            )
+        )
+        .withColumn("__b", variant)
+    )
+    agg = per_user.agg(
+        F.count_if(~F.col("__b")).cast("long").alias("n_a"),
+        F.count_if(F.col("__b")).cast("long").alias("n_b"),
+        F.sum(F.when(~F.col("__b"), F.col("__conv"))).cast("long").alias("conv_a"),
+        F.sum(F.when(F.col("__b"), F.col("__conv"))).cast("long").alias("conv_b"),
+    )
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    return agg.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        F.round(
+            F.when((pool > 0) & (pool < 1), (p_a - p_b) / se), 6
+        ).alias("z"),
+    )
+
+
 def psi_terms(
     df: DataFrame,
     group_col: str,

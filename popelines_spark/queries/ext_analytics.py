@@ -367,7 +367,66 @@ def c_event_transitions(spark, sf_dir):
     )
 
 
-from popelines_spark.queries.ext_text import QUALITY_SQL  # noqa: E402
+from popelines_spark.queries.ext_text import QUALITY_SQL, _lang_case_sql  # noqa: E402
+
+
+@query(
+    "c_ab_test",
+    oracle="""
+    WITH u AS (SELECT user_id,
+                      max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS conv,
+                      user_id % 2 = 1 AS b
+               FROM events GROUP BY user_id),
+         agg AS (SELECT CAST(count_if(NOT b) AS BIGINT) AS n_a,
+                        CAST(count_if(b) AS BIGINT) AS n_b,
+                        CAST(sum(CASE WHEN NOT b THEN conv END) AS BIGINT)
+                          AS conv_a,
+                        CAST(sum(CASE WHEN b THEN conv END) AS BIGINT) AS conv_b
+                 FROM u)
+    SELECT n_a, n_b, conv_a, conv_b,
+           conv_a / n_a AS p_a, conv_b / n_b AS p_b,
+           round(CASE WHEN (conv_a + conv_b) / (n_a + n_b) > 0
+                       AND (conv_a + conv_b) / (n_a + n_b) < 1
+                      THEN (conv_a / n_a - conv_b / n_b)
+                           / sqrt((conv_a + conv_b) / (n_a + n_b)
+                                  * (1 - (conv_a + conv_b) / (n_a + n_b))
+                                  * (1.0 / n_a + 1.0 / n_b))
+                 END, 6) AS z
+    FROM agg
+    """,
+)
+def c_ab_test(spark, sf_dir):
+    """Experimentation primitive: two-proportion z-test of purchase
+    conversion between deterministic user-id arms.
+    operators/eventseq.py:ab_test."""
+    e = T(spark, sf_dir, "events")
+    return eventseq.ab_test(
+        e, "user_id", "event_type", "purchase", variant=F.col("user_id") % 2 == 1
+    )
+
+
+@query(
+    "c_lang_confusion",
+    oracle=f"""
+    SELECT lang, {_lang_case_sql()} AS pred_lang,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def c_lang_confusion(spark, sf_dir):
+    """Labeled-vs-predicted language confusion matrix — the eval op for the
+    lang-ID heuristic (llm/text.py): one keyed agg over (label, prediction).
+    Reuses ext_text's shared CASE spelling so the heuristic can't diverge
+    between c_lang_id and this matrix."""
+    from popelines_spark.llm import text as X
+
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select("lang", X.lang_id("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
 
 
 @query(

@@ -432,3 +432,30 @@ def test_zorder_key_bijective_on_31_bits(spark):
     for r in rows:
         assert r.z >= 0  # sign bit untouched → signed order = Morton order
         assert _deinterleave(r.z) == (r.a, r.b)
+
+
+def test_ab_test_hand_computed_z(spark):
+    # arm a (even ids): users 2,4 both convert; arm b (odd): 1 of 3 converts
+    rows = []
+    for u, conv in ((1, True), (2, True), (3, False), (4, True), (5, False)):
+        rows.append((u, _ts(0), "signup", 0.0))
+        if conv:
+            rows.append((u, _ts(1), "purchase", 0.0))
+    ev = _events(spark, rows)
+    out = eventseq.ab_test(
+        ev, "user_id", "event_type", "purchase", variant=F.col("user_id") % 2 == 1
+    ).collect()[0]
+    assert (out.n_a, out.n_b, out.conv_a, out.conv_b) == (2, 3, 2, 1)
+    assert out.p_a == 1.0 and abs(out.p_b - 1 / 3) < 1e-15
+    pool = 3 / 5
+    z = (1.0 - 1 / 3) / math.sqrt(pool * (1 - pool) * (1 / 2 + 1 / 3))
+    assert out.z == round(z, 6)
+
+
+def test_ab_test_degenerate_pool_gives_null_z(spark):
+    rows = [(u, _ts(0), "signup", 0.0) for u in (1, 2, 3, 4)]  # nobody converts
+    ev = _events(spark, rows)
+    out = eventseq.ab_test(
+        ev, "user_id", "event_type", "purchase", variant=F.col("user_id") % 2 == 1
+    ).collect()[0]
+    assert out.z is None and out.conv_a == 0 and out.conv_b == 0
