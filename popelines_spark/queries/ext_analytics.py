@@ -407,6 +407,52 @@ def c_ab_test(spark, sf_dir):
 
 
 @query(
+    "c_stickiness",
+    oracle="""
+    WITH d AS (SELECT date_trunc('week', ts) AS week,
+                      date_trunc('day', ts) AS day,
+                      CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+               FROM events GROUP BY 1, 2),
+         w AS (SELECT date_trunc('week', ts) AS week,
+                      CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+               FROM events GROUP BY 1)
+    SELECT CAST(d.week AS TIMESTAMP) AS week,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(dau) AS BIGINT) AS sum_dau,
+           any_value(wau) AS wau,
+           (sum(dau) / count(*)) / any_value(wau) AS stickiness
+    FROM d JOIN w USING (week)
+    GROUP BY d.week
+    """,
+)
+def c_stickiness(spark, sf_dir):
+    """DAU/WAU stickiness per week — the classic engagement ratio. Exact
+    integer distinct counts; stickiness = (sum_dau/n_days)/wau is pure
+    rational arithmetic so the double matches bit-for-bit. Two keyed
+    distinct aggs (day grain, week grain) + one keyed join."""
+    e = T(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.date_trunc("week", "ts").alias("week"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.count_distinct("user_id").cast("long").alias("dau"))
+    w = e.groupBy(F.date_trunc("week", "ts").alias("week")).agg(
+        F.count_distinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        d.join(w, "week")
+        .groupBy("week")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("dau").cast("long").alias("sum_dau"),
+            F.any_value("wau").alias("wau"),
+            (
+                (F.sum("dau") / F.count("*")) / F.any_value("wau")
+            ).alias("stickiness"),
+        )
+    )
+
+
+@query(
     "c_lang_confusion",
     oracle=f"""
     SELECT lang, {_lang_case_sql()} AS pred_lang,

@@ -43,7 +43,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # Round-4 rotation: the driver scores a bounded 50-entry prefix of the
 # registry per round.  This round's 50 = 22 never-driver-scored entries
-# (r3's spill + queue) + 20 new round-4 queries + 2 whose r3 rows errored
+# (r3's spill + queue) + 21 new round-4 queries + 2 whose r3 rows errored
 # (b_fn_hof driver-canon arrays, c_sessionize NTZ — both fixed this round)
 # + 8 timestamp-heavy queries re-proven after the testdata's switch to
 # TIMESTAMP_NTZ encoding. (tools/parity.py still covers the full registry.)
@@ -55,20 +55,21 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "b_join_bucketed", "s_custom_state", "s_watermark_late",
     "b_sketch_cms", "b_sketch_bloom",
     "c_knn_ivf", "c_knn_lsh", "c_multimodal_audio", "c_multimodal_decode",
-    # -- new in round 4 (20)
+    # -- new in round 4 (21)
     "c_funnel", "c_retention_cohort", "c_rollup_multi", "c_sample_per_group",
     "c_anomaly_zscore", "c_drift_psi", "c_tfidf_topk", "c_bm25",
     "b_join_asof_tolerance", "c_zorder_key",
     "c_unigram_xent", "c_time_to_convert", "c_class_centroids",
     "b_sketch_hll_merge", "c_event_transitions", "c_quality_deciles",
-    "c_dq_checks", "b_join_asof_forward", "c_ab_test", "c_lang_confusion",
+    "c_dq_checks", "b_join_asof_forward", "c_ab_test", "c_lang_confusion", "c_stickiness",
     # -- errored in CORRECTNESS_r03, fixed this round (2)
     "b_fn_hof", "c_sessionize",
     # -- timestamp-path regression re-proof after the NTZ testdata change
-    # (6 — entries with post-NTZ r3 rows or no timestamp sensitivity
+    # (5 — entries with post-NTZ r3 rows or no timestamp sensitivity
     # are not re-scored; b_join_asof's shape is covered by the forward/
-    # tolerance twins above, flagship by the bench artifact)
-    "s_tumbling", "s_sliding", "s_session", "s_dedup_stream",
+    # tolerance twins above, flagship by the bench artifact, s_sliding by
+    # s_tumbling's identical watermark+window path)
+    "s_tumbling", "s_session", "s_dedup_stream",
     "s_incremental_max", "s_join_interval",
     # ROUND-5 NOTE: after this round's window every registered query has a
     # driver-green row on file (rounds 1-3 covered the rest).  Next round:
