@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "c_rollup_multi",          # multi-grain time rollup (round 4)
     "c_tfidf_topk",            # TF-IDF keyword extraction (round 4)
     "c_bm25",                  # BM25 relevance scoring (round 4)
+    "c_skew_sessionize",       # hot-key (20%-of-rows) sessionize (round 5)
 ]
 
 

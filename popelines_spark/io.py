@@ -22,7 +22,6 @@ functions work on ``s3a://``/``gs://`` URIs.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -144,10 +143,21 @@ def _align_to(df: DataFrame, target: T.StructType) -> DataFrame:
 def _path_exists(spark: SparkSession, path: str) -> bool:
     if "://" not in path or path.startswith("file:"):
         return os.path.exists(path.removeprefix("file:"))
+    fs, p, _ = _hadoop_fs(spark, path)
+    return fs.exists(p)
+
+
+def _hadoop_fs(spark: SparkSession, uri: str):
+    """Resolve ``uri`` through the Hadoop FileSystem API — the one
+    abstraction that makes ``file://``, ``s3a://``, ``gs://``, ``hdfs://``
+    (and anything else with a connector jar on the classpath) share a single
+    code path. Returns ``(fs, path, jvm)``. Paths with no scheme resolve
+    against ``fs.defaultFS`` (``file:///`` in local mode), so local unit
+    tests exercise exactly the calls a remote object store would."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(conf).exists(p)
+    p = jvm.org.apache.hadoop.fs.Path(uri)
+    return p.getFileSystem(conf), p, jvm
 
 
 def compact_table(
@@ -169,52 +179,53 @@ def compact_table(
     complete before the first rename), but they can hit a transient
     missing-path error. A truly atomic swap needs a manifest/metadata layer
     (Delta/Iceberg-style); BigQuery does this server-side (the reference
-    never sees it)."""
+    never sees it).
+
+    All filesystem traffic goes through the Hadoop FileSystem API, so the
+    same code path serves ``file://`` (unit-tested), ``s3a://``, ``gs://``
+    and ``hdfs://`` wherever the connector jars exist. Note the object-store
+    caveat: on S3/GCS "rename" is copy+delete (O(bytes), not O(1)), so the
+    swap window is wider there — the manifest-layer advice above applies
+    doubly."""
     import math
 
     path = table_path(warehouse, table_name)
-    local = "://" not in path or path.startswith("file:")
-    if not local:  # pragma: no cover - remote FS branch, same logic
-        raise NotImplementedError(
-            "compact_table: remote URIs need the Hadoop FS rename dance"
-        )
-    root = path.removeprefix("file:")
-    files = [
-        os.path.join(dp, f)
-        for dp, _, fs in os.walk(root)
-        for f in fs
-        if f.endswith(".parquet")
-    ]
-    total = sum(os.path.getsize(f) for f in files)
+    fs, root, jvm = _hadoop_fs(spark, path)
+    HPath = jvm.org.apache.hadoop.fs.Path
+
+    def _parquet_files(p):
+        out, total = 0, 0
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().getName().endswith(".parquet"):
+                out += 1
+                total += st.getLen()
+        return out, total
+
+    n_files, total = _parquet_files(root)
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
-    staging = root + ".__compacting"
-    shutil.rmtree(staging, ignore_errors=True)
-    df.repartition(n_out).write.parquet(staging)
-    backup = root + ".__old"
-    shutil.rmtree(backup, ignore_errors=True)
-    os.rename(root, backup)
-    os.rename(staging, root)
-    shutil.rmtree(backup)
-    after = sum(
-        1
-        for dp, _, fs in os.walk(root)
-        for f in fs
-        if f.endswith(".parquet")
-    )
-    return len(files), after
+    staging = HPath(root.toString() + ".__compacting")
+    backup = HPath(root.toString() + ".__old")
+    fs.delete(staging, True)
+    df.repartition(n_out).write.parquet(staging.toString())
+    fs.delete(backup, True)
+    if not fs.rename(root, backup):
+        raise IOError(f"compact_table: rename {root} -> {backup} failed")
+    if not fs.rename(staging, root):
+        fs.rename(backup, root)  # roll the live table back
+        raise IOError(f"compact_table: rename {staging} -> {root} failed")
+    fs.delete(backup, True)
+    after, _ = _parquet_files(root)
+    return n_files, after
 
 
 def put_object(spark: SparkSession, local_file: str, dest_uri: str) -> None:
     """popelines/main.py:157-166 — upload a local file to an object store.
-    Local/file URIs use shutil; remote URIs go through the Hadoop FS API."""
-    if "://" not in dest_uri or dest_uri.startswith("file:"):
-        dest = dest_uri.removeprefix("file:")
-        os.makedirs(os.path.dirname(dest), exist_ok=True)
-        shutil.copyfile(local_file, dest)
-        return
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    src = jvm.org.apache.hadoop.fs.Path(os.path.abspath(local_file))
-    dst = jvm.org.apache.hadoop.fs.Path(dest_uri)
-    dst.getFileSystem(conf).copyFromLocalFile(False, True, src, dst)
+    One Hadoop-FS code path for every scheme: ``copyFromLocalFile`` creates
+    parent directories and streams through ``fs.create``, so the identical
+    call serves ``file://`` (unit-tested), ``s3a://`` and ``gs://``."""
+    fs, dst, jvm = _hadoop_fs(spark, dest_uri)
+    src = jvm.org.apache.hadoop.fs.Path("file:" + os.path.abspath(local_file))
+    fs.copyFromLocalFile(False, True, src, dst)

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from popelines_spark.llm.text import shingle_hashes
+from popelines_spark.plans.inspect import checkpoint
 from popelines_spark.operators.keyed import keep_first
 
 _MERSENNE31 = (1 << 31) - 1
@@ -123,9 +124,10 @@ def minhash_lsh_pairs(
     # sig feeds THREE consumers (the banding explode + both sides of the
     # verification re-join): without a lineage barrier the shingle
     # explode + 64-way min-aggregate re-executes per consumer.
-    sig = minhash_signatures(
-        df, id_col, text_col, num_hashes, shingle_k
-    ).localCheckpoint(eager=False)
+    sig = checkpoint(
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_k),
+        "minhash-signatures", eager=False,
+    )
     # Band rows carry only (id, band, bucket) — the 512-byte signature array
     # stays OUT of the exploded/shuffled candidate stream and is joined back
     # once per deduped pair side. At scale this is the difference between
@@ -215,7 +217,7 @@ def simhash_pairs(
     width = 64 // chunks
     # the banded frame feeds both self-join sides — checkpoint so the
     # token explode + 63-way bit-vote aggregate runs once, not twice
-    sh = simhash(df, id_col, text_col).localCheckpoint(eager=False)
+    sh = checkpoint(simhash(df, id_col, text_col), "simhash", eager=False)
     banded = sh.select(
         id_col,
         "simhash",
@@ -278,21 +280,25 @@ def connected_components(
     # pipeline) that must not re-execute per iteration.
     sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionByName(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
-    ).localCheckpoint(eager=False)
-    labels = vertices.select(
-        F.col(id_col).alias("v"), F.col(id_col).alias("component")
-    ).localCheckpoint(eager=True)
+    )
+    sym = checkpoint(sym, "cc-sym-edges", eager=False)
+    labels = checkpoint(
+        vertices.select(
+            F.col(id_col).alias("v"), F.col(id_col).alias("component")
+        ),
+        "cc-init-labels",
+    )
     changed = -1
     for _ in range(max_iter):
         neigh = (
             labels.join(sym, labels.v == sym.s)
             .select(F.col("d").alias("v"), "component")
         )
-        new = (
+        new = checkpoint(
             labels.unionByName(neigh)
             .groupBy("v")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("component").alias("component")),
+            "cc-iter-labels",
         )
         changed = (
             new.alias("n")
@@ -344,8 +350,8 @@ def connected_components_star(
             F.greatest("s", "d").alias("a"), F.least("s", "d").alias("b")
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    e = checkpoint(e, "star-init-edges")
 
     def large_star(e: DataFrame) -> DataFrame:
         sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
@@ -393,7 +399,7 @@ def connected_components_star(
     sig = signature(e)
     converged = False
     for _ in range(max_iter):
-        new = small_star(large_star(e)).localCheckpoint(eager=True)
+        new = checkpoint(small_star(large_star(e)), "star-iter-edges")
         new_sig = signature(new)
         if new_sig == sig:
             # exact confirmation: hash-sum signatures collide only
@@ -489,7 +495,7 @@ def ngram_jaccard_pairs(
     # the shingling recomputes per branch. A lazy localCheckpoint
     # materializes it once — at cluster scale this is the same move as
     # staging the shingle table before a multi-pass job.
-    sh_rows = sh_rows.localCheckpoint(eager=False)
+    sh_rows = checkpoint(sh_rows, "ppjoin-shingle-hashes", eager=False)
     freq = sh_rows.groupBy("__h").agg(F.count("*").alias("__f"))
     # set size and prefix rank share one exchange (same partition key)
     wid = W.partitionBy(id_col)

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from popelines_spark.llm.similarity import cosine
+from popelines_spark.plans.inspect import audit_side_plan
 
 Centroids = list[tuple[int, list[float]]]
 
@@ -194,9 +195,9 @@ def build_ivf_index(
         corpus, vec_col, n_cells=n_cells, iterations=iterations, id_col=id_col
     )
     index = IVFIndex(path, centroids, id_col, vec_col)
-    assign_cells(corpus, vec_col, id_col, centroids).write.mode(
-        "overwrite"
-    ).partitionBy("__cell").parquet(index.cells_path)
+    audit_side_plan(
+        assign_cells(corpus, vec_col, id_col, centroids), "ivf-index-build"
+    ).write.mode("overwrite").partitionBy("__cell").parquet(index.cells_path)
     spark = corpus.sparkSession
     _centroid_df(spark, centroids).select(
         "__cell",

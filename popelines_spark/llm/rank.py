@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from popelines_spark.plans.inspect import checkpoint
+
 
 def _term_freqs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc, term) → tf, from whitespace tokenization (llm/text.py rules)."""
@@ -51,7 +53,7 @@ def tfidf_topk(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame
     """
     # tf feeds both the df aggregate and the scoring join — barrier it so
     # the explode+agg over the raw corpus runs once (no cross-branch CSE).
-    tf = _term_freqs(docs, id_col, text_col).localCheckpoint(eager=False)
+    tf = checkpoint(_term_freqs(docs, id_col, text_col), "rank-term-freqs", eager=False)
     df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     n_docs = docs.agg(F.count("*").cast("long").alias("__n"))
     scored = (
@@ -94,7 +96,7 @@ def unigram_xent(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     combine absorbs the Zipf head); the scoring pass is one keyed join of
     the (doc, term, tf) frame against it — same shuffle profile as TF-IDF.
     """
-    tf = _term_freqs(docs, id_col, text_col).localCheckpoint(eager=False)
+    tf = checkpoint(_term_freqs(docs, id_col, text_col), "rank-term-freqs", eager=False)
     vocab = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cnt"))
     total = vocab.agg(F.sum("cnt").cast("long").alias("__t"))
     per_term = (

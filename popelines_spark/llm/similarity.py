@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from popelines_spark.plans.inspect import audit_side_plan, checkpoint
+
 
 def dot(a, b) -> Column:
     return F.aggregate(
@@ -258,8 +260,11 @@ def build_lsh_index(
     matching bucket directories. Buckets are pseudo-random from fixed
     hashes, so a rebuilt index bit-matches the previous one."""
     index = LSHIndex(path, id_col, vec_col, n_planes, dim, salt)
-    corpus.withColumn(
-        "__bucket", hyperplane_bucket(F.col(vec_col), n_planes, dim, salt)
+    audit_side_plan(
+        corpus.withColumn(
+            "__bucket", hyperplane_bucket(F.col(vec_col), n_planes, dim, salt)
+        ),
+        "lsh-index-build",
     ).write.mode("overwrite").partitionBy("__bucket").parquet(index.buckets_path)
     corpus.sparkSession.createDataFrame(
         [(id_col, vec_col, n_planes, dim, salt)],
@@ -331,7 +336,8 @@ def embedding_near_dups(
         F.col(id_col),
         F.col(vec_col),
         hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("__bucket"),
-    ).localCheckpoint(eager=False)
+    )
+    b = checkpoint(b, "lsh-bucketed-self", eager=False)
     a = b.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "__bucket"
     )

@@ -108,7 +108,15 @@ def asof_join(
     # forward walks ts DESCENDING (running-last = smallest rts >= lts).
     # The __side ordering is unchanged: at equal ts the inclusive right row
     # still sorts before the left row it may match.
-    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
+    # Forward order must be desc_nulls_first: plain desc puts NULLs LAST, so
+    # a left row with NULL ts would sort after every right row in its key
+    # partition and the running last() would hand it the earliest right row —
+    # a match no SQL predicate (right_ts >= NULL) would ever produce. With
+    # NULLS FIRST the NULL-ts left rows see zero right rows (right rows with
+    # NULL ts were already filtered), matching backward mode's asc NULLS FIRST.
+    ts_order = (
+        F.col("__ts") if direction == "backward" else F.col("__ts").desc_nulls_first()
+    )
     w = (
         W.partitionBy("__k")
         .orderBy(ts_order, "__side", "__tb")

@@ -35,6 +35,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from popelines_spark.plans.inspect import checkpoint
+
 # Single source of the fixed-salt multiplicative-hash constants (their SQL
 # literals appear in the c_sample_per_group / mixture / split oracles —
 # importing keeps every consumer in lockstep).
@@ -80,21 +82,21 @@ def funnel(
         events.filter(F.col(type_col) == steps[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("__t"))
-        .localCheckpoint(eager=False)
     )
+    cur = checkpoint(cur, "funnel-stage0", eager=False)
     out = []
     for i, step in enumerate(steps):
         if i:
             # Each stage feeds BOTH its count branch and the next stage —
             # barrier it (|survivors| rows) or the count union re-executes
             # the whole prefix chain per step.
-            cur = (
+            cur = checkpoint(
                 events.filter(F.col(type_col) == step)
                 .join(cur.select(user_col, "__t"), user_col)
                 .filter(F.col(ts_col) > F.col("__t"))
                 .groupBy(user_col)
-                .agg(F.min(ts_col).alias("__t"))
-                .localCheckpoint(eager=False)
+                .agg(F.min(ts_col).alias("__t")),
+                "funnel-stage", eager=False,
             )
         out.append(
             cur.agg(F.count("*").cast("long").alias("n_users")).select(
@@ -174,7 +176,7 @@ def time_rollup(
         # coarser level; Spark does not CSE across union branches, so
         # without a barrier the raw scan+agg would re-execute per grain.
         # |buckets| rows — the checkpoint is tiny.
-        level = level.localCheckpoint(eager=False)
+        level = checkpoint(level, "rollup-finest-grain", eager=False)
     outs = [
         level.select(
             F.lit(grains[0]).alias("grain"),

@@ -57,7 +57,11 @@ def zorder_key(a: Column, b: Column) -> Column:
 
 
 def _sql_spread31(expr: str) -> str:
-    x = f"({expr} & {_DIM_MASK})"
+    # CAST to BIGINT mirrors the Spark twin's .cast('long'): DuckDB
+    # overflow-checks << at the operand's width, so an INT32-typed parquet
+    # column (physical types have drifted between rounds) would raise
+    # "Overflow in left shift" for values >= 2^15 without the widening.
+    x = f"(CAST({expr} AS BIGINT) & {_DIM_MASK})"
     for shift, mask in _SPREAD:
         x = f"(({x} | ({x} << {shift})) & {mask})"
     return x

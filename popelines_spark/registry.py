@@ -41,40 +41,42 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Round-4 rotation: the driver scores a bounded 50-entry prefix of the
-# registry per round.  This round's 50 = 22 never-driver-scored entries
-# (r3's spill + queue) + 21 new round-4 queries + 2 whose r3 rows errored
-# (b_fn_hof driver-canon arrays, c_sessionize NTZ — both fixed this round)
-# + 8 timestamp-heavy queries re-proven after the testdata's switch to
-# TIMESTAMP_NTZ encoding. (tools/parity.py still covers the full registry.)
+# Round-5 rotation: the driver scores a bounded 50-entry prefix of the
+# registry per round.  This round's 50 = 1 never-driver-scored entry
+# (c_repetition_stats — the ONLY registered query without a driver-green
+# row across r1-r4; VERDICT r4 top-next) + 4 new round-5 queries
+# (TPC-DS-flavored window-over-aggregate + the hot-key sessionize
+# stress) + 3 stalest-r2 timestamp-path entries never re-scored after
+# the NTZ testdata change (b_fn_date, b_fn_date_seq, s_sliding) + 42 of
+# the 49 entries whose latest green row is r1 (oldest-green-first; the 7
+# deferred to round 6 are the timestamp-free scan/sink shapes
+# b_scan_parquet/ndjson/infer, b_sink_ndjson/append/overwrite and
+# b_source_rows, all exercised by tests/test_io.py and sharing their
+# code path with the still-windowed b_ctas).
+# Round-6 plan: those 7 + the remaining ~34 r2-green entries.
+# (tools/parity.py still covers the full registry every round.)
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # -- never driver-scored (22)
-    "tpch_q1", "tpch_q2", "tpch_q11", "tpch_q16", "tpch_q20", "tpch_q21",
-    "c_split_holdout", "c_ngram_topk", "c_html_strip", "c_dedup_incremental",
-    "c_fuzzy_match", "b_agg_approx_quantile", "b_join_salted",
-    "b_join_bucketed", "s_custom_state", "s_watermark_late",
-    "b_sketch_cms", "b_sketch_bloom",
-    "c_knn_ivf", "c_knn_lsh", "c_multimodal_audio", "c_multimodal_decode",
-    # -- new in round 4 (21)
-    "c_funnel", "c_retention_cohort", "c_rollup_multi", "c_sample_per_group",
-    "c_anomaly_zscore", "c_drift_psi", "c_tfidf_topk", "c_bm25",
-    "b_join_asof_tolerance", "c_zorder_key",
-    "c_unigram_xent", "c_time_to_convert", "c_class_centroids",
-    "b_sketch_hll_merge", "c_event_transitions", "c_quality_deciles",
-    "c_dq_checks", "b_join_asof_forward", "c_ab_test", "c_lang_confusion", "c_stickiness",
-    # -- errored in CORRECTNESS_r03, fixed this round (2)
-    "b_fn_hof", "c_sessionize",
-    # -- timestamp-path regression re-proof after the NTZ testdata change
-    # (5 — entries with post-NTZ r3 rows or no timestamp sensitivity
-    # are not re-scored; b_join_asof's shape is covered by the forward/
-    # tolerance twins above, flagship by the bench artifact, s_sliding by
-    # s_tumbling's identical watermark+window path)
-    "s_tumbling", "s_session", "s_dedup_stream",
-    "s_incremental_max", "s_join_interval",
-    # ROUND-5 NOTE: after this round's window every registered query has a
-    # driver-green row on file (rounds 1-3 covered the rest).  Next round:
-    # rotate round-5 additions first, then any entries whose r4 rows
-    # errored, then fill with heavy hitters.
+    # -- never driver-scored (1)
+    "c_repetition_stats",
+    # -- new in round 5 (4)
+    "c_yoy_brand", "c_nation_share", "c_moving_monthly", "c_skew_sessionize",
+    # -- stalest-r2 timestamp-path re-proof post-NTZ (3)
+    "b_fn_date", "b_fn_date_seq", "s_sliding",
+    # -- last green in r1 (42 of 49)
+    "b_sort", "b_limit", "b_win_row_number", "b_win_rank", "b_win_lag_lead",
+    "b_win_running", "b_win_moving", "b_win_first_last",
+    "b_agg_scalar_max", "b_agg_group", "b_agg_count_distinct",
+    "b_agg_distinct_rows", "b_agg_rollup", "b_agg_cube",
+    "b_agg_grouping_sets", "b_agg_collect", "b_agg_having",
+    "flagship_star_revenue",
+    "b_join_inner", "b_join_broadcast", "b_join_left", "b_join_right",
+    "b_join_full", "b_join_semi", "b_join_anti", "b_join_cross",
+    "b_join_theta", "b_join_asof", "b_unnest", "b_unnest_inner",
+    "b_project", "b_project_nested", "b_project_rename_nested",
+    "b_project_drop", "b_filter", "b_filter_range_dates",
+    "b_ctas",
+    "a_load_evolve", "a_chunk_dates", "a_fix_values", "a_copy_replace_keys",
+    "a_source_rest",
 )
 
 

@@ -112,3 +112,33 @@ def test_asof_forward_picks_earliest_at_or_after(spark):
         tolerance_us=9 * 60 * 1_000_000,
     ).collect()}
     assert out["L"] is None
+
+
+def test_asof_null_left_ts_never_matches(spark):
+    """SQL NULL semantics: a left row with NULL ts can satisfy neither
+    right_ts <= NULL nor right_ts >= NULL, so it must come back unmatched in
+    BOTH directions (ADVICE r4: plain desc ordering put NULL-ts left rows
+    after every right row in forward mode, handing them a spurious match)."""
+    import datetime as dt
+
+    from popelines_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(10), "ok"), (2, None, "nullts")], "k long, lts timestamp, lpay string"
+    )
+    right = spark.createDataFrame(
+        [(1, t(5), "r5"), (2, t(5), "r5b"), (2, t(50), "r50")],
+        "rk long, rts timestamp, rpay string",
+    )
+    for direction, ok_expect in (("backward", "r5"), ("forward", None)):
+        out = {r.lpay: r.rpay for r in asof_join(
+            left, right, "k", "rk", "lts", "rts", direction=direction
+        ).collect()}
+        assert out["nullts"] is None, direction
+        assert out["ok"] == ok_expect, direction
+    # inner mode drops the NULL-ts row entirely
+    out = asof_join(
+        left, right, "k", "rk", "lts", "rts", direction="forward", how="inner"
+    ).collect()
+    assert [r.lpay for r in out] == []

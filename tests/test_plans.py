@@ -242,3 +242,31 @@ def test_round4_analytics_plans(spark):
     assert rep["exchanges"] == 0
     assert rep["wholestage_codegen"]
     assert_scan_pruned(_q("c_zorder_key", spark), {"o_custkey": 2})
+
+
+def test_side_plan_audit_catches_global_window(spark):
+    """plans/inspect.py:audit_side_plan (VERDICT r4 #1): eagerly-executed
+    side plans never surface in a caller's lineage, so the library audits
+    them at the choke point. Strict mode must RAISE on a partition-less
+    window and pass a partitioned one through untouched."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from popelines_spark.plans.inspect import audit_side_plan, checkpoint
+
+    df = spark.range(100).withColumn("g", F.col("id") % 5)
+    bad = df.withColumn("rn", F.row_number().over(W.orderBy("id")))
+    good = df.withColumn("rn", F.row_number().over(W.partitionBy("g").orderBy("id")))
+
+    import os
+    os.environ["POPELINES_PLAN_AUDIT"] = "strict"
+    with _pytest.raises(AssertionError, match="unpartitioned window"):
+        audit_side_plan(bad, "test-bad")
+    out = checkpoint(good, "test-good", eager=True)
+    assert out.count() == 100
+    # warn mode: surfaces as RuntimeWarning, not an exception
+    os.environ["POPELINES_PLAN_AUDIT"] = "warn"
+    with _pytest.warns(RuntimeWarning, match="unpartitioned window"):
+        audit_side_plan(bad, "test-bad-warn")
+    os.environ["POPELINES_PLAN_AUDIT"] = "strict"

@@ -22,6 +22,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+# Full-registry runs also enforce the side-plan window audit (VERDICT r4
+# "what's wrong" #1): eagerly-executed plans that never appear in a
+# returned frame's lineage fail hard here instead of warning.
+os.environ.setdefault("POPELINES_PLAN_AUDIT", "strict")
+
 import duckdb  # noqa: E402
 
 from popelines_spark.session import get_spark  # noqa: E402
