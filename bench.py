@@ -45,12 +45,15 @@ BASELINE_SEC = {
     "c_knn_ivf": 6.42,
     "c_text_stats": 0.25,
     "s_tumbling": 2.24,
-    # round-4 additions (recorded sf0.1, this machine, min-of-2 on a calm
-    # host — the same methodology the harness itself now uses)
-    "c_funnel": 0.76,
-    "c_rollup_multi": 0.45,
-    "c_tfidf_topk": 0.99,
-    "c_bm25": 0.63,
+    # round-4 additions, RE-recorded round 5 (VERDICT r4 #8): median of
+    # 3 independent sessions, min-of-2 per session, sf0.1, this machine.
+    # Per-session spread is in BASELINE.md §Round 5.
+    "c_funnel": 1.06,
+    "c_rollup_multi": 0.56,
+    "c_tfidf_topk": 1.21,
+    "c_bm25": 0.89,
+    # round-5 addition, recorded the same way
+    "c_skew_sessionize": 0.68,
 }
 
 #: Local regression gate: with SPARK_GRAFT_BENCH_STRICT=1, exit nonzero if
