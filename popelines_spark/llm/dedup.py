@@ -562,3 +562,91 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _shingle_hash_rows(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int
+) -> DataFrame:
+    """Distinct (id, xxhash64(k-gram shingle)) rows, fully in codegen —
+    the same posexplode + lead() assembly as ngram_jaccard_pairs (see the
+    collision note there: hash-set overlap equals shingle-set overlap up
+    to a ~|shingles|^2/2^64 collision probability)."""
+    tokp = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("__pos", "__w"),
+    )
+    if shingle_k == 1:
+        shingled = tokp.select(F.col(id_col), F.col("__w").alias("__s"))
+    else:
+        wd = W.partitionBy(id_col).orderBy("__pos")
+        leads = [F.lead("__w", i).over(wd) for i in range(1, shingle_k)]
+        shingled = tokp.select(
+            F.col(id_col),
+            F.concat_ws(" ", "__w", *leads).alias("__s"),
+            leads[-1].alias("__last"),
+        ).filter(F.col("__last").isNotNull())
+    return shingled.select(
+        F.col(id_col), F.xxhash64("__s").alias("__h")
+    ).distinct()
+
+
+def containment_pairs(
+    bench: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Asymmetric near-CONTAINMENT join: pairs (id_a ∈ bench, id_b ∈
+    corpus) with C(A,B) = |S(A) ∩ S(B)| / |S(A)| >= threshold over k-gram
+    shingle sets.  This is the decontamination primitive Jaccard misses: a
+    short benchmark prompt embedded verbatim inside a long training
+    document has low Jaccard (the union is huge) but containment ≈ 1.
+
+    Candidate generation is threshold-complete PREFIX FILTERING on the
+    BENCH side only: order each benchmark doc's shingles rarest-first
+    (global corpus frequency) and keep the first |A| - ceil(t*|A|) + 1.
+    If C(A,B) >= t then A shares >= ceil(t*|A|) shingles with B, and by
+    pigeonhole at least one of them sits in that prefix — so the
+    prefix-vs-inverted-index equi-join misses no qualifying pair.  The
+    corpus side keeps ALL its shingles (containment puts no lower bound on
+    |B|'s overlap fraction, so no symmetric prune exists).
+
+    Shuffle profile at 100 TB: one keyed groupBy for corpus shingle
+    frequency, one window per bench doc for the prefix rank (bench is the
+    SMALL side — the benchmark/eval suite), the candidate equi-join keyed
+    on the shingle hash, and a verify join on ids.  Bench-side prefixes
+    keep hot (stopword-like) shingles out of the join key, so candidates
+    track true containment density, never |bench| x |corpus|.
+    """
+    sh_a = _shingle_hash_rows(bench, id_col, text_col, shingle_k)
+    sh_b = _shingle_hash_rows(corpus, id_col, text_col, shingle_k)
+    sh_a = checkpoint(sh_a, "containment-bench-shingles", eager=False)
+    sh_b = checkpoint(sh_b, "containment-corpus-shingles", eager=False)
+    freq = sh_b.groupBy("__h").agg(F.count("*").alias("__f"))
+    wid = W.partitionBy(id_col)
+    prefix_len = F.col("__na") - F.ceil(F.lit(threshold) * F.col("__na")) + 1
+    prefix_a = (
+        sh_a.join(freq, "__h", "left")
+        .fillna({"__f": 0})
+        .withColumn("__na", F.count("*").over(wid))
+        .withColumn("__rk", F.row_number().over(wid.orderBy("__f", "__h")))
+        .filter(F.col("__rk") <= prefix_len)
+        .select(F.col(id_col).alias("id_a"), "__h")
+    )
+    cand = (
+        prefix_a.join(sh_b.select(F.col(id_col).alias("id_b"), "__h"), "__h")
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets_a = sh_a.groupBy(id_col).agg(F.collect_list("__h").alias("sh_a"))
+    sets_b = sh_b.groupBy(id_col).agg(F.collect_list("__h").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    containment = F.round(inter / F.size("sh_a").cast("double"), 6)
+    return (
+        cand.join(sets_a.select(F.col(id_col).alias("id_a"), "sh_a"), "id_a")
+        .join(sets_b.select(F.col(id_col).alias("id_b"), "sh_b"), "id_b")
+        .select("id_a", "id_b", containment.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

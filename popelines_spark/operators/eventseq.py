@@ -402,3 +402,84 @@ def psi_terms(
         q.alias("p_cmp"),
         ((p - q) * F.log(p / q)).alias("psi_term"),
     )
+
+
+def scd2_runs(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type-2 history from an observation stream:
+    collapse each key's consecutive run of identical ``attr_col`` values
+    into one versioned validity interval ``[valid_from, valid_to)`` —
+    ``valid_to`` is NULL for the current (open) interval.  This is the
+    dimension-history builder the reference's users hand-write in delegated
+    SQL over change feeds (popelines/main.py:236).
+
+    Classic gaps-and-islands: a ``lag`` marks rows where the attribute
+    changed, a running ``sum`` of change markers numbers the islands, and a
+    group-by per (key, island) collapses each run; ``lead`` of the island's
+    start supplies the exclusive end.  Two windows and one aggregation, all
+    partitioned by ``key_col`` — per-key work is bounded by that key's
+    rows, so the shuffle profile matches c_sessionize and survives the
+    scale-up (hot keys: operators/skew.py salting applies unchanged).
+
+    Determinism: ordering is (ts, tiebreak) — unique by construction — on
+    both engines, so island numbering and interval bounds are exact.
+    """
+    w = W.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    changed = (
+        F.lag(attr_col).over(w).isNull()
+        | (F.lag(attr_col).over(w) != F.col(attr_col))
+    ).cast("int")
+    islands = df.select(
+        key_col, ts_col, attr_col, F.sum(changed).over(w).alias("__island")
+    )
+    runs = islands.groupBy(key_col, "__island", attr_col).agg(
+        F.min(ts_col).alias("valid_from"),
+        F.count("*").cast("long").alias("n_obs"),
+    )
+    nxt = W.partitionBy(key_col).orderBy("__island")
+    return runs.select(
+        F.col(key_col),
+        F.col(attr_col),
+        "valid_from",
+        F.lead("valid_from").over(nxt).alias("valid_to"),
+        F.col("__island").cast("long").alias("version"),
+        "n_obs",
+    )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    n_lags: int = 8,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average per key: over the
+    ``n_lags`` most recent points (current + n_lags-1 lags), weights
+    ``alpha * (1-alpha)^i`` renormalized over the lags that exist.
+
+    Truncation is what makes this an exact, SQL-checkable window operator:
+    the untruncated recurrence needs per-row sequential state (a stream
+    fold), while the truncated form is ``n_lags`` ``lag()`` reads inside
+    ONE keyed window — stays in whole-stage codegen, shuffles once on
+    ``key_col``. Weights are Python-float literals injected into the plan,
+    and the weighted sum is accumulated in ascending lag order on both
+    engines, so the IEEE arithmetic matches bit-for-bit.
+    """
+    w = W.partitionBy(key_col).orderBy(order_col)
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for i in range(n_lags):
+        wt = alpha * (1.0 - alpha) ** i
+        x = F.col(value_col) if i == 0 else F.lag(value_col, i).over(w)
+        num = num + F.when(x.isNotNull(), F.lit(wt) * x).otherwise(F.lit(0.0))
+        den = den + F.when(x.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    return df.select(
+        key_col, order_col, F.round(num / den, 6).alias(f"ewma_{value_col}")
+    )

@@ -1,0 +1,126 @@
+"""Unit tests for the round-5 operators (queries/ext_analytics2.py).
+
+Each test pins the semantics on a hand-computable frame; the sf0.01
+hash-vs-DuckDB check is tools/parity.py's job.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from popelines_spark.llm import dedup as D
+from popelines_spark.operators import eventseq
+
+
+def _ts(h):
+    return dt.datetime(2024, 1, 1, h)
+
+
+def test_scd2_runs_islands_and_intervals(spark):
+    rows = [
+        (1, _ts(0), "a", 10),
+        (1, _ts(1), "a", 11),
+        (1, _ts(2), "b", 12),
+        (1, _ts(3), "a", 13),
+        (2, _ts(0), "x", 20),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, state string, eid int")
+    out = eventseq.scd2_runs(df, "user_id", "ts", "state", "eid")
+    got = {
+        (r.user_id, r.version): (r.state, r.valid_from, r.valid_to, r.n_obs)
+        for r in out.collect()
+    }
+    assert got[(1, 1)] == ("a", _ts(0), _ts(2), 2)
+    assert got[(1, 2)] == ("b", _ts(2), _ts(3), 1)
+    assert got[(1, 3)] == ("a", _ts(3), None, 1)  # open interval
+    assert got[(2, 1)] == ("x", _ts(0), None, 1)
+    assert len(got) == 4
+
+
+def test_scd2_runs_tiebreak_on_equal_ts(spark):
+    # all three at the same ts: eid orders them 0(a), 1(a), 2(b), so the
+    # runs are [a x2, b x1] — deterministic despite the ts tie
+    rows = [(1, _ts(0), "a", 1), (1, _ts(0), "b", 2), (1, _ts(0), "a", 0)]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, state string, eid int")
+    out = sorted(
+        eventseq.scd2_runs(df, "user_id", "ts", "state", "eid").collect(),
+        key=lambda r: r.version,
+    )
+    assert [(r.state, r.n_obs) for r in out] == [("a", 2), ("b", 1)]
+
+
+def test_ewma_truncated_weights(spark):
+    df = spark.createDataFrame(
+        [("k", 1, 10.0), ("k", 2, 20.0), ("k", 3, 30.0)],
+        "key string, t int, v double",
+    )
+    out = {
+        r.t: r.ewma_v
+        for r in eventseq.ewma(df, "key", "t", "v", 0.5, n_lags=2).collect()
+    }
+    # t=1: only current -> 10; t=2: (.5*20+.25*10)/.75; t=3: (.5*30+.25*20)/.75
+    assert out[1] == 10.0
+    assert abs(out[2] - (0.5 * 20 + 0.25 * 10) / 0.75) < 1e-5  # ewma rounds to 6dp
+    assert abs(out[3] - (0.5 * 30 + 0.25 * 20) / 0.75) < 1e-5  # ewma rounds to 6dp
+
+
+def test_containment_pairs_prefix_complete(spark):
+    # doc 100 contains doc 1 verbatim (containment 1.0); doc 2 shares nothing
+    a = "the quick brown fox jumps over dogs"
+    b = "PRE " + a + " POST tail words here"
+    docs = spark.createDataFrame(
+        [(1, a), (2, "zebra yak xylo wombat vole umbra turtle")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame([(100, b)], "doc_id long, text string")
+    out = D.containment_pairs(
+        docs, corpus, "doc_id", "text", shingle_k=3, threshold=0.6
+    ).collect()
+    assert len(out) == 1
+    assert (out[0].id_a, out[0].id_b, out[0].containment) == (1, 100, 1.0)
+
+
+def test_containment_asymmetric_vs_jaccard(spark):
+    # containment(A in B) high while Jaccard is low: A is 5 tokens inside a
+    # 40-token B -> J ~ 3/38 but C = 1.0
+    a_txt = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i}" for i in range(35))
+    bench = spark.createDataFrame([(1, a_txt)], "doc_id long, text string")
+    corp = spark.createDataFrame(
+        [(2, filler + " " + a_txt)], "doc_id long, text string"
+    )
+    out = D.containment_pairs(bench, corp, "doc_id", "text", 3, 0.6).collect()
+    assert len(out) == 1 and out[0].containment == 1.0
+
+
+def test_dp_counts_deterministic_and_bounded(spark, monkeypatch):
+    from popelines_spark.queries.ext_analytics2 import c_dp_counts
+
+    out1 = {r.event_type: r.noisy_n for r in c_dp_counts(spark, "/root/testdata/sf0.001").collect()}
+    out2 = {r.event_type: r.noisy_n for r in c_dp_counts(spark, "/root/testdata/sf0.001").collect()}
+    assert out1 == out2  # seeded noise: identical release under re-run
+    # Laplace(b=1) noise beyond +-15 has probability ~3e-7; with 5 groups a
+    # violation means the formula broke, not bad luck
+    from popelines_spark.tables import load
+
+    true = {
+        r.event_type: r.n
+        for r in load(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for k, v in out1.items():
+        assert abs(v - true[k]) < 15.0
+
+
+def test_brand_affinity_lift_formula(spark):
+    from popelines_spark.queries.ext_analytics2 import c_brand_affinity
+
+    out = c_brand_affinity(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert all(r.pair_n >= 5 for r in rows)
+    assert all(r.brand_a < r.brand_b for r in rows)
+    assert all(r.lift > 0 for r in rows)
