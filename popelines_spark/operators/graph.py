@@ -1,0 +1,100 @@
+"""Iterative graph algorithms on edge DataFrames — PageRank.
+
+The reference's users run graph-flavored rollups by exporting to a graph
+tool; here the iterative computation is native DataFrame ops so it runs
+where the data lives (the same positioning as llm/dedup.py's
+connected-components, which covers the other classic: clustering).
+
+Scale shape: each iteration is one keyed join (ranks ⋈ edges on src) and
+one keyed aggregation (inflow by dst) — the standard distributed PageRank
+step. Rank state is one row per node; edges are the big relation and are
+never reshuffled after the initial degree join (checkpointed once).  At
+web scale persist `ranks` per iteration and checkpoint every few rounds
+to truncate lineage — mirrored here with a lazy localCheckpoint every 3
+iterations (plans/inspect.py audits those side plans).
+
+Cross-engine determinism (the reason for DECIMAL state): IEEE double
+addition is order-sensitive, and a groupBy sum's order is not fixed, so
+double ranks would hash-drift between engines and even between runs.
+All rank state is DECIMAL(14,12): per-edge contributions are rounded to
+12dp (HALF_UP on both engines) BEFORE the sum, decimal sums are exact
+and order-independent, and the damping multiply is decimal×decimal with
+a final 12dp rounding.  The only doubles are the two reciprocals
+(1/n_nodes, 1/out_degree), each a single IEEE division rounded to 12dp
+— bit-identical cross-engine.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from popelines_spark.plans.inspect import checkpoint
+
+_DEC = "decimal(14,12)"
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    n_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over distinct ``edges`` (src, dst), ranks
+    for every row of ``nodes`` (node_col). Returns (node_col, pr DECIMAL).
+
+    Dangling nodes (no out-edges) contribute nothing — their mass leaks,
+    so ranks sum to < 1 when danglers exist (documented classic variant;
+    redistribute-to-all needs one extra broadcast scalar per iteration).
+    """
+    # Pin the literal's decimal type: Python Decimal lits default to
+    # DecimalType(38,18), whose product with (14,12) overflows precision 38
+    # and forces a scale-reduction rule DuckDB doesn't share. (3,2)×(14,12)
+    # is exact on both engines.
+    damping_dec = F.lit(Decimal(str(damping))).cast("decimal(3,2)")
+    base_lit = 1.0 - damping  # Python double; oracle mirrors repr() of it
+    n = nodes.agg(F.count("*").cast("double").alias("__n"))
+    init = nodes.crossJoin(F.broadcast(n)).select(
+        F.col(node_col),
+        (F.lit(1.0) / F.col("__n")).cast(_DEC).alias("pr"),
+        (F.lit(base_lit) / F.col("__n")).cast(_DEC).alias("__base"),
+    )
+    deg = edges.groupBy(src).agg(F.count("*").alias("__d"))
+    e = checkpoint(
+        edges.join(deg, src).select(
+            F.col(src),
+            F.col(dst),
+            (F.lit(1.0) / F.col("__d")).cast("decimal(13,12)").alias("__recip"),
+        ),
+        "pagerank-edges",
+        eager=False,
+    )
+    ranks = init
+    zero = F.lit(Decimal(0)).cast(_DEC)
+    for i in range(n_iter):
+        contrib = ranks.join(e, ranks[node_col] == e[src]).select(
+            F.col(dst).alias(node_col),
+            (F.col("pr") * F.col("__recip")).cast(_DEC).alias("__c"),
+        )
+        inflow = contrib.groupBy(node_col).agg(F.sum("__c").alias("__in"))
+        ranks = init.join(inflow, node_col, "left").select(
+            node_col,
+            (
+                F.col("__base")
+                + F.coalesce(
+                    (damping_dec * F.col("__in").cast(_DEC)).cast(_DEC),
+                    zero,
+                )
+            )
+            .cast(_DEC)
+            .alias("pr"),
+            "__base",
+        )
+        if i % 3 == 2 and i < n_iter - 1:
+            ranks = checkpoint(ranks, f"pagerank-iter{i}", eager=False)
+    return ranks.select(node_col, "pr")

@@ -335,3 +335,152 @@ def c_dp_counts(spark, sf_dir):
     return events.groupBy("event_type").agg(
         F.round(F.count("*").cast("double") + noise, 2).alias("noisy_n")
     )
+
+
+def _pagerank_sql(n_iter: int = 10) -> str:
+    """Loop-unrolled DuckDB mirror of operators/graph.py:pagerank over the
+    above-average-weight nation trade graph. Decimal state + 12dp-rounded
+    contributions make every iteration exact and order-independent on both
+    engines (graph.py module docstring).
+
+    Rounding-mode trap (verified empirically): Spark's decimal CAST rounds
+    HALF_UP but DuckDB's CAST rounds HALF_EVEN — and ties are COMMON here
+    because power-of-two reciprocals (d=2 → 0.5) put an exact 5 in the
+    13th digit. DuckDB's round() IS half-up, so the mirror rounds
+    explicitly before every narrowing cast."""
+    base_lit = repr(1.0 - 0.85)
+    sql = f"""
+    WITH cnt AS (SELECT s_nationkey AS src, c_nationkey AS dst,
+                        count(*) AS w
+                 FROM lineitem
+                 JOIN supplier ON l_suppkey = s_suppkey
+                 JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+                 GROUP BY 1, 2),
+    thr AS (SELECT avg(CAST(w AS DOUBLE)) AS t FROM cnt),
+    edges AS (SELECT src, dst FROM cnt CROSS JOIN thr
+              WHERE CAST(w AS DOUBLE) > t),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nation),
+    nodes AS (SELECT n_nationkey AS node, n_name,
+                     CAST(CAST({base_lit} AS DOUBLE) / (SELECT n FROM nn)
+                          AS DECIMAL(14,12)) AS base
+              FROM nation),
+    er AS (SELECT e.src, e.dst,
+                  CAST(CAST(1.0 AS DOUBLE) / d.d AS DECIMAL(13,12)) AS recip
+           FROM edges e JOIN deg d ON d.src = e.src),
+    r0 AS (SELECT node,
+                  CAST(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn)
+                       AS DECIMAL(14,12)) AS pr
+           FROM nodes)
+    """
+    for i in range(n_iter):
+        sql += f"""
+    , c{i} AS (SELECT er.dst AS node,
+                      CAST(round(r.pr * er.recip, 12) AS DECIMAL(14,12))
+                        AS contrib
+               FROM r{i} r JOIN er ON r.node = er.src),
+    s{i} AS (SELECT node, SUM(contrib) AS infl FROM c{i} GROUP BY 1),
+    r{i + 1} AS (SELECT n.node,
+                 CAST(n.base + COALESCE(
+                        CAST(round(0.85 * CAST(s.infl AS DECIMAL(14,12)),
+                                   12) AS DECIMAL(14,12)),
+                        CAST(0 AS DECIMAL(14,12)))
+                      AS DECIMAL(14,12)) AS pr
+                 FROM nodes n LEFT JOIN s{i} s ON n.node = s.node)
+        """
+    sql += f"""
+    SELECT n.n_name, CAST(r.pr AS DOUBLE) AS pr
+    FROM r{n_iter} r JOIN nodes n ON n.node = r.node
+    """
+    return sql
+
+
+@query("c_pagerank_nations", oracle=_pagerank_sql(10))
+def c_pagerank_nations(spark, sf_dir):
+    """PageRank (10 iterations, d=0.85) over the nation trade graph:
+    edge src→dst when supplier-nation src ships to customer-nation dst in
+    strictly more line items than the average ordered pair (the
+    sparsifier that gives the complete 25-node graph varied degrees at
+    every SF). operators/graph.py:pagerank carries the decimal-exactness
+    and per-iteration shuffle notes."""
+    from popelines_spark.operators.graph import pagerank
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    sup = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cnt = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    thr = cnt.agg(F.avg(F.col("w").cast("double")).alias("t"))
+    edges = (
+        cnt.crossJoin(F.broadcast(thr))
+        .filter(F.col("w").cast("double") > F.col("t"))
+        .select("src", "dst")
+    )
+    ranks = pagerank(
+        edges, nation.select(F.col("n_nationkey").alias("node")),
+        node_col="node", n_iter=10, damping=0.85,
+    )
+    return ranks.join(
+        F.broadcast(nation), ranks.node == nation.n_nationkey
+    ).select("n_name", F.col("pr").cast("double").alias("pr"))
+
+
+@query(
+    "c_attribution",
+    oracle="""
+    WITH pur AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'purchase'),
+    src AS (SELECT user_id AS u, ts AS st, event_type AS stype FROM events
+            WHERE event_type IN ('click', 'view')),
+    best AS (SELECT p.event_id, p.user_id, p.ts, max(s.st) AS mt
+             FROM pur p LEFT JOIN src s
+               ON s.u = p.user_id AND s.st <= p.ts
+                  AND s.st >= p.ts - INTERVAL 7 DAY
+             GROUP BY 1, 2, 3),
+    att AS (SELECT b.event_id, s.stype
+            FROM best b LEFT JOIN src s
+              ON s.u = b.user_id AND s.st = b.mt)
+    SELECT COALESCE(stype, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM att GROUP BY 1
+    """,
+)
+def c_attribution(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase credits the user's
+    most recent click/view within a 7-day lookback, else 'direct'. Reuses
+    the single-shuffle as-of machinery (operators/asof.py) — the oracle's
+    max-ts two-step is unambiguous because (user_id, ts) is unique in the
+    testdata (verified at every SF); the operator's payload tie-break
+    (xxhash64) only matters on data with exact ts collisions."""
+    from popelines_spark.operators.asof import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    src = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"),
+        F.col("event_type").alias("s_type"),
+    )
+    return (
+        asof_join(
+            pur, src,
+            left_on="user_id", right_on="s_user",
+            left_ts="ts", right_ts="s_ts",
+            tolerance_us=7 * 86400 * 1_000_000,
+        )
+        .groupBy(F.coalesce("s_type", F.lit("direct")).alias("channel"))
+        .agg(F.count("*").cast("long").alias("n_purchases"))
+    )

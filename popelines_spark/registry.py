@@ -44,33 +44,33 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Round-5 rotation: the driver scores a bounded 50-entry prefix of the
 # registry per round.  This round's 50 = 1 never-driver-scored entry
 # (c_repetition_stats — the ONLY registered query without a driver-green
-# row across r1-r4; VERDICT r4 top-next) + 10 new round-5 queries
+# row across r1-r4; VERDICT r4 top-next) + 12 new round-5 queries
 # (TPC-DS-flavored window-over-aggregate, the hot-key sessionize stress,
-# and the ext_analytics2 six: scd2/affinity/dataset-card/ewma/
-# containment/dp-counts — new queries go to the head so none repeats the
-# c_repetition_stats never-scored gap) + 3 stalest-r2 timestamp-path
-# entries never re-scored after the NTZ testdata change (b_fn_date,
-# b_fn_date_seq, s_sliding) + 36 of the 49 entries whose latest green
-# row is r1 (oldest-green-first; deferred to round 6: the timestamp-free
-# scan/sink shapes b_scan_parquet/ndjson/infer,
-# b_sink_ndjson/append/overwrite, b_source_rows — exercised by
+# the ext_analytics2 six: scd2/affinity/dataset-card/ewma/containment/
+# dp-counts, plus c_pagerank_nations and c_attribution — new queries go
+# to the head so none repeats the c_repetition_stats never-scored gap)
+# + 3 stalest-r2 timestamp-path entries never re-scored after the NTZ
+# testdata change (b_fn_date, b_fn_date_seq, s_sliding) + 34 of the 49
+# entries whose latest green row is r1 (oldest-green-first; deferred to
+# round 6: the timestamp-free scan/sink shapes b_scan_parquet/ndjson/
+# infer, b_sink_ndjson/append/overwrite, b_source_rows — exercised by
 # tests/test_io.py and sharing their code path with the still-windowed
-# b_ctas — and the six b_win_* entries, whose window code path is
-# re-proven this round by c_yoy_brand/c_moving_monthly/c_skew_sessionize/
-# c_scd2_track/c_ewma_daily).
-# Round-6 plan: those 13 + the remaining ~34 r2-green entries.
+# b_ctas — the six b_win_* entries, whose window code path is re-proven
+# this round by c_yoy_brand/c_moving_monthly/c_skew_sessionize/
+# c_scd2_track/c_ewma_daily, and b_sort/b_limit, whose global sort+limit
+# shape every ORDER BY + LIMIT TPC-H entry re-proved green in r4).
+# Round-6 plan: those 15 + the remaining ~34 r2-green entries.
 # (tools/parity.py still covers the full registry every round.)
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # -- never driver-scored (1)
     "c_repetition_stats",
-    # -- new in round 5 (10)
+    # -- new in round 5 (12)
     "c_yoy_brand", "c_nation_share", "c_moving_monthly", "c_skew_sessionize",
     "c_scd2_track", "c_brand_affinity", "c_dataset_card", "c_ewma_daily",
-    "c_containment", "c_dp_counts",
+    "c_containment", "c_dp_counts", "c_pagerank_nations", "c_attribution",
     # -- stalest-r2 timestamp-path re-proof post-NTZ (3)
     "b_fn_date", "b_fn_date_seq", "s_sliding",
-    # -- last green in r1 (36 of 49)
-    "b_sort", "b_limit",
+    # -- last green in r1 (34 of 49)
     "b_agg_scalar_max", "b_agg_group", "b_agg_count_distinct",
     "b_agg_distinct_rows", "b_agg_rollup", "b_agg_cube",
     "b_agg_grouping_sets", "b_agg_collect", "b_agg_having",

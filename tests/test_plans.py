@@ -270,3 +270,38 @@ def test_side_plan_audit_catches_global_window(spark):
     with _pytest.warns(RuntimeWarning, match="unpartitioned window"):
         audit_side_plan(bad, "test-bad-warn")
     os.environ["POPELINES_PLAN_AUDIT"] = "strict"
+
+
+def test_round5_analytics_plans(spark):
+    """Round-5 operator plan audit (the global no-unpartitioned-window rule
+    covers these too — this pins joins/broadcast/cartesian shapes)."""
+    # brand affinity: part dim + marginals broadcast; no cartesian (the
+    # one-row total attaches via broadcast nested loop, not CartesianProduct)
+    rep = plan_report(_q("c_brand_affinity", spark))
+    assert not rep["cartesian"]
+    assert rep["broadcast_joins"] >= 3
+    # scd2 / ewma: single-key window plans, no join
+    for name in ("c_scd2_track", "c_ewma_daily"):
+        rep = plan_report(_q(name, spark))
+        assert not rep["cartesian"]
+        assert "Window" in physical_plan(_q(name, spark))
+    # containment: candidate generation is the shingle equi-join — keyed
+    # joins only, no cartesian anywhere
+    assert_no_cartesian(_q("c_containment", spark))
+    # pagerank: 10 iterations of keyed join + keyed agg; no CartesianProduct
+    # (the 1/n scalar attaches via the sanctioned one-row broadcast
+    # nested-loop, so only the unbounded node is banned)
+    assert not plan_report(_q("c_pagerank_nations", spark))["cartesian"]
+    # attribution reuses the join-free asof union+window shape upstream of
+    # one final keyed aggregation
+    rep = plan_report(_q("c_attribution", spark))
+    assert not rep["cartesian"]
+    assert "Window" in physical_plan(_q("c_attribution", spark))
+    # dataset card / dp counts: one grouped scan, no join
+    for name in ("c_dataset_card", "c_dp_counts"):
+        rep = plan_report(_q(name, spark))
+        assert (
+            rep["broadcast_joins"]
+            + rep["sortmerge_joins"]
+            + rep["shuffled_hash_joins"]
+        ) == 0

@@ -124,3 +124,56 @@ def test_brand_affinity_lift_formula(spark):
     assert all(r.pair_n >= 5 for r in rows)
     assert all(r.brand_a < r.brand_b for r in rows)
     assert all(r.lift > 0 for r in rows)
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    from popelines_spark.operators.graph import pagerank
+
+    # directed 4-cycle: perfectly symmetric -> uniform ranks, sum == 1
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src int, dst int"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node int")
+    out = {r.node: float(r.pr) for r in pagerank(edges, nodes).collect()}
+    assert all(abs(v - 0.25) < 1e-9 for v in out.values())
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_sink_gains_rank(spark):
+    from popelines_spark.operators.graph import pagerank
+
+    # 0->2, 1->2, 2->0: node 1 has no in-edges so it decays to the base
+    # (1-d)/n and both cycle members outrank it at every iteration (the
+    # 0<->2 two-cycle itself still oscillates at 10 iterations, so their
+    # relative order is not asserted); rank mass is conserved (no danglers)
+    edges = spark.createDataFrame([(0, 2), (1, 2), (2, 0)], "src int, dst int")
+    nodes = spark.createDataFrame([(i,) for i in range(3)], "node int")
+    out = {r.node: float(r.pr) for r in pagerank(edges, nodes).collect()}
+    assert out[2] > out[1] and out[0] > out[1]
+    assert abs(out[1] - 0.05) < 1e-9  # base (1-0.85)/3
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_dangling_mass_leaks(spark):
+    from popelines_spark.operators.graph import pagerank
+
+    # 0->1, 1 dangling: documented variant — total rank < 1
+    edges = spark.createDataFrame([(0, 1)], "src int, dst int")
+    nodes = spark.createDataFrame([(0,), (1,)], "node int")
+    out = {r.node: float(r.pr) for r in pagerank(edges, nodes).collect()}
+    assert out[1] > out[0]
+    assert sum(out.values()) < 1.0
+
+
+def test_attribution_channels_partition_purchases(spark):
+    from popelines_spark.queries.ext_analytics2 import c_attribution
+    from popelines_spark.tables import load
+
+    out = {r.channel: r.n_purchases for r in c_attribution(spark, "/root/testdata/sf0.001").collect()}
+    n_pur = (
+        load(spark, "/root/testdata/sf0.001", "events")
+        .filter("event_type = 'purchase'")
+        .count()
+    )
+    assert set(out) <= {"click", "view", "direct"}
+    assert sum(out.values()) == n_pur
