@@ -484,3 +484,48 @@ def c_attribution(spark, sf_dir):
         .groupBy(F.coalesce("s_type", F.lit("direct")).alias("channel"))
         .agg(F.count("*").cast("long").alias("n_purchases"))
     )
+
+
+@query(
+    "c_sample_weighted",
+    oracle="""
+    SELECT o_orderpriority, rn, o_orderkey
+    FROM (SELECT o_orderpriority, o_orderkey,
+            CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY
+              ((-1.0) * ln((((o_orderkey % 1000003) * 2654435761)
+                            % 1000000007 + 1) / 1000000008.0))
+                / o_totalprice,
+              o_orderkey) AS BIGINT) AS rn
+          FROM orders)
+    WHERE rn <= 5
+    """,
+)
+def c_sample_weighted(spark, sf_dir):
+    """Weighted sampling without replacement, 5 orders per priority class,
+    P(pick) ∝ o_totalprice — Efraimidis-Spirakis A-Res: draw key
+    -ln(u)/w per row and keep the k smallest per group. u is the same
+    seeded multiplicative id-hash as c_sample_per_group (no RNG:
+    identical rows under retries/AQE and in the oracle). One keyed
+    window; at extreme group cardinality the same keys feed a
+    top-k-per-group aggregate instead of row_number (the
+    b_topk_per_group plan note)."""
+    orders = T(spark, sf_dir, "orders")
+    u = (
+        ((F.col("o_orderkey") % 1000003) * F.lit(2654435761)) % 1000000007
+        + 1
+    ) / 1000000008.0
+    key = (F.lit(-1.0) * F.log(u)) / F.col("o_totalprice")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("o_orderpriority").orderBy(
+        key.asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+        .select("o_orderpriority", "rn", "o_orderkey")
+    )

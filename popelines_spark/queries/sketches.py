@@ -20,7 +20,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from popelines_spark.llm.sketch import bloom_build, bloom_probe, cms_build, cms_estimate
+from popelines_spark.llm.sketch import (
+    _bucket,
+    bloom_build,
+    bloom_probe,
+    cms_build,
+    cms_estimate,
+)
 from popelines_spark.registry import query
 from popelines_spark.queries._util import T
 
@@ -201,4 +207,109 @@ def b_sketch_hll_merge(spark, sf_dir):
             F.abs(F.col("__est").cast("double") - F.col("exact_users"))
             <= F.col("exact_users") * 0.05
         ).alias("merged_within_5pct"),
+    )
+
+
+@query(
+    "b_sketch_cms_merge",
+    oracle=f"""
+    WITH js AS (SELECT unnest(range(4)) AS j),
+    grid AS (
+        SELECT week, j, bucket, CAST(count(*) AS BIGINT) AS c
+        FROM (
+            SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, j,
+                   {_BUCKET.format(key="event_type", m=1024)} AS bucket
+            FROM events, js
+        )
+        GROUP BY week, j, bucket
+    ),
+    probe AS (
+        SELECT DISTINCT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+               event_type, j,
+               {_BUCKET.format(key="event_type", m=1024)} AS bucket
+        FROM events, js
+    ),
+    est AS (
+        SELECT week, event_type, MIN(COALESCE(c, 0)) AS cms_est
+        FROM probe LEFT JOIN grid USING (week, j, bucket)
+        GROUP BY week, event_type
+    ),
+    exact AS (
+        SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, event_type,
+               CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM events GROUP BY 1, 2
+    )
+    SELECT week, event_type, CAST(cms_est AS BIGINT) AS cms_est, exact_cnt,
+           cms_est >= exact_cnt AS never_undercounts
+    FROM est JOIN exact USING (week, event_type)
+    """,
+)
+def b_sketch_cms_merge(spark, sf_dir):
+    """MERGEABLE count-min rollup — the frequency twin of
+    b_sketch_hll_merge: DAILY CMS counter tables built once (the stored
+    partial aggregate), merged up to weekly by summing counters, probed
+    for per-week event-type frequencies WITHOUT rescanning raw events.
+
+    Counter addition commutes exactly, so the merged weekly sketch is
+    bit-identical to one built directly at week grain — which is what the
+    oracle builds, making merge-exactness itself the hash-checked
+    property. At 100 TB the daily ≤4096-row counter tables are the only
+    state that crosses days; any grain re-aggregates with a tiny sum.
+    """
+    ev = T(spark, sf_dir, "events")
+    c = F.col("event_type")
+    daily = (
+        ev.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            _bucket(c, j, 1024).alias("bucket"),
+                        )
+                        for j in range(4)
+                    ]
+                )
+            ).alias("jb"),
+        )
+        .groupBy("day", "jb.j", "jb.bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    weekly = daily.groupBy(
+        F.date_trunc("week", "day").alias("week"), "j", "bucket"
+    ).agg(F.sum("c").cast("long").alias("c"))
+    probes = ev.select(
+        F.date_trunc("week", "ts").alias("week"), "event_type"
+    ).distinct()
+    ppos = probes.select(
+        "week",
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), _bucket(c, j, 1024).alias("bucket")
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("jb"),
+    ).select("week", "event_type", "jb.j", "jb.bucket")
+    est = (
+        ppos.join(F.broadcast(weekly), ["week", "j", "bucket"], "left")
+        .groupBy("week", "event_type")
+        .agg(
+            F.min(F.coalesce("c", F.lit(0).cast("long"))).alias("cms_est")
+        )
+    )
+    exact = ev.groupBy(
+        F.date_trunc("week", "ts").alias("week"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    return est.join(exact, ["week", "event_type"]).select(
+        "week",
+        "event_type",
+        F.col("cms_est").cast("long").alias("cms_est"),
+        "exact_cnt",
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("never_undercounts"),
     )

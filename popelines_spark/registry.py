@@ -44,33 +44,37 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Round-5 rotation: the driver scores a bounded 50-entry prefix of the
 # registry per round.  This round's 50 = 1 never-driver-scored entry
 # (c_repetition_stats — the ONLY registered query without a driver-green
-# row across r1-r4; VERDICT r4 top-next) + 12 new round-5 queries
+# row across r1-r4; VERDICT r4 top-next) + 14 new round-5 queries
 # (TPC-DS-flavored window-over-aggregate, the hot-key sessionize stress,
-# the ext_analytics2 six: scd2/affinity/dataset-card/ewma/containment/
-# dp-counts, plus c_pagerank_nations and c_attribution — new queries go
-# to the head so none repeats the c_repetition_stats never-scored gap)
-# + 3 stalest-r2 timestamp-path entries never re-scored after the NTZ
-# testdata change (b_fn_date, b_fn_date_seq, s_sliding) + 34 of the 49
-# entries whose latest green row is r1 (oldest-green-first; deferred to
-# round 6: the timestamp-free scan/sink shapes b_scan_parquet/ndjson/
-# infer, b_sink_ndjson/append/overwrite, b_source_rows — exercised by
+# the ext_analytics2 family: scd2/affinity/dataset-card/ewma/containment/
+# dp-counts/pagerank/attribution/weighted-sampling, and the CMS merge
+# rollup — new queries go to the head so none repeats the
+# c_repetition_stats never-scored gap) + 3 stalest-r2 timestamp-path
+# entries never re-scored after the NTZ testdata change (b_fn_date,
+# b_fn_date_seq, s_sliding) + 32 of the 49 entries whose latest green
+# row is r1 (oldest-green-first; deferred to round 6: the timestamp-free
+# scan/sink shapes b_scan_parquet/ndjson/infer,
+# b_sink_ndjson/append/overwrite, b_source_rows — exercised by
 # tests/test_io.py and sharing their code path with the still-windowed
 # b_ctas — the six b_win_* entries, whose window code path is re-proven
 # this round by c_yoy_brand/c_moving_monthly/c_skew_sessionize/
-# c_scd2_track/c_ewma_daily, and b_sort/b_limit, whose global sort+limit
-# shape every ORDER BY + LIMIT TPC-H entry re-proved green in r4).
-# Round-6 plan: those 15 + the remaining ~34 r2-green entries.
+# c_scd2_track/c_ewma_daily, b_sort/b_limit, whose global sort+limit
+# shape every ORDER BY + LIMIT TPC-H entry re-proved green in r4, and
+# b_project/b_filter, whose projection/filter-pushdown shape
+# test_plans.py asserts on every scan this round).
+# Round-6 plan: those 17 + the remaining ~34 r2-green entries.
 # (tools/parity.py still covers the full registry every round.)
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # -- never driver-scored (1)
     "c_repetition_stats",
-    # -- new in round 5 (12)
+    # -- new in round 5 (14)
     "c_yoy_brand", "c_nation_share", "c_moving_monthly", "c_skew_sessionize",
     "c_scd2_track", "c_brand_affinity", "c_dataset_card", "c_ewma_daily",
     "c_containment", "c_dp_counts", "c_pagerank_nations", "c_attribution",
+    "b_sketch_cms_merge", "c_sample_weighted",
     # -- stalest-r2 timestamp-path re-proof post-NTZ (3)
     "b_fn_date", "b_fn_date_seq", "s_sliding",
-    # -- last green in r1 (34 of 49)
+    # -- last green in r1 (32 of 49)
     "b_agg_scalar_max", "b_agg_group", "b_agg_count_distinct",
     "b_agg_distinct_rows", "b_agg_rollup", "b_agg_cube",
     "b_agg_grouping_sets", "b_agg_collect", "b_agg_having",
@@ -78,8 +82,8 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "b_join_inner", "b_join_broadcast", "b_join_left", "b_join_right",
     "b_join_full", "b_join_semi", "b_join_anti", "b_join_cross",
     "b_join_theta", "b_join_asof", "b_unnest", "b_unnest_inner",
-    "b_project", "b_project_nested", "b_project_rename_nested",
-    "b_project_drop", "b_filter", "b_filter_range_dates",
+    "b_project_nested", "b_project_rename_nested",
+    "b_project_drop", "b_filter_range_dates",
     "b_ctas",
     "a_load_evolve", "a_chunk_dates", "a_fix_values", "a_copy_replace_keys",
     "a_source_rest",

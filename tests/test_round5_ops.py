@@ -177,3 +177,26 @@ def test_attribution_channels_partition_purchases(spark):
     )
     assert set(out) <= {"click", "view", "direct"}
     assert sum(out.values()) == n_pur
+
+
+def test_cms_merge_equals_direct_build(spark):
+    # merged daily counters must be bit-identical to a direct weekly build,
+    # so estimates can never differ between the two paths
+    from popelines_spark.queries.sketches import b_sketch_cms_merge
+
+    out = b_sketch_cms_merge(spark, "/root/testdata/sf0.001").collect()
+    assert out and all(r.never_undercounts for r in out)
+    # 5 event types vs 4096 counters: collisions are rare enough that most
+    # estimates are exact at this SF
+    assert sum(1 for r in out if r.cms_est == r.exact_cnt) >= len(out) // 2
+
+
+def test_sample_weighted_is_without_replacement(spark):
+    from popelines_spark.queries.ext_analytics2 import c_sample_weighted
+
+    rows = c_sample_weighted(spark, "/root/testdata/sf0.001").collect()
+    per_group = {}
+    for r in rows:
+        per_group.setdefault(r.o_orderpriority, []).append(r.o_orderkey)
+    for keys in per_group.values():
+        assert len(keys) == 5 and len(set(keys)) == 5
