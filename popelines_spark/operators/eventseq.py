@@ -459,6 +459,7 @@ def ewma(
     value_col: str,
     alpha: float,
     n_lags: int = 8,
+    round_dp: int = 6,
 ) -> DataFrame:
     """Truncated exponentially-weighted moving average per key: over the
     ``n_lags`` most recent points (current + n_lags-1 lags), weights
@@ -471,6 +472,14 @@ def ewma(
     ``key_col``. Weights are Python-float literals injected into the plan,
     and the weighted sum is accumulated in ascending lag order on both
     engines, so the IEEE arithmetic matches bit-for-bit.
+
+    ``round_dp`` caveat (found by the sf1.0 parity spot-check): pick it so
+    magnitude × 10^round_dp stays well under ~12 significant digits.
+    Rounding a double whose exact decimal expansion sits within one ulp of
+    a .5·10^-dp boundary diverges between engines (Spark rounds the exact
+    BigDecimal expansion, DuckDB rounds after float scaling); the per-row
+    probability is ≈ ulp(x)·10^dp, i.e. ~5e-4 at 4e6 magnitude with dp=6 —
+    real divergence observed at sf1.0 — but ~5e-8 with dp=2.
     """
     w = W.partitionBy(key_col).orderBy(order_col)
     num = F.lit(0.0)
@@ -481,5 +490,7 @@ def ewma(
         num = num + F.when(x.isNotNull(), F.lit(wt) * x).otherwise(F.lit(0.0))
         den = den + F.when(x.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
     return df.select(
-        key_col, order_col, F.round(num / den, 6).alias(f"ewma_{value_col}")
+        key_col,
+        order_col,
+        F.round(num / den, round_dp).alias(f"ewma_{value_col}"),
     )

