@@ -101,24 +101,37 @@ def b_fn_math2(spark, sf_dir):
 @query(
     "b_agg_argminmax",
     oracle="""
-    SELECT c_mktsegment,
-           arg_max(c_name, c_custkey) AS latest_cust,
-           arg_min(c_name, c_custkey) AS first_cust,
-           arg_max(c_custkey, c_acctbal) AS richest_key
-    FROM customer GROUP BY c_mktsegment
+    WITH base AS (SELECT c_mktsegment,
+                         arg_max(c_name, c_custkey) AS latest_cust,
+                         arg_min(c_name, c_custkey) AS first_cust,
+                         max(c_acctbal) AS mb
+                  FROM customer GROUP BY c_mktsegment),
+    rich AS (SELECT c.c_mktsegment, max(c.c_custkey) AS richest_key
+             FROM customer c JOIN base b
+               ON c.c_mktsegment = b.c_mktsegment AND c.c_acctbal = b.mb
+             GROUP BY c.c_mktsegment)
+    SELECT base.c_mktsegment, latest_cust, first_cust, richest_key
+    FROM base JOIN rich ON base.c_mktsegment = rich.c_mktsegment
     """,
 )
 def b_agg_argminmax(spark, sf_dir):
     """max_by/min_by (BQ ANY_VALUE(... HAVING MAX ...) family). The
-    c_acctbal arg uses a key with unique values per group? acctbal ties are
-    possible — tie-broken identically in both engines only if unique;
-    c_custkey orderings are unique, richest uses acctbal which is unique in
-    practice at these sfs (verified by parity)."""
+    richest-customer argmax orders by (c_acctbal, c_custkey) — acctbal
+    ties are real (the sf1.0 replication sweep produced 10-way ties and
+    caught the bare-acctbal version diverging between engines), so the
+    ordering carries a unique tie-break: Spark compares the
+    (acctbal, custkey) struct lexicographically; DuckDB's arg_max takes
+    no composite ordering key, so the oracle spells the identical
+    semantics as max-acctbal then max-custkey-among-ties. The custkey
+    argmaxes are unique by construction."""
     c = T(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
         F.max_by("c_name", "c_custkey").alias("latest_cust"),
         F.min_by("c_name", "c_custkey").alias("first_cust"),
-        F.max_by("c_custkey", "c_acctbal").alias("richest_key"),
+        F.max_by(
+            "c_custkey",
+            F.struct(F.col("c_acctbal"), F.col("c_custkey").cast("double")),
+        ).alias("richest_key"),
     )
 
 
