@@ -200,3 +200,48 @@ def test_sample_weighted_is_without_replacement(spark):
         per_group.setdefault(r.o_orderpriority, []).append(r.o_orderkey)
     for keys in per_group.values():
         assert len(keys) == 5 and len(set(keys)) == 5
+
+
+def test_scd2_properties_random_streams(spark):
+    """Property test: for random event streams, the SCD2 intervals per user
+    (1) tile the observed span — valid_from of version v+1 equals valid_to
+    of version v, the last interval is open; (2) n_obs sums to the user's
+    event count; (3) adjacent intervals never share a state."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    streams = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 50), st.sampled_from("abc")),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def collect(evs):
+        streams.append(evs)
+
+    collect()
+    rows, eid = [], 0
+    for si, evs in enumerate(streams):
+        for user, t, state in evs:
+            rows.append((si * 10 + user, dt.datetime(2024, 1, 1) + dt.timedelta(hours=t), state, eid))
+            eid += 1
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, state string, eid long")
+    out = eventseq.scd2_runs(df, "user_id", "ts", "state", "eid").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    counts = {}
+    for u, t, s, e in [(r[0], r[1], r[2], r[3]) for r in rows]:
+        counts[u] = counts.get(u, 0) + 1
+    for u, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.version)
+        assert [r.version for r in ivs] == list(range(1, len(ivs) + 1))
+        for prev, nxt in zip(ivs, ivs[1:]):
+            assert prev.valid_to == nxt.valid_from  # tiling, no gaps
+            assert prev.state != nxt.state  # runs are maximal
+        assert ivs[-1].valid_to is None  # open current interval
+        assert sum(r.n_obs for r in ivs) == counts[u]
