@@ -235,3 +235,46 @@ def s_join_interval(spark, sf_dir):
     return run_to_completion(
         joined.select("err_id", "pur_id", "pur_ts"), "append"
     )
+
+
+@query(
+    "s_cdc_latest",
+    oracle="""
+    WITH mx AS (SELECT user_id, max(ts) AS mt FROM events GROUP BY user_id)
+    SELECT e.user_id, e.ts AS last_ts, e.event_type AS last_type,
+           e.value AS last_value
+    FROM events e JOIN mx ON e.user_id = mx.user_id AND e.ts = mx.mt
+    """,
+)
+def s_cdc_latest(spark, sf_dir):
+    """CDC materialization: treat the event stream as a change feed keyed
+    by user and maintain each key's LATEST row — the streaming
+    upsert/compaction pattern (the streaming twin of b_merge_upsert, and
+    what a warehouse MERGE on a change feed converges to).
+
+    One stateful aggregation: max of the (ts, type, value) struct — struct
+    comparison is ts-first, and (user_id, ts) is unique in the testdata,
+    so the winner is exact. State per key is ONE struct (bounded), update
+    mode emits only keys whose latest changed in the micro-batch; each
+    user's final emission is the true latest row regardless of how the
+    replay splits into batches (running max is batch-split-invariant),
+    which is what the oracle computes. keep_first on emission ts collapses
+    the per-batch history; identical re-emissions collapse harmlessly."""
+    from popelines_spark.operators.keyed import keep_first
+
+    ev = events_stream(spark, sf_dir)
+    latest = ev.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_type", "value")).alias("__last")
+    )
+    emissions = run_to_completion(
+        latest.select(
+            "user_id",
+            F.col("__last.ts").alias("last_ts"),
+            F.col("__last.event_type").alias("last_type"),
+            F.col("__last.value").alias("last_value"),
+        ),
+        "update",
+    )
+    return keep_first(
+        emissions, keys=["user_id"], order=[F.col("last_ts").desc()]
+    )

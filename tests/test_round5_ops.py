@@ -245,3 +245,26 @@ def test_scd2_properties_random_streams(spark):
             assert prev.state != nxt.state  # runs are maximal
         assert ivs[-1].valid_to is None  # open current interval
         assert sum(r.n_obs for r in ivs) == counts[u]
+
+
+def test_cdc_latest_matches_batch_argmax(spark):
+    from popelines_spark.queries.streaming_queries import s_cdc_latest
+    from popelines_spark.tables import load
+
+    got = {
+        r.user_id: (r.last_ts, r.last_type)
+        for r in s_cdc_latest(spark, "/root/testdata/sf0.001").collect()
+    }
+    want = {
+        r.user_id: (r.last_ts, r.last_type)
+        for r in load(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_type")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.ts").alias("last_ts"),
+            F.col("m.event_type").alias("last_type"),
+        )
+        .collect()
+    }
+    assert got == want
