@@ -45,3 +45,13 @@ def test_product_analytics_example(spark, scratch):
     assert stats["rollup_rows"] > 0
     # deterministic end to end
     assert build_mart(spark, SF_DIR, scratch) == stats
+
+
+def test_governed_warehouse_example(spark, scratch):
+    import governed_warehouse as gw
+
+    counts = gw.build_mart(spark, "/root/testdata/sf0.001", scratch)
+    assert counts["user_state_history"] > 0
+    assert counts["public_release"] == 5  # one noisy row per event type
+    assert counts["nation_rank"] == 25
+    assert all(n > 0 for n in counts.values())
