@@ -176,25 +176,23 @@ def c_fuzzy_match(spark, sf_dir):
     join stays keyed — the standard trick for fuzzy key matching at
     scale; wider distances use k-choose-d mask combinations."""
     names = T(spark, sf_dir, "supplier").select("s_name")
-    # digit tail occupies positions 10..18 of 'Supplier#000000000'
+    # Mask EVERY position (1..len): complete for one-substitution pairs of
+    # any name shape. (Round 4 masked the fixed digit tail 10..18 of
+    # 'Supplier#000000000'; the sf1.0 replication sweep prefixed names and
+    # silently moved the digits out of that range — a hardcoded-layout trap.
+    # ~2.4x more keys than digit-only masking; the join stays keyed.)
     masked = names.select(
         "s_name",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(pos).alias("pos"),
-                        F.concat(
-                            F.substring("s_name", 1, pos - 1),
-                            F.lit("#"),
-                            F.substring("s_name", pos + 1, 99),
-                        ).alias("key"),
-                    )
-                    for pos in range(10, 19)
-                ]
-            )
-        ).alias("mk"),
-    ).select("s_name", "mk.pos", "mk.key")
+        F.explode(F.sequence(F.lit(1), F.length("s_name"))).alias("pos"),
+    ).select(
+        "s_name",
+        "pos",
+        F.concat(
+            F.expr("substring(s_name, 1, pos - 1)"),
+            F.lit("#"),
+            F.expr("substring(s_name, pos + 1, 999)"),
+        ).alias("key"),
+    )
     a = masked.select(F.col("s_name").alias("name_a"), "pos", "key")
     b = masked.select(F.col("s_name").alias("name_b"), "pos", "key")
     pairs = (

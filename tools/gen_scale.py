@@ -104,13 +104,43 @@ def _replicate(df: DataFrame, table: str, k: int) -> DataFrame:
             )
         rep = rep.withColumn("text", branches)
     if table == "embeddings":
+        # Direction-CHANGING per-replica perturbation. A uniform +r*eps
+        # shift preserves the vector's direction almost exactly, which
+        # makes the 10 replicas of each base vector near-tie in cosine
+        # against any query — and near-ties surface spurious cross-engine
+        # rank swaps (independent double-sum orders differ in the last
+        # ulp). Alternating signs by component index rotates each replica
+        # measurably instead.
         rep = rep.withColumn(
             "embedding",
             F.transform(
                 "embedding",
-                lambda x: (x + F.col("__r").cast("float") * F.lit(0.001)).cast(
-                    "float"
-                ),
+                lambda x, i: (
+                    x
+                    + F.col("__r").cast("float")
+                    * F.lit(0.03)
+                    * ((i % 2) * 2 - 1).cast("float")
+                    * ((i % 5) + 1).cast("float")
+                ).cast("float"),
+            ),
+        )
+    if table in ("supplier", "customer"):
+        # Replica-unique entity names with cross-replica edit distance >= 2
+        # (a doubled replica digit prefix): verbatim name replication gave
+        # every name 10 exact copies, exploding edit-distance<=1 entity
+        # resolution quadratically — realistic corpora have replica-unique
+        # entities. Within-replica pairwise distances are preserved (the
+        # prefix is common), so fuzzy-match density scales linearly.
+        name_col = "s_name" if table == "supplier" else "c_name"
+        rep = rep.withColumn(
+            name_col,
+            F.when(F.col("__r") == 0, F.col(name_col)).otherwise(
+                F.concat(
+                    F.col("__r").cast("string"),
+                    F.col("__r").cast("string"),
+                    F.lit("x"),
+                    F.col(name_col),
+                )
             ),
         )
     return rep.drop("__r")
