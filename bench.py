@@ -52,8 +52,10 @@ BASELINE_SEC = {
     "c_rollup_multi": 0.56,
     "c_tfidf_topk": 1.21,
     "c_bm25": 0.89,
-    # round-5 addition, recorded the same way
+    # round-5 additions, recorded the same way
     "c_skew_sessionize": 0.68,
+    "c_pagerank_nations": 3.90,
+    "c_containment": 1.86,
 }
 
 #: Local regression gate: with SPARK_GRAFT_BENCH_STRICT=1, exit nonzero if
@@ -80,6 +82,8 @@ BENCH_QUERIES = [
     "c_tfidf_topk",            # TF-IDF keyword extraction (round 4)
     "c_bm25",                  # BM25 relevance scoring (round 4)
     "c_skew_sessionize",       # hot-key (20%-of-rows) sessionize (round 5)
+    "c_pagerank_nations",      # 10-iteration decimal PageRank (round 5)
+    "c_containment",           # asymmetric decontamination join (round 5)
 ]
 
 
