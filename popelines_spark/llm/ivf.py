@@ -183,14 +183,24 @@ def build_ivf_index(
     vec_col: str,
     id_col: str,
     path: str,
-    n_cells: int = 16,
+    n_cells: int | str = 16,
     iterations: int = 2,
 ) -> IVFIndex:
     """Build-once entry point: train centroids, assign every corpus vector
     to its cell, and WRITE the corpus partitioned by cell id. At 100 TB this
     is the amortized step — run it once per corpus version; every probe
     afterwards is a partition-pruned read of n_probe directories
-    (VERDICT r2 #4: the scale story as an API, not just an example)."""
+    (VERDICT r2 #4: the scale story as an API, not just an example).
+
+    ``n_cells="auto"`` applies the standard IVF sizing rule n_cells ≈ √N
+    (floored at 16): with a constant probe COUNT, per-query probe cost is
+    then O(√N · d) instead of O(fraction · N) on clustered corpora — the
+    scale knob named in BASELINE.md §Round 5. The corpus count is a
+    sanctioned build-time scalar (one aggregate at index build, amortized
+    like the rest of construction). The registered small-SF queries keep
+    their calibrated fixed-cell settings."""
+    if n_cells == "auto":
+        n_cells = max(16, int(corpus.count() ** 0.5))
     centroids = train_centroids(
         corpus, vec_col, n_cells=n_cells, iterations=iterations, id_col=id_col
     )

@@ -79,3 +79,20 @@ def test_foreach_batch_exactly_once_sink(spark, scratch):
     # simulate a redelivery of epoch 0
     write_batch(spark.read.parquet(f"{scratch}/src"), 0)
     assert spark.read.parquet(out_dir).count() == first == 20
+
+
+def test_ivf_auto_cell_sizing(spark, scratch):
+    from popelines_spark.llm.ivf import build_ivf_index, load_ivf_index
+    from popelines_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    idx = build_ivf_index(
+        emb, "embedding", "vec_id", f"{scratch}/ivf_auto", n_cells="auto"
+    )
+    expected = max(16, int(n**0.5))
+    assert len(idx.centroids) == expected
+    back = load_ivf_index(spark, f"{scratch}/ivf_auto")
+    assert len(back.centroids) == expected
