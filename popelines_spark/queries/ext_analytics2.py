@@ -534,3 +534,50 @@ def c_sample_weighted(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("o_orderpriority", "rn", "o_orderkey")
     )
+
+
+@query(
+    "c_rolling_dau",
+    oracle="""
+    WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                  AS day, user_id
+                FROM events),
+    days AS (SELECT DISTINCT day FROM du),
+    e AS (SELECT d2.day AS target, du.user_id
+          FROM du JOIN days d2
+            ON d2.day >= du.day AND d2.day <= du.day + INTERVAL 6 DAY)
+    SELECT target AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau7
+    FROM e GROUP BY target
+    """,
+)
+def c_rolling_dau(spark, sf_dir):
+    """Trailing-7-day active users per day — the rolling DISTINCT count a
+    plain window frame cannot express (COUNT(DISTINCT) OVER a RANGE frame
+    is unsupported on both engines, and naive per-day re-scans are
+    quadratic). Each (day, user) pair fans out to the <= 7 target days it
+    supports via an explode of a 7-element date sequence, then one
+    distinct-count per target day: shuffle volume is 7x the daily-active
+    relation — bounded, keyed, and at extreme cardinality the same
+    expansion feeds daily HLL sketches unioned per window
+    (b_sketch_hll_merge) instead of the exact distinct."""
+    ev = T(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    days = du.select(F.col("day").alias("target")).distinct()
+    expanded = du.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("target"),
+        "user_id",
+    )
+    return (
+        expanded.join(days, "target")
+        .groupBy("target")
+        .agg(F.count_distinct("user_id").cast("long").alias("dau7"))
+        .select(F.col("target").alias("day"), "dau7")
+    )

@@ -268,3 +268,22 @@ def test_cdc_latest_matches_batch_argmax(spark):
         .collect()
     }
     assert got == want
+
+
+def test_rolling_dau_superset_of_daily(spark):
+    from popelines_spark.queries.ext_analytics2 import c_rolling_dau
+    from popelines_spark.tables import load
+
+    dau7 = {r.day: r.dau7 for r in c_rolling_dau(spark, "/root/testdata/sf0.001").collect()}
+    daily = {
+        r.day: r.n
+        for r in load(spark, "/root/testdata/sf0.001", "events")
+        .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # every day present; trailing-7 count >= that day's own distinct users
+    for day, n in daily.items():
+        assert dau7[day] >= n
