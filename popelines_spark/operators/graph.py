@@ -1,4 +1,5 @@
-"""Iterative graph algorithms on edge DataFrames — PageRank.
+"""Iterative graph algorithms on edge DataFrames — PageRank, BFS,
+triangle counting.
 
 The reference's users run graph-flavored rollups by exporting to a graph
 tool; here the iterative computation is native DataFrame ops so it runs
@@ -98,3 +99,80 @@ def pagerank(
         if i % 3 == 2 and i < n_iter - 1:
             ranks = checkpoint(ranks, f"pagerank-iter{i}", eager=False)
     return ranks.select(node_col, "pr")
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop count from any seed, bounded at
+    ``max_hops``. ``seeds`` has one column ``node_col``; returns
+    (node_col, hops BIGINT) for every reached node.
+
+    Scale shape: level-synchronous frontier expansion — each round is one
+    keyed join (frontier ⋈ edges on src) plus an anti-join against the
+    visited set, so per-round work is |frontier-adjacent edges|, never the
+    whole graph re-scanned. The visited set is one row per reached node.
+    Lineage is truncated with a lazy localCheckpoint per round (audited by
+    plans/inspect.py) — at billion-edge scale swap for a persisted
+    checkpoint every few rounds. Exact integer state only: nothing to
+    drift cross-engine.
+    """
+    visited = seeds.select(
+        F.col(node_col), F.lit(0).cast("long").alias("hops")
+    ).distinct()
+    frontier = visited.select(node_col)
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier[node_col] == edges[src])
+            .select(F.col(dst).alias(node_col))
+            .distinct()
+            .join(visited.select(node_col), node_col, "left_anti")
+        )
+        nxt = checkpoint(nxt, f"bfs-frontier{hop}", eager=False)
+        visited = visited.unionByName(
+            nxt.select(node_col, F.lit(hop).cast("long").alias("hops"))
+        )
+        frontier = nxt
+    return visited
+
+
+def triangle_counts(
+    und_edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph given as a
+    CANONICAL edge list (src < dst, each undirected edge exactly once).
+    Returns (node_col, n_tri BIGINT) for every row of ``nodes`` (0 when
+    the node is in no triangle).
+
+    Scale shape: the textbook oriented enumeration — every triangle
+    a < b < c is found exactly once by joining (a,b)⋈(b,c) on the middle
+    node then probing (a,c) with a semi-equi-join on the composite key.
+    Both joins are keyed shuffles; fan-out of the wedge join is
+    sum(deg²), the known bound (orient by degree-then-id to tighten it on
+    power-law graphs — id orientation suffices here). No cross join
+    anywhere (asserted in tests/test_plans.py).
+    """
+    e1 = und_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e2 = und_edges.select(F.col(src).alias("b"), F.col(dst).alias("c"))
+    wedges = e1.join(e2, "b")  # a < b < c by canonical orientation
+    closing = und_edges.select(F.col(src).alias("a"), F.col(dst).alias("c"))
+    tri = wedges.join(closing, ["a", "c"])  # each triangle once
+    per_corner = (
+        tri.select(F.col("a").alias(node_col))
+        .unionByName(tri.select(F.col("b").alias(node_col)))
+        .unionByName(tri.select(F.col("c").alias(node_col)))
+        .groupBy(node_col)
+        .agg(F.count("*").cast("long").alias("n_tri"))
+    )
+    return nodes.select(node_col).join(per_corner, node_col, "left").select(
+        node_col, F.coalesce("n_tri", F.lit(0).cast("long")).alias("n_tri")
+    )

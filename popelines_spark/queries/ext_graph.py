@@ -1,0 +1,152 @@
+"""Graph analytics over the nation trade graph — BFS reachability and
+triangle counting.
+
+Round-5 additions rounding out ``operators/graph.py`` (PageRank landed
+earlier this round): the two other classic distributed-graph primitives a
+warehouse user reaches for — "what can I reach in k hops" (lineage /
+blast-radius queries) and "how clustered is this node" (community
+cohesion). A reference user runs these by exporting to a graph tool
+(popelines/main.py:236 delegated SQL can't iterate); here they are native
+DataFrame loops that run where the data lives.
+
+Graph construction is shared with ``c_pagerank_nations``
+(queries/ext_analytics2.py): nation src→dst when supplier-nation src
+ships to customer-nation dst in strictly more line items than the average
+ordered pair — a sparsifier that yields varied degrees at every SF.
+
+Oracle strategy: the BFS mirror is a bounded WITH RECURSIVE expansion
+(DuckDB explores every ≤ max_hops path; min(hop) per node collapses it),
+the triangle mirror is the same oriented 3-join the Spark side runs.
+Integer-only state — nothing to drift cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from popelines_spark.registry import query
+from popelines_spark.queries._util import T
+
+#: Directed trade edges (src, dst) — identical to c_pagerank_nations.
+_EDGES_CTE = """
+    cnt AS (SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2),
+    thr AS (SELECT avg(CAST(w AS DOUBLE)) AS t FROM cnt),
+    edges AS (SELECT src, dst FROM cnt CROSS JOIN thr
+              WHERE CAST(w AS DOUBLE) > t)
+"""
+
+
+def _trade_edges(spark, sf_dir):
+    """Spark twin of ``_EDGES_CTE`` (shared with c_pagerank_nations)."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    sup = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cnt = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    thr = cnt.agg(F.avg(F.col("w").cast("double")).alias("t"))
+    return (
+        cnt.crossJoin(F.broadcast(thr))
+        .filter(F.col("w").cast("double") > F.col("t"))
+        .select("src", "dst")
+    )
+
+
+@query(
+    "c_graph_bfs",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_CTE},
+    seeds AS (SELECT n_nationkey AS node FROM nation
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'),
+    bfs AS (
+      SELECT node, 0 AS hop FROM seeds
+      UNION ALL
+      SELECT e.dst AS node, b.hop + 1 AS hop
+      FROM bfs b JOIN edges e ON e.src = b.node
+      WHERE b.hop < 4)
+    SELECT n_name, CAST(min(hop) AS BIGINT) AS hops
+    FROM bfs JOIN nation ON n_nationkey = node
+    GROUP BY n_name
+    """,
+)
+def c_graph_bfs(spark, sf_dir):
+    """Multi-source BFS: minimum hops from any EUROPE nation through the
+    trade graph, bounded at 4. operators/graph.py:bfs_hops carries the
+    frontier-expansion scale notes (per-round work is frontier-adjacent
+    edges only; the oracle's recursive CTE explores every path and
+    collapses with min — same answer, exponentially more work, which is
+    exactly why the engine side is the frontier algorithm)."""
+    from popelines_spark.operators.graph import bfs_hops
+
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+    seeds = (
+        nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .filter(F.col("r_name") == "EUROPE")
+        .select(F.col("n_nationkey").alias("node"))
+    )
+    hops = bfs_hops(_trade_edges(spark, sf_dir), seeds, max_hops=4)
+    return hops.join(
+        F.broadcast(nation), hops.node == nation.n_nationkey
+    ).select("n_name", "hops")
+
+
+@query(
+    "c_triangle_count",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    und AS (SELECT DISTINCT least(src, dst) AS src,
+                   greatest(src, dst) AS dst
+            FROM edges WHERE src <> dst),
+    tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM und e1
+            JOIN und e2 ON e2.src = e1.dst
+            JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+    corners AS (SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri),
+    per_node AS (SELECT node, count(*) AS n_tri FROM corners GROUP BY 1)
+    SELECT n_name, CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_tri
+    FROM nation LEFT JOIN per_node ON node = n_nationkey
+    """,
+)
+def c_triangle_count(spark, sf_dir):
+    """Per-nation triangle participation in the undirected trade graph
+    (each triangle a<b<c enumerated once via oriented wedge join + closing
+    probe — operators/graph.py:triangle_counts has the sum(deg²) fan-out
+    bound). Nodes in no triangle report 0."""
+    from popelines_spark.operators.graph import triangle_counts
+
+    edges = _trade_edges(spark, sf_dir)
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+    nation = T(spark, sf_dir, "nation")
+    tri = triangle_counts(
+        und, nation.select(F.col("n_nationkey").alias("node"))
+    )
+    return tri.join(
+        F.broadcast(nation), tri.node == nation.n_nationkey
+    ).select("n_name", "n_tri")

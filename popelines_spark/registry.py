@@ -111,6 +111,7 @@ def load_all() -> None:
         ext_analytics2,
         ext_curation,
         ext_dedup,
+        ext_graph,
         ext_similarity,
         ext_text,
         ext_multimodal,
