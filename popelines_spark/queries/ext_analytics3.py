@@ -1,0 +1,309 @@
+"""Round-5 warehouse-analytics additions (second batch).
+
+Five operators a reference user would otherwise hand-write in delegated
+SQL (popelines/main.py:236), each with a shuffle-audited scale shape:
+
+ - ``c_pit_join``        — point-in-time lookup of facts into SCD2
+   dimension intervals (the temporal-join half of c_scd2_track)
+ - ``c_incremental_agg`` — mergeable partial-aggregate view maintenance:
+   combine a stored partial with a delta partial, never rescan the base
+ - ``c_mode_per_group``  — deterministic per-group mode
+ - ``c_hist_equiwidth``  — fixed-bin equi-width histogram with
+   broadcast-scalar bounds
+ - ``c_skyline``         — Pareto frontier via a broadcast staircase dim
+
+Float determinism per SURVEY.md §5: exact integer/decimal accumulation,
+per-row IEEE double expressions with identical literal association on
+both engines, no double→int narrowing without an exact floor first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from popelines_spark.registry import query
+from popelines_spark.queries._util import T
+
+#: SCD2 intervals of each user's non-purchase event_type "state", with
+#: zero-duration runs dropped so valid_from is unique per user (two runs
+#: can only share a start instant when the earlier one is empty).
+_SCD_CTE = """
+    src AS (SELECT user_id, ts, event_type, event_id FROM events
+            WHERE event_type <> 'purchase'),
+    ord AS (
+      SELECT user_id, ts, event_type, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM src
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    isl AS (
+      SELECT user_id, ts, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS island
+      FROM ord),
+    runs AS (
+      SELECT user_id, island, event_type, min(ts) AS valid_from
+      FROM isl GROUP BY 1, 2, 3),
+    scd AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT user_id, event_type AS state, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+                 AS valid_to,
+               CAST(island AS BIGINT) AS version
+        FROM runs)
+      WHERE valid_to IS NULL OR valid_to > valid_from)
+"""
+
+
+@query(
+    "c_pit_join",
+    oracle=f"""
+    WITH {_SCD_CTE}
+    SELECT p.event_id, p.user_id, p.ts,
+           COALESCE(s.state, 'none') AS state,
+           CAST(COALESCE(s.version, 0) AS BIGINT) AS version,
+           s.valid_from
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN scd s
+      ON s.user_id = p.user_id AND s.valid_from <= p.ts
+         AND (s.valid_to IS NULL OR p.ts < s.valid_to)
+    """,
+)
+def c_pit_join(spark, sf_dir):
+    """Point-in-time join: each purchase looked up into the SCD2 interval
+    ([valid_from, valid_to)) covering its timestamp — the temporal
+    dimension lookup every SCD2 warehouse needs (c_scd2_track builds the
+    intervals; this consumes them).
+
+    Plan: NOT the oracle's interval range join (whose fan-out is
+    |facts| × |intervals-per-key| before the filter). Because non-empty
+    intervals tile each key's timeline, "the covering interval" ==
+    "the latest interval starting at or before ts" — a backward as-of
+    join, which operators/asof.py runs as one union + one keyed
+    sort + a running last(): every row shuffled exactly once, no join
+    node, O(1) per-key state."""
+    from popelines_spark.operators.asof import asof_join
+    from popelines_spark.operators import eventseq
+
+    ev = T(spark, sf_dir, "events")
+    scd = eventseq.scd2_runs(
+        ev.filter(F.col("event_type") != "purchase"),
+        "user_id", "ts", "event_type", "event_id",
+    ).filter(
+        F.col("valid_to").isNull()
+        | (F.col("valid_to") > F.col("valid_from"))
+    ).select(
+        F.col("user_id").alias("s_user_id"),
+        F.col("event_type").alias("s_state"),
+        "valid_from",
+        F.col("version").alias("s_version"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        pur, scd,
+        left_on="user_id", right_on="s_user_id",
+        left_ts="ts", right_ts="valid_from",
+    )
+    return joined.select(
+        "event_id", "user_id", "ts",
+        F.coalesce("s_state", F.lit("none")).alias("state"),
+        F.coalesce("s_version", F.lit(0)).cast("long").alias("version"),
+        "valid_from",
+    )
+
+
+@query(
+    "c_incremental_agg",
+    oracle="""
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE)
+             AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)
+             AS sum_price,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem GROUP BY l_partkey
+    """,
+)
+def c_incremental_agg(spark, sf_dir):
+    """Incremental materialized-view maintenance: the per-part sales
+    rollup is computed as partial aggregates of the OLD slice (shipdate
+    < 1999-01-01 — in production, read back from the stored MV) merged
+    with partial aggregates of the DELTA slice, then combined by
+    re-aggregation — the base slice is never rescanned on refresh. The
+    oracle recomputes from scratch; matching hashes prove the
+    merge is lossless.
+
+    This is the mergeable-aggregate pattern every 100 TB rollup needs
+    (same algebra as b_sketch_hll_merge, in exact decimals): partials
+    are (sum DECIMAL, count) — both engine-exact and order-independent,
+    so partial+final hash aggregation commutes with the slice split."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    split = F.lit("1999-01-01").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("l_partkey").agg(
+            F.sum(F.col("l_quantity").cast("decimal(20,4)")).alias("_q"),
+            F.sum(F.col("l_extendedprice").cast("decimal(20,4)")).alias("_p"),
+            F.count("*").alias("_n"),
+        )
+
+    base = partial(li.filter(F.col("l_shipdate") < split))
+    delta = partial(li.filter(F.col("l_shipdate") >= split))
+    return (
+        base.unionByName(delta)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum("_q").cast("double").alias("sum_qty"),
+            F.sum("_p").cast("double").alias("sum_price"),
+            F.sum("_n").cast("long").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "c_mode_per_group",
+    oracle="""
+    WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT user_id, event_type, n,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY n DESC, event_type) AS rk
+          FROM c)
+    SELECT user_id, event_type AS mode_type, n FROM r WHERE rk = 1
+    """,
+)
+def c_mode_per_group(spark, sf_dir):
+    """Per-user modal event type (most frequent; ties broken
+    lexicographically — deterministic on both engines). Two keyed
+    shuffles: count per (user, type), then a user-partitioned top-1
+    window over the already-aggregated (small) relation."""
+    ev = T(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
+
+
+@query(
+    "c_hist_equiwidth",
+    oracle="""
+    WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+               FROM orders),
+    binned AS (
+      SELECT CAST(least(floor((o_totalprice - mn) * 20.0 / (mx - mn)),
+                        19.0) AS BIGINT) AS bin,
+             mn, mx
+      FROM orders CROSS JOIN b)
+    SELECT bin,
+           mn + bin * ((mx - mn) / 20.0) AS lo,
+           mn + (bin + 1) * ((mx - mn) / 20.0) AS hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM binned GROUP BY bin, mn, mx
+    """,
+)
+def c_hist_equiwidth(spark, sf_dir):
+    """20-bin equi-width histogram of order totals: data-driven [min, max]
+    bounds attach as a broadcast scalar (the sanctioned single-row
+    pattern), then binning is a shuffle-free per-row expression and the
+    histogram one keyed aggregation over ≤ 20 groups.
+
+    Float notes: bin = floor((x-mn)·20/(mx-mn)) and the bin edges are
+    per-row IEEE expressions with identical association on both engines;
+    floor()'s value is exactly representable, so the BIGINT cast is
+    narrowing-safe (the "never cast raw doubles to int" rule)."""
+    orders = T(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    binned = orders.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("mn"))
+                * F.lit(20.0)
+                / (F.col("mx") - F.col("mn"))
+            ).cast("double"),
+            F.lit(19.0),
+        )
+        .cast("long")
+        .alias("bin"),
+        "mn",
+        "mx",
+    )
+    return binned.groupBy("bin", "mn", "mx").agg(
+        F.count("*").cast("long").alias("n")
+    ).select(
+        "bin",
+        (F.col("mn") + F.col("bin") * ((F.col("mx") - F.col("mn")) / F.lit(20.0))).alias("lo"),
+        (F.col("mn") + (F.col("bin") + 1) * ((F.col("mx") - F.col("mn")) / F.lit(20.0))).alias("hi"),
+        "n",
+    )
+
+
+@query(
+    "c_skyline",
+    oracle="""
+    SELECT p_partkey, p_size, p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+        AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice)
+    )
+    """,
+)
+def c_skyline(spark, sf_dir):
+    """Skyline (Pareto frontier): parts not dominated under
+    (maximize size, minimize price). The oracle is the quadratic
+    NOT EXISTS; the engine side is the staircase reduction — dominance
+    only depends on the per-size minimum price, so:
+
+      1. one keyed agg → per-size min price (|distinct sizes| rows);
+      2. a broadcast theta self-join of that tiny dim computes, per size,
+         the best (lowest) price at any STRICTLY larger size;
+      3. each part probes the staircase by equi-join on its size and
+         survives iff no strictly-larger size matches its price or
+         better, and no same-size part beats it strictly.
+
+    The fact table is touched twice (agg + probe), both shuffle-free on
+    the probe side (broadcast staircase); nothing quadratic anywhere.
+    Price comparisons are raw-double equality/order — exact operations
+    (no accumulation), identical on both engines."""
+    part = T(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    sizes = part.groupBy("p_size").agg(F.min("p_retailprice").alias("_mp"))
+    gt = (
+        sizes.alias("s")
+        .join(
+            F.broadcast(sizes.alias("t")),
+            F.col("t.p_size") > F.col("s.p_size"),
+        )
+        .groupBy(F.col("s.p_size").alias("p_size"))
+        .agg(F.min(F.col("t._mp")).alias("_best_gt"))
+    )
+    stair = sizes.join(gt, "p_size", "left").select(
+        F.col("p_size").alias("_sz"), "_mp", "_best_gt"
+    )
+    return (
+        part.join(F.broadcast(stair), part.p_size == F.col("_sz"))
+        .filter(
+            (
+                F.col("_best_gt").isNull()
+                | (F.col("_best_gt") > F.col("p_retailprice"))
+            )
+            & (F.col("_mp") == F.col("p_retailprice"))
+        )
+        .select("p_partkey", "p_size", "p_retailprice")
+    )

@@ -109,6 +109,7 @@ def load_all() -> None:
         approx,
         ext_analytics,
         ext_analytics2,
+        ext_analytics3,
         ext_curation,
         ext_dedup,
         ext_graph,
