@@ -115,6 +115,7 @@ def load_all() -> None:
         ext_graph,
         ext_similarity,
         ext_text,
+        ext_text2,
         ext_multimodal,
         streaming_queries,
         sketches,
