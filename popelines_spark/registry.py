@@ -62,10 +62,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # shape every ORDER BY + LIMIT TPC-H entry re-proved green in r4, and
 # b_project/b_filter, whose projection/filter-pushdown shape
 # test_plans.py asserts on every scan this round).
-# Round-6 plan: s_cdc_latest and c_rolling_dau FIRST (added after this
-# round's window filled — the only registered queries without a
-# driver-green row; parity covers them meanwhile), then those 17
-# deferrals + the remaining ~32 r2-green entries.
+# Round-6 plan: the 11 queries added after this round's window filled
+# FIRST (the only registered entries without a driver-green row; parity
+# covers them meanwhile): s_cdc_latest, c_rolling_dau, and the round-5
+# second batch c_graph_bfs, c_triangle_count, c_pit_join,
+# c_incremental_agg, c_mode_per_group, c_hist_equiwidth, c_skyline,
+# c_dedup_chunk, c_bigram_novelty. Then those 17 deferrals + the
+# remaining ~32 r2-green entries.
 # (tools/parity.py still covers the full registry every round.)
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # -- never driver-scored (1)

@@ -305,3 +305,40 @@ def test_round5_analytics_plans(spark):
             + rep["sortmerge_joins"]
             + rep["shuffled_hash_joins"]
         ) == 0
+
+
+def test_round5b_plans(spark):
+    """Round-5 second-batch plan audit (graph, warehouse, text batches).
+    The registry-wide no-unpartitioned-window test covers these too; this
+    pins the join/broadcast/cartesian shapes each docstring claims."""
+    # graph: keyed joins only — the avg-threshold scalar attaches via the
+    # sanctioned one-row broadcast, never a CartesianProduct
+    for name in ("c_graph_bfs", "c_triangle_count"):
+        assert not plan_report(_q(name, spark))["cartesian"]
+    # point-in-time join: the interval lookup is the join-free asof shape
+    # (union + keyed window), so the only joins left are the SCD2 build's
+    rep = plan_report(_q("c_pit_join", spark))
+    assert not rep["cartesian"]
+    assert "Window" in physical_plan(_q("c_pit_join", spark))
+    # incremental agg maintenance: two partial scans merged — no join node
+    rep = plan_report(_q("c_incremental_agg", spark))
+    assert (
+        rep["broadcast_joins"]
+        + rep["sortmerge_joins"]
+        + rep["shuffled_hash_joins"]
+    ) == 0
+    assert not rep["cartesian"]
+    # histogram: bounds attach as one-row broadcast; single keyed agg
+    assert not plan_report(_q("c_hist_equiwidth", spark))["cartesian"]
+    # skyline: the staircase dim is broadcast (both the theta self-join of
+    # the tiny size dim and the fact probe) — no cartesian, >= 2 broadcasts
+    rep = plan_report(_q("c_skyline", spark))
+    assert not rep["cartesian"]
+    assert rep["broadcast_joins"] >= 2
+    # text novelty: HOF shingling + keyed aggs — no Python stage, no
+    # cartesian
+    for name in ("c_dedup_chunk", "c_bigram_novelty"):
+        rep = plan_report(_q(name, spark))
+        assert not rep["cartesian"]
+        assert "BatchEvalPython" not in physical_plan(_q(name, spark))
+        assert "ArrowEvalPython" not in physical_plan(_q(name, spark))

@@ -287,3 +287,61 @@ def test_rolling_dau_superset_of_daily(spark):
     # every day present; trailing-7 count >= that day's own distinct users
     for day, n in daily.items():
         assert dau7[day] >= n
+
+
+# ---------------------------------------------------------------- graph b
+def test_bfs_hops_min_distance_and_bound(spark):
+    """BFS returns min hops from ANY seed, ignores unreachable nodes, and
+    never exceeds max_hops even when a longer path exists."""
+    from popelines_spark.operators.graph import bfs_hops
+
+    #   0→1→2→3→4→5   plus shortcut 0→3, island 9
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (0, 3)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=2).collect()}
+    # node 3 via shortcut = 1 hop (not 3); node 4 = 2; node 5 beyond bound
+    assert got == {0: 0, 1: 1, 3: 1, 2: 2, 4: 2}
+
+    # multi-source: min over seeds
+    seeds2 = spark.createDataFrame([(0,), (4,)], "node long")
+    got2 = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds2, max_hops=1).collect()}
+    assert got2 == {0: 0, 4: 0, 1: 1, 3: 1, 5: 1}
+
+
+def test_triangle_counts_canonical_enumeration(spark):
+    """Each triangle counted once per corner; nodes outside triangles get
+    0; an edge listed in canonical (src<dst) form only."""
+    from popelines_spark.operators.graph import triangle_counts
+
+    # triangles (1,2,3) and (2,3,4); pendant node 5; isolate 6
+    und = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(n,) for n in range(1, 7)], "node long")
+    got = {r["node"]: r["n_tri"] for r in triangle_counts(und, nodes).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1, 5: 0, 6: 0}
+
+
+def test_skyline_dominance(spark):
+    """Skyline keeps exactly the non-dominated (size↑, price↓) points,
+    including ties on the frontier."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["c_skyline"](spark, SF_DIR).collect()
+    got = {(r["p_size"], r["p_retailprice"]) for r in rows}
+    # brute-force oracle on the same parquet via pandas
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{SF_DIR}/part.parquet")[["p_size", "p_retailprice"]]
+    pts = list(pdf.itertuples(index=False, name=None))
+    sky = {
+        (s, p)
+        for (s, p) in pts
+        if not any(
+            (s2 >= s and p2 <= p and (s2 > s or p2 < p)) for (s2, p2) in pts
+        )
+    }
+    assert got == sky and len(rows) >= 1
