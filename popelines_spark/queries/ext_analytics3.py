@@ -307,3 +307,122 @@ def c_skyline(spark, sf_dir):
         )
         .select("p_partkey", "p_size", "p_retailprice")
     )
+
+
+@query(
+    "c_gap_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS rev
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    b AS (SELECT date_trunc('day', min(ts)) AS d0,
+                 date_trunc('day', max(ts)) AS d1
+          FROM events),
+    u AS (SELECT DISTINCT user_id FROM daily),
+    grid AS (SELECT user_id,
+                    unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+             FROM u CROSS JOIN b),
+    j AS (SELECT g.user_id, CAST(g.day AS TIMESTAMP) AS day, d.rev
+          FROM grid g LEFT JOIN daily d
+            ON d.user_id = g.user_id AND d.day = g.day)
+    SELECT user_id, day,
+           COALESCE(last_value(rev IGNORE NULLS)
+                      OVER (PARTITION BY user_id ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW),
+                    0.0) AS rev_filled,
+           rev IS NULL AS is_filled
+    FROM j
+    """,
+)
+def c_gap_fill(spark, sf_dir):
+    """Time-series gap filling with forward fill (LOCF): densify each
+    purchasing user's daily revenue onto the corpus-wide day grid, carry
+    the last observed value across missing days (0.0 before the first
+    observation), flag synthesized rows. The regularization step every
+    downstream window/forecast operator assumes.
+
+    Plan: the day grid attaches per user via a broadcast one-row bounds
+    scalar + sequence/explode (rows generated where the user's data
+    lives, never on the driver); fill is one user-partitioned running
+    last(ignorenulls) — the same O(1)-state incremental window as the
+    as-of join. Fill copies values (no accumulation): the only sums are
+    the per-day decimal-exact revenue totals."""
+    ev = T(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(20,4)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    b = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    grid = (
+        daily.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(b))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.coalesce(
+            F.last("rev", ignorenulls=True).over(w), F.lit(0.0)
+        ).alias("rev_filled"),
+        F.col("rev").isNull().alias("is_filled"),
+    )
+
+
+@query(
+    "c_benford",
+    oracle="""
+    WITH d AS (SELECT left(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                            AS VARCHAR), 1) AS digit
+               FROM orders),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+    SELECT digit, n,
+           CAST(n AS DOUBLE) / total AS frac,
+           log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS benford_expected
+    FROM c CROSS JOIN t
+    """,
+)
+def c_benford(spark, sf_dir):
+    """Benford's-law first-digit screen over order totals — the classic
+    forensic data-quality check (frac vs log10(1+1/d) per leading
+    digit). floor() before the BIGINT cast keeps the double→int
+    narrowing exact; the total attaches as a broadcast scalar; log10 is
+    a per-row transcendental of the small integer digits 1-9 —
+    correctly-rounded on both engines."""
+    orders = T(spark, sf_dir, "orders")
+    c = orders.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        ).alias("digit")
+    ).groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    t = c.agg(F.sum("n").cast("double").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("frac"),
+        F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")).alias(
+            "benford_expected"
+        ),
+    )

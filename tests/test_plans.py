@@ -342,3 +342,15 @@ def test_round5b_plans(spark):
         assert not rep["cartesian"]
         assert "BatchEvalPython" not in physical_plan(_q(name, spark))
         assert "ArrowEvalPython" not in physical_plan(_q(name, spark))
+
+
+def test_gap_fill_and_benford_plans(spark):
+    """Gap fill: grid generation via one-row broadcast bounds (no
+    CartesianProduct), fill via a user-partitioned window. Benford: one
+    grouped scan + broadcast total."""
+    df = _q("c_gap_fill", spark)
+    rep = plan_report(df)
+    assert not rep["cartesian"]
+    assert "Window" in physical_plan(df)
+    assert not unpartitioned_windows(df)
+    assert not plan_report(_q("c_benford", spark))["cartesian"]
