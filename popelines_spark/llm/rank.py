@@ -129,6 +129,83 @@ def unigram_xent(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bigram_xent(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus BIGRAM LM:
+    H(doc) = -(1/n_bg) · Σ_bigrams bf · ln p(w2|w1),
+    p(w2|w1) = c(w1 w2) / c(w1 ·) — the maximum-likelihood conditional
+    (no smoothing needed for scoring members of the training corpus:
+    every doc bigram contributes to its own counts, so p > 0).
+
+    The step up from unigram_xent on the quality-signal ladder: unigram
+    H flags rare VOCABULARY, bigram H flags improbable SEQUENCES (word
+    salad scores high even when every word is common; templated text
+    scores near zero). KenLM-style higher orders slot into the same
+    dictionary-join shape.
+
+    Exactness: p is an exact rational (two BIGINTs), one ln per distinct
+    (doc, bigram), contributions summed in (w1, w2) order via the
+    sort_array+fold trick — bit-stable cross-engine; 6dp output.
+
+    Scale: two corpus aggs (bigram counts; context counts = their
+    groupBy(w1) rollup) + two keyed joins of the (doc, w1, w2, bf)
+    frame. Same shuffle profile as unigram_xent with a wider key; the
+    Zipf head is absorbed map-side. The per-doc fold state is the doc's
+    distinct-bigram list — bounded by doc length, never corpus-sized.
+    """
+    pairs = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__arr")
+    ).filter(F.size("__arr") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__arr") - 2),
+                lambda i: F.struct(
+                    F.element_at("__arr", i + 1).alias("w1"),
+                    F.element_at("__arr", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("__bg"),
+    ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    bf = checkpoint(
+        pairs.groupBy(id_col, "w1", "w2").agg(
+            F.count("*").cast("long").alias("bf")
+        ),
+        "rank-bigram-freqs",
+        eager=False,
+    )
+    bgc = bf.groupBy("w1", "w2").agg(F.sum("bf").cast("long").alias("cbg"))
+    ctx = bgc.groupBy("w1").agg(F.sum("cbg").cast("long").alias("cw1"))
+    per = (
+        bf.join(bgc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .select(
+            F.col(id_col),
+            F.struct(
+                "w1",
+                "w2",
+                (F.col("bf") * F.log(F.col("cbg") / F.col("cw1"))).alias("c"),
+            ).alias("__bc"),
+            "bf",
+        )
+    )
+    return (
+        per.groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list("__bc")).alias("__bcs"),
+            F.sum("bf").cast("long").alias("n_bg"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bg",
+            F.round(
+                -F.aggregate("__bcs", F.lit(0.0), lambda a, x: a + x["c"])
+                / F.col("n_bg"),
+                6,
+            ).alias("xent"),
+        )
+    )
+
+
 def bm25(
     docs: DataFrame,
     id_col: str,

@@ -146,3 +146,36 @@ def c_bigram_novelty(spark, sf_dir):
             (F.col("_c").cast("double") / F.col("n_bg")).alias("common_frac"),
         )
     )
+
+
+@query(
+    "c_bigram_xent",
+    oracle="""
+    WITH arrs AS (SELECT doc_id, str_split(text, ' ') AS arr
+                  FROM documents WHERE len(str_split(text, ' ')) >= 2),
+    bgr AS (SELECT doc_id,
+                   unnest(list_transform(range(len(arr) - 1),
+                          i -> arr[i+1])) AS w1,
+                   unnest(list_transform(range(len(arr) - 1),
+                          i -> arr[i+2])) AS w2
+            FROM arrs),
+    bf AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS bf
+           FROM bgr GROUP BY 1, 2, 3),
+    bgc AS (SELECT w1, w2, CAST(sum(bf) AS BIGINT) AS cbg
+            FROM bf GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(sum(cbg) AS BIGINT) AS cw1 FROM bgc GROUP BY 1),
+    per AS (SELECT doc_id, w1, w2, bf, bf * ln(cbg / cw1) AS c
+            FROM bf JOIN bgc USING (w1, w2) JOIN ctx USING (w1))
+    SELECT doc_id, CAST(sum(bf) AS BIGINT) AS n_bg,
+           round(-list_sum(list(c ORDER BY w1, w2)) / sum(bf), 6) AS xent
+    FROM per GROUP BY doc_id
+    """,
+)
+def c_bigram_xent(spark, sf_dir):
+    """Per-doc cross-entropy under the corpus bigram LM — the sequence-
+    probability quality signal one rung above c_unigram_xent (word salad
+    scores high even when every word is common). llm/rank.py:bigram_xent
+    carries the exactness (ordered fold) and shuffle notes."""
+    from popelines_spark.llm.rank import bigram_xent
+
+    return bigram_xent(T(spark, sf_dir, "documents"), "doc_id", "text")
