@@ -122,6 +122,10 @@ def bfs_hops(
     checkpoint every few rounds. Exact integer state only: nothing to
     drift cross-engine.
     """
+    # One edge materialization for all rounds — without it every frontier
+    # join re-expands the edge lineage (at round k the whole upstream edge
+    # build would run k times).
+    edges = checkpoint(edges.select(src, dst), "bfs-edges", eager=False)
     visited = seeds.select(
         F.col(node_col), F.lit(0).cast("long").alias("hops")
     ).distinct()
@@ -161,11 +165,19 @@ def triangle_counts(
     power-law graphs — id orientation suffices here). No cross join
     anywhere (asserted in tests/test_plans.py).
     """
+    # The edge list feeds three join legs and the triangle relation feeds
+    # three corner projections — materialize both once, or the upstream
+    # edge build re-executes O(9×) through the re-expanded lineage.
+    und_edges = checkpoint(
+        und_edges.select(src, dst), "triangle-edges", eager=False
+    )
     e1 = und_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e2 = und_edges.select(F.col(src).alias("b"), F.col(dst).alias("c"))
     wedges = e1.join(e2, "b")  # a < b < c by canonical orientation
     closing = und_edges.select(F.col(src).alias("a"), F.col(dst).alias("c"))
-    tri = wedges.join(closing, ["a", "c"])  # each triangle once
+    tri = checkpoint(
+        wedges.join(closing, ["a", "c"]), "triangle-tris", eager=False
+    )  # each triangle once
     per_corner = (
         tri.select(F.col("a").alias(node_col))
         .unionByName(tri.select(F.col("b").alias(node_col)))

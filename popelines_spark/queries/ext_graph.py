@@ -28,15 +28,20 @@ from popelines_spark.registry import query
 from popelines_spark.queries._util import T
 
 #: Directed trade edges (src, dst) — identical to c_pagerank_nations.
+#: MATERIALIZED: the oracles below reference edges through 3-4 join legs
+#: and DuckDB inlines plain CTEs, so without it the 4-table lineitem
+#: aggregation would recompute once per reference.
 _EDGES_CTE = """
-    cnt AS (SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+    cnt AS MATERIALIZED (
+            SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
             FROM lineitem
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             GROUP BY 1, 2),
     thr AS (SELECT avg(CAST(w AS DOUBLE)) AS t FROM cnt),
-    edges AS (SELECT src, dst FROM cnt CROSS JOIN thr
+    edges AS MATERIALIZED (
+              SELECT src, dst FROM cnt CROSS JOIN thr
               WHERE CAST(w AS DOUBLE) > t)
 """
 
@@ -112,7 +117,8 @@ def c_graph_bfs(spark, sf_dir):
     "c_triangle_count",
     oracle=f"""
     WITH {_EDGES_CTE},
-    und AS (SELECT DISTINCT least(src, dst) AS src,
+    und AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS src,
                    greatest(src, dst) AS dst
             FROM edges WHERE src <> dst),
     tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
