@@ -278,3 +278,34 @@ def s_cdc_latest(spark, sf_dir):
     return keep_first(
         emissions, keys=["user_id"], order=[F.col("last_ts").desc()]
     )
+
+
+@query(
+    "s_topk_windowed",
+    oracle="""
+    WITH c AS (SELECT date_trunc('hour', ts) AS win_start, event_type,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT win_start, event_type, n,
+                 row_number() OVER (PARTITION BY win_start
+                                    ORDER BY n DESC, event_type) AS rk
+          FROM c)
+    SELECT win_start, event_type, n, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 3
+    """,
+)
+def s_topk_windowed(spark, sf_dir):
+    """Streaming windowed top-k: the stream maintains per-(hour, type)
+    counts (complete mode, watermark-bounded state); the top-3 rank per
+    window is a batch window over the drained table — the agg-in-stream /
+    rank-at-serve split (streaming/ops.py:windowed_type_counts)."""
+    from pyspark.sql.window import Window as W
+
+    ev = events_stream(spark, sf_dir)
+    counts = run_to_completion(ops.windowed_type_counts(ev, "1 hour"), "complete")
+    w = W.partitionBy("win_start").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("win_start", "event_type", "n", "rk")
+    )
