@@ -313,3 +313,130 @@ def b_sketch_cms_merge(spark, sf_dir):
         "exact_cnt",
         (F.col("cms_est") >= F.col("exact_cnt")).alias("never_undercounts"),
     )
+
+
+@query(
+    "b_sketch_hist_quantile",
+    oracle="""
+    WITH pur AS (SELECT date_trunc('week', ts) AS week,
+                        date_trunc('day', ts) AS day, value
+                 FROM events WHERE event_type = 'purchase'),
+    b AS (SELECT min(value) AS mn, max(value) AS mx FROM pur),
+    daily AS (SELECT week, day,
+                     CAST(least(floor((value - mn) * 100.0 / (mx - mn)),
+                                99.0) AS BIGINT) AS bin,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM pur CROSS JOIN b GROUP BY 1, 2, 3),
+    weekly AS (SELECT week, bin, CAST(sum(n) AS BIGINT) AS n_bin
+               FROM daily GROUP BY 1, 2),
+    tot AS (SELECT week, CAST(sum(n_bin) AS BIGINT) AS tot
+            FROM weekly GROUP BY 1),
+    cum AS (SELECT w.week, w.bin, w.n_bin, t.tot,
+                   SUM(w.n_bin) OVER (PARTITION BY w.week ORDER BY w.bin)
+                     AS cum
+            FROM weekly w JOIN tot t ON t.week = w.week),
+    q50 AS (SELECT week, bin, n_bin, tot, cum,
+                   row_number() OVER (PARTITION BY week ORDER BY bin) AS rk
+            FROM cum WHERE cum >= CAST(0.5 AS DOUBLE) * tot),
+    q90 AS (SELECT week, bin, n_bin, tot, cum,
+                   row_number() OVER (PARTITION BY week ORDER BY bin) AS rk
+            FROM cum WHERE cum >= CAST(0.9 AS DOUBLE) * tot),
+    est AS (SELECT a.week, a.tot AS n,
+                   mn + (a.bin + (CAST(0.5 AS DOUBLE) * a.tot - (a.cum - a.n_bin)) / a.n_bin)
+                        * ((mx - mn) / 100.0) AS p50_est,
+                   mn + (b2.bin + (CAST(0.9 AS DOUBLE) * b2.tot - (b2.cum - b2.n_bin))
+                         / b2.n_bin) * ((mx - mn) / 100.0) AS p90_est
+            FROM q50 a JOIN q90 b2 ON a.week = b2.week
+                 AND a.rk = 1 AND b2.rk = 1
+            CROSS JOIN b)
+    SELECT week, n, p50_est, p90_est FROM est
+    """,
+)
+def b_sketch_hist_quantile(spark, sf_dir):
+    """Mergeable quantile summaries: per-DAY equi-width histograms (100
+    fixed bins over broadcast global bounds) merge by counter addition
+    into weekly histograms, from which p50/p90 are read by cumulative
+    interpolation — the histogram stand-in for t-digest/KLL, completing
+    the mergeable-rollup family (HLL distinct, CMS frequency, histogram
+    quantile). The daily sketch is what a 100 TB pipeline stores: the
+    weekly quantile never rescans raw rows, and counter addition commutes
+    exactly, so merge-exactness is the hash-checked property itself.
+
+    Determinism: bins and interpolation are per-row IEEE expressions with
+    identical association on both engines; counters are BIGINT; the
+    cumulative window orders by the (unique) bin id within each week."""
+    from pyspark.sql.window import Window as W
+
+    ev = T(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.date_trunc("week", "ts").alias("week"),
+        F.date_trunc("day", "ts").alias("day"),
+        "value",
+    )
+    b = pur.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    daily = (
+        pur.crossJoin(F.broadcast(b))
+        .select(
+            "week",
+            "day",
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    * F.lit(100.0)
+                    / (F.col("mx") - F.col("mn"))
+                ).cast("double"),
+                F.lit(99.0),
+            )
+            .cast("long")
+            .alias("bin"),
+        )
+        .groupBy("week", "day", "bin")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    weekly = daily.groupBy("week", "bin").agg(
+        F.sum("n").cast("long").alias("n_bin")
+    )
+    tot = weekly.groupBy("week").agg(F.sum("n_bin").cast("long").alias("tot"))
+    cum = weekly.join(tot, "week").withColumn(
+        "cum",
+        F.sum("n_bin").over(W.partitionBy("week").orderBy("bin")),
+    )
+
+    def pick(q, out):
+        wq = W.partitionBy("week").orderBy("bin")
+        return (
+            cum.filter(F.col("cum") >= F.lit(q) * F.col("tot"))
+            .withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") == 1)
+            .select(
+                "week",
+                "tot",
+                (
+                    F.col("bin")
+                    + (
+                        F.lit(q) * F.col("tot")
+                        - (F.col("cum") - F.col("n_bin"))
+                    )
+                    / F.col("n_bin")
+                ).alias(out),
+            )
+        )
+
+    p50 = pick(0.5, "_f50")
+    p90 = pick(0.9, "_f90").drop("tot")
+    return (
+        p50.join(p90, "week")
+        .crossJoin(F.broadcast(b))
+        .select(
+            "week",
+            F.col("tot").alias("n"),
+            (
+                F.col("mn")
+                + F.col("_f50") * ((F.col("mx") - F.col("mn")) / F.lit(100.0))
+            ).alias("p50_est"),
+            (
+                F.col("mn")
+                + F.col("_f90") * ((F.col("mx") - F.col("mn")) / F.lit(100.0))
+            ).alias("p90_est"),
+        )
+    )
