@@ -220,3 +220,33 @@ def b_join_bucketed(spark, sf_dir):
         .cast("double")
         .alias("qty"),
     )
+
+
+@query(
+    "b_join_range",
+    oracle="""
+    SELECT e.event_id, e.ts, CAST(count(p.ts) AS BIGINT) AS n_nearby
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT ts FROM events WHERE event_type = 'purchase') p
+      ON p.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts + INTERVAL 1 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def b_join_range(spark, sf_dir):
+    """Global-time range join WITHOUT a key: purchases within ±1 h of each
+    error event, counted per error. The oracle runs the plain non-equi
+    BETWEEN join; the engine runs the bucket-expansion rewrite
+    (operators/rangejoin.py) — quantize to radius-width buckets, expand
+    the probe side to its <= 3 overlapping buckets, equi-join on bucket,
+    exact re-check — a keyed shuffle with bounded fan-out instead of a
+    nested-loop join."""
+    from popelines_spark.operators.rangejoin import count_within_radius
+
+    ev = T(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("event_id", "ts")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("pts")
+    )
+    return count_within_radius(
+        err, pur, left_id="event_id", left_ts="ts", right_ts="pts"
+    )

@@ -354,3 +354,23 @@ def test_gap_fill_and_benford_plans(spark):
     assert "Window" in physical_plan(df)
     assert not unpartitioned_windows(df)
     assert not plan_report(_q("c_benford", spark))["cartesian"]
+
+
+def test_range_join_is_keyed_not_nested_loop(spark):
+    """The bucketed range-join rewrite must plan as an equi-join on the
+    bucket id — no BroadcastNestedLoopJoin, no CartesianProduct (that is
+    its entire reason to exist)."""
+    df = _q("b_join_range", spark)
+    plan = physical_plan(df)
+    rep = plan_report(df)
+    assert not rep["cartesian"]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert rep["sortmerge_joins"] + rep["shuffled_hash_joins"] + rep["broadcast_joins"] >= 1
+
+
+def test_streaming_topk_and_hist_quantile_plans(spark):
+    """Both rank/cumulate over keyed windows only."""
+    for name in ("s_topk_windowed", "b_sketch_hist_quantile"):
+        df = _q(name, spark)
+        assert not unpartitioned_windows(df)
+        assert not plan_report(df)["cartesian"]
