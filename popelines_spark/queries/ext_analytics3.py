@@ -426,3 +426,50 @@ def c_benford(spark, sf_dir):
             "benford_expected"
         ),
     )
+
+
+@query(
+    "c_mad_outliers",
+    oracle="""
+    WITH med AS (SELECT event_type, median(value) AS med
+                 FROM events GROUP BY 1),
+    dev AS (SELECT e.event_type, abs(e.value - m.med) AS ad, m.med
+            FROM events e JOIN med m USING (event_type)),
+    mad AS (SELECT event_type, median(ad) AS mad FROM dev GROUP BY 1)
+    SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN d.ad > m2.mad * 4.4478 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_out,
+           min(d.med) AS med, min(m2.mad) AS mad
+    FROM dev d JOIN mad m2 USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def c_mad_outliers(spark, sf_dir):
+    """Robust outlier screen per event type: |x - median| > 3σ-equivalent
+    · MAD (3·1.4826 = 4.4478) — the median/MAD twin of c_anomaly_zscore
+    for heavy-tailed metrics where mean/stddev are themselves dragged by
+    the outliers.
+
+    Plan: two grouped exact medians (both engines interpolate sorted
+    neighbors of raw doubles — bit-identical), each broadcast back as a
+    per-group scalar dim; flagging is a shuffle-free per-row compare.
+    Exact medians sort within groups — at extreme group sizes swap in
+    approx_percentile partials; the registered form is the exact one."""
+    ev = T(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(F.median("ad").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                (F.col("ad") > F.col("mad") * F.lit(4.4478)).cast("long")
+            ).alias("n_out"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+        )
+    )
