@@ -179,3 +179,53 @@ def c_bigram_xent(spark, sf_dir):
     from popelines_spark.llm.rank import bigram_xent
 
     return bigram_xent(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "c_vocab_coverage",
+    oracle="""
+    WITH words AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w
+                   FROM documents),
+    cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY 1),
+    vocab AS (SELECT w FROM cnt ORDER BY c DESC, w LIMIT 100)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+           CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS oov_frac
+    FROM words LEFT JOIN vocab v USING (w)
+    GROUP BY doc_id
+    """,
+)
+def c_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage: build the top-100 corpus vocabulary
+    (count-desc, term tie-break — total order) and report each doc's
+    out-of-vocabulary token fraction, the coverage check run before
+    freezing a tokenizer vocab.
+
+    Plan: term counts are one keyed agg (Zipf head absorbed map-side);
+    top-100 is orderBy+limit → TakeOrderedAndProject (per-partition
+    heads, no global sort); the tiny vocab broadcasts into a left join
+    over the token stream — per-doc aggregation is the only other
+    shuffle. Integer counts + one final division."""
+    d = T(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    cnt = words.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    vocab = cnt.orderBy(F.col("c").desc(), "w").limit(100).select(
+        "w", F.lit(True).alias("_in")
+    )
+    return (
+        words.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.sum(F.col("_in").isNull().cast("long")).alias("_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            (F.col("_oov").cast("double") / F.col("n_toks")).alias(
+                "oov_frac"
+            ),
+        )
+    )
