@@ -55,3 +55,17 @@ def test_governed_warehouse_example(spark, scratch):
     assert counts["public_release"] == 5  # one noisy row per event type
     assert counts["nation_rank"] == 25
     assert all(n > 0 for n in counts.values())
+
+
+def test_metrics_observability_example(spark):
+    from metrics_observability import daily_close
+
+    stats = daily_close(spark, SF_DIR)
+    assert stats["grid_rows"] > 0
+    assert 0 < stats["synthesized_rows"] < stats["grid_rows"]
+    assert stats["weeks"] >= 1
+    assert stats["p90_p50_spread_max"] > 0
+    assert stats["errors_total"] > 0
+    assert 0 <= stats["errors_isolated"] <= stats["errors_total"]
+    # deterministic close: identical on rerun
+    assert daily_close(spark, SF_DIR) == stats
