@@ -473,3 +473,116 @@ def c_mad_outliers(spark, sf_dir):
             F.min("mad").alias("mad"),
         )
     )
+
+
+def _autocorr_sql() -> str:
+    ks = ", ".join(str(k) for k in (1, 2, 3))
+    return f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DECIMAL(18,4)) AS x
+      FROM events GROUP BY 1, 2),
+    pairs AS (
+      SELECT d.event_type, ks.k, d.x,
+             lag(d.x, ks.k) OVER (PARTITION BY d.event_type, ks.k
+                                  ORDER BY d.day) AS y
+      FROM daily d CROSS JOIN (SELECT unnest([{ks}]) AS k) ks),
+    m AS (
+      SELECT event_type, k, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(19,4)))
+               AS sxx,
+             sum(CAST(y AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,4)))
+               AS syy,
+             sum(CAST(x AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,4)))
+               AS sxy
+      FROM pairs WHERE y IS NOT NULL GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, CAST(k AS BIGINT) AS k, n,
+             (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                * CAST(sx AS DOUBLE)) AS vx,
+             (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                * CAST(sy AS DOUBLE)) AS vy,
+             (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                * CAST(sy AS DOUBLE)) AS cxy
+      FROM m)
+    SELECT event_type, k, n, round(cxy / sqrt(vx * vy), 6) AS r
+    FROM r WHERE vx > 0.0 AND vy > 0.0
+    """
+
+
+@query("c_autocorr", oracle=_autocorr_sql())
+def c_autocorr(spark, sf_dir):
+    """Lag-1/2/3 autocorrelation of each event type's daily revenue
+    series — the seasonality/trend diagnostic run before any forecast.
+    Semantics: observation-lag over the OBSERVED daily series ordered by
+    day (a calendar gap pairs with the previous observed day — compose
+    with c_gap_fill first for strict calendar lags).
+
+    Determinism: daily revenues are exact DECIMAL(18,4); all five moments
+    accumulate as exact decimals (products widen to (37,8) — order-free;
+    the oracle casts multiplicands to DECIMAL(19,4) because DuckDB
+    multiplies DECIMAL(18)s in their INT64 physical type and overflows
+    at sf1.0 magnitudes — precision 19 forces INT128, values unchanged),
+    and r is one final double expression, 6dp. Windows partition by
+    (event_type, k); zero-variance series are filtered on the exact>0
+    double compare, not left to NaN."""
+    from pyspark.sql.window import Window as W
+
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(20,4)"))
+        .cast("decimal(18,4)")
+        .alias("x")
+    )
+    frames = []
+    for k in (1, 2, 3):
+        w = W.partitionBy("event_type").orderBy("day")
+        frames.append(
+            daily.select(
+                "event_type",
+                F.lit(k).cast("long").alias("k"),
+                "x",
+                F.lag("x", k).over(w).alias("y"),
+            )
+        )
+    pairs = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    m = (
+        pairs.filter(F.col("y").isNotNull())
+        .groupBy("event_type", "k")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    r = m.select(
+        "event_type",
+        "k",
+        "n",
+        (
+            F.col("n") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        ).alias("vx"),
+        (
+            F.col("n") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        ).alias("vy"),
+        (
+            F.col("n") * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+        ).alias("cxy"),
+    )
+    return r.filter((F.col("vx") > 0.0) & (F.col("vy") > 0.0)).select(
+        "event_type",
+        "k",
+        "n",
+        F.round(F.col("cxy") / F.sqrt(F.col("vx") * F.col("vy")), 6).alias(
+            "r"
+        ),
+    )
