@@ -586,3 +586,113 @@ def c_autocorr(spark, sf_dir):
             "r"
         ),
     )
+
+
+@query(
+    "c_streaks",
+    oracle="""
+    WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                  FROM events),
+    numbered AS (
+      SELECT user_id, day,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM days),
+    islands AS (
+      SELECT user_id, day - INTERVAL (rn) DAY AS anchor FROM numbered),
+    runs AS (SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS len
+             FROM islands GROUP BY 1, 2)
+    SELECT user_id, max(len) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM runs GROUP BY user_id
+    """,
+)
+def c_streaks(spark, sf_dir):
+    """Longest consecutive-active-day streak per user (plus streak
+    count) — the engagement metric behind "N-day streak" features. The
+    classic gaps-and-islands reduction: distinct active days, day minus
+    row_number is constant within a consecutive run, group on that
+    anchor. Two keyed shuffles + one user-partitioned window."""
+    from pyspark.sql.window import Window as W
+
+    ev = T(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id",
+        (
+            F.col("day")
+            - F.make_interval(days=F.row_number().over(w))
+        ).alias("anchor"),
+    )
+    runs = islands.groupBy("user_id", "anchor").agg(
+        F.count("*").cast("long").alias("len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count("*").cast("long").alias("n_streaks"),
+    )
+
+
+@query(
+    "c_key_skew_profile",
+    oracle="""
+    WITH per_key AS (SELECT event_type, user_id,
+                            CAST(count(*) AS BIGINT) AS n
+                     FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT event_type, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, user_id) AS rk
+      FROM per_key),
+    tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(max(n) AS BIGINT) AS max_key
+            FROM per_key GROUP BY 1),
+    top5 AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t5
+             FROM ranked WHERE rk <= 5 GROUP BY 1)
+    SELECT t.event_type, t.n_keys, t.total, t.max_key,
+           CAST(p.t5 AS DOUBLE) / t.total AS top5_share,
+           CAST(t.max_key AS DOUBLE) * t.n_keys / t.total AS skew_factor
+    FROM tot t JOIN top5 p USING (event_type)
+    """,
+)
+def c_key_skew_profile(spark, sf_dir):
+    """Join-key skew diagnostic — the profiler you run BEFORE choosing
+    salting/AQE strategy (operators/skew.py): per event type, key count,
+    hottest-key share, top-5 concentration, and skew factor
+    (max/mean — 1.0 = uniform). Everything the 100 TB shuffle-planning
+    story needs, computed with keyed shuffles only: per-key counts, a
+    type-partitioned top-5 window over the aggregated (small) relation,
+    two grouped rollups."""
+    from pyspark.sql.window import Window as W
+
+    ev = T(spark, sf_dir, "events")
+    per_key = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = W.partitionBy("event_type").orderBy(F.col("n").desc(), "user_id")
+    ranked = per_key.withColumn("rk", F.row_number().over(w))
+    tot = per_key.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("total"),
+        F.max("n").cast("long").alias("max_key"),
+    )
+    top5 = (
+        ranked.filter(F.col("rk") <= 5)
+        .groupBy("event_type")
+        .agg(F.sum("n").cast("long").alias("t5"))
+    )
+    return tot.join(top5, "event_type").select(
+        "event_type",
+        "n_keys",
+        "total",
+        "max_key",
+        (F.col("t5").cast("double") / F.col("total")).alias("top5_share"),
+        (
+            F.col("max_key").cast("double")
+            * F.col("n_keys")
+            / F.col("total")
+        ).alias("skew_factor"),
+    )
