@@ -53,3 +53,38 @@ def test_keep_first_n(spark):
         (r.g, r.x) for r in keep_first(df, ["g"], [F.col("x").desc()], n=2).collect()
     )
     assert out == [(1, 3), (1, 4), (2, 9)]
+
+
+def test_range_join_boundary_inclusive(spark):
+    """count_within_radius includes matches exactly AT the radius on both
+    sides and spans bucket boundaries."""
+    import datetime as dt
+
+    from popelines_spark.operators.rangejoin import count_within_radius
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, base)], "event_id long, ts timestamp"
+    )
+    H = dt.timedelta(hours=1)
+    right = spark.createDataFrame(
+        [
+            (base - H,),                       # exactly -radius: included
+            (base + H,),                       # exactly +radius: included
+            (base - H - dt.timedelta(microseconds=1),),  # just outside
+            (base + H + dt.timedelta(microseconds=1),),  # just outside
+            (base + dt.timedelta(minutes=59),),          # inside, other bucket
+        ],
+        "pts timestamp",
+    )
+    got = count_within_radius(
+        left, right, left_id="event_id", left_ts="ts", right_ts="pts"
+    ).collect()
+    assert got[0]["n_nearby"] == 3
+
+    # left row with zero matches still appears
+    far = spark.createDataFrame([(dt.datetime(2030, 1, 1),)], "pts timestamp")
+    got0 = count_within_radius(
+        left, far, left_id="event_id", left_ts="ts", right_ts="pts"
+    ).collect()
+    assert got0[0]["n_nearby"] == 0
