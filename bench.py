@@ -56,6 +56,13 @@ BASELINE_SEC = {
     "c_skew_sessionize": 0.68,
     "c_pagerank_nations": 3.90,
     "c_containment": 1.86,
+    # round-5 second batch: recorded IN BENCH CONTEXT (median of 3 full
+    # bench.py sessions, min-of-2 per session) — standalone timings ran
+    # ~30% faster for the sub-second pit join (codegen/GC pressure after
+    # 17 prior queries), so the in-context number is the honest baseline
+    # for the in-context gate (BASELINE.md §Round 5 second batch).
+    "c_pit_join": 1.31,
+    "c_triangle_count": 1.79,
 }
 
 #: Local regression gate: with SPARK_GRAFT_BENCH_STRICT=1, exit nonzero if
@@ -84,6 +91,8 @@ BENCH_QUERIES = [
     "c_skew_sessionize",       # hot-key (20%-of-rows) sessionize (round 5)
     "c_pagerank_nations",      # 10-iteration decimal PageRank (round 5)
     "c_containment",           # asymmetric decontamination join (round 5)
+    "c_pit_join",              # join-free SCD2 point-in-time lookup (r5b)
+    "c_triangle_count",        # oriented wedge-join triangles (r5b)
 ]
 
 
