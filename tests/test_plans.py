@@ -374,3 +374,19 @@ def test_streaming_topk_and_hist_quantile_plans(spark):
         df = _q(name, spark)
         assert not unpartitioned_windows(df)
         assert not plan_report(df)["cartesian"]
+
+
+def test_round5c_plans(spark):
+    """Third-batch plan audit: windows keyed, no cartesians, vocab join
+    broadcast, frame sampling Arrow-batched (its Python stage is the
+    decoder itself — the one place Python is the deliverable)."""
+    for name in ("c_autocorr", "c_streaks", "c_key_skew_profile",
+                 "c_mad_outliers", "c_vocab_coverage"):
+        df = _q(name, spark)
+        assert not plan_report(df)["cartesian"], name
+        assert not unpartitioned_windows(df), name
+    assert plan_report(_q("c_vocab_coverage", spark))["broadcast_joins"] >= 1
+    frames = _q("c_multimodal_frames", spark)
+    plan = physical_plan(frames)
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    assert not plan_report(frames)["cartesian"]
