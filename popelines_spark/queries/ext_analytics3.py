@@ -696,3 +696,62 @@ def c_key_skew_profile(spark, sf_dir):
             / F.col("total")
         ).alias("skew_factor"),
     )
+
+
+@query(
+    "c_first_touch",
+    oracle="""
+    WITH pur AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'purchase'),
+    src AS (SELECT user_id AS u, ts AS st, event_type AS stype FROM events
+            WHERE event_type IN ('click', 'view')),
+    best AS (SELECT p.event_id, p.user_id, p.ts, min(s.st) AS mt
+             FROM pur p LEFT JOIN src s
+               ON s.u = p.user_id AND s.st <= p.ts
+                  AND s.st >= p.ts - INTERVAL 7 DAY
+             GROUP BY 1, 2, 3),
+    att AS (SELECT b.event_id, s.stype
+            FROM best b LEFT JOIN src s
+              ON s.u = b.user_id AND s.st = b.mt)
+    SELECT COALESCE(stype, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM att GROUP BY 1
+    """,
+)
+def c_first_touch(spark, sf_dir):
+    """First-touch marketing attribution: each purchase credits the
+    EARLIEST click/view in its 7-day lookback (the mirror of
+    c_attribution's last-touch; the pair brackets multi-touch models).
+    Purchases with no source in window credit 'direct'.
+
+    Plan: the user-keyed join bounds candidates per purchase to that
+    user's window; argmin resolves via min + equi-join back on the
+    (unique per user) timestamp — keyed shuffles only."""
+    ev = T(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    src = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("st"),
+        F.col("event_type").alias("stype"),
+    )
+    best = (
+        pur.join(
+            src,
+            (F.col("u") == F.col("user_id"))
+            & (F.col("st") <= F.col("ts"))
+            & (F.col("st") >= F.col("ts") - F.expr("INTERVAL 7 DAY")),
+            "left",
+        )
+        .groupBy("event_id", "user_id", "ts")
+        .agg(F.min("st").alias("mt"))
+    )
+    att = best.join(
+        src,
+        (F.col("u") == F.col("user_id")) & (F.col("st") == F.col("mt")),
+        "left",
+    )
+    return att.groupBy(
+        F.coalesce("stype", F.lit("direct")).alias("channel")
+    ).agg(F.count("*").cast("long").alias("n_purchases"))

@@ -70,7 +70,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # c_dedup_chunk, c_bigram_novelty, c_gap_fill, c_benford, c_bigram_xent,
 # s_topk_windowed, b_sketch_hist_quantile, b_join_range, c_mad_outliers,
 # c_vocab_coverage, c_multimodal_frames, c_autocorr, c_streaks,
-# c_key_skew_profile (23 total with the two above). Then those 17 deferrals + the remaining ~32 r2-green
+# c_key_skew_profile, c_first_touch (24 total with the two above). Then those 17 deferrals + the remaining ~32 r2-green
 # entries.
 # (tools/parity.py still covers the full registry every round.)
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
