@@ -62,16 +62,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # shape every ORDER BY + LIMIT TPC-H entry re-proved green in r4, and
 # b_project/b_filter, whose projection/filter-pushdown shape
 # test_plans.py asserts on every scan this round).
-# Round-6 plan: the 11 queries added after this round's window filled
+# Round-6 plan: the 24 queries added after this round's window filled
 # FIRST (the only registered entries without a driver-green row; parity
-# covers them meanwhile): s_cdc_latest, c_rolling_dau, and the round-5
-# second batch c_graph_bfs, c_triangle_count, c_pit_join,
-# c_incremental_agg, c_mode_per_group, c_hist_equiwidth, c_skyline,
-# c_dedup_chunk, c_bigram_novelty, c_gap_fill, c_benford, c_bigram_xent,
-# s_topk_windowed, b_sketch_hist_quantile, b_join_range, c_mad_outliers,
+# covers them meanwhile, at sf{0.001,0.01,0.1} AND sf1.0): s_cdc_latest,
+# c_rolling_dau, and the round-5 second/third batches c_graph_bfs,
+# c_triangle_count, c_pit_join, c_incremental_agg, c_mode_per_group,
+# c_hist_equiwidth, c_skyline, c_dedup_chunk, c_bigram_novelty,
+# c_gap_fill, c_benford, c_bigram_xent, s_topk_windowed,
+# b_sketch_hist_quantile, b_join_range, c_mad_outliers,
 # c_vocab_coverage, c_multimodal_frames, c_autocorr, c_streaks,
-# c_key_skew_profile, c_first_touch (24 total with the two above). Then those 17 deferrals + the remaining ~32 r2-green
-# entries.
+# c_key_skew_profile, c_first_touch. Then as many of the 17 deferrals as
+# fit the 50-slot window (26 slots left); the rest + the ~32 r2-green
+# entries roll to round 7.
 # (tools/parity.py still covers the full registry every round.)
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # -- never driver-scored (1)
