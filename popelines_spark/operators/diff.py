@@ -1,0 +1,56 @@
+"""Snapshot diff — keyed reconciliation of two table versions.
+
+The validation step between pipeline runs ("what changed since
+yesterday's load?") and the input to CDC backfills: classify every key as
+insert / delete / update by full-outer-joining two snapshots on the key
+and comparing the tracked columns.
+
+Scale shape: ONE keyed full-outer join (SMJ/shuffled-hash on the key;
+AQE splits skew) plus a per-row classification expression — no windows,
+no driver state. At 100 TB both snapshots usually live partitioned or
+bucketed by the same key, making the join co-located; comparing a
+precomputed row hash (xxhash64 of the tracked columns) instead of N
+column equalities keeps the shuffled payload narrow — both spellings are
+one line here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Rows that differ between ``old`` and ``new``:
+    (key_cols..., status in {'insert','delete','update'}). Unchanged keys
+    are dropped. NULL-safe column comparison (a NULL→value transition is
+    an update, not a silent equality)."""
+    o = old.select(
+        *key_cols,
+        F.struct(*[F.col(c) for c in compare_cols]).alias("__old"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *key_cols,
+        F.struct(*[F.col(c) for c in compare_cols]).alias("__new"),
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, list(key_cols), "full_outer")
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(
+            ~F.col("__old").eqNullSafe(F.col("__new")), F.lit("update")
+        )
+    )
+    return (
+        j.select(*key_cols, status.alias("status"))
+        .filter(F.col("status").isNotNull())
+    )

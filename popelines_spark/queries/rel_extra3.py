@@ -250,3 +250,66 @@ def b_join_range(spark, sf_dir):
     return count_within_radius(
         err, pur, left_id="event_id", left_ts="ts", right_ts="pts"
     )
+
+
+@query(
+    "b_snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+                 FROM orders),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 101 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 103 = 0),
+    j AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                 CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                      WHEN n.o_orderkey IS NULL THEN 'delete'
+                      WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                        OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                      THEN 'update' END AS status
+          FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+    SELECT o_orderkey, status FROM j WHERE status IS NOT NULL
+    """,
+)
+def b_snapshot_diff(spark, sf_dir):
+    """Snapshot reconciliation: yesterday's orders vs a deterministically
+    mutated today (keys %101 deleted, %97 repriced, %103 re-inserted
+    under shifted keys) classified into insert/delete/update by ONE keyed
+    full-outer join (operators/diff.py:snapshot_diff — NULL-safe struct
+    compare, unchanged keys dropped). The diff feeds CDC backfills and
+    run-to-run data validation."""
+    from popelines_spark.operators.diff import snapshot_diff
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = (
+        orders.filter(F.col("o_orderkey") % 101 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 103 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    return snapshot_diff(
+        orders,
+        new,
+        key_cols=["o_orderkey"],
+        compare_cols=["o_totalprice", "o_orderstatus"],
+    )

@@ -88,3 +88,24 @@ def test_range_join_boundary_inclusive(spark):
         left, far, left_id="event_id", left_ts="ts", right_ts="pts"
     ).collect()
     assert got0[0]["n_nearby"] == 0
+
+
+def test_snapshot_diff_classification(spark):
+    """insert/delete/update classification including NULL transitions;
+    unchanged keys dropped."""
+    from popelines_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, None, "C"), (4, 40.0, "D")],
+        "k long, price double, status string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"),      # unchanged -> dropped
+         (2, 21.0, "B"),      # price changed -> update
+         (3, 30.0, "C"),      # NULL -> value: update, not silent equality
+         (5, 50.0, "E")],     # new key -> insert; key 4 -> delete
+        "k long, price double, status string",
+    )
+    got = {r["k"]: r["status"] for r in snapshot_diff(
+        old, new, ["k"], ["price", "status"]).collect()}
+    assert got == {2: "update", 3: "update", 4: "delete", 5: "insert"}
