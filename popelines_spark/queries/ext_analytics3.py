@@ -755,3 +755,51 @@ def c_first_touch(spark, sf_dir):
     return att.groupBy(
         F.coalesce("stype", F.lit("direct")).alias("channel")
     ).agg(F.count("*").cast("long").alias("n_purchases"))
+
+
+@query(
+    "c_also_bought",
+    oracle="""
+    WITH ob AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+                                 AND a.l_partkey <> b.l_partkey
+              GROUP BY 1, 2),
+    ranked AS (SELECT part_a, part_b, n,
+                      row_number() OVER (PARTITION BY part_a
+                                         ORDER BY n DESC, part_b) AS rk
+               FROM pairs)
+    SELECT part_a, CAST(rk AS BIGINT) AS rk, part_b, n
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def c_also_bought(spark, sf_dir):
+    """Item-item collaborative filtering, count form: per part, the top-3
+    most co-ordered parts ("customers also bought"). The co-occurrence
+    self-join fans out C(parts-per-order, 2) — bounded by order size, so
+    work scales with orders, never |parts|²; ranking is a
+    part_a-partitioned top-3 over the aggregated pair counts with a
+    deterministic (n desc, part_b) tie-break. The count-ranked sibling of
+    c_brand_affinity's lift ranking."""
+    from pyspark.sql.window import Window as W
+
+    ob = (
+        T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = ob.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = ob.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") != F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = W.partitionBy("part_a").orderBy(F.col("n").desc(), "part_b")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("part_a", "rk", "part_b", "n")
+    )
