@@ -803,3 +803,58 @@ def c_also_bought(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("part_a", "rk", "part_b", "n")
     )
+
+
+@query(
+    "c_seq_pattern",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id,
+             string_agg(left(event_type, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY user_id)
+    SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
+           CAST((length(seq) - length(replace(seq, 'vcp', ''))) / 3
+                AS BIGINT) AS n_vcp
+    FROM ordered
+    """,
+)
+def c_seq_pattern(spark, sf_dir):
+    """Event-sequence pattern matching (MATCH_RECOGNIZE-lite): compress
+    each user's time-ordered event stream to an initial-letter string
+    (s/e/c/v/p) and count adjacent view→click→purchase triples by the
+    replace-length trick — exact, overlap-free, pure JVM string ops.
+    Richer regex patterns drop into the same compressed representation
+    (regexp_count over seq).
+
+    Scale note: the per-user sequence string is bounded by that user's
+    event count — the same hottest-key bound as every sort-based
+    per-user operator here (sessionize, as-of); the skew fixture
+    (tests/test_skew.py) covers the family."""
+    ev = T(spark, sf_dir, "events")
+    ordered = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c"))
+            .alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["c"]
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return ordered.select(
+        "user_id",
+        F.length("seq").cast("long").alias("n_events"),
+        (
+            (F.length("seq") - F.length(F.replace(F.col("seq"), F.lit("vcp"), F.lit(""))))
+            / 3
+        )
+        .cast("long")
+        .alias("n_vcp"),
+    )
