@@ -858,3 +858,131 @@ def c_seq_pattern(spark, sf_dir):
         .cast("long")
         .alias("n_vcp"),
     )
+
+
+@query(
+    "c_qoq_growth",
+    oracle="""
+    WITH q AS (
+      SELECT c_mktsegment AS seg,
+             date_trunc('quarter', o_orderdate) AS quarter,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+               AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    g AS (SELECT seg, quarter, rev,
+                 lag(rev) OVER (PARTITION BY seg ORDER BY quarter)
+                   AS prev
+          FROM q)
+    SELECT seg, quarter, rev, round(rev / prev - 1.0, 6) AS qoq_growth
+    FROM g WHERE prev IS NOT NULL
+    """,
+)
+def c_qoq_growth(spark, sf_dir):
+    """Quarter-over-quarter revenue growth per market segment — the
+    growth-analysis window-over-aggregate shape (rev and its lag are
+    exact decimal sums cast to double; growth is one per-row IEEE
+    division). One keyed agg + one segment-partitioned lag."""
+    from pyspark.sql.window import Window as W
+
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    q = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.date_trunc("quarter", "o_orderdate").alias("quarter"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(20,4)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    w = W.partitionBy("seg").orderBy("quarter")
+    return (
+        q.withColumn("prev", F.lag("rev").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "seg",
+            "quarter",
+            "rev",
+            F.round(F.col("rev") / F.col("prev") - F.lit(1.0), 6).alias(
+                "qoq_growth"
+            ),
+        )
+    )
+
+
+@query(
+    "c_pareto_8020",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_mktsegment AS seg, o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    tot AS (SELECT seg, SUM(rev) AS total,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM per_cust GROUP BY 1),
+    ranked AS (
+      SELECT p.seg,
+             SUM(p.rev) OVER (PARTITION BY p.seg
+                              ORDER BY p.rev DESC, p.o_custkey) AS cum,
+             t.total, t.n_customers
+      FROM per_cust p JOIN tot t ON t.seg = p.seg)
+    SELECT seg, n_customers,
+           CAST(sum(CASE WHEN CAST(cum AS DOUBLE)
+                              < CAST(0.8 AS DOUBLE) * CAST(total AS DOUBLE)
+                         THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_top80,
+           round((CAST(sum(CASE WHEN CAST(cum AS DOUBLE)
+                              < CAST(0.8 AS DOUBLE) * CAST(total AS DOUBLE)
+                         THEN 1 ELSE 0 END) + 1 AS DOUBLE))
+                 / n_customers, 6) AS top80_frac
+    FROM ranked GROUP BY seg, n_customers
+    """,
+)
+def c_pareto_8020(spark, sf_dir):
+    """Revenue concentration (the 80/20 check): per market segment, how
+    many customers (ranked by spend) cover 80% of revenue, and what
+    fraction of the customer base that is. The cumulative sum runs in
+    exact decimals over a segment-partitioned window with a unique
+    (rev desc, custkey) order; the 0.8·total threshold compares in
+    doubles, identically associated on both engines. n_top80 = customers
+    strictly below the threshold + the one that crosses it."""
+    from pyspark.sql.window import Window as W
+
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(20,4)")).alias("rev")
+        )
+    )
+    tot = per_cust.groupBy("seg").agg(
+        F.sum("rev").alias("total"),
+        F.count("*").cast("long").alias("n_customers"),
+    )
+    w = (
+        W.partitionBy("seg")
+        .orderBy(F.col("rev").desc(), "o_custkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = per_cust.join(tot, "seg").select(
+        "seg",
+        "n_customers",
+        F.sum("rev").over(w).alias("cum"),
+        "total",
+    )
+    below = (
+        F.col("cum").cast("double")
+        < F.lit(0.8) * F.col("total").cast("double")
+    ).cast("long")
+    return ranked.groupBy("seg", "n_customers").agg(
+        (F.sum(below) + 1).cast("long").alias("n_top80"),
+        F.round(
+            (F.sum(below) + 1).cast("double") / F.col("n_customers"), 6
+        ).alias("top80_frac"),
+    )
