@@ -390,3 +390,15 @@ def test_round5c_plans(spark):
     plan = physical_plan(frames)
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
     assert not plan_report(frames)["cartesian"]
+
+
+def test_round5d_plans(spark):
+    """Fourth-batch plan audit: keyed joins/windows only, no cartesians;
+    the snapshot diff is a single full-outer join."""
+    for name in ("c_first_touch", "b_snapshot_diff", "c_also_bought",
+                 "c_seq_pattern", "c_qoq_growth", "c_pareto_8020"):
+        df = _q(name, spark)
+        assert not plan_report(df)["cartesian"], name
+        assert not unpartitioned_windows(df), name
+    rep = plan_report(_q("b_snapshot_diff", spark))
+    assert rep["sortmerge_joins"] + rep["shuffled_hash_joins"] + rep["broadcast_joins"] >= 1
