@@ -986,3 +986,81 @@ def c_pareto_8020(spark, sf_dir):
             (F.sum(below) + 1).cast("double") / F.col("n_customers"), 6
         ).alias("top80_frac"),
     )
+
+
+@query(
+    "c_cohort_ltv",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY 1),
+    sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+              FROM cohort GROUP BY 1),
+    wk AS (
+      SELECT c.cohort_week,
+             CAST(date_diff('day', c.cohort_week,
+                            date_trunc('week', e.ts)) // 7 AS BIGINT)
+               AS weeks_since,
+             SUM(CAST(e.value AS DECIMAL(20,4))) AS rev
+      FROM events e JOIN cohort c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts >= c.cohort_week
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort_week, weeks_since,
+             SUM(rev) OVER (PARTITION BY cohort_week ORDER BY weeks_since)
+               AS cum_rev
+      FROM wk)
+    SELECT c.cohort_week, c.weeks_since, s.n_users,
+           round(CAST(c.cum_rev AS DOUBLE) / s.n_users, 6)
+             AS ltv_per_user
+    FROM cum c JOIN sizes s USING (cohort_week)
+    """,
+)
+def c_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curves: cumulative purchase revenue per signup-cohort
+    user, by weeks since signup — the growth-accounting companion to
+    c_retention_cohort (that one counts actives; this one accumulates
+    value). Revenue accumulates in exact decimals through the
+    cohort-partitioned cumulative window; per-user LTV is one final
+    double division, 6dp."""
+    from pyspark.sql.window import Window as W
+
+    ev = T(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    wk = (
+        pur.join(cohort, "user_id")
+        .filter(F.col("ts") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", "ts"), F.col("cohort_week")
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("weeks_since"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(20,4)")).alias("rev"))
+    )
+    w = W.partitionBy("cohort_week").orderBy("weeks_since")
+    cum = wk.withColumn("cum_rev", F.sum("rev").over(w))
+    return cum.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "weeks_since",
+        "n_users",
+        F.round(
+            F.col("cum_rev").cast("double") / F.col("n_users"), 6
+        ).alias("ltv_per_user"),
+    )
