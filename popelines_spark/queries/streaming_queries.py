@@ -309,3 +309,31 @@ def s_topk_windowed(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("win_start", "event_type", "n", "rk")
     )
+
+
+@query(
+    "s_rate_alert",
+    oracle="""
+    WITH w AS (SELECT date_trunc('hour', ts) AS win_start,
+                      CAST(count(*) AS BIGINT) AS n_errors
+               FROM events WHERE event_type = 'error' GROUP BY 1)
+    SELECT win_start, n_errors FROM w WHERE n_errors >= 5
+    """,
+)
+def s_rate_alert(spark, sf_dir):
+    """Streaming threshold alerting: hourly error counts maintained by
+    the stream (watermark-bounded state), alert rows emitted where the
+    window's count crosses the threshold — the alerting primitive every
+    ops pipeline attaches to a metrics stream. The threshold filter runs
+    on the drained table here (complete mode); in production it sits
+    directly on the update stream feeding a sink."""
+    ev = events_stream(spark, sf_dir)
+    counts = (
+        ev.filter(F.col("event_type") == "error")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count("*").alias("n_errors"))
+        .select(F.col("win.start").alias("win_start"), "n_errors")
+    )
+    drained = run_to_completion(counts, "complete")
+    return drained.filter(F.col("n_errors") >= 5)
