@@ -1064,3 +1064,85 @@ def c_cohort_ltv(spark, sf_dir):
             F.col("cum_rev").cast("double") / F.col("n_users"), 6
         ).alias("ltv_per_user"),
     )
+
+
+@query(
+    "c_session_funnel",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, ts, event_type,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM flagged),
+    s0 AS (SELECT user_id, sess, min(ts) AS t FROM numbered
+           WHERE event_type = 'view' GROUP BY 1, 2),
+    s1 AS (SELECT n.user_id, n.sess, min(n.ts) AS t
+           FROM numbered n JOIN s0 ON s0.user_id = n.user_id
+                                  AND s0.sess = n.sess
+           WHERE n.event_type = 'click' AND n.ts > s0.t GROUP BY 1, 2),
+    s2 AS (SELECT n.user_id, n.sess, min(n.ts) AS t
+           FROM numbered n JOIN s1 ON s1.user_id = n.user_id
+                                  AND s1.sess = n.sess
+           WHERE n.event_type = 'purchase' AND n.ts > s1.t GROUP BY 1, 2)
+    SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+           CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_sessions
+    UNION ALL
+    SELECT 1, 'click', CAST((SELECT count(*) FROM s1) AS BIGINT)
+    UNION ALL
+    SELECT 2, 'purchase', CAST((SELECT count(*) FROM s2) AS BIGINT)
+    """,
+)
+def c_session_funnel(spark, sf_dir):
+    """Session-scoped ordered funnel: within each 30-minute-gap session,
+    did view → click → purchase happen in strict time order? Counts
+    SESSIONS per step (the per-user funnel c_funnel asks "ever"; this
+    asks "in one sitting" — the conversion-quality version).
+
+    Plan: gaps-and-islands sessionization (one user-keyed window), then
+    the generic min-time funnel (operators/eventseq.py:funnel) keyed on
+    the composite user#session string — the funnel machinery is
+    key-agnostic, so session scoping is pure composition."""
+    from pyspark.sql.window import Window as W
+
+    from popelines_spark.operators.eventseq import funnel
+
+    e = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                >= 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    numbered = flagged.select(
+        "ts",
+        "event_type",
+        F.concat_ws(
+            "#",
+            F.col("user_id"),
+            F.sum("is_new")
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("string"),
+        ).alias("sk"),
+    )
+    return funnel(
+        numbered, "sk", "ts", "event_type",
+        steps=["view", "click", "purchase"],
+    ).select("step_idx", "step", F.col("n_users").alias("n_sessions"))
