@@ -1146,3 +1146,70 @@ def c_session_funnel(spark, sf_dir):
         numbered, "sk", "ts", "event_type",
         steps=["view", "click", "purchase"],
     ).select("step_idx", "step", F.col("n_users").alias("n_sessions"))
+
+
+@query(
+    "c_feature_scale",
+    oracle="""
+    WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
+                       generate_subscripts(embedding, 1) AS pos
+                FROM embeddings),
+    stats AS (SELECT pos,
+                     list_sum(list(val ORDER BY vec_id)) AS s,
+                     list_sum(list(val * val ORDER BY vec_id)) AS s2,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM ex GROUP BY pos),
+    z AS (SELECT e.vec_id,
+                 (e.val - st.s / st.n)
+                   / sqrt(st.s2 / st.n - (st.s / st.n) * (st.s / st.n))
+                   AS z
+          FROM ex e JOIN stats st USING (pos))
+    SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(sum(CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_extreme
+    FROM z GROUP BY vec_id
+    """,
+)
+def c_feature_scale(spark, sf_dir):
+    """Per-dimension feature standardization (z-scoring) of the embedding
+    corpus — the ML-prep step before distance-based models — surfaced as
+    an integer invariant per vector (count of |z| > 2 dimensions), so the
+    hash check needs no float rounding at all.
+
+    Determinism: per-dim Σx and Σx² fold in vec_id order (the
+    c_class_centroids pattern); the z expression is per-row IEEE with
+    identical association on both engines, and only integer counts are
+    emitted. Scale note: the ordered fold trades reassociation freedom
+    for bit-exactness — at real corpus scale swap the fold for plain
+    sums and accept last-ulp drift, or quantize; the 64-row stats dim
+    broadcasts either way."""
+    ex = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("pos", "valf")
+    ).select("vec_id", "pos", F.col("valf").cast("double").alias("val"))
+    stats = ex.groupBy("pos").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("vec_id", "val"))),
+            F.lit(0.0),
+            lambda a, x: a + x["val"],
+        ).alias("s"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("vec_id", "val"))),
+            F.lit(0.0),
+            lambda a, x: a + x["val"] * x["val"],
+        ).alias("s2"),
+        F.count("*").cast("long").alias("n"),
+    )
+    z = ex.join(F.broadcast(stats), "pos").select(
+        "vec_id",
+        (
+            (F.col("val") - F.col("s") / F.col("n"))
+            / F.sqrt(
+                F.col("s2") / F.col("n")
+                - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+            )
+        ).alias("z"),
+    )
+    return z.groupBy("vec_id").agg(
+        F.count("*").cast("long").alias("n_dims"),
+        F.sum((F.abs("z") > 2.0).cast("long")).alias("n_extreme"),
+    )

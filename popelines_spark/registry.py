@@ -73,7 +73,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # c_vocab_coverage, c_multimodal_frames, c_autocorr, c_streaks,
 # c_key_skew_profile, c_first_touch, b_snapshot_diff, c_also_bought,
 # c_seq_pattern, c_qoq_growth, c_pareto_8020, c_cohort_ltv,
-# s_rate_alert, c_session_funnel (32). Then as many of the 17 deferrals as fit the 50-slot window (24
+# s_rate_alert, c_session_funnel, c_feature_scale (33). Then as many of the 17 deferrals as fit the 50-slot window (24
 # slots left); the rest + the ~32 r2-green entries roll to round 7.
 # (tools/parity.py still covers the full registry every round.)
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
