@@ -229,3 +229,87 @@ def put_object(spark: SparkSession, local_file: str, dest_uri: str) -> None:
     fs, dst, jvm = _hadoop_fs(spark, dest_uri)
     src = jvm.org.apache.hadoop.fs.Path("file:" + os.path.abspath(local_file))
     fs.copyFromLocalFile(False, True, src, dst)
+
+
+def analyze_table(
+    spark: SparkSession,
+    warehouse: str,
+    table_name: str,
+    broadcast_threshold_bytes: int = 10 << 20,
+) -> dict:
+    """Collect table statistics — row count, total bytes, per-column
+    null count / min / max / approx NDV — and write them as
+    ``_stats.json`` beside the table (Hadoop FileSystem API: same code
+    path for file://, s3a://, gs://). Returns the stats dict, including
+    ``suggest_broadcast`` — whether the table fits under the broadcast
+    threshold — so a planner (or a human) can decide join strategy from
+    at-rest metadata instead of a live scan.
+
+    This is the ANALYZE TABLE / compute-statistics half of the
+    maintenance pair with compact_table: stats age with appends — rerun
+    after loads. One aggregation pass (all column stats in one scan:
+    conditional aggregates + approx_count_distinct partials); only the
+    one stats row is collected.
+    """
+    import json
+
+    from pyspark.sql import functions as F
+
+    path = table_path(warehouse, table_name)
+    df = read_table_evolved(spark, warehouse, table_name)
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    flat_cols = [
+        f.name for f in df.schema.fields
+        if not isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType))
+    ]
+    for c in flat_cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+            F.approx_count_distinct(c).alias(f"__ndv_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0].asDict()
+
+    fs, root, jvm = _hadoop_fs(spark, path)
+    total_bytes = fs.getContentSummary(root).getLength()
+    stats = {
+        "table": table_name,
+        "rows": row["__rows"],
+        "total_bytes": int(total_bytes),
+        "suggest_broadcast": int(total_bytes) <= broadcast_threshold_bytes,
+        "columns": {
+            c: {
+                "nulls": row[f"__nulls_{c}"],
+                "min": row[f"__min_{c}"],
+                "max": row[f"__max_{c}"],
+                "approx_ndv": row[f"__ndv_{c}"],
+            }
+            for c in flat_cols
+        },
+    }
+    stats_path = jvm.org.apache.hadoop.fs.Path(path + "/_stats.json")
+    out = fs.create(stats_path, True)
+    out.write(bytearray(json.dumps(stats, indent=1).encode()))
+    out.close()
+    return stats
+
+
+def read_table_stats(spark: SparkSession, warehouse: str, table_name: str) -> dict | None:
+    """Read the ``_stats.json`` written by analyze_table; None if absent."""
+    import json
+
+    path = table_path(warehouse, table_name)
+    fs, root, jvm = _hadoop_fs(spark, path)
+    sp = jvm.org.apache.hadoop.fs.Path(path + "/_stats.json")
+    if not fs.exists(sp):
+        return None
+    stream = fs.open(sp)
+    try:
+        # py4j can't fill a Python bytearray in place — drain JVM-side
+        text = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+        return json.loads(text)
+    finally:
+        stream.close()

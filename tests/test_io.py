@@ -173,3 +173,28 @@ def test_compact_table_file_scheme_uri(spark, scratch):
     import os as _os
     assert not _os.path.exists(f"{scratch}/wh_h/t.__old")
     assert not _os.path.exists(f"{scratch}/wh_h/t.__compacting")
+
+
+def test_analyze_table_stats_roundtrip(spark, scratch):
+    """analyze_table writes _stats.json beside the table (underscore
+    prefix = invisible to parquet scans), read_table_stats round-trips
+    it, and the numbers are right."""
+    from popelines_spark import io
+
+    df = spark.range(500).selectExpr(
+        "id", "id % 7 AS k", "CAST(NULL AS STRING) AS s"
+    )
+    io.write_table(df, scratch, "stats_t", append=False)
+    st = io.analyze_table(spark, scratch, "stats_t")
+    assert st["rows"] == 500
+    assert st["columns"]["k"]["min"] == "0"
+    assert st["columns"]["k"]["max"] == "6"
+    assert st["columns"]["s"]["nulls"] == 500
+    assert 6 <= st["columns"]["k"]["approx_ndv"] <= 8
+    assert st["suggest_broadcast"] is True  # tiny table
+    assert io.read_table_stats(spark, scratch, "stats_t") == st
+    # the stats file must not leak into table reads
+    assert io.read_table_evolved(spark, scratch, "stats_t").count() == 500
+    # absent stats -> None
+    io.write_table(df, scratch, "stats_u", append=False)
+    assert io.read_table_stats(spark, scratch, "stats_u") is None
