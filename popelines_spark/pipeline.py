@@ -121,6 +121,19 @@ class Popeline:
             io.normalize_table_name(table_name)
         )
 
+    # --- table maintenance (engine-native; no reference analog — BigQuery
+    # does both server-side) -----------------------------------------------
+    def compact_table(self, table_name: str, target_file_bytes: int = 128 << 20):
+        return io.compact_table(
+            self.spark, self.warehouse, table_name, target_file_bytes
+        )
+
+    def analyze_table(self, table_name: str) -> dict:
+        return io.analyze_table(self.spark, self.warehouse, table_name)
+
+    def table_stats(self, table_name: str) -> dict | None:
+        return io.read_table_stats(self.spark, self.warehouse, table_name)
+
     # --- JSON wrangling ---------------------------------------------------
     def fix_json_keys(self, obj, callback):
         """popelines/main.py:245-262 — recursive key rewrite (driver-side,
