@@ -1213,3 +1213,61 @@ def c_feature_scale(spark, sf_dir):
         F.count("*").cast("long").alias("n_dims"),
         F.sum((F.abs("z") > 2.0).cast("long")).alias("n_extreme"),
     )
+
+
+@query(
+    "c_ri_check",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'events.user_id->customer',
+           CAST((SELECT count(*) FROM events e
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = e.user_id))
+                AS BIGINT)
+    """,
+)
+def c_ri_check(spark, sf_dir):
+    """Referential-integrity audit: orphan-row counts for the star
+    schema's four foreign keys — the cross-table half of c_dq_checks
+    (which audits within one table). Each check is one LEFT ANTI join
+    (keyed; dimension side broadcast when small) feeding a count — at
+    100 TB this is the standard post-load constraint validation, since
+    parquet tables enforce nothing."""
+    checks = [
+        ("lineitem.l_orderkey->orders",
+         T(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k")),
+         T(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))),
+        ("lineitem.l_partkey->part",
+         T(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("k")),
+         T(spark, sf_dir, "part").select(F.col("p_partkey").alias("k"))),
+        ("orders.o_custkey->customer",
+         T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")),
+         T(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))),
+        ("events.user_id->customer",
+         T(spark, sf_dir, "events").select(F.col("user_id").alias("k")),
+         T(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))),
+    ]
+    out = None
+    for name, child, parent in checks:
+        orphans = child.join(parent, "k", "left_anti").agg(
+            F.count("*").cast("long").alias("n_orphans")
+        ).select(F.lit(name).alias("fk"), "n_orphans")
+        out = orphans if out is None else out.unionByName(orphans)
+    return out
