@@ -1271,3 +1271,107 @@ def c_ri_check(spark, sf_dir):
         ).select(F.lit(name).alias("fk"), "n_orphans")
         out = orphans if out is None else out.unionByName(orphans)
     return out
+
+
+@query(
+    "c_user_lifecycle",
+    oracle="""
+    WITH act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+                 FROM events),
+    lag_w AS (
+      SELECT user_id, week,
+             lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev
+      FROM act),
+    cls AS (
+      SELECT week,
+             CASE WHEN prev IS NULL THEN 'new'
+                  WHEN week = prev + INTERVAL 7 DAY THEN 'retained'
+                  ELSE 'resurrected' END AS state
+      FROM lag_w),
+    churn AS (
+      SELECT week + INTERVAL 7 DAY AS week, 'churned' AS state
+      FROM lag_w l
+      WHERE NOT EXISTS (SELECT 1 FROM act a
+                        WHERE a.user_id = l.user_id
+                          AND a.week = l.week + INTERVAL 7 DAY)
+        AND l.week + INTERVAL 7 DAY <=
+            (SELECT max(week) FROM act)),
+    allrows AS (SELECT week, state FROM cls
+                UNION ALL SELECT week, state FROM churn)
+    SELECT CAST(week AS TIMESTAMP) AS week, state,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM allrows GROUP BY 1, 2
+    """,
+)
+def c_user_lifecycle(spark, sf_dir):
+    """Growth accounting: per week, users classified new (first week
+    ever), retained (active previous week too), resurrected (returning
+    after a gap), churned (active last week, absent this week — counted
+    into the week they went missing, bounded by the last observed week).
+    The standard DAU-decomposition framework behind "net growth = new +
+    resurrected − churned".
+
+    Plan: distinct (user, week) grid, one user-partitioned lag for the
+    state classification, an anti-join-free churn derivation (lead-less:
+    churn for week w+1 = rows whose next active week ≠ w+1, checked via
+    the same lag relation on the other side), one final keyed count."""
+    from pyspark.sql.window import Window as W
+
+    ev = T(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("week")
+    lag_w = act.select(
+        "user_id", "week", F.lag("week").over(w).alias("prev"),
+        F.lead("week").over(w).alias("next"),
+    )
+    wk = F.col("week") + F.expr("INTERVAL 7 DAY")
+    cls = lag_w.select(
+        "week",
+        F.when(F.col("prev").isNull(), "new")
+        .when(
+            F.col("week") == F.col("prev") + F.expr("INTERVAL 7 DAY"),
+            "retained",
+        )
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    maxw = act.agg(F.max("week").alias("mx"))
+    churn = (
+        lag_w.crossJoin(F.broadcast(maxw))
+        .filter(
+            (F.col("next").isNull() | (F.col("next") != wk)) & (wk <= F.col("mx"))
+        )
+        .select(wk.alias("week"), F.lit("churned").alias("state"))
+    )
+    return (
+        cls.unionByName(churn)
+        .groupBy("week", "state")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+@query(
+    "c_dup_cluster_sizes",
+    oracle="""
+    WITH cl AS (SELECT text, CAST(count(*) AS BIGINT) AS sz
+                FROM documents GROUP BY text)
+    SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs
+    FROM cl GROUP BY sz
+    """,
+)
+def c_dup_cluster_sizes(spark, sf_dir):
+    """Duplicate-cluster-size distribution: how many exact-duplicate
+    clusters of each size the corpus holds and how many documents they
+    account for — the observability readout a dedup pass publishes
+    before deleting anything (size-1 rows = unique docs; the tail shows
+    duplication severity). Two keyed counts; at scale group on
+    xxhash64(text) instead of the text itself (c_dedup_exact's caveat)."""
+    d = T(spark, sf_dir, "documents")
+    cl = d.groupBy("text").agg(F.count("*").cast("long").alias("sz"))
+    return cl.groupBy("sz").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        (F.col("sz") * F.count("*")).cast("long").alias("n_docs"),
+    )
