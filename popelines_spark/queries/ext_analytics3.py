@@ -1375,3 +1375,139 @@ def c_dup_cluster_sizes(spark, sf_dir):
         F.count("*").cast("long").alias("n_clusters"),
         (F.col("sz") * F.count("*")).cast("long").alias("n_docs"),
     )
+
+
+@query(
+    "c_ab_srm",
+    oracle="""
+    WITH arms AS (
+      SELECT CASE WHEN ((user_id % 1000003) * 2654435761) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             user_id
+      FROM (SELECT DISTINCT user_id FROM events)),
+    c AS (SELECT arm, CAST(count(*) AS BIGINT) AS n FROM arms GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+    SELECT arm, n,
+           (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) / 2.0)
+             * (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) / 2.0)
+             / (CAST(total AS DOUBLE) / 2.0) AS chi2_term
+    FROM c CROSS JOIN t
+    """,
+)
+def c_ab_srm(spark, sf_dir):
+    """Sample-ratio-mismatch screen for the A/B harness: per-arm user
+    counts under the same deterministic id-hash assignment as c_ab_test,
+    plus each arm's chi-square term against the expected 50/50 split
+    (sum the terms, compare to the chi2(1) critical value — terms are
+    emitted so the oracle needs no distribution function). SRM is the
+    first validity check any experimentation platform runs."""
+    ev = T(spark, sf_dir, "events")
+    arms = ev.select("user_id").distinct().select(
+        F.when(
+            ((F.col("user_id") % 1000003) * 2654435761) % 2 == 0, "A"
+        )
+        .otherwise("B")
+        .alias("arm")
+    )
+    c = arms.groupBy("arm").agg(F.count("*").cast("long").alias("n"))
+    t = c.agg(F.sum("n").cast("long").alias("total"))
+    exp = F.col("total").cast("double") / F.lit(2.0)
+    return c.crossJoin(F.broadcast(t)).select(
+        "arm",
+        "n",
+        (
+            (F.col("n").cast("double") - exp)
+            * (F.col("n").cast("double") - exp)
+            / exp
+        ).alias("chi2_term"),
+    )
+
+
+@query(
+    "c_interpurchase_time",
+    oracle="""
+    WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey FROM orders),
+    gaps AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(date_diff('day',
+                            lag(o.o_orderdate)
+                              OVER (PARTITION BY o.o_custkey
+                                    ORDER BY o.o_orderdate, o.o_orderkey),
+                            o.o_orderdate) AS BIGINT) AS gap_days
+      FROM o JOIN customer c ON c.c_custkey = o.o_custkey)
+    SELECT seg, CAST(count(gap_days) AS BIGINT) AS n_gaps,
+           median(CAST(gap_days AS DOUBLE)) AS median_days,
+           quantile_cont(CAST(gap_days AS DOUBLE), 0.9) AS p90_days
+    FROM gaps WHERE gap_days IS NOT NULL GROUP BY seg
+    """,
+)
+def c_interpurchase_time(spark, sf_dir):
+    """Inter-purchase cadence: per market segment, the exact median and
+    p90 of day-gaps between a customer's consecutive orders — the
+    repurchase-cycle metric behind replenishment campaigns. One
+    customer-partitioned lag (unique orderkey tie-break), one grouped
+    exact-percentile agg over integer day gaps."""
+    from pyspark.sql.window import Window as W
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.withColumn("prev", F.lag("o_orderdate").over(w))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.datediff("o_orderdate", "prev").cast("long").alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    return gaps.groupBy("seg").agg(
+        F.count("gap_days").cast("long").alias("n_gaps"),
+        F.median(F.col("gap_days").cast("double")).alias("median_days"),
+        F.percentile(F.col("gap_days").cast("double"), F.lit(0.9)).alias(
+            "p90_days"
+        ),
+    )
+
+
+@query(
+    "c_new_vs_repeat",
+    oracle="""
+    WITH firsts AS (SELECT o_custkey, min(o_orderdate) AS first_dt
+                    FROM orders GROUP BY 1)
+    SELECT date_trunc('quarter', o.o_orderdate) AS quarter,
+           CASE WHEN o.o_orderdate = f.first_dt THEN 'new'
+                ELSE 'repeat' END AS buyer_type,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def c_new_vs_repeat(spark, sf_dir):
+    """New-vs-repeat revenue split per quarter: an order is 'new' when
+    it falls on its customer's first order date — the acquisition-vs-
+    retention revenue decomposition. One keyed min-agg joined back, one
+    grouped decimal-exact rollup."""
+    o = T(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_dt")
+    )
+    return (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            F.date_trunc("quarter", "o_orderdate").alias("quarter"),
+            F.when(F.col("o_orderdate") == F.col("first_dt"), "new")
+            .otherwise("repeat")
+            .alias("buyer_type"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
