@@ -402,3 +402,14 @@ def test_round5d_plans(spark):
         assert not unpartitioned_windows(df), name
     rep = plan_report(_q("b_snapshot_diff", spark))
     assert rep["sortmerge_joins"] + rep["shuffled_hash_joins"] + rep["broadcast_joins"] >= 1
+
+
+def test_round5e_plans(spark):
+    """Fifth-batch plan audit: one-row scalars attach via broadcast
+    (never CartesianProduct); windows keyed."""
+    for name in ("c_ri_check", "c_user_lifecycle", "c_dup_cluster_sizes",
+                 "c_ab_srm", "c_interpurchase_time", "c_new_vs_repeat",
+                 "c_cohort_ltv", "s_rate_alert"):
+        df = _q(name, spark)
+        assert not plan_report(df)["cartesian"], name
+        assert not unpartitioned_windows(df), name
