@@ -1511,3 +1511,95 @@ def c_new_vs_repeat(spark, sf_dir):
             .alias("revenue"),
         )
     )
+
+
+@query(
+    "c_hhi_supplier",
+    oracle="""
+    WITH ps AS (SELECT l_partkey, l_suppkey,
+                       SUM(CAST(l_quantity AS DECIMAL(18,4))) AS q
+                FROM lineitem GROUP BY 1, 2),
+    agg AS (SELECT l_partkey,
+                   SUM(CAST(q AS DECIMAL(19,4)) * CAST(q AS DECIMAL(19,4)))
+                     AS sq2,
+                   SUM(q) AS qt,
+                   CAST(count(*) AS BIGINT) AS n_suppliers
+            FROM ps GROUP BY 1)
+    SELECT l_partkey, n_suppliers,
+           CAST(sq2 AS DOUBLE)
+             / (CAST(qt AS DOUBLE) * CAST(qt AS DOUBLE)) AS hhi
+    FROM agg
+    """,
+)
+def c_hhi_supplier(spark, sf_dir):
+    """Supplier-concentration HHI per part (procurement risk): with
+    quantity shares s_i, HHI = Σs_i² — 1.0 means single-sourced.
+    Computed WITHOUT summing float shares (order-dependent): since
+    HHI = Σq_i² / (Σq_i)², both sums accumulate as exact decimals and
+    one final double division lands the ratio — the same
+    exactness-by-algebra move as the corr/autocorr moments. Multiplicands
+    cast to DECIMAL(19) for DuckDB's INT64-physical-type multiply (the
+    c_autocorr trap)."""
+    li = T(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q")
+    )
+    return (
+        ps.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("q").cast("decimal(19,4)")
+                * F.col("q").cast("decimal(19,4)")
+            ).alias("sq2"),
+            F.sum("q").alias("qt"),
+            F.count("*").cast("long").alias("n_suppliers"),
+        )
+        .select(
+            "l_partkey",
+            "n_suppliers",
+            (
+                F.col("sq2").cast("double")
+                / (F.col("qt").cast("double") * F.col("qt").cast("double"))
+            ).alias("hhi"),
+        )
+    )
+
+
+@query(
+    "c_seasonality_dow",
+    oracle="""
+    WITH d AS (SELECT CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+                      o_totalprice
+               FROM orders),
+    agg AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_orders,
+                   SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS rev
+            FROM d GROUP BY 1),
+    t AS (SELECT SUM(rev) AS total FROM agg)
+    SELECT dow, n_orders, CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE) / CAST(total AS DOUBLE) AS rev_share
+    FROM agg CROSS JOIN t
+    """,
+)
+def c_seasonality_dow(spark, sf_dir):
+    """Day-of-week seasonality profile: order count, revenue, and
+    revenue share per weekday — the seasonality readout that decides
+    whether a forecast needs a weekly component (pair with c_autocorr's
+    lag-7). Exact decimal revenue, share = one double division against
+    the broadcast total. DuckDB dayofweek is 0=Sunday; Spark's
+    dayofweek() is 1=Sunday, so the engine side subtracts 1."""
+    o = T(spark, sf_dir, "orders")
+    agg = o.groupBy(
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(20,4)")).alias("rev"),
+    )
+    t = agg.agg(F.sum("rev").alias("total"))
+    return agg.crossJoin(F.broadcast(t)).select(
+        "dow",
+        "n_orders",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev").cast("double") / F.col("total").cast("double")).alias(
+            "rev_share"
+        ),
+    )
