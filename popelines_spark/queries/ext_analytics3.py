@@ -1603,3 +1603,74 @@ def c_seasonality_dow(spark, sf_dir):
             "rev_share"
         ),
     )
+
+
+@query(
+    "c_gini_revenue",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_mktsegment AS seg, o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT seg, CAST(rev * 10000 AS DECIMAL(19,0)) AS rev_u,
+             CAST(row_number() OVER (PARTITION BY seg
+                                     ORDER BY rev, o_custkey) AS BIGINT)
+               AS i
+      FROM per_cust),
+    agg AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             SUM(CAST(i AS DECIMAL(19,0)) * rev_u) AS si,
+             SUM(rev_u) AS s
+      FROM ranked GROUP BY seg)
+    SELECT seg, n,
+           2.0 * CAST(si AS DOUBLE) / (n * CAST(s AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / n AS gini
+    FROM agg
+    """,
+)
+def c_gini_revenue(spark, sf_dir):
+    """Gini coefficient of customer revenue per segment — the
+    inequality summary behind c_pareto_8020's point estimate, computed
+    by the rank formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over
+    ascending-sorted revenues (unique custkey tie-break). Σ(i·x_i) and
+    Σx accumulate as exact decimals (rank × revenue widens to a decimal
+    product — order-free), so the only floats are one final expression.
+    One keyed agg, one segment-partitioned rank, one grouped rollup."""
+    from pyspark.sql.window import Window as W
+
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(20,4)")).alias("rev")
+        )
+    )
+    w = W.partitionBy("seg").orderBy("rev", "o_custkey")
+    # scale-0 units (rev × 10⁴, exact): the rank-weighted sum's unscaled
+    # value passes 2^53 at sf1.0, where a scale-4 decimal→double converts
+    # with TWO roundings in DuckDB but one in Spark (README rule, caught
+    # by the sf1.0 sweep); scale-0 converts with one rounding on both,
+    # and the 10⁴ factors cancel in si/s.
+    ranked = per_cust.select(
+        "seg",
+        (F.col("rev") * 10000).cast("decimal(19,0)").alias("rev_u"),
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    agg = ranked.groupBy("seg").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("i").cast("decimal(19,0)") * F.col("rev_u")).alias("si"),
+        F.sum("rev_u").alias("s"),
+    )
+    return agg.select(
+        "seg",
+        "n",
+        (
+            F.lit(2.0) * F.col("si").cast("double")
+            / (F.col("n") * F.col("s").cast("double"))
+            - (F.col("n").cast("double") + F.lit(1.0)) / F.col("n")
+        ).alias("gini"),
+    )
