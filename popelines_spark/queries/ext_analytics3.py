@@ -1674,3 +1674,192 @@ def c_gini_revenue(spark, sf_dir):
             - (F.col("n").cast("double") + F.lit(1.0)) / F.col("n")
         ).alias("gini"),
     )
+
+
+@query(
+    "c_rfm_segments",
+    oracle="""
+    WITH anchor AS (SELECT max(o_orderdate) AS today FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', max(o_orderdate),
+                            (SELECT today FROM anchor)) AS BIGINT) AS r,
+             CAST(count(*) AS BIGINT) AS f,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS m
+      FROM orders GROUP BY 1),
+    q AS (SELECT
+            quantile_cont(CAST(r AS DOUBLE), 0.2) AS r1,
+            quantile_cont(CAST(r AS DOUBLE), 0.4) AS r2,
+            quantile_cont(CAST(r AS DOUBLE), 0.6) AS r3,
+            quantile_cont(CAST(r AS DOUBLE), 0.8) AS r4,
+            quantile_cont(CAST(f AS DOUBLE), 0.2) AS f1,
+            quantile_cont(CAST(f AS DOUBLE), 0.4) AS f2,
+            quantile_cont(CAST(f AS DOUBLE), 0.6) AS f3,
+            quantile_cont(CAST(f AS DOUBLE), 0.8) AS f4,
+            quantile_cont(m, 0.2) AS m1, quantile_cont(m, 0.4) AS m2,
+            quantile_cont(m, 0.6) AS m3, quantile_cont(m, 0.8) AS m4
+          FROM rfm),
+    scored AS (
+      SELECT o_custkey,
+             CAST(6 - (1 + (CAST(r AS DOUBLE) > r1)::INT
+                         + (CAST(r AS DOUBLE) > r2)::INT
+                         + (CAST(r AS DOUBLE) > r3)::INT
+                         + (CAST(r AS DOUBLE) > r4)::INT) AS BIGINT)
+               AS r_score,
+             CAST(1 + (CAST(f AS DOUBLE) > f1)::INT
+                    + (CAST(f AS DOUBLE) > f2)::INT
+                    + (CAST(f AS DOUBLE) > f3)::INT
+                    + (CAST(f AS DOUBLE) > f4)::INT AS BIGINT) AS f_score,
+             CAST(1 + (m > m1)::INT + (m > m2)::INT + (m > m3)::INT
+                    + (m > m4)::INT AS BIGINT) AS m_score
+      FROM rfm CROSS JOIN q)
+    SELECT o_custkey, r_score, f_score, m_score,
+           r_score || '-' || f_score || '-' || m_score AS rfm_code
+    FROM scored
+    """,
+)
+def c_rfm_segments(spark, sf_dir):
+    """RFM segmentation: per customer, recency (days since last order,
+    anchored at the corpus max date), frequency, monetary — each scored
+    1-5 against the EXACT corpus quintiles. No global ntile (that would
+    serialize through one partition): the twelve quantile thresholds
+    compute in one scalar aggregate, broadcast, and scoring is four
+    per-row comparisons per metric. Recency scores invert (recent =
+    5). Thresholds and comparisons are identical doubles on both
+    engines; quintile ties bucket identically because the compared
+    values are bit-equal."""
+    o = T(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("today"))
+    rfm = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("today"), F.max("o_orderdate"))
+            .cast("long")
+            .alias("r"),
+            F.count("*").cast("long").alias("f"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,4)"))
+            .cast("double")
+            .alias("m"),
+        )
+    )
+    qaggs = []
+    for col, pfx in (("r", "r"), ("f", "f"), ("m", "m")):
+        src = F.col(col).cast("double") if col != "m" else F.col("m")
+        for i, p in enumerate((0.2, 0.4, 0.6, 0.8), 1):
+            qaggs.append(F.percentile(src, F.lit(p)).alias(f"{pfx}{i}"))
+    q = rfm.agg(*qaggs)
+
+    def bucket(val, pfx):
+        e = F.lit(1).cast("long")
+        for i in (1, 2, 3, 4):
+            e = e + (val > F.col(f"{pfx}{i}")).cast("long")
+        return e
+
+    scored = rfm.crossJoin(F.broadcast(q)).select(
+        "o_custkey",
+        (F.lit(6) - bucket(F.col("r").cast("double"), "r"))
+        .cast("long")
+        .alias("r_score"),
+        bucket(F.col("f").cast("double"), "f").cast("long").alias("f_score"),
+        bucket(F.col("m"), "m").cast("long").alias("m_score"),
+    )
+    return scored.select(
+        "o_custkey",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws(
+            "-",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("rfm_code"),
+    )
+
+
+@query(
+    "c_cart_abandonment",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, ts, event_type,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM flagged),
+    sessions AS (
+      SELECT user_id, sess,
+             date_trunc('week', min(ts)) AS week,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+      FROM numbered GROUP BY 1, 2)
+    SELECT week,
+           CAST(sum(v) AS BIGINT) AS n_view_sessions,
+           CAST(sum(CASE WHEN v = 1 AND p = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_abandoned,
+           CAST(sum(CASE WHEN v = 1 AND p = 0 THEN 1 ELSE 0 END)
+                AS DOUBLE) / sum(v) AS abandonment_rate
+    FROM sessions GROUP BY week HAVING sum(v) > 0
+    """,
+)
+def c_cart_abandonment(spark, sf_dir):
+    """Cart abandonment by week: sessions (30-min gap) that contain a
+    view but convert to no purchase, as a fraction of view-sessions —
+    the funnel-leak KPI at session grain. Same sessionization window as
+    c_session_funnel; per-session flags collapse in one keyed agg;
+    integer counts + one final division."""
+    from pyspark.sql.window import Window as W
+
+    e = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id", "ts", "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                >= 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+        "event_id",
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("is_new")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("sess"),
+    )
+    sessions = numbered.groupBy("user_id", "sess").agg(
+        F.date_trunc("week", F.min("ts")).alias("week"),
+        F.max((F.col("event_type") == "view").cast("int")).alias("v"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("p"),
+    )
+    ab = ((F.col("v") == 1) & (F.col("p") == 0)).cast("long")
+    return (
+        sessions.groupBy("week")
+        .agg(
+            F.sum("v").cast("long").alias("n_view_sessions"),
+            F.sum(ab).alias("n_abandoned"),
+        )
+        .filter(F.col("n_view_sessions") > 0)
+        .select(
+            "week",
+            "n_view_sessions",
+            "n_abandoned",
+            (
+                F.col("n_abandoned").cast("double")
+                / F.col("n_view_sessions")
+            ).alias("abandonment_rate"),
+        )
+    )
