@@ -1863,3 +1863,107 @@ def c_cart_abandonment(spark, sf_dir):
             ).alias("abandonment_rate"),
         )
     )
+
+
+@query(
+    "c_shipping_delay",
+    oracle="""
+    WITH d AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+               AS delay_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+    SELECT priority, CAST(count(*) AS BIGINT) AS n_items,
+           median(CAST(delay_days AS DOUBLE)) AS median_days,
+           quantile_cont(CAST(delay_days AS DOUBLE), 0.95) AS p95_days,
+           CAST(max(delay_days) AS BIGINT) AS max_days
+    FROM d GROUP BY priority
+    """,
+)
+def c_shipping_delay(spark, sf_dir):
+    """Order-to-ship latency distribution per order priority — the
+    logistics SLA readout (does 1-URGENT actually ship faster?). One
+    keyed join + one grouped exact-percentile agg over integer day
+    gaps."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias(
+            "delay_days"
+        ),
+    )
+    return d.groupBy("priority").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.median(F.col("delay_days").cast("double")).alias("median_days"),
+        F.percentile(F.col("delay_days").cast("double"), F.lit(0.95)).alias(
+            "p95_days"
+        ),
+        F.max("delay_days").cast("long").alias("max_days"),
+    )
+
+
+@query(
+    "c_simpson_diversity",
+    oracle="""
+    WITH words AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w
+                   FROM documents),
+    cnt AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+            FROM words GROUP BY 1, 2),
+    agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                   CAST(sum(c * (c - 1)) AS BIGINT) AS rep
+            FROM cnt GROUP BY 1)
+    SELECT doc_id, n,
+           CAST(rep AS DOUBLE) / (n * (n - 1.0)) AS simpson_d
+    FROM agg WHERE n >= 2
+    """,
+)
+def c_simpson_diversity(spark, sf_dir):
+    """Simpson's diversity index per document: D = Σc_i(c_i−1)/(n(n−1))
+    — the probability two random tokens coincide; 0 = maximally diverse
+    vocabulary, →1 = one word repeated. A single-number lexical-richness
+    complement to c_repetition_stats, and an exact rational of two
+    BIGINTs (one final IEEE division — no rounding anywhere)."""
+    d = T(spark, sf_dir, "documents")
+    cnt = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).groupBy("doc_id", "w").agg(F.count("*").cast("long").alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("rep"),
+    )
+    return agg.filter(F.col("n") >= 2).select(
+        "doc_id",
+        "n",
+        (
+            F.col("rep").cast("double")
+            / (F.col("n") * (F.col("n") - F.lit(1.0)))
+        ).alias("simpson_d"),
+    )
+
+
+@query(
+    "c_activity_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def c_activity_heatmap(spark, sf_dir):
+    """Weekday × hour activity heatmap (events + distinct users per
+    cell) — the load-profile grid behind capacity planning and send-time
+    optimization. One grouped scan; DuckDB dayofweek is 0=Sunday vs
+    Spark's 1=Sunday, so the engine side subtracts 1."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
