@@ -1967,3 +1967,108 @@ def c_activity_heatmap(spark, sf_dir):
         F.count("*").cast("long").alias("n_events"),
         F.count_distinct("user_id").cast("long").alias("n_users"),
     )
+
+
+@query(
+    "c_returns_rate",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned,
+           CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS return_rate,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(20,4))
+                         ELSE CAST(0 AS DECIMAL(20,4)) END) AS DOUBLE)
+             AS returned_value
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def c_returns_rate(spark, sf_dir):
+    """Return rate and returned value per brand (l_returnflag = 'R') —
+    the product-quality KPI merchandising watches. Broadcast part dim
+    into the fact scan, one grouped conditional aggregate;
+    decimal-exact returned value, integer-ratio rate."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag", "l_extendedprice"
+    )
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ret = (F.col("l_returnflag") == "R").cast("long")
+    zero = F.lit(0).cast("decimal(20,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(ret).cast("long").alias("n_returned"),
+            F.sum(
+                F.when(
+                    F.col("l_returnflag") == "R",
+                    F.col("l_extendedprice").cast("decimal(20,4)"),
+                ).otherwise(zero)
+            )
+            .cast("double")
+            .alias("returned_value"),
+        )
+        .select(
+            "brand",
+            "n_items",
+            "n_returned",
+            (F.col("n_returned").cast("double") / F.col("n_items")).alias(
+                "return_rate"
+            ),
+            "returned_value",
+        )
+    )
+
+
+@query(
+    "c_vocab_growth",
+    oracle="""
+    WITH words AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w
+                   FROM documents),
+    firsts AS (SELECT w, min(doc_id) AS fd FROM words GROUP BY 1),
+    mx AS (SELECT max(doc_id) + 1 AS n_docs FROM documents),
+    sliced AS (SELECT least(CAST(floor(fd * 10.0 / n_docs) AS BIGINT), 9)
+                 AS slice, count(*) AS new_terms
+               FROM firsts CROSS JOIN mx GROUP BY 1),
+    cum AS (SELECT a.slice,
+                   CAST(sum(b.new_terms) AS BIGINT) AS vocab_size
+            FROM sliced a JOIN sliced b ON b.slice <= a.slice
+            GROUP BY a.slice)
+    SELECT slice, vocab_size FROM cum
+    """,
+)
+def c_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth: distinct vocabulary size after each
+    tenth of the corpus (by doc_id) — the curve that says whether more
+    data still buys new tokens (flattening = diminishing vocabulary
+    returns; the readout that sizes tokenizer vocabularies). Each term
+    attributes to the corpus slice of its FIRST occurrence; cumulative
+    vocab per slice comes from a ≤-self-join over the 10-row slice frame
+    (the skyline-staircase trick — no global window)."""
+    d = T(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    firsts = words.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    mx = d.agg((F.max("doc_id") + 1).alias("n_docs"))
+    sliced = (
+        firsts.crossJoin(F.broadcast(mx))
+        .groupBy(
+            F.least(
+                F.floor(F.col("fd") * 10.0 / F.col("n_docs")).cast("long"),
+                F.lit(9).cast("long"),
+            ).alias("slice")
+        )
+        .agg(F.count("*").alias("new_terms"))
+    )
+    a = sliced.select(F.col("slice"), F.col("new_terms").alias("_na"))
+    b = sliced.select(
+        F.col("slice").alias("_sb"), F.col("new_terms").alias("_nb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("_sb") <= F.col("slice"))
+        .groupBy("slice")
+        .agg(F.sum("_nb").cast("long").alias("vocab_size"))
+    )

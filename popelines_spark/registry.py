@@ -62,7 +62,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # shape every ORDER BY + LIMIT TPC-H entry re-proved green in r4, and
 # b_project/b_filter, whose projection/filter-pushdown shape
 # test_plans.py asserts on every scan this round).
-# Round-6 plan: the 47 queries added after this round's window filled
+# Round-6 plan: the 49 queries added after this round's window filled
 # FIRST (the only registered entries without a driver-green row; parity
 # covers them meanwhile, at sf{0.001,0.01,0.1} AND sf1.0): s_cdc_latest,
 # c_rolling_dau, and the round-5 second/third batches c_graph_bfs,
@@ -77,8 +77,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # c_user_lifecycle, c_dup_cluster_sizes, c_ab_srm, c_interpurchase_time,
 # c_new_vs_repeat, c_hhi_supplier, c_seasonality_dow, c_gini_revenue,
 # c_rfm_segments, c_cart_abandonment, c_shipping_delay,
-# c_simpson_diversity, c_activity_heatmap (47). Then as many of the 17
-# deferrals as fit the 50-slot window (3 slots left); the rest +
+# c_simpson_diversity, c_activity_heatmap, c_returns_rate,
+# c_vocab_growth (49). Then c_repetition_stats-style never-scored
+# bookkeeping is exhausted — the 17 deferrals + ~32 r2-green entries
+# rotate through rounds 7+ (1 slot left this window); the rest +
 # the ~32 r2-green entries roll to round 7.
 # (tools/parity.py still covers the full registry every round.)
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
