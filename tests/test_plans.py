@@ -413,3 +413,15 @@ def test_round5e_plans(spark):
         df = _q(name, spark)
         assert not plan_report(df)["cartesian"], name
         assert not unpartitioned_windows(df), name
+
+
+def test_round5f_plans(spark):
+    """Sixth-batch plan audit: broadcast scalars only, no cartesians,
+    keyed windows."""
+    for name in ("c_rfm_segments", "c_cart_abandonment", "c_shipping_delay",
+                 "c_simpson_diversity", "c_activity_heatmap",
+                 "c_returns_rate", "c_vocab_growth", "c_gini_revenue",
+                 "c_hhi_supplier", "c_seasonality_dow"):
+        df = _q(name, spark)
+        assert not plan_report(df)["cartesian"], name
+        assert not unpartitioned_windows(df), name
