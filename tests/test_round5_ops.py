@@ -443,3 +443,72 @@ def test_frame_sample_walks_and_samples(spark):
     )
     with pytest.raises(Exception, match="truncated frame"):
         M.frame_sample(truncated, every_n=3).collect()
+
+
+def test_snapshot_diff_matches_python_reference(spark):
+    """Randomized (seeded) property: snapshot_diff's classification
+    equals a Python dict diff for arbitrary old/new key-value tables."""
+    import random
+
+    from popelines_spark.operators.diff import snapshot_diff
+
+    rng = random.Random(42)
+    old = {k: (rng.randint(0, 5), rng.choice("ABC")) for k in range(40)
+           if rng.random() < 0.8}
+    new = {}
+    for k in range(50):
+        if k in old and rng.random() < 0.7:
+            new[k] = old[k] if rng.random() < 0.5 else (
+                rng.randint(0, 5), rng.choice("ABC"))
+        elif k not in old and rng.random() < 0.4:
+            new[k] = (rng.randint(0, 5), rng.choice("ABC"))
+    want = {}
+    for k in set(old) | set(new):
+        if k not in new:
+            want[k] = "delete"
+        elif k not in old:
+            want[k] = "insert"
+        elif old[k] != new[k]:
+            want[k] = "update"
+    o_df = spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in old.items()], "k long, a long, b string"
+    )
+    n_df = spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in new.items()], "k long, a long, b string"
+    )
+    got = {r["k"]: r["status"] for r in
+           snapshot_diff(o_df, n_df, ["k"], ["a", "b"]).collect()}
+    assert got == want and len(want) > 5
+
+
+def test_bfs_random_graph_matches_python(spark):
+    """Randomized (seeded) property: bfs_hops equals a reference Python
+    BFS on arbitrary digraphs, including unreachable nodes and the
+    max_hops bound."""
+    import random
+    from collections import deque
+
+    from popelines_spark.operators.graph import bfs_hops
+
+    rng = random.Random(7)
+    n = 15
+    edges = [(a, b) for a in range(n) for b in range(n)
+             if a != b and rng.random() < 0.15]
+    seeds = [0, 5]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    want, q = {s: 0 for s in seeds}, deque(seeds)
+    while q:
+        u = q.popleft()
+        if want[u] >= 4:
+            continue
+        for v in adj.get(u, []):
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    e_df = spark.createDataFrame(edges, "src long, dst long")
+    s_df = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {r["node"]: r["hops"] for r in
+           bfs_hops(e_df, s_df, max_hops=4).collect()}
+    assert got == want and len(want) > len(seeds)
