@@ -512,3 +512,37 @@ def test_bfs_random_graph_matches_python(spark):
     got = {r["node"]: r["hops"] for r in
            bfs_hops(e_df, s_df, max_hops=4).collect()}
     assert got == want and len(want) > len(seeds)
+
+
+def test_hist_quantile_cdf_guarantee(spark):
+    """The real histogram-quantile guarantee (correct for sparse tails,
+    where a VALUE bound is meaningless): the empirical CDF evaluated at
+    the estimate differs from q by at most the mass of the bin the
+    estimate landed in."""
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+    from popelines_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    got = {r["week"]: (r["p50_est"], r["p90_est"]) for r in
+           entrymod.queries()["b_sketch_hist_quantile"](spark, SF_DIR).collect()}
+    ev = load(spark, SF_DIR, "events").filter("event_type = 'purchase'") \
+        .selectExpr("date_trunc('week', ts) AS week", "value").toPandas()
+    lo, hi = ev["value"].min(), ev["value"].max()
+
+    def binof(v):
+        return min(int((v - lo) * 100.0 / (hi - lo)), 99)
+
+    checked = 0
+    for week, grp in ev.groupby("week"):
+        vals = grp["value"].to_numpy()
+        n = len(vals)
+        bins = np.minimum(((vals - lo) * 100.0 / (hi - lo)).astype(int), 99)
+        for q, est in zip((0.5, 0.9), got[week.to_pydatetime()]):
+            assert lo <= est <= hi
+            bin_mass = (bins == binof(est)).sum() / n
+            cdf_at_est = (vals <= est).sum() / n
+            assert abs(cdf_at_est - q) <= bin_mass + 1e-9, (week, q, est)
+            checked += 1
+    assert checked >= 2
