@@ -153,6 +153,18 @@ def main() -> None:
         for name, t in timings.items()
         if name in BASELINE_SEC and sf == 0.1
     }
+    # Per-run raw detail goes on its OWN earlier line (and to a sidecar file):
+    # round 5's single giant line overflowed the driver's stderr-tail capture
+    # and BENCH_r05.json recorded "parsed": null.  The driver parses the LAST
+    # stdout line, so the compact summary must be final and small.
+    detail = {"queries_run1": run1, "queries_run2": run2}
+    print(json.dumps({"detail": detail}))
+    try:
+        with open(os.path.join(REPO, "bench_detail.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    sys.stdout.flush()
     print(
         json.dumps(
             {
@@ -160,13 +172,12 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "queries_run1": run1,
-                "queries_run2": run2,
                 "sf": sf,
                 "ratios_vs_baseline": ratios,
             }
         )
     )
+    sys.stdout.flush()
     if os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
         slow = {n: r for n, r in ratios.items() if r > STRICT_RATIO}
         if slow:

@@ -273,11 +273,25 @@ def analyze_table(
 
     fs, root, jvm = _hadoop_fs(spark, path)
     total_bytes = fs.getContentSummary(root).getLength()
+    # Broadcast limits are about IN-MEMORY size but total_bytes is on-disk
+    # compressed parquet, which commonly expands 3-10× when decoded —
+    # suggest_broadcast applies a conservative expansion factor so the flag
+    # never recommends broadcasting a table that blows executor memory
+    # (ADVICE r5). est_memory_bytes is the estimate the decision uses.
+    expansion = 5
+    nested_cols = [
+        f.name for f in df.schema.fields if f.name not in flat_cols
+    ]
     stats = {
         "table": table_name,
         "rows": row["__rows"],
         "total_bytes": int(total_bytes),
-        "suggest_broadcast": int(total_bytes) <= broadcast_threshold_bytes,
+        "est_memory_bytes": int(total_bytes) * expansion,
+        "suggest_broadcast": int(total_bytes) * expansion
+        <= broadcast_threshold_bytes,
+        # nested (struct/array/map) columns have no per-column stats row —
+        # named here so their absence from `columns` is visible, not silent
+        "skipped_nested_columns": nested_cols,
         "columns": {
             c: {
                 "nulls": row[f"__nulls_{c}"],

@@ -6,12 +6,14 @@ beside it, and decode/feature-extraction as Arrow-batched ``mapInPandas``
 stages. Spark never interprets the bytes; Python touches them in columnar
 batches only.
 
-Three REAL pure-Python decoders prove the pattern without media
+Four REAL pure-Python decoders prove the pattern without media
 libraries: ``decode_ppm`` (netpbm P6 images), ``decode_wav`` (stdlib PCM
-audio), and ``frame_sample`` (every-n-th-frame sampling over a
-concatenated-PPM stream — ffmpeg's ``ppm_pipe`` container). Formats that
-genuinely need PIL/ffmpeg stay honestly gated (``decode_image``), and
-``decode_stub`` remains for plumbing-only tests.
+audio), ``frame_sample`` (every-n-th-frame sampling over a
+concatenated-PPM stream — ffmpeg's ``ppm_pipe`` container), and
+``decode_image`` (magic-byte dispatch over PNG — real zlib DEFLATE plus
+all five scanline filters — 24-bit BMP, and P6). PIL/ffmpeg slot into the
+same dispatch where they exist, adding JPEG/H.264; ``decode_stub``
+remains for plumbing-only tests.
 """
 
 from __future__ import annotations
@@ -286,16 +288,296 @@ def decode_wav(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(_decode, schema=_WAV_SCHEMA)
 
 
-def decode_image(payloads: DataFrame) -> DataFrame:  # pragma: no cover
-    """Real image decode (PIL) — unavailable in this container."""
-    try:
-        import PIL  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decode requires pillow; container ships without media "
-            "libraries — use decode_stub for plumbing tests"
-        ) from e
-    raise NotImplementedError("wire PIL decode here when the library lands")
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_decode(buf: bytes):
+    """Pure-stdlib PNG decode (RFC 2083): chunk walk + CRC-checked IHDR/
+    IDAT/IEND, REAL zlib DEFLATE decompression, and per-scanline
+    un-filtering (None/Sub/Up/Average/Paeth). Supports the non-interlaced
+    8-bit gray/RGB/RGBA subset; anything else raises. Returns
+    (width, height, n_channels, pixels ndarray[h, w, ch])."""
+    import binascii
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(buf):
+        (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+        typ = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", buf[pos + 8 + ln : pos + 12 + ln])
+        if binascii.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r}: CRC mismatch")
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG without IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or ctype not in (0, 2, 6) or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth} color={ctype} "
+            f"interlace={interlace}) — 8-bit non-interlaced gray/RGB/RGBA only"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride, bpp = w * ch, ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel stream length mismatch")
+    out, prev, p = bytearray(), bytes(stride), 0
+    for _ in range(h):
+        t, line = raw[p], bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if t == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 255
+        elif t == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 255
+        elif t == 3:  # Average
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + (left + prev[x]) // 2) & 255
+        elif t == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                ul = prev[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + _paeth(left, prev[x], ul)) & 255
+        elif t != 0:
+            raise ValueError(f"unknown PNG filter type {t}")
+        out += line
+        prev = bytes(line)
+    px = np.frombuffer(bytes(out), np.uint8).reshape(h, w, ch)
+    return w, h, ch, px
+
+
+def _bmp_decode(buf: bytes):
+    """Pure-stdlib Windows BMP decode: BITMAPFILEHEADER + BITMAPINFOHEADER,
+    uncompressed (BI_RGB) 24-bit only, 4-byte row padding, bottom-up or
+    top-down. Returns (width, height, 3, pixels ndarray[h, w, 3] RGB)."""
+    import struct
+
+    import numpy as np
+
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack("<I", buf[10:14])
+    hdr_sz, w, h, planes, bits, comp = struct.unpack("<IiiHHI", buf[14:34])
+    if bits != 24 or comp != 0:
+        raise ValueError(
+            f"unsupported BMP variant (bits={bits} compression={comp}) — "
+            "uncompressed 24-bit only"
+        )
+    bottom_up, h = h > 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for r in range(h):
+        start = data_off + r * stride
+        row = np.frombuffer(buf[start : start + w * 3], np.uint8)
+        rows.append(row.reshape(w, 3)[:, ::-1])  # stored BGR → RGB
+    if bottom_up:
+        rows.reverse()
+    return w, h, 3, np.stack(rows)
+
+
+_IMAGE_SCHEMA = (
+    "doc_id long, format string, width long, height long, n_channels long, "
+    "mean_r double"
+)
+
+
+def decode_image(payloads: DataFrame) -> DataFrame:
+    """REAL image decode over the mapInPandas plumbing, no media libraries:
+    dispatches on magic bytes to a pure-stdlib PNG decoder (zlib DEFLATE +
+    per-scanline un-filtering — a genuinely compressed codec), a 24-bit
+    BMP decoder, or the netpbm P6 parser, and computes an actual pixel
+    statistic (numpy mean of channel 0) from the decoded array. Unknown or
+    unsupported-variant payloads raise rather than guess. PIL/ffmpeg slot
+    into the same dispatch where they exist, adding JPEG/H.264 — the
+    Arrow-batched stage shape, schema, and error contract don't change."""
+
+    def _decode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(raw)
+                if buf[:8] == _PNG_SIG:
+                    fmt, (w, h, ch, px) = "png", _png_decode(buf)
+                elif buf[:2] == b"BM":
+                    fmt, (w, h, ch, px) = "bmp", _bmp_decode(buf)
+                elif buf[:2] == b"P6":
+                    w, h, maxval, off = _parse_ppm_header(buf)
+                    px = np.frombuffer(
+                        buf, dtype=np.uint8, offset=off
+                    ).reshape(h, w, 3)
+                    fmt, ch = "ppm", 3
+                else:
+                    raise ValueError(
+                        f"doc {doc_id}: unrecognized image magic "
+                        f"{buf[:8]!r}"
+                    )
+                rows.append(
+                    (doc_id, fmt, w, h, ch, float(px[:, :, 0].mean()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "format", "width", "height", "n_channels",
+                    "mean_r",
+                ],
+            )
+
+    return payloads.mapInPandas(_decode, schema=_IMAGE_SCHEMA)
+
+
+def make_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic RGB PNG per row, encoded with stdlib zlib/struct/
+    binascii inside mapInPandas: w = id%16+1, h = id%9+1, every sample
+    byte = 65 + id%26. Scanline r uses filter type r%5, so a decoder must
+    correctly invert all five PNG filters (the filtered bytes are computed
+    from the spec's forward formulas here; decode_image inverts them
+    independently). A decoder's output is analytically predictable from
+    the id — the compressed-codec counterpart of make_ppm."""
+
+    def _gen(batches: Iterator) -> Iterator:
+        import binascii
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + typ
+                + data
+                + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h, fill = i % 16 + 1, i % 9 + 1, 65 + i % 26
+                stride, bpp = w * 3, 3
+                prev = bytes(stride)
+                raw = bytearray()
+                for r in range(h):
+                    line = bytes([fill]) * stride
+                    t = r % 5
+                    if t == 0:
+                        flt = line
+                    elif t == 1:  # Sub: x - left
+                        flt = bytes(
+                            (line[x] - (line[x - bpp] if x >= bpp else 0))
+                            & 255
+                            for x in range(stride)
+                        )
+                    elif t == 2:  # Up: x - up
+                        flt = bytes(
+                            (line[x] - prev[x]) & 255 for x in range(stride)
+                        )
+                    elif t == 3:  # Average
+                        flt = bytes(
+                            (
+                                line[x]
+                                - (
+                                    (line[x - bpp] if x >= bpp else 0)
+                                    + prev[x]
+                                )
+                                // 2
+                            )
+                            & 255
+                            for x in range(stride)
+                        )
+                    else:  # Paeth
+                        flt = bytes(
+                            (
+                                line[x]
+                                - _paeth(
+                                    line[x - bpp] if x >= bpp else 0,
+                                    prev[x],
+                                    prev[x - bpp] if x >= bpp else 0,
+                                )
+                            )
+                            & 255
+                            for x in range(stride)
+                        )
+                    raw += bytes([t]) + flt
+                    prev = line
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                buf = (
+                    _PNG_SIG
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                    + chunk(b"IEND", b"")
+                )
+                rows.append((i, buf, ("image/png", len(buf), "synthetic")))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
+
+    schema = (
+        "doc_id long, payload binary, "
+        "meta struct<mime:string,n_bytes:long,source:string>"
+    )
+    return df.select(F.col(id_col)).mapInPandas(_gen, schema=schema)
+
+
+def make_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic bottom-up 24-bit BMP per row (stdlib struct only):
+    same analytic content as make_png (w = id%16+1, h = id%9+1, every
+    sample byte = 65 + id%26), stored BGR with 4-byte row padding."""
+
+    def _gen(batches: Iterator) -> Iterator:
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h, fill = i % 16 + 1, i % 9 + 1, 65 + i % 26
+                stride = (w * 3 + 3) & ~3
+                pix = (
+                    bytes([fill]) * (w * 3) + b"\x00" * (stride - w * 3)
+                ) * h
+                filehdr = b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+                dib = struct.pack(
+                    "<IiiHHIIiiII",
+                    40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0,
+                )
+                buf = filehdr + dib + pix
+                rows.append((i, buf, ("image/bmp", len(buf), "synthetic")))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
+
+    schema = (
+        "doc_id long, payload binary, "
+        "meta struct<mime:string,n_bytes:long,source:string>"
+    )
+    return df.select(F.col(id_col)).mapInPandas(_gen, schema=schema)
 
 
 _FRAME_SCHEMA = (

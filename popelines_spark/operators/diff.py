@@ -30,19 +30,32 @@ def snapshot_diff(
 ) -> DataFrame:
     """Rows that differ between ``old`` and ``new``:
     (key_cols..., status in {'insert','delete','update'}). Unchanged keys
-    are dropped. NULL-safe column comparison (a NULL→value transition is
-    an update, not a silent equality)."""
+    are dropped. NULL-safe on BOTH sides of the comparison: column structs
+    compare via eqNullSafe (a NULL→value transition is an update, not a
+    silent equality) and the key join itself is eqNullSafe, so a row whose
+    key contains NULL matches its counterpart instead of being reported as
+    both an insert and a delete (ADVICE r5)."""
+    import functools
+    import operator
+
     o = old.select(
         *key_cols,
         F.struct(*[F.col(c) for c in compare_cols]).alias("__old"),
         F.lit(True).alias("__in_old"),
-    )
+    ).alias("__dl")
     n = new.select(
         *key_cols,
         F.struct(*[F.col(c) for c in compare_cols]).alias("__new"),
         F.lit(True).alias("__in_new"),
+    ).alias("__dr")
+    cond = functools.reduce(
+        operator.and_,
+        [
+            F.col(f"__dl.{k}").eqNullSafe(F.col(f"__dr.{k}"))
+            for k in key_cols
+        ],
     )
-    j = o.join(n, list(key_cols), "full_outer")
+    j = o.join(n, cond, "full_outer")
     status = (
         F.when(F.col("__in_old").isNull(), F.lit("insert"))
         .when(F.col("__in_new").isNull(), F.lit("delete"))
@@ -50,7 +63,11 @@ def snapshot_diff(
             ~F.col("__old").eqNullSafe(F.col("__new")), F.lit("update")
         )
     )
+    keys_out = [
+        F.coalesce(F.col(f"__dl.{k}"), F.col(f"__dr.{k}")).alias(k)
+        for k in key_cols
+    ]
     return (
-        j.select(*key_cols, status.alias("status"))
+        j.select(*keys_out, status.alias("status"))
         .filter(F.col("status").isNotNull())
     )

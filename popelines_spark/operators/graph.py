@@ -50,8 +50,9 @@ def pagerank(
     for every row of ``nodes`` (node_col). Returns (node_col, pr DECIMAL).
 
     Dangling nodes (no out-edges) contribute nothing — their mass leaks,
-    so ranks sum to < 1 when danglers exist (documented classic variant;
-    redistribute-to-all needs one extra broadcast scalar per iteration).
+    so ranks sum to < 1 when danglers exist (documented classic variant).
+    Use :func:`pagerank_redistributed` for the mass-conserving variant
+    (one broadcast scalar per iteration).
     """
     # Pin the literal's decimal type: Python Decimal lits default to
     # DecimalType(38,18), whose product with (14,12) overflows precision 38
@@ -98,6 +99,95 @@ def pagerank(
         )
         if i % 3 == 2 and i < n_iter - 1:
             ranks = checkpoint(ranks, f"pagerank-iter{i}", eager=False)
+    return ranks.select(node_col, "pr")
+
+
+def pagerank_redistributed(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    n_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Mass-conserving PageRank: dangling-node rank is redistributed
+    uniformly to ALL nodes each iteration, so ranks always sum to ~1
+    (modulo 12dp rounding) even when some nodes have no out-edges.
+
+    Scale shape: identical to :func:`pagerank` (one keyed join + one keyed
+    agg per iteration over checkpointed edges) plus ONE extra broadcast
+    scalar per iteration — the dangling mass is a semi-join against the
+    static dangler set followed by a 1-row decimal sum, crossJoin-broadcast
+    back into the rank update. No new shuffle of the edge relation.
+
+    Determinism: the dangling sum is a DECIMAL(14,12) sum (exact,
+    order-independent); the per-node share is two decimal multiplies each
+    followed by a 12dp HALF_UP narrowing — the same proven pattern as the
+    per-edge contributions (module docstring).
+    """
+    damping_dec = F.lit(Decimal(str(damping))).cast("decimal(3,2)")
+    base_lit = 1.0 - damping
+    n = nodes.agg(F.count("*").cast("double").alias("__n"))
+    rn = n.select(
+        (F.lit(1.0) / F.col("__n")).cast("decimal(13,12)").alias("__rn")
+    )
+    init = nodes.crossJoin(F.broadcast(n)).select(
+        F.col(node_col),
+        (F.lit(1.0) / F.col("__n")).cast(_DEC).alias("pr"),
+        (F.lit(base_lit) / F.col("__n")).cast(_DEC).alias("__base"),
+    )
+    deg = edges.groupBy(src).agg(F.count("*").alias("__d"))
+    dangling = nodes.select(node_col).join(
+        deg.select(F.col(src).alias(node_col)), node_col, "left_anti"
+    )
+    e = checkpoint(
+        edges.join(deg, src).select(
+            F.col(src),
+            F.col(dst),
+            (F.lit(1.0) / F.col("__d")).cast("decimal(13,12)").alias("__recip"),
+        ),
+        "pagerank-rd-edges",
+        eager=False,
+    )
+    ranks = init
+    zero = F.lit(Decimal(0)).cast(_DEC)
+    for i in range(n_iter):
+        contrib = ranks.join(e, ranks[node_col] == e[src]).select(
+            F.col(dst).alias(node_col),
+            (F.col("pr") * F.col("__recip")).cast(_DEC).alias("__c"),
+        )
+        inflow = contrib.groupBy(node_col).agg(F.sum("__c").alias("__in"))
+        dm = ranks.join(dangling, node_col, "left_semi").agg(
+            F.coalesce(F.sum("pr"), zero).cast(_DEC).alias("__dm")
+        )
+        share = dm.crossJoin(F.broadcast(rn)).select(
+            (
+                (damping_dec * F.col("__dm")).cast(_DEC) * F.col("__rn")
+            )
+            .cast(_DEC)
+            .alias("__share")
+        )
+        ranks = (
+            init.join(inflow, node_col, "left")
+            .crossJoin(F.broadcast(share))
+            .select(
+                node_col,
+                (
+                    F.col("__base")
+                    + F.coalesce(
+                        (damping_dec * F.col("__in").cast(_DEC)).cast(_DEC),
+                        zero,
+                    )
+                    + F.col("__share")
+                )
+                .cast(_DEC)
+                .alias("pr"),
+                "__base",
+            )
+        )
+        if i % 3 == 2 and i < n_iter - 1:
+            ranks = checkpoint(ranks, f"pagerank-rd-iter{i}", eager=False)
     return ranks.select(node_col, "pr")
 
 
@@ -157,31 +247,71 @@ def triangle_counts(
     Returns (node_col, n_tri BIGINT) for every row of ``nodes`` (0 when
     the node is in no triangle).
 
-    Scale shape: the textbook oriented enumeration — every triangle
-    a < b < c is found exactly once by joining (a,b)⋈(b,c) on the middle
-    node then probing (a,c) with a semi-equi-join on the composite key.
-    Both joins are keyed shuffles; fan-out of the wedge join is
-    sum(deg²), the known bound (orient by degree-then-id to tighten it on
-    power-law graphs — id orientation suffices here). No cross join
-    anywhere (asserted in tests/test_plans.py).
+    Scale shape: degree-then-id oriented enumeration. Every edge is
+    re-oriented to point from the lower-(degree, id) endpoint to the
+    higher, so each triangle has exactly ONE apex with two out-edges and
+    is found exactly once by joining out-edges on the apex then probing
+    the closing edge with a composite-key equi-join. Orienting by degree
+    (id only breaks ties) bounds the wedge fan-out by sum(outdeg²) =
+    O(m^1.5) instead of sum(deg²) — on a power-law graph a hub of degree
+    d contributes O(m) oriented wedges rather than O(d²), the classic
+    100×-scale trap (Suri & Vassilvitskii, WWW'11). Degree attachment is
+    two keyed joins against a one-row-per-node table; both triangle joins
+    are keyed shuffles. No cross join anywhere (asserted in
+    tests/test_plans.py).
     """
-    # The edge list feeds three join legs and the triangle relation feeds
-    # three corner projections — materialize both once, or the upstream
-    # edge build re-executes O(9×) through the re-expanded lineage.
+    # The edge list feeds the degree build + three join legs and the
+    # triangle relation feeds three corner projections — materialize both
+    # once, or the upstream edge build re-executes through the re-expanded
+    # lineage.
     und_edges = checkpoint(
         und_edges.select(src, dst), "triangle-edges", eager=False
     )
-    e1 = und_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    e2 = und_edges.select(F.col(src).alias("b"), F.col(dst).alias("c"))
-    wedges = e1.join(e2, "b")  # a < b < c by canonical orientation
-    closing = und_edges.select(F.col(src).alias("a"), F.col(dst).alias("c"))
+    deg = (
+        und_edges.select(F.col(src).alias("__n"))
+        .unionByName(und_edges.select(F.col(dst).alias("__n")))
+        .groupBy("__n")
+        .agg(F.count("*").alias("__deg"))
+    )
+    with_deg = und_edges.join(
+        deg.select(F.col("__n").alias("__sn"), F.col("__deg").alias("__sd")),
+        F.col(src) == F.col("__sn"),
+    ).join(
+        deg.select(F.col("__n").alias("__dn"), F.col("__deg").alias("__dd")),
+        F.col(dst) == F.col("__dn"),
+    )
+    s_lo = (F.col("__sd") < F.col("__dd")) | (
+        (F.col("__sd") == F.col("__dd")) & (F.col(src) < F.col(dst))
+    )
+    # (u, v, __vd): u → v with rank(u) < rank(v); __vd = degree of v so the
+    # wedge join can order its two out-neighbors without another deg join.
+    oriented = checkpoint(
+        with_deg.select(
+            F.when(s_lo, F.col(src)).otherwise(F.col(dst)).alias("u"),
+            F.when(s_lo, F.col(dst)).otherwise(F.col(src)).alias("v"),
+            F.when(s_lo, F.col("__dd")).otherwise(F.col("__sd")).alias("__vd"),
+        ),
+        "triangle-oriented",
+        eager=False,
+    )
+    e2 = oriented.select(
+        F.col("u"), F.col("v").alias("w"), F.col("__vd").alias("__wd")
+    )
+    rank_lt = (F.col("__vd") < F.col("__wd")) | (
+        (F.col("__vd") == F.col("__wd")) & (F.col("v") < F.col("w"))
+    )
+    wedges = oriented.join(e2, "u").filter(rank_lt).select("u", "v", "w")
+    # rank(v) < rank(w) ⇒ the triangle's closing edge is oriented v → w.
+    closing = oriented.select(
+        F.col("u").alias("v"), F.col("v").alias("w")
+    )
     tri = checkpoint(
-        wedges.join(closing, ["a", "c"]), "triangle-tris", eager=False
-    )  # each triangle once
+        wedges.join(closing, ["v", "w"]), "triangle-tris", eager=False
+    )  # each triangle once: u is the unique minimum-rank corner
     per_corner = (
-        tri.select(F.col("a").alias(node_col))
-        .unionByName(tri.select(F.col("b").alias(node_col)))
-        .unionByName(tri.select(F.col("c").alias(node_col)))
+        tri.select(F.col("u").alias(node_col))
+        .unionByName(tri.select(F.col("v").alias(node_col)))
+        .unionByName(tri.select(F.col("w").alias(node_col)))
         .groupBy(node_col)
         .agg(F.count("*").cast("long").alias("n_tri"))
     )

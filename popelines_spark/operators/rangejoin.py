@@ -56,14 +56,20 @@ def count_within_radius(
         F.unix_micros(right_ts).alias("__ru"),
         F.floor(F.unix_micros(right_ts) / F.lit(radius_us)).alias("__bk"),
     )
+    # Grouping and joining back on (left_id, timestamp) — not left_id alone
+    # — so a left_id that recurs with different timestamps gets each row's
+    # own count (ADVICE r5). Fully-duplicated (left_id, left_ts) rows are
+    # the remaining ambiguity: their expanded copies merge in the groupBy,
+    # so each duplicate would report the doubled count — (left_id, left_ts)
+    # pairs must be unique, which the caller's clock-keyed data satisfies.
     matched = (
         expanded.join(ru, "__bk")
         .filter(F.abs(F.col("__ru") - F.col("__lu")) <= radius_us)
-        .groupBy(left_id)
+        .groupBy(left_id, "__lu")
         .agg(F.count("*").cast("long").alias(out))
     )
     return (
-        lu.join(matched, left_id, "left")
+        lu.join(matched, [left_id, "__lu"], "left")
         .select(
             left_id,
             left_ts,

@@ -51,16 +51,22 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def windowed_type_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+def windowed_type_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str | None = None
+) -> DataFrame:
     """Per-(tumbling window, event_type) counts — the streaming half of a
     windowed top-k: the stream maintains the grouped counts (state = one
     row per live (window, type), bounded by the watermark); ranking runs
     as a batch window over the drained/served table, where the per-window
     group is tiny. Streaming can't rank over its own running aggregate
     (no windowed rank over an updating sink) — splitting agg(stream) from
-    rank(serve) is the standard production shape."""
+    rank(serve) is the standard production shape.
+
+    ``watermark`` defaults to ``width`` so append/update-mode windows are
+    never finalized before they close (a fixed 1-hour watermark under a
+    wider window would drop in-window late data — ADVICE r5)."""
     return (
-        events.withWatermark("ts", "1 hour")
+        events.withWatermark("ts", watermark or width)
         .groupBy(F.window("ts", width).alias("win"), F.col("event_type"))
         .agg(F.count("*").alias("n"))
         .select(F.col("win.start").alias("win_start"), "event_type", "n")

@@ -215,6 +215,83 @@ def test_wav_decoder_parses_real_spec(spark):
         assert got[i].mean_amp == float(i % 100 - 50)
 
 
+def test_image_decoder_png_bmp_real_spec(spark):
+    """decode_image is a genuine codec stage: a filter-0-only PNG built
+    here from the spec (chunk layout + CRC32 + zlib, independent of
+    make_png's filtered encoder) must decode to exact pixel stats; BMP
+    BGR ordering must be flipped to RGB; corrupted CRCs and unsupported
+    variants must raise, not guess. make_png round-trips exercise all
+    five scanline filters (scanline r uses filter r%5)."""
+    import binascii
+    import struct
+    import zlib
+
+    import pytest
+    from pyspark.sql import functions as F
+    from popelines_spark.llm import multimodal as M
+
+    def wrap(doc_id, buf: bytes, mime="image/png"):
+        return spark.createDataFrame(
+            [(doc_id, bytearray(buf), (mime, len(buf), "t"))],
+            "doc_id long, payload binary, "
+            "meta struct<mime:string,n_bytes:bigint,source:string>",
+        )
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    # 2x2 RGB PNG, filter 0 rows, R channel = 10/50/90/130 → mean 70
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    raw = (
+        b"\x00" + bytes([10, 0, 0, 50, 0, 0])
+        + b"\x00" + bytes([90, 0, 0, 130, 0, 0])
+    )
+    png = (
+        M._PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    row = M.decode_image(wrap(1, png)).collect()[0]
+    assert (row.format, row.width, row.height, row.n_channels) == ("png", 2, 2, 3)
+    assert row.mean_r == 70.0
+
+    # flip one IDAT byte → CRC check must catch it
+    bad = bytearray(png)
+    bad[len(M._PNG_SIG) + 25 + 8] ^= 0xFF
+    with pytest.raises(Exception, match="CRC"):
+        M.decode_image(wrap(2, bytes(bad))).collect()
+
+    # interlaced PNG must be rejected, not mis-decoded
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    png_i = (
+        M._PNG_SIG + chunk(b"IHDR", ihdr_i)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(Exception, match="unsupported PNG"):
+        M.decode_image(wrap(3, png_i)).collect()
+
+    # 1x1 24-bit BMP storing BGR=(1,2,3): mean_r must see R=3, not B=1
+    pix = bytes([1, 2, 3]) + b"\x00"  # stride padded to 4
+    filehdr = b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 0, len(pix), 0, 0, 0, 0)
+    row = M.decode_image(wrap(4, filehdr + dib + pix, "image/bmp")).collect()[0]
+    assert (row.format, row.width, row.height, row.mean_r) == ("bmp", 1, 1, 3.0)
+
+    # make_png (all five filters) and make_bmp round-trip analytically;
+    # ids chosen so h = id%9+1 ≥ 5 covers Sub/Up/Average/Paeth scanlines
+    ids = spark.createDataFrame([(i,) for i in (4, 7, 13, 22)], "doc_id long")
+    both = M.make_png(ids).unionByName(M.make_bmp(ids))
+    got = [
+        (r.doc_id, r.format, r.width, r.height, r.mean_r)
+        for r in M.decode_image(both).collect()
+    ]
+    for i in (4, 7, 13, 22):
+        for fmt in ("png", "bmp"):
+            assert (i, fmt, i % 16 + 1, i % 9 + 1, float(65 + i % 26)) in got
+
+
 def test_exact_dedup_keeps_payload_columns(spark):
     """VERDICT r1 #3: every input column must survive dedup — callers must
     not need a re-join to recover their payload."""

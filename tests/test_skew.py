@@ -84,6 +84,66 @@ def test_events_operators_exact_under_skew(spark, skew_dir, qname):
     assert n_hot / n_all >= 0.20
 
 
+def test_triangle_counts_hub_graph(spark):
+    """Degree-then-id orientation on a power-law-shaped fixture: one hub
+    (node 0) adjacent to everything, so id-orientation would pay deg(hub)²
+    wedges while degree-orientation gives the hub out-degree 0. Counts are
+    checked against a brute-force triple loop."""
+    from itertools import combinations
+
+    from popelines_spark.operators.graph import triangle_counts
+
+    edges = (
+        [(0, k) for k in range(1, 21)]            # hub star: 20 edges
+        + [(1, 2), (3, 4), (5, 6)]                # close 3 hub triangles
+        + [(7, 8), (8, 9), (7, 9)]                # one hub-free triangle
+    )
+    eset = set(edges)
+    nodes = sorted({n for e in edges for n in e})
+    expected = {n: 0 for n in nodes}
+    for a, b, c in combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= eset:
+            expected[a] += 1
+            expected[b] += 1
+            expected[c] += 1
+    edf = spark.createDataFrame(edges, "src INT, dst INT")
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node INT")
+    got = {r.node: r.n_tri for r in triangle_counts(edf, ndf).collect()}
+    assert got == expected
+    # the hub closes a triangle with EVERY non-star edge among its
+    # neighbors: (1,2),(3,4),(5,6) plus all three {7,8,9} edges
+    assert got[0] == 6
+
+
+def test_pagerank_redistributed_conserves_mass(spark):
+    """With danglers (chain 1→2→3, 3 dangles) the redistributed variant's
+    ranks must sum to ~1; the plain variant must leak mass. On a
+    dangler-free cycle both variants agree exactly (share term is 0)."""
+    from decimal import Decimal
+
+    from popelines_spark.operators.graph import (
+        pagerank,
+        pagerank_redistributed,
+    )
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "node INT")
+    chain = spark.createDataFrame([(1, 2), (2, 3)], "src INT, dst INT")
+    leaky = sum(r.pr for r in pagerank(chain, nodes, n_iter=5).collect())
+    kept = sum(
+        r.pr for r in pagerank_redistributed(chain, nodes, n_iter=5).collect()
+    )
+    assert leaky < Decimal("0.90")
+    assert abs(kept - Decimal(1)) < Decimal("1e-10")
+
+    cycle = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src INT, dst INT")
+    a = {r.node: r.pr for r in pagerank(cycle, nodes, n_iter=5).collect()}
+    b = {
+        r.node: r.pr
+        for r in pagerank_redistributed(cycle, nodes, n_iter=5).collect()
+    }
+    assert a == b
+
+
 def test_asof_join_exact_under_skew(spark, skew_dir):
     """asof_join with a hot key: 20%-of-rows key must produce exactly the
     quadratic-reference answer (greatest right_ts <= left_ts per key)."""
