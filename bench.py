@@ -52,17 +52,22 @@ BASELINE_SEC = {
     "c_rollup_multi": 0.56,
     "c_tfidf_topk": 1.21,
     "c_bm25": 0.89,
-    # round-5 additions, recorded the same way
-    "c_skew_sessionize": 0.68,
-    "c_pagerank_nations": 3.90,
-    "c_containment": 1.86,
-    # round-5 second batch: recorded IN BENCH CONTEXT (median of 3 full
-    # bench.py sessions, min-of-2 per session) — standalone timings ran
-    # ~30% faster for the sub-second pit join (codegen/GC pressure after
-    # 17 prior queries), so the in-context number is the honest baseline
-    # for the in-context gate (BASELINE.md §Round 5 second batch).
-    "c_pit_join": 1.31,
-    "c_triangle_count": 1.79,
+    # round-5 additions, RE-recorded round 6 (VERDICT r5 #10): median of
+    # 3 full bench.py sessions, min-of-2 per session, sf0.1, this machine
+    # (per-session values in BASELINE.md §Round 6 baselines).
+    "c_skew_sessionize": 0.61,
+    "c_pagerank_nations": 3.68,
+    "c_containment": 1.53,
+    "c_pit_join": 1.12,
+    # 1.85 ≥ the r5 1.79: the degree-then-id orientation adds two keyed
+    # joins against the per-node degree table — the price of the
+    # id-permutation-invariant O(m^1.5) wedge bound (BASELINE.md §R6).
+    "c_triangle_count": 1.85,
+    # round-6 streaming additions (VERDICT r5 #7), same 3-session method;
+    # timing covers the full micro-batch replay of the stateful operator.
+    "s_cdc_latest": 1.40,
+    "s_topk_windowed": 1.57,
+    "s_rate_alert": 1.21,
 }
 
 #: Local regression gate: with SPARK_GRAFT_BENCH_STRICT=1, exit nonzero if
@@ -93,6 +98,13 @@ BENCH_QUERIES = [
     "c_containment",           # asymmetric decontamination join (round 5)
     "c_pit_join",              # join-free SCD2 point-in-time lookup (r5b)
     "c_triangle_count",        # oriented wedge-join triangles (r5b)
+    # round 6: stateful-streaming perf evidence (VERDICT r5 #7) — each
+    # entry replays the events parquet through a file-source stream and
+    # drains it, so the timing covers the full micro-batch execution of
+    # the stateful operator, not just a batch twin.
+    "s_cdc_latest",            # streaming CDC latest-row materialization
+    "s_topk_windowed",         # windowed agg in-stream + rank at serve
+    "s_rate_alert",            # watermark-bounded threshold alerting
 ]
 
 

@@ -59,16 +59,34 @@ def train_centroids(
     iterations: int = 2,
     *,
     id_col: str,
+    seed: str = "lowest_id",
 ) -> Centroids:
-    """Deterministic k-means-lite: seed = lowest-id rows, then ``iterations``
-    Lloyd steps. Collects only n_cells small vectors per step.
+    """Deterministic k-means-lite: seed rows, then ``iterations`` Lloyd
+    steps. Collects only n_cells small vectors per step.
+
+    ``seed`` picks the seeding strategy — both deterministic:
+    ``lowest_id`` takes the n_cells lowest-id rows (the original, fine
+    when row order is unstructured); ``hash`` orders by xxhash64(id) —
+    a deterministic uniform sample over the WHOLE corpus. hash is the
+    right default for any corpus whose id order correlates with content
+    (ingest batches, shard order): lowest-id seeding on such data puts
+    every seed inside the first batch and the other batches collapse
+    onto whichever few centroids happen to face them (observed at sf1.0:
+    10 replica batches, 141 lowest-id seeds all in batch 0 → the 4
+    probed cells held ~70% of corpus mass; hash seeding restores
+    even-split balance).
 
     ``id_col`` is REQUIRED: the per-row top-1 cell assignment partitions its
     window by a stable row id. (No monotonically_increasing_id fallback —
     that id is nondeterministic under task retry/AQE, the exact failure mode
     the engine's determinism ground rules exclude; VERDICT r2 minor #4.)"""
+    order = (
+        [F.xxhash64(F.col(id_col)), F.col(id_col)]
+        if seed == "hash"
+        else [F.col(id_col)]
+    )
     seed_rows = (
-        corpus.orderBy(F.col(id_col)).limit(n_cells).select(vec_col).collect()
+        corpus.orderBy(*order).limit(n_cells).select(vec_col).collect()
     )
     centroids: Centroids = [
         (i, [float(x) for x in r[0]]) for i, r in enumerate(seed_rows)
@@ -185,6 +203,7 @@ def build_ivf_index(
     path: str,
     n_cells: int | str = 16,
     iterations: int = 2,
+    seed: str = "lowest_id",
 ) -> IVFIndex:
     """Build-once entry point: train centroids, assign every corpus vector
     to its cell, and WRITE the corpus partitioned by cell id. At 100 TB this
@@ -202,7 +221,8 @@ def build_ivf_index(
     if n_cells == "auto":
         n_cells = max(16, int(corpus.count() ** 0.5))
     centroids = train_centroids(
-        corpus, vec_col, n_cells=n_cells, iterations=iterations, id_col=id_col
+        corpus, vec_col, n_cells=n_cells, iterations=iterations,
+        id_col=id_col, seed=seed,
     )
     index = IVFIndex(path, centroids, id_col, vec_col)
     audit_side_plan(

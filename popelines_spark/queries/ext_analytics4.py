@@ -1,0 +1,393 @@
+"""Round-6 extension batch: association rules, change detection, forecast
+backtesting, text readability, burst/ordering observability, and mixture
+entropy — warehouse + training-data-pipeline shapes the earlier families
+don't cover.
+
+Determinism rules are the registry's (registry.py docstring): integer
+ratios divide once in double (bit-exact both engines); multi-row double
+accumulation goes through bounded-scale decimals; the only ordered double
+folds are per-group lists sorted on a unique key before folding (the
+c_class_centroids / rank.py pattern). Reference grounding: these extend
+the delegated-SQL surface of popelines/main.py:236-249 (copy_table /
+query passthrough) the same way as queries/ext_analytics3.py — the
+reference user writes this SQL against BigQuery; here it is a native
+operator with a DuckDB-checked contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from popelines_spark.registry import query
+from popelines_spark.queries._util import T
+
+
+@query(
+    "c_basket_lift",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem),
+    n AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+    ic AS (SELECT pk, count(*) AS n_item FROM li GROUP BY 1),
+    pc AS (SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_pair
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2)
+    SELECT part_a, part_b, CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(n_pair AS DOUBLE) / n_orders AS support,
+           CAST(n_pair AS DOUBLE) / ia.n_item AS confidence,
+           CAST(n_pair * n_orders AS DOUBLE) / (ia.n_item * ib.n_item)
+             AS lift
+    FROM pc
+    JOIN ic ia ON ia.pk = part_a
+    JOIN ic ib ON ib.pk = part_b
+    CROSS JOIN n
+    WHERE n_pair >= 2
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def c_basket_lift(spark, sf_dir):
+    """Association-rule mining over co-ordered parts: support, confidence
+    and lift for every pair bought together in ≥2 orders, top-20 by lift.
+    The metric companion to c_also_bought's raw top-k counts — lift > 1
+    is the actual 'bought together more than chance' signal a
+    recommender thresholds on.
+
+    Scale shape: the pair generation is the order-bounded self-join
+    (pairs per order ≤ items²/2, items/order is bounded by the data
+    model, so fan-out is linear in orders); everything after is keyed
+    aggregation plus two broadcast-size dimension joins. All three
+    metrics are single double divisions of exact BIGINT products
+    (n_pair·n_orders ≤ ~1e9 at sf0.1 — far under 2^53), so no rounding
+    is needed for hash parity."""
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    n = li.agg(F.count_distinct("ok").alias("n_orders"))
+    ic = li.groupBy("pk").agg(F.count("*").alias("n_item"))
+    b = li.select(F.col("ok"), F.col("pk").alias("pk2"))
+    pc = (
+        li.join(b, "ok")
+        .filter(F.col("pk") < F.col("pk2"))
+        .groupBy(F.col("pk").alias("part_a"), F.col("pk2").alias("part_b"))
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+    )
+    ia = ic.select(F.col("pk").alias("part_a"), F.col("n_item").alias("na"))
+    ib = ic.select(F.col("pk").alias("part_b"), F.col("n_item").alias("nb"))
+    return (
+        pc.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            (F.col("n_pair").cast("double") / F.col("n_orders")).alias(
+                "support"
+            ),
+            (F.col("n_pair").cast("double") / F.col("na")).alias("confidence"),
+            (
+                (F.col("n_pair") * F.col("n_orders")).cast("double")
+                / (F.col("na") * F.col("nb"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@query(
+    "c_cusum_revenue",
+    oracle="""
+    WITH d AS (SELECT l_shipdate AS day,
+                      SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS rev
+               FROM lineitem GROUP BY 1),
+    c AS (SELECT day,
+                 CAST(SUM(rev) OVER (ORDER BY day) AS DECIMAL(20,4)) AS cum,
+                 CAST(row_number() OVER (ORDER BY day) AS DECIMAL(10,0))
+                   AS t
+          FROM d),
+    g AS (SELECT CAST(count(*) AS DECIMAL(10,0)) AS n,
+                 CAST(SUM(rev) AS DECIMAL(20,4)) AS total
+          FROM d)
+    SELECT day,
+           CAST(round(n * cum - t * total, 0) AS BIGINT) AS dev_scaled
+    FROM c CROSS JOIN g
+    ORDER BY abs(n * cum - t * total) DESC, day
+    LIMIT 5
+    """,
+)
+def c_cusum_revenue(spark, sf_dir):
+    """CUSUM change-point screen on daily shipped revenue: the five days
+    where the cumulative revenue path deviates most from the
+    constant-rate line. The classic drift detector, made EXACT by
+    clearing the mean's division: dev_t = n·cum_t − t·total (all
+    decimal/integer arithmetic — n·cum ≤ ~5e13 unscaled at sf0.1, inside
+    int64/int128 on both engines), so the flagged set and the reported
+    deviation are integers, not float-accumulated residuals.
+
+    Scale shape: one keyed daily rollup, then the cumulative path via a
+    broadcast ≤-staircase join (the c_skyline pattern) instead of a
+    GLOBAL ordered window — the day-grain table is calendar-bounded
+    (thousands of rows at any corpus size), so broadcasting it keeps the
+    prefix sums partition-parallel where a partition-less window would
+    funnel everything to one task (the WindowExec warning class the plan
+    audit bans)."""
+    li = T(spark, sf_dir, "lineitem")
+    d = li.groupBy(F.col("l_shipdate").alias("day")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(20,4)")).alias("rev")
+    )
+    d2 = d.select(F.col("day").alias("day2"), F.col("rev").alias("rev2"))
+    c = (
+        d.join(F.broadcast(d2), F.col("day2") <= F.col("day"))
+        .groupBy("day")
+        .agg(
+            F.sum("rev2").cast("decimal(20,4)").alias("cum"),
+            F.count("*").cast("decimal(10,0)").alias("t"),
+        )
+    )
+    g = d.agg(
+        F.count("*").cast("decimal(10,0)").alias("n"),
+        F.sum("rev").cast("decimal(20,4)").alias("total"),
+    )
+    dev = F.col("n") * F.col("cum") - F.col("t") * F.col("total")
+    return (
+        c.crossJoin(F.broadcast(g))
+        .select(
+            "day",
+            F.round(dev, 0).cast("long").alias("dev_scaled"),
+            F.abs(dev).alias("__a"),
+        )
+        .orderBy(F.col("__a").desc(), "day")
+        .limit(5)
+        .select("day", "dev_scaled")
+    )
+
+
+@query(
+    "c_forecast_smape",
+    oracle="""
+    WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                      count(*) AS n
+               FROM events GROUP BY 1, 2),
+    j AS (SELECT a.event_type, a.n AS actual, f.n AS fc
+          FROM d a JOIN d f
+            ON f.event_type = a.event_type
+           AND f.day = a.day - INTERVAL 7 DAY)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(SUM(CAST(round(2.0 * abs(actual - fc) / (actual + fc), 9)
+                         AS DECIMAL(16,9))) AS DOUBLE) / count(*) AS smape
+    FROM j GROUP BY 1
+    """,
+)
+def c_forecast_smape(spark, sf_dir):
+    """Seasonal-naive forecast backtest: predict each day's per-type event
+    count with the count 7 days earlier and report sMAPE per type — the
+    baseline every forecasting deployment must beat, and the
+    backtest-evaluation operator itself. Per-day terms are single double
+    divisions of small integers (bit-exact both engines), rounded to 9dp
+    and accumulated in decimal so the mean is order-independent; 9dp
+    terms of magnitude ≤ 2 can never land on a cross-engine rounding tie
+    (a dyadic rational with exactly 10 decimal digits needs a 5^10
+    denominator — impossible for count sums ≤ 1e5)."""
+    ev = T(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    f = d.select(
+        F.col("event_type"),
+        (F.col("day") + F.expr("INTERVAL 7 DAY")).alias("day"),
+        F.col("n").alias("fc"),
+    )
+    j = d.withColumnRenamed("n", "actual").join(f, ["event_type", "day"])
+    term = 2.0 * F.abs(F.col("actual") - F.col("fc")) / (
+        F.col("actual") + F.col("fc")
+    )
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        (
+            F.sum(F.round(term, 9).cast("decimal(16,9)")).cast("double")
+            / F.count("*")
+        ).alias("smape"),
+    )
+
+
+@query(
+    "c_readability",
+    oracle="""
+    WITH s AS (SELECT doc_id,
+                      len(regexp_extract_all(text, '[A-Za-z]+')) AS words,
+                      greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                        AS sentences,
+                      len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                        AS vowel_groups
+               FROM documents)
+    SELECT doc_id, CAST(words AS BIGINT) AS words,
+           CAST(sentences AS BIGINT) AS sentences,
+           CAST(vowel_groups AS BIGINT) AS vowel_groups,
+           206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                   - 84.6 * (CAST(vowel_groups AS DOUBLE) / words)
+             AS flesch
+    FROM s WHERE words >= 1
+    """,
+)
+def c_readability(spark, sf_dir):
+    """Flesch-style readability per document with a vowel-group syllable
+    proxy (the standard library-free approximation) — the text-quality
+    scorer a curation pipeline uses to bucket prose vs boilerplate.
+    Pure JVM regexp_count expressions (no Python); the score is a fixed
+    chain of per-row double ops on integer counts, bit-identical across
+    engines, so it ships unrounded. Regex classes are literal
+    character-class + '+' only — identical semantics in Java regex and
+    RE2."""
+    d = T(spark, sf_dir, "documents")
+    words = F.regexp_count(F.col("text"), F.lit("[A-Za-z]+"))
+    sentences = F.greatest(
+        F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1)
+    )
+    vowels = F.regexp_count(F.col("text"), F.lit("[aeiouyAEIOUY]+"))
+    return (
+        d.select(
+            "doc_id",
+            words.cast("long").alias("words"),
+            sentences.cast("long").alias("sentences"),
+            vowels.cast("long").alias("vowel_groups"),
+        )
+        .filter(F.col("words") >= 1)
+        .select(
+            "doc_id",
+            "words",
+            "sentences",
+            "vowel_groups",
+            (
+                F.lit(206.835)
+                - F.lit(1.015)
+                * (F.col("words").cast("double") / F.col("sentences"))
+                - F.lit(84.6)
+                * (F.col("vowel_groups").cast("double") / F.col("words"))
+            ).alias("flesch"),
+        )
+    )
+
+
+@query(
+    "c_activity_burst",
+    oracle="""
+    WITH e AS (SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+               FROM events),
+    w AS (SELECT user_id,
+                 count(*) OVER (PARTITION BY user_id ORDER BY sec
+                                RANGE BETWEEN 3599 PRECEDING
+                                          AND CURRENT ROW) AS in_hour
+          FROM e)
+    SELECT user_id, CAST(max(in_hour) AS BIGINT) AS max_burst
+    FROM w GROUP BY 1 HAVING max(in_hour) >= 3
+    """,
+)
+def c_activity_burst(spark, sf_dir):
+    """Burst detection: each user's maximum number of events inside any
+    trailing 60-minute window, keeping users who ever burst ≥3 — the
+    alerting/abuse primitive behind rate-limit forensics. One user-keyed
+    RANGE-frame window over epoch seconds (count only — no floats); the
+    trailing-window-ending-at-an-event formulation is exact for burst
+    detection because the densest window can always be slid to end on an
+    event."""
+    ev = T(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3599, 0)
+    )
+    return (
+        ev.select("user_id", F.count("*").over(w).alias("in_hour"))
+        .groupBy("user_id")
+        .agg(F.max("in_hour").cast("long").alias("max_burst"))
+        .filter(F.col("max_burst") >= 3)
+    )
+
+
+@query(
+    "c_lang_entropy",
+    oracle="""
+    WITH cl AS (SELECT source, lang, count(*) AS c
+                FROM documents GROUP BY 1, 2),
+    t AS (SELECT source, SUM(c) AS n FROM cl GROUP BY 1)
+    SELECT cl.source, CAST(max(t.n) AS BIGINT) AS n_docs,
+           CAST(-SUM(CAST(round(
+                  (CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 9)
+                AS DECIMAL(16,9))) AS DOUBLE) AS entropy
+    FROM cl JOIN t ON cl.source = t.source
+    GROUP BY cl.source
+    """,
+)
+def c_lang_entropy(spark, sf_dir):
+    """Shannon entropy of each source's language mix — the
+    mixture-diversity readout a corpus curator tracks per provider (the
+    log-scale companion of c_simpson_diversity, over sources rather than
+    tokens). Each p·ln(p) term is per-row double arithmetic (bit-exact),
+    rounded to 9dp and accumulated in DECIMAL so the sum is
+    order-INDEPENDENT — an ordered double fold is not enough here because
+    DuckDB's list_sum is not a strict left fold (1-ulp pairwise-summation
+    drift surfaced at sf0.1); transcendental ln values never terminate at
+    exactly 9 decimals, so the rounding has no cross-engine tie."""
+    d = T(spark, sf_dir, "documents")
+    cl = d.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    tot = cl.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.round(p * F.log(p), 9).cast("decimal(16,9)")
+    return (
+        cl.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            (-F.sum(term)).cast("double").alias("entropy"),
+        )
+    )
+
+
+@query(
+    "c_late_arrival",
+    oracle="""
+    WITH o AS (SELECT event_type, ts,
+                      max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING) AS prior_max
+               FROM events)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN ts < prior_max THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_out_of_order,
+           CAST(SUM(CASE WHEN ts < prior_max THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS ooo_rate
+    FROM o GROUP BY 1
+    """,
+)
+def c_late_arrival(spark, sf_dir):
+    """Out-of-order-arrival profile: treating event_id as arrival order,
+    the fraction of events per type whose timestamp regresses below the
+    user's prior running maximum — the measurement that sizes a streaming
+    pipeline's watermark delay (s_watermark_late is the policy; this is
+    the data evidence for choosing it). One user-keyed running-max
+    window; integer counts and a single final division."""
+    ev = T(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    o = ev.select(
+        "event_type",
+        (F.col("ts") < F.max("ts").over(w)).cast("int").alias("__ooo"),
+    )
+    return o.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.coalesce("__ooo", F.lit(0))).cast("long").alias(
+            "n_out_of_order"
+        ),
+        (
+            F.sum(F.coalesce("__ooo", F.lit(0))).cast("double") / F.count("*")
+        ).alias("ooo_rate"),
+    )

@@ -74,6 +74,8 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # -- new in round 6 (slot 50 onward; overflow rolls to round 7)
     "c_pagerank_redistribute", "c_knn_ivf_scale", "c_multimodal_image",
     "c_triangle_count_skew",
+    "c_basket_lift", "c_cusum_revenue", "c_forecast_smape", "c_readability",
+    "c_activity_burst", "c_lang_entropy", "c_late_arrival",
 )
 
 
@@ -94,6 +96,7 @@ def load_all() -> None:
         ext_analytics,
         ext_analytics2,
         ext_analytics3,
+        ext_analytics4,
         ext_curation,
         ext_dedup,
         ext_graph,
