@@ -350,6 +350,294 @@ def c_lang_entropy(spark, sf_dir):
 
 
 @query(
+    "c_props_value_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k,
+           CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                         AS DECIMAL(20,4))) AS DOUBLE) / count(*) AS avg_k
+    FROM events GROUP BY 1
+    """,
+)
+def c_props_value_stats(spark, sf_dir):
+    """Semi-structured payload analytics: the events table carries a JSON
+    ``props`` string (the reference's rows are arbitrary JSON dicts —
+    popelines/main.py:83 fix_values — and this is the query-side
+    counterpart: extract typed fields from the payload at read time and
+    aggregate). JSON path extraction runs JVM-side (get_json_object, no
+    Python); the mean goes through the exact-decimal-sum / one-division
+    pattern."""
+    ev = T(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_type", k.alias("__k")).groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("__k").cast("long").alias("min_k"),
+        F.max("__k").cast("long").alias("max_k"),
+        (
+            F.sum(F.col("__k").cast("decimal(20,4)")).cast("double")
+            / F.count("*")
+        ).alias("avg_k"),
+    )
+
+
+@query(
+    "c_degree_distribution",
+    oracle="""
+    WITH pk AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS node
+                FROM lineitem),
+    und AS (SELECT DISTINCT a.node AS src, b.node AS dst
+            FROM pk a JOIN pk b ON a.ok = b.ok AND a.node < b.node),
+    deg AS (SELECT node, count(*) AS d FROM (
+              SELECT src AS node FROM und
+              UNION ALL SELECT dst FROM und) GROUP BY 1)
+    SELECT CAST(floor(ln(d) / ln(2)) AS BIGINT) AS degree_bucket,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(d) AS BIGINT) AS min_deg,
+           CAST(max(d) AS BIGINT) AS max_deg
+    FROM deg GROUP BY 1
+    """,
+)
+def c_degree_distribution(spark, sf_dir):
+    """Log2-bucketed degree histogram of the co-purchase graph — the
+    first thing to look at before choosing a graph algorithm's skew
+    strategy (it is how the power-law trap c_triangle_count_skew
+    stresses would be DETECTED in production). Keyed aggs only; the
+    bucket index floor(ln d / ln 2) is a per-row double op on an
+    integer, exact for d < 2^40-ish on both engines."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pk = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("node")
+    ).distinct()
+    b = pk.select(F.col("ok"), F.col("node").alias("node2"))
+    und = (
+        pk.join(b, "ok")
+        .filter(F.col("node") < F.col("node2"))
+        .select(F.col("node").alias("src"), F.col("node2").alias("dst"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("src").alias("node"))
+        .unionByName(und.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    return deg.groupBy(
+        F.floor(F.log("d") / F.log(F.lit(2.0)))
+        .cast("long")
+        .alias("degree_bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.min("d").cast("long").alias("min_deg"),
+        F.max("d").cast("long").alias("max_deg"),
+    )
+
+
+@query(
+    "c_zipf_fit",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    freq AS (SELECT token, count(*) AS f FROM tok
+             WHERE token <> '' GROUP BY 1),
+    top AS (SELECT token, f FROM freq
+            ORDER BY f DESC, token LIMIT 100),
+    ranked AS (SELECT a.token, a.f, count(*) AS r
+               FROM top a JOIN top b
+                 ON b.f > a.f OR (b.f = a.f AND b.token <= a.token)
+               GROUP BY a.token, a.f),
+    terms AS (SELECT CAST(round(ln(CAST(r AS DOUBLE)), 9)
+                          AS DECIMAL(16,9)) AS x,
+                     CAST(round(ln(CAST(f AS DOUBLE)), 9)
+                          AS DECIMAL(16,9)) AS y
+              FROM ranked),
+    s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(SUM(x) AS DOUBLE) AS sx,
+                 CAST(SUM(y) AS DOUBLE) AS sy,
+                 CAST(round(SUM(x * y), 9) AS DOUBLE) AS sxy,
+                 CAST(round(SUM(x * x), 9) AS DOUBLE) AS sxx
+          FROM terms)
+    SELECT CAST(n AS BIGINT) AS n_tokens,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope
+    FROM s
+    """,
+)
+def c_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the corpus vocabulary: least-squares slope of
+    ln(freq) vs ln(rank) for the top-100 tokens — the canonical
+    token-distribution health check (natural text sits near −1; heavily
+    deduplicated or templated corpora drift). Ranks come from a
+    broadcast ≤-staircase over the 100-row top table (no partition-less
+    window); the four regression sums accumulate 9dp-rounded decimals
+    (order-free — ln terms are transcendental, no rounding ties), and
+    the closed-form slope is a fixed chain of double ops on the four
+    exact sums."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    freq = tok.groupBy("token").agg(F.count("*").alias("f"))
+    top = freq.orderBy(F.col("f").desc(), "token").limit(100)
+    b2 = top.select(F.col("token").alias("t2"), F.col("f").alias("f2"))
+    ranked = (
+        top.join(
+            F.broadcast(b2),
+            (F.col("f2") > F.col("f"))
+            | ((F.col("f2") == F.col("f")) & (F.col("t2") <= F.col("token"))),
+        )
+        .groupBy("token", "f")
+        .agg(F.count("*").alias("r"))
+    )
+    x = F.round(F.log(F.col("r").cast("double")), 9).cast("decimal(16,9)")
+    y = F.round(F.log(F.col("f").cast("double")), 9).cast("decimal(16,9)")
+    s = ranked.select(x.alias("x"), y.alias("y")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        # round the scale-18 product sums back to 9dp BEFORE the double
+        # cast: their unscaled value crosses 2^53 and DuckDB's
+        # decimal→double conversion double-rounds there (last-ulp drift
+        # observed at sf0.1); at scale 9 the conversion is exact, and
+        # round() is HALF_UP on both engines so even exact ties agree.
+        F.round(F.sum(F.col("x") * F.col("y")), 9).cast("double").alias(
+            "sxy"
+        ),
+        F.round(F.sum(F.col("x") * F.col("x")), 9).cast("double").alias(
+            "sxx"
+        ),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("zipf_slope"),
+    )
+
+
+@query(
+    "c_jaccard_topk",
+    oracle="""
+    WITH sh0 AS MATERIALIZED (
+                SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS g
+                FROM documents,
+                     unnest(range(1, len(text) - 3)) AS t(i)
+                WHERE n_chars >= 5),
+    nd AS (SELECT count(*) AS n_docs FROM documents WHERE n_chars >= 5),
+    rare AS (SELECT g FROM sh0 CROSS JOIN nd GROUP BY g, n_docs
+             HAVING count(*) <= greatest(20, n_docs / 100)),
+    sh AS MATERIALIZED (
+          SELECT sh0.doc_id, sh0.g FROM sh0 JOIN rare ON rare.g = sh0.g),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    probes AS (SELECT doc_id FROM documents
+               WHERE doc_id % 97 = 0 AND n_chars >= 5),
+    common AS (SELECT p.doc_id AS probe_id, c.doc_id AS neighbor_id,
+                      count(*) AS com
+               FROM sh p JOIN sh c ON p.g = c.g AND p.doc_id <> c.doc_id
+               JOIN probes ON probes.doc_id = p.doc_id
+               GROUP BY 1, 2),
+    scored AS (SELECT probe_id, neighbor_id,
+                      CAST(com AS DOUBLE) / (sp.n + sc.n - com) AS jaccard
+               FROM common
+               JOIN sz sp ON sp.doc_id = probe_id
+               JOIN sz sc ON sc.doc_id = neighbor_id)
+    SELECT probe_id, CAST(rk AS BIGINT) AS rank, neighbor_id, jaccard
+    FROM (SELECT probe_id, neighbor_id, jaccard,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY jaccard DESC, neighbor_id)
+                   AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def c_jaccard_topk(spark, sf_dir):
+    """Exact lexical similar-document search: for each probe doc (every
+    97th id), the top-3 corpus docs by exact 5-gram character-shingle
+    Jaccard over DISCRIMINATIVE shingles — shingles appearing in more
+    than max(20, 1%) of documents are dropped from the metric on both
+    engines (the IR stopword-shingle rule). The filter is what makes the
+    inverted-index join scale: ubiquitous shingles contribute
+    Σ df² ≈ |probes|·N candidate pairs (measured 15× slope on 10× data
+    before the cap on this tiny-vocabulary corpus) while carrying zero
+    discriminative signal; with the df cap, per-shingle fan-out is
+    bounded and candidates track true lexical overlap. The lexical twin
+    of c_knn_cosine, and the exact evaluator a near-dup pipeline's
+    MinHash estimates are judged against. |A∪B| = |A|+|B|−common clears
+    the union without a second pass; Jaccard values are exact integer
+    ratios (one double division), so rank order is engine-identical even
+    among near-ties; the length guard keeps Spark's descending-sequence
+    edge case out (SURVEY §5 / sequence trap)."""
+    from pyspark.sql.window import Window as W2
+
+    d = T(spark, sf_dir, "documents").filter(F.col("n_chars") >= 5)
+    # substring with a dynamic start needs the SQL form — F.substring's
+    # column API takes literal positions only.
+    sh0 = (
+        d.selectExpr(
+            "doc_id",
+            "explode(transform(sequence(1, length(text) - 4),"
+            " i -> substring(text, i, 5))) AS g",
+        )
+        .distinct()
+    )
+    nd = d.agg(F.count("*").alias("n_docs"))
+    rare = (
+        sh0.groupBy("g")
+        .agg(F.count("*").alias("__df"))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("__df") <= F.greatest(F.lit(20), F.col("n_docs") / 100))
+        .select("g")
+    )
+    # sh feeds three legs (sizes, probe side, corpus side) — materialize
+    # once or the shingle build re-executes through each (CTE-inlining
+    # rule; the oracle mirrors with AS MATERIALIZED).
+    from popelines_spark.plans.inspect import checkpoint
+
+    sh = checkpoint(sh0.join(rare, "g"), "jaccard-shingles", eager=False)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    probes = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("probe_id")
+    )
+    p = sh.join(
+        probes, sh.doc_id == probes.probe_id
+    ).select("probe_id", "g")
+    c = sh.select(F.col("doc_id").alias("neighbor_id"), "g")
+    common = (
+        p.join(c, "g")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .groupBy("probe_id", "neighbor_id")
+        .agg(F.count("*").alias("com"))
+    )
+    sp = sz.select(F.col("doc_id").alias("probe_id"), F.col("n").alias("np"))
+    sc = sz.select(
+        F.col("doc_id").alias("neighbor_id"), F.col("n").alias("nc")
+    )
+    scored = (
+        common.join(sp, "probe_id")
+        .join(sc, "neighbor_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            (
+                F.col("com").cast("double")
+                / (F.col("np") + F.col("nc") - F.col("com"))
+            ).alias("jaccard"),
+        )
+    )
+    w = W2.partitionBy("probe_id").orderBy(
+        F.col("jaccard").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("probe_id", "rank", "neighbor_id", "jaccard")
+    )
+
+
+@query(
     "c_late_arrival",
     oracle="""
     WITH o AS (SELECT event_type, ts,

@@ -76,6 +76,8 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "c_triangle_count_skew",
     "c_basket_lift", "c_cusum_revenue", "c_forecast_smape", "c_readability",
     "c_activity_burst", "c_lang_entropy", "c_late_arrival",
+    "c_props_value_stats", "c_degree_distribution", "c_zipf_fit",
+    "c_jaccard_topk",
 )
 
 

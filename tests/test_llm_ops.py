@@ -292,6 +292,85 @@ def test_image_decoder_png_bmp_real_spec(spark):
             assert (i, fmt, i % 16 + 1, i % 9 + 1, float(65 + i % 26)) in got
 
 
+def test_png_codec_roundtrip_random_pixels():
+    """Property: for RANDOM pixel content (not the fixtures' constant
+    fill, whose Sub/Up/Average/Paeth filtered bytes are mostly zero), a
+    spec-forward-filtered + zlib-compressed PNG decodes back to the exact
+    pixel array through _png_decode. The forward filters here implement
+    RFC 2083 §6's defining formulas directly on the raw array — an
+    independent path from make_png's byte-level encoder. Pure-Python
+    (no Spark session), so hypothesis can drive many cases cheaply."""
+    import binascii
+    import struct
+    import zlib
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from popelines_spark.llm.multimodal import _PNG_SIG, _paeth, _png_decode
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def encode(px: np.ndarray) -> bytes:
+        h, w, ch = px.shape
+        ctype = {1: 0, 3: 2, 4: 6}[ch]
+        stride, bpp = w * ch, ch
+        flat = px.reshape(h, stride).astype(np.int32)
+        prev = np.zeros(stride, np.int32)
+        raw = bytearray()
+        for r in range(h):
+            row, t = flat[r], r % 5
+            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]]) \
+                if stride > bpp else np.zeros(stride, np.int32)
+            ul = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]]) \
+                if stride > bpp else np.zeros(stride, np.int32)
+            if t == 0:
+                out = row
+            elif t == 1:
+                out = row - left
+            elif t == 2:
+                out = row - prev
+            elif t == 3:
+                out = row - (left + prev) // 2
+            else:
+                p = left + prev - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+                )
+                out = row - pred
+            raw += bytes([t]) + (out % 256).astype(np.uint8).tobytes()
+            prev = row
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (
+            _PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+        )
+
+    @given(
+        st.integers(1, 9),      # width
+        st.integers(1, 7),      # height (≥5 exercises all five filters)
+        st.sampled_from([1, 3, 4]),
+        st.integers(0, 2**32 - 1),
+    )
+    @settings(max_examples=60, deadline=None)
+    def prop(w, h, ch, rngseed):
+        rng = np.random.default_rng(rngseed)
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        got_w, got_h, got_ch, got_px = _png_decode(encode(px))
+        assert (got_w, got_h, got_ch) == (w, h, ch)
+        assert np.array_equal(got_px, px)
+
+    prop()
+    # sanity on the scalar Paeth the decoder's unfilter path uses
+    assert _paeth(0, 0, 0) == 0 and _paeth(10, 20, 30) in (10, 20, 30)
+
+
 def test_exact_dedup_keeps_payload_columns(spark):
     """VERDICT r1 #3: every input column must survive dedup — callers must
     not need a re-join to recover their payload."""
