@@ -638,6 +638,272 @@ def c_jaccard_topk(spark, sf_dir):
 
 
 @query(
+    "c_revenue_bridge",
+    oracle="""
+    WITH pp AS (SELECT p_brand, year(l_shipdate) AS yr,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)))
+                            AS DOUBLE) AS rev,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(20,4)))
+                            AS DOUBLE) AS vol
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE year(l_shipdate) IN (1996, 1997)
+                GROUP BY 1, 2)
+    SELECT a.p_brand,
+           a.rev AS rev_1996, b.rev AS rev_1997,
+           (b.rev / b.vol - a.rev / a.vol) * b.vol AS price_effect,
+           (a.rev / a.vol) * (b.vol - a.vol) AS volume_effect
+    FROM pp a JOIN pp b
+      ON a.p_brand = b.p_brand AND a.yr = 1996 AND b.yr = 1997
+    """,
+)
+def c_revenue_bridge(spark, sf_dir):
+    """Revenue bridge (price/volume decomposition), 1996 → 1997 per
+    brand: Δrev = (p̄₂−p̄₁)·vol₂ + p̄₁·(vol₂−vol₁) — the finance
+    waterfall that answers 'did we sell more, or just charge more'. The
+    identity makes the two effects sum exactly to Δrev. Sums accumulate
+    in DECIMAL (cast to double exactly — unscaled < 2^53), and the
+    effects are fixed chains of double ops on those exact sums —
+    bit-identical cross-engine with no rounding."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").isin(1996, 1997)
+    )
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pp = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.year("l_shipdate").alias("yr"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(20,4)"))
+            .cast("double")
+            .alias("rev"),
+            F.sum(F.col("l_quantity").cast("decimal(20,4)"))
+            .cast("double")
+            .alias("vol"),
+        )
+    )
+    a = pp.filter(F.col("yr") == 1996).select(
+        "p_brand", F.col("rev").alias("rev_1996"), F.col("vol").alias("v1")
+    )
+    b = pp.filter(F.col("yr") == 1997).select(
+        "p_brand", F.col("rev").alias("rev_1997"), F.col("vol").alias("v2")
+    )
+    return a.join(b, "p_brand").select(
+        "p_brand",
+        "rev_1996",
+        "rev_1997",
+        (
+            (F.col("rev_1997") / F.col("v2") - F.col("rev_1996") / F.col("v1"))
+            * F.col("v2")
+        ).alias("price_effect"),
+        (
+            (F.col("rev_1996") / F.col("v1")) * (F.col("v2") - F.col("v1"))
+        ).alias("volume_effect"),
+    )
+
+
+@query(
+    "c_price_elasticity",
+    oracle="""
+    WITH pts AS (SELECT p_brand,
+                        CAST(round(ln(l_extendedprice / l_quantity), 9)
+                             AS DECIMAL(16,9)) AS x,
+                        CAST(round(ln(l_quantity), 9)
+                             AS DECIMAL(16,9)) AS y
+                 FROM lineitem JOIN part ON l_partkey = p_partkey
+                 WHERE l_quantity > 0 AND l_extendedprice > 0),
+    s AS (SELECT p_brand, CAST(count(*) AS DOUBLE) AS n,
+                 CAST(round(SUM(x), 6) AS DOUBLE) AS sx,
+                 CAST(round(SUM(y), 6) AS DOUBLE) AS sy,
+                 CAST(round(SUM(x * y), 6) AS DOUBLE) AS sxy,
+                 CAST(round(SUM(x * x), 6) AS DOUBLE) AS sxx
+          FROM pts GROUP BY 1)
+    SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS elasticity
+    FROM s
+    """,
+)
+def c_price_elasticity(spark, sf_dir):
+    """Log-log price elasticity of demand per brand: least-squares slope
+    of ln(quantity) on ln(unit price) over every line item — the retail
+    econometrics primitive behind promotion planning (on this synthetic
+    data the slope hovers near its null, which is itself the honest
+    readout). Same determinism scheme as c_zipf_fit, scaled for per-brand
+    row counts: per-row double terms → 9dp decimals; the four regression
+    sums rounded to 6dp before the double cast so their unscaled value
+    stays below 2^53 at sf1.0+ (the zipf trap, one SF earlier)."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = F.round(
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")), 9
+    ).cast("decimal(16,9)")
+    y = F.round(F.log(F.col("l_quantity")), 9).cast("decimal(16,9)")
+    s = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("p_brand", x.alias("x"), y.alias("y"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.round(F.sum("x"), 6).cast("double").alias("sx"),
+            F.round(F.sum("y"), 6).cast("double").alias("sy"),
+            F.round(F.sum(F.col("x") * F.col("y")), 6)
+            .cast("double")
+            .alias("sxy"),
+            F.round(F.sum(F.col("x") * F.col("x")), 6)
+            .cast("double")
+            .alias("sxx"),
+        )
+    )
+    return s.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_lines"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("elasticity"),
+    )
+
+
+@query(
+    "c_discount_lift",
+    oracle="""
+    WITH g AS (SELECT p_brand,
+                      CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS d,
+                      l_quantity AS q
+               FROM lineitem JOIN part ON l_partkey = p_partkey),
+    s AS (SELECT p_brand,
+                 CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_disc,
+                 CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_full,
+                 CAST(SUM(CASE WHEN d = 1
+                               THEN CAST(q AS DECIMAL(20,4))
+                               ELSE CAST(0 AS DECIMAL(20,4)) END)
+                      AS DOUBLE) AS q_disc,
+                 CAST(SUM(CASE WHEN d = 0
+                               THEN CAST(q AS DECIMAL(20,4))
+                               ELSE CAST(0 AS DECIMAL(20,4)) END)
+                      AS DOUBLE) AS q_full
+          FROM g GROUP BY 1)
+    SELECT p_brand, n_disc, n_full,
+           q_disc / n_disc AS avg_qty_disc,
+           q_full / n_full AS avg_qty_full,
+           (q_disc / n_disc) / (q_full / n_full) AS lift
+    FROM s WHERE n_disc > 0 AND n_full > 0
+    """,
+)
+def c_discount_lift(spark, sf_dir):
+    """Promotion lift: average quantity on discounted (≥5%) vs
+    full-price lines per brand, and their ratio — the first-order
+    question of any markdown program. Conditional exact-decimal sums +
+    integer counts; the three outputs are single/chained double
+    divisions of exact values (no rounding needed)."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    d = F.when(F.col("l_discount") >= 0.05, 1).otherwise(0)
+    qd = F.when(
+        F.col("l_discount") >= 0.05, F.col("l_quantity").cast("decimal(20,4)")
+    ).otherwise(F.lit(0).cast("decimal(20,4)"))
+    qf = F.when(
+        F.col("l_discount") < 0.05, F.col("l_quantity").cast("decimal(20,4)")
+    ).otherwise(F.lit(0).cast("decimal(20,4)"))
+    s = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(d).cast("long").alias("n_disc"),
+            F.sum(1 - d).cast("long").alias("n_full"),
+            F.sum(qd).cast("double").alias("q_disc"),
+            F.sum(qf).cast("double").alias("q_full"),
+        )
+        .filter((F.col("n_disc") > 0) & (F.col("n_full") > 0))
+    )
+    return s.select(
+        "p_brand",
+        "n_disc",
+        "n_full",
+        (F.col("q_disc") / F.col("n_disc")).alias("avg_qty_disc"),
+        (F.col("q_full") / F.col("n_full")).alias("avg_qty_full"),
+        (
+            (F.col("q_disc") / F.col("n_disc"))
+            / (F.col("q_full") / F.col("n_full"))
+        ).alias("lift"),
+    )
+
+
+@query(
+    "c_runs_test",
+    oracle="""
+    WITH d AS MATERIALIZED (
+               SELECT date_trunc('month', l_shipdate) AS mon,
+                      l_shipdate AS day,
+                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)))
+                           AS DECIMAL(20,4)) AS rev
+               FROM lineitem GROUP BY 1, 2),
+    m AS (SELECT CAST(SUM(rev) AS DECIMAL(20,4)) AS tot,
+                 CAST(count(*) AS DECIMAL(10,0)) AS nd FROM d),
+    sg AS (SELECT mon, day,
+                  CASE WHEN rev * (SELECT nd FROM m) > (SELECT tot FROM m)
+                       THEN 1 ELSE 0 END AS s
+           FROM d),
+    runs AS (SELECT mon, s,
+                    CASE WHEN lag(s) OVER (PARTITION BY mon ORDER BY day)
+                              IS DISTINCT FROM s
+                         THEN 1 ELSE 0 END AS brk
+             FROM sg)
+    SELECT mon, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(SUM(s) AS BIGINT) AS n_above,
+           CAST(SUM(brk) AS BIGINT) AS n_runs
+    FROM runs GROUP BY 1
+    """,
+)
+def c_runs_test(spark, sf_dir):
+    """Wald–Wolfowitz-style runs screen on daily revenue: per month, the
+    number of maximal runs of days above/below the GLOBAL daily mean —
+    too few runs = trending/autocorrelated, too many = oscillating
+    (pairs with c_autocorr's lag view and c_cusum_revenue's level view).
+    The above-mean test is division-free: rev·n_days > total compares
+    exact decimals, so the sign sequence — and therefore every count —
+    is integer-exact. Runs are counted per month so the lag window is
+    month-partitioned (no global window)."""
+    li = T(spark, sf_dir, "lineitem")
+    d = li.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("mon"),
+        F.col("l_shipdate").alias("day"),
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(20,4)"))
+        .cast("decimal(20,4)")
+        .alias("rev")
+    )
+    m = d.agg(
+        F.sum("rev").cast("decimal(20,4)").alias("tot"),
+        F.count("*").cast("decimal(10,0)").alias("nd"),
+    )
+    sg = d.crossJoin(F.broadcast(m)).select(
+        "mon",
+        "day",
+        F.when(F.col("rev") * F.col("nd") > F.col("tot"), 1)
+        .otherwise(0)
+        .alias("s"),
+    )
+    w = W.partitionBy("mon").orderBy("day")
+    runs = sg.select(
+        "mon",
+        "s",
+        F.when(
+            ~F.lag("s").over(w).eqNullSafe(F.col("s")), 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    return runs.groupBy("mon").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("s").cast("long").alias("n_above"),
+        F.sum("brk").cast("long").alias("n_runs"),
+    )
+
+
+@query(
     "c_late_arrival",
     oracle="""
     WITH o AS (SELECT event_type, ts,

@@ -78,6 +78,8 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "c_activity_burst", "c_lang_entropy", "c_late_arrival",
     "c_props_value_stats", "c_degree_distribution", "c_zipf_fit",
     "c_jaccard_topk",
+    "c_revenue_bridge", "c_price_elasticity", "c_discount_lift",
+    "c_runs_test",
 )
 
 
