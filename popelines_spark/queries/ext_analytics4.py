@@ -904,6 +904,115 @@ def c_runs_test(spark, sf_dir):
 
 
 @query(
+    "c_incremental_join",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+             AS total_rev,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1
+    """,
+)
+def c_incremental_join(spark, sf_dir):
+    """Incremental JOIN-view maintenance: the join companion of
+    c_incremental_agg's partial-merge refresh. The materialized view
+    rev-by-nation(orders ⋈ customer ⋈ nation) is refreshed as
+    merge(stored partials of the BASE epoch, partials of ΔA ⋈ B) — the
+    standard delta-join algebra (ΔA⋈B; B is the slowly-changing dim) —
+    so a daily load touches only the delta's join work, never rescanning
+    the base fact. The oracle recomputes the view FROM SCRATCH: the
+    hash-match IS the refresh-equivalence proof. Base partials are
+    materialized once (at scale: the stored MV table); decimal partials
+    make merge order irrelevant."""
+    from popelines_spark.plans.inspect import checkpoint
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    split = "1997-01-01"
+
+    def partials(o):
+        return (
+            o.join(cust, o.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(20,4)")).alias(
+                    "__rev"
+                ),
+                F.count("*").alias("__n"),
+            )
+        )
+
+    base_mv = checkpoint(
+        partials(orders.filter(F.col("o_orderdate") < split)),
+        "incr-join-base-mv",
+        eager=False,
+    )
+    delta_mv = partials(orders.filter(F.col("o_orderdate") >= split))
+    return (
+        base_mv.unionByName(delta_mv)
+        .groupBy("n_name")
+        .agg(
+            F.sum("__rev").cast("double").alias("total_rev"),
+            F.sum("__n").cast("long").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "c_rolling_dau_hll",
+    oracle="""
+    WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events)
+    SELECT day, TRUE AS within_5pct FROM days
+    """,
+)
+def c_rolling_dau_hll(spark, sf_dir):
+    """The HLL twin BASELINE.md §Round 5 documented for c_rolling_dau:
+    trailing-7-day distinct actives via approx_count_distinct (HLL++,
+    rsd=0.02) instead of the exact distinct — the path for extreme user
+    cardinality, where the exact per-window distinct's shuffle width is
+    the bottleneck and a mergeable 1.5 KB sketch per day is not. Output
+    is the hash-checkable invariant: per day, the HLL estimate sits
+    within ±5% of the exact count (HLL++ at rsd 0.02 is deterministic
+    for fixed data, so the booleans are stable engine-side; the oracle
+    pins the day set + the expected verdict)."""
+    ev = T(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    # bounded 7× fan-out: each (day, user) row serves the 7 windows
+    # ending on day..day+6 (same shape as c_rolling_dau)
+    fan = ev.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("__off"),
+        "day",
+        "user_id",
+    ).select(
+        (F.col("day") + F.make_interval(days=F.col("__off"))).alias("win_end"),
+        "user_id",
+    )
+    est = fan.groupBy("win_end").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("__est"),
+        F.count_distinct("user_id").alias("__exact"),
+    )
+    days = ev.select("day").distinct()
+    return (
+        days.join(est, days.day == est.win_end)
+        .select(
+            "day",
+            (
+                F.abs(F.col("__est") - F.col("__exact"))
+                <= 0.05 * F.col("__exact")
+            ).alias("within_5pct"),
+        )
+    )
+
+
+@query(
     "c_late_arrival",
     oracle="""
     WITH o AS (SELECT event_type, ts,

@@ -79,7 +79,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "c_props_value_stats", "c_degree_distribution", "c_zipf_fit",
     "c_jaccard_topk",
     "c_revenue_bridge", "c_price_elasticity", "c_discount_lift",
-    "c_runs_test",
+    "c_runs_test", "c_incremental_join", "c_rolling_dau_hll",
 )
 
 
