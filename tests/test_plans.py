@@ -425,3 +425,55 @@ def test_round5f_plans(spark):
         df = _q(name, spark)
         assert not plan_report(df)["cartesian"], name
         assert not unpartitioned_windows(df), name
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Runtime row-level filtering (SURVEY.md §4): on a selective
+    shuffle join, Catalyst's InjectRuntimeFilter plants a bloom-filter
+    aggregate on the small (filtered) side and a might_contain probe on
+    the big side's scan — at 100 TB this is what turns "join then
+    discard 95%" into "skip 95% before the shuffle". Thresholds are
+    lowered for the 60k-row fixture; the assertion is that the engine's
+    session can and does produce the bloom-filtered plan."""
+    from popelines_spark.plans.inspect import physical_plan
+    from popelines_spark.tables import load
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load(spark, SF_DIR, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        orders = load(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = physical_plan(j).lower()
+        assert "might_contain" in plan or "bloom" in plan
+        # and the result is still correct under the injected filter
+        n_join = j.count()
+        n_ref = (
+            load(spark, SF_DIR, "lineitem")
+            .join(
+                load(spark, SF_DIR, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .count()
+        )
+        assert n_join == n_ref
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
