@@ -1013,6 +1013,101 @@ def c_rolling_dau_hll(spark, sf_dir):
 
 
 @query(
+    "c_customer_migration",
+    oracle="""
+    WITH spend AS MATERIALIZED (
+            SELECT o_custkey AS ck, year(o_orderdate) AS yr,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4)))
+                        AS DECIMAL(20,4)) AS s
+            FROM orders
+            WHERE year(o_orderdate) IN (1996, 1997)
+            GROUP BY 1, 2),
+    m AS (SELECT yr, CAST(SUM(s) AS DECIMAL(20,4)) AS tot,
+                 CAST(count(*) AS DECIMAL(10,0)) AS n
+          FROM spend GROUP BY 1),
+    cls AS (SELECT ck, spend.yr,
+                   CASE WHEN s * n > tot THEN 'high' ELSE 'low' END AS seg
+            FROM spend JOIN m ON m.yr = spend.yr)
+    SELECT a.seg AS seg_1996, b.seg AS seg_1997,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM cls a JOIN cls b ON a.ck = b.ck AND a.yr = 1996 AND b.yr = 1997
+    GROUP BY 1, 2
+    """,
+)
+def c_customer_migration(spark, sf_dir):
+    """Segment migration matrix: customers classified high/low spender
+    per year (above/below that year's mean spend — division-free:
+    s·n > total compares exact decimals) and the 2×2 transition counts
+    1996 → 1997 — the churn-risk movement table behind every lifecycle
+    deck (the year-over-year companion of c_user_lifecycle's weekly
+    flow). Keyed aggs + one self-join on customer key; every number is
+    integer-exact."""
+    o = T(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1996, 1997)
+    )
+    spend = o.groupBy(
+        F.col("o_custkey").alias("ck"), F.year("o_orderdate").alias("yr")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(20,4)"))
+        .cast("decimal(20,4)")
+        .alias("s")
+    )
+    m = spend.groupBy("yr").agg(
+        F.sum("s").cast("decimal(20,4)").alias("tot"),
+        F.count("*").cast("decimal(10,0)").alias("n"),
+    )
+    cls = spend.join(F.broadcast(m), "yr").select(
+        "ck",
+        "yr",
+        F.when(F.col("s") * F.col("n") > F.col("tot"), "high")
+        .otherwise("low")
+        .alias("seg"),
+    )
+    a = cls.filter(F.col("yr") == 1996).select(
+        "ck", F.col("seg").alias("seg_1996")
+    )
+    b = cls.filter(F.col("yr") == 1997).select(
+        "ck", F.col("seg").alias("seg_1997")
+    )
+    return (
+        a.join(b, "ck")
+        .groupBy("seg_1996", "seg_1997")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )
+
+
+@query(
+    "c_order_size_hist",
+    oracle="""
+    WITH sz AS (SELECT l_orderkey, count(*) AS n_lines
+                FROM lineitem GROUP BY 1)
+    SELECT CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(count(*)) OVER () AS BIGINT) AS total_orders
+    FROM sz GROUP BY 1
+    """,
+)
+def c_order_size_hist(spark, sf_dir):
+    """Order-size (lines per order) histogram with the grand total on
+    every row — the fan-out profile that calibrates pair-join cost
+    models (c_basket_lift / c_also_bought scale exactly with these
+    counts). Two keyed aggs; the windowed grand total over the ≤7-row
+    histogram mirrors as a broadcast scalar engine-side (no global
+    window)."""
+    li = T(spark, sf_dir, "lineitem")
+    sz = li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+    hist = sz.groupBy("n_lines").agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    tot = hist.agg(F.sum("n_orders").cast("long").alias("total_orders"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "n_orders",
+        "total_orders",
+    )
+
+
+@query(
     "c_late_arrival",
     oracle="""
     WITH o AS (SELECT event_type, ts,

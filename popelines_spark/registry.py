@@ -80,6 +80,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "c_jaccard_topk",
     "c_revenue_bridge", "c_price_elasticity", "c_discount_lift",
     "c_runs_test", "c_incremental_join", "c_rolling_dau_hll",
+    "c_customer_migration", "c_order_size_hist",
 )
 
 

@@ -371,6 +371,43 @@ def test_png_codec_roundtrip_random_pixels():
     assert _paeth(0, 0, 0) == 0 and _paeth(10, 20, 30) in (10, 20, 30)
 
 
+def test_bmp_codec_roundtrip_random_pixels():
+    """Property: a spec-encoded 24-bit bottom-up BMP with RANDOM pixels
+    (4-byte row padding, BGR storage) decodes to the exact RGB array —
+    including widths where the stride padding is nonzero."""
+    import struct
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from popelines_spark.llm.multimodal import _bmp_decode
+
+    def encode(px: np.ndarray) -> bytes:
+        h, w, _ = px.shape
+        stride = (w * 3 + 3) & ~3
+        body = b"".join(
+            px[r][:, ::-1].tobytes() + b"\x00" * (stride - w * 3)
+            for r in range(h - 1, -1, -1)  # bottom-up row order
+        )
+        filehdr = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0
+        )
+        return filehdr + dib + body
+
+    @given(st.integers(1, 9), st.integers(1, 6), st.integers(0, 2**32 - 1))
+    @settings(max_examples=40, deadline=None)
+    def prop(w, h, rngseed):
+        rng = np.random.default_rng(rngseed)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        got_w, got_h, got_ch, got_px = _bmp_decode(encode(px))
+        assert (got_w, got_h, got_ch) == (w, h, 3)
+        assert np.array_equal(got_px, px)
+
+    prop()
+
+
 def test_exact_dedup_keeps_payload_columns(spark):
     """VERDICT r1 #3: every input column must survive dedup — callers must
     not need a re-join to recover their payload."""
