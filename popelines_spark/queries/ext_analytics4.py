@@ -1108,6 +1108,126 @@ def c_order_size_hist(spark, sf_dir):
 
 
 @query(
+    "c_weighted_percentile",
+    oracle="""
+    WITH cell AS MATERIALIZED (
+            SELECT l_returnflag AS rf, l_quantity AS q,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)))
+                        AS DECIMAL(20,4)) AS w
+            FROM lineitem GROUP BY 1, 2),
+    tot AS (SELECT rf, CAST(SUM(w) AS DECIMAL(20,4)) AS tw
+            FROM cell GROUP BY 1),
+    cum AS (SELECT a.rf, a.q, CAST(SUM(b.w) AS DECIMAL(20,4)) AS cw
+            FROM cell a JOIN cell b ON b.rf = a.rf AND b.q <= a.q
+            GROUP BY 1, 2)
+    SELECT cum.rf AS l_returnflag,
+           CAST(min(CASE WHEN 2 * cw >= tw THEN q END) AS BIGINT)
+             AS wp50_qty,
+           CAST(min(CASE WHEN 10 * cw >= 9 * tw THEN q END) AS BIGINT)
+             AS wp90_qty
+    FROM cum JOIN tot ON tot.rf = cum.rf
+    GROUP BY 1
+    """,
+)
+def c_weighted_percentile(spark, sf_dir):
+    """Revenue-WEIGHTED quantity percentiles per return flag: the
+    smallest quantity at which the cumulative revenue crosses 50% / 90%
+    of the flag's total — 'half our money sits on orders of ≤N units',
+    which a plain (count-weighted) percentile gets wrong whenever value
+    concentrates in large lines. Exact and division-free: quantity has a
+    bounded integer domain, so the cumulative weight is a broadcast
+    ≤-staircase over the (flag, quantity) cells, and the crossings
+    compare 2·cw ≥ tw / 10·cw ≥ 9·tw in exact decimals."""
+    li = T(spark, sf_dir, "lineitem")
+    cell = li.groupBy(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_quantity").alias("q"),
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(20,4)"))
+        .cast("decimal(20,4)")
+        .alias("w")
+    )
+    tot = cell.groupBy("rf").agg(
+        F.sum("w").cast("decimal(20,4)").alias("tw")
+    )
+    b = cell.select(
+        F.col("rf").alias("rf2"), F.col("q").alias("q2"), F.col("w").alias("w2")
+    )
+    cum = (
+        cell.join(
+            F.broadcast(b),
+            (F.col("rf2") == F.col("rf")) & (F.col("q2") <= F.col("q")),
+        )
+        .groupBy("rf", "q")
+        .agg(F.sum("w2").cast("decimal(20,4)").alias("cw"))
+    )
+    return (
+        cum.join(F.broadcast(tot), "rf")
+        .groupBy(F.col("rf").alias("l_returnflag"))
+        .agg(
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("q")))
+            .cast("long")
+            .alias("wp50_qty"),
+            F.min(F.when(10 * F.col("cw") >= 9 * F.col("tw"), F.col("q")))
+            .cast("long")
+            .alias("wp90_qty"),
+        )
+    )
+
+
+@query(
+    "c_mutual_info",
+    oracle="""
+    WITH xy AS MATERIALIZED (
+            SELECT event_type AS x, dayofweek(ts) AS y, count(*) AS c
+            FROM events GROUP BY 1, 2),
+    mx AS (SELECT x, SUM(c) AS cx FROM xy GROUP BY 1),
+    my AS (SELECT y, SUM(c) AS cy FROM xy GROUP BY 1),
+    n AS (SELECT SUM(c) AS nt FROM xy)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(SUM(CAST(round(
+                 (CAST(c AS DOUBLE) / nt)
+                 * ln(CAST(c * nt AS DOUBLE) / (cx * cy)), 9)
+               AS DECIMAL(16,9))) AS DOUBLE) AS mi_nats
+    FROM xy JOIN mx ON mx.x = xy.x JOIN my ON my.y = xy.y CROSS JOIN n
+    """,
+)
+def c_mutual_info(spark, sf_dir):
+    """Mutual information between event type and weekday (nats) — the
+    dependence screen that says whether behavior differs by day at all,
+    before any per-day breakdown is worth reading (pairs with
+    c_seasonality_dow's magnitudes and c_ab_srm's chi-square). Each of
+    the ≤|types|·7 cell terms is per-row double arithmetic on exact
+    integer ratios (c·N and cx·cy stay far under 2^53), rounded to 9dp
+    and decimal-summed — order-free, tie-free (ln values are
+    transcendental)."""
+    ev = T(spark, sf_dir, "events")
+    xy = ev.groupBy(
+        F.col("event_type").alias("x"), F.dayofweek("ts").alias("y")
+    ).agg(F.count("*").alias("c"))
+    mx = xy.groupBy("x").agg(F.sum("c").alias("cx"))
+    my = xy.groupBy("y").agg(F.sum("c").alias("cy"))
+    n = xy.agg(F.sum("c").alias("nt"))
+    term = F.round(
+        (F.col("c").cast("double") / F.col("nt"))
+        * F.log(
+            (F.col("c") * F.col("nt")).cast("double")
+            / (F.col("cx") * F.col("cy"))
+        ),
+        9,
+    ).cast("decimal(16,9)")
+    return (
+        xy.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum(term).cast("double").alias("mi_nats"),
+        )
+    )
+
+
+@query(
     "c_late_arrival",
     oracle="""
     WITH o AS (SELECT event_type, ts,

@@ -81,6 +81,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "c_revenue_bridge", "c_price_elasticity", "c_discount_lift",
     "c_runs_test", "c_incremental_join", "c_rolling_dau_hll",
     "c_customer_migration", "c_order_size_hist",
+    "c_weighted_percentile", "c_mutual_info",
 )
 
 
