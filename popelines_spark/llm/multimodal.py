@@ -430,8 +430,22 @@ def decode_image(payloads: DataFrame) -> DataFrame:
                     fmt, (w, h, ch, px) = "bmp", _bmp_decode(buf)
                 elif buf[:2] == b"P6":
                     w, h, maxval, off = _parse_ppm_header(buf)
+                    # ADVICE r6: a valid P6 with maxval > 255 has 2-byte
+                    # samples — raise the same clean unsupported-variant
+                    # error the PNG/BMP branches use, not an opaque
+                    # reshape ValueError; same for a short pixel buffer.
+                    if maxval > 255:
+                        raise ValueError(
+                            f"doc {doc_id}: unsupported PPM variant "
+                            f"(maxval {maxval} > 255, 2-byte samples)"
+                        )
+                    if len(buf) < off + w * h * 3:
+                        raise ValueError(
+                            f"doc {doc_id}: truncated PPM pixel buffer "
+                            f"({len(buf) - off} of {w * h * 3} bytes)"
+                        )
                     px = np.frombuffer(
-                        buf, dtype=np.uint8, offset=off
+                        buf, dtype=np.uint8, offset=off, count=w * h * 3
                     ).reshape(h, w, 3)
                     fmt, ch = "ppm", 3
                 else:

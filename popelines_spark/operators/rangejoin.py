@@ -37,13 +37,18 @@ def count_within_radius(
     Bucket width == radius, so each left window [ts-R, ts+R] overlaps at
     most 3 buckets; per-(bucket) shuffle key, exact |Δ| <= R re-check
     after the equi-join. Integer microsecond arithmetic end-to-end.
+
+    Duplicate left rows are safe: counting runs over the DISTINCT
+    (left_id, left_ts) pairs and each input row — including exact
+    duplicates — receives that pair's correct count via the final keyed
+    join-back (ADVICE r6: the previous shape silently doubled the count
+    for fully-duplicated rows).
     """
     lu = left.select(
         F.col(left_id), F.col(left_ts), F.unix_micros(left_ts).alias("__lu")
     )
-    expanded = lu.select(
+    expanded = lu.select(left_id, "__lu").distinct().select(
         left_id,
-        left_ts,
         "__lu",
         F.explode(
             F.sequence(
@@ -58,10 +63,7 @@ def count_within_radius(
     )
     # Grouping and joining back on (left_id, timestamp) — not left_id alone
     # — so a left_id that recurs with different timestamps gets each row's
-    # own count (ADVICE r5). Fully-duplicated (left_id, left_ts) rows are
-    # the remaining ambiguity: their expanded copies merge in the groupBy,
-    # so each duplicate would report the doubled count — (left_id, left_ts)
-    # pairs must be unique, which the caller's clock-keyed data satisfies.
+    # own count (ADVICE r5).
     matched = (
         expanded.join(ru, "__bk")
         .filter(F.abs(F.col("__ru") - F.col("__lu")) <= radius_us)

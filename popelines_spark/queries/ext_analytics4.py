@@ -394,7 +394,7 @@ def c_props_value_stats(spark, sf_dir):
     deg AS (SELECT node, count(*) AS d FROM (
               SELECT src AS node FROM und
               UNION ALL SELECT dst FROM und) GROUP BY 1)
-    SELECT CAST(floor(ln(d) / ln(2)) AS BIGINT) AS degree_bucket,
+    SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS degree_bucket,
            CAST(count(*) AS BIGINT) AS n_nodes,
            CAST(min(d) AS BIGINT) AS min_deg,
            CAST(max(d) AS BIGINT) AS max_deg
@@ -406,8 +406,10 @@ def c_degree_distribution(spark, sf_dir):
     first thing to look at before choosing a graph algorithm's skew
     strategy (it is how the power-law trap c_triangle_count_skew
     stresses would be DETECTED in production). Keyed aggs only; the
-    bucket index floor(ln d / ln 2) is a per-row double op on an
-    integer, exact for d < 2^40-ish on both engines."""
+    bucket index is computed INTEGER-EXACTLY as length(bin(d)) - 1 ==
+    floor(log2(d)) on both engines (ADVICE r6: floor(ln d / ln 2) on raw
+    doubles risks a 1-ulp libm divergence at power-of-2 degrees flipping
+    a bucket on one engine only)."""
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pk = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("node")
@@ -426,7 +428,7 @@ def c_degree_distribution(spark, sf_dir):
         .agg(F.count("*").alias("d"))
     )
     return deg.groupBy(
-        F.floor(F.log("d") / F.log(F.lit(2.0)))
+        (F.length(F.bin("d")) - 1)
         .cast("long")
         .alias("degree_bucket")
     ).agg(

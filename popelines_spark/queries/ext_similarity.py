@@ -328,13 +328,15 @@ def ensure_ivf_auto_index(spark, sf_dir):
         build_ivf_index(
             corpus, "c_vec", "neighbor_id", staging,
             n_cells="auto", iterations=2, seed="hash",
+            train_sample_cap="auto",
         )
 
-    # kind "ivfauto3": hash seeding + 2 Lloyd iterations (llm/ivf.py) — the
-    # suffix invalidates any index built with the collapsed lowest-id
-    # seeding, which _data_fingerprint alone would not catch.
+    # kind "ivfauto4": hash seeding + 2 Lloyd iterations over a
+    # 100·n_cells deterministic hash SAMPLE (VERDICT r6 next #3;
+    # llm/ivf.py train_sample_cap) — the suffix invalidates indexes built
+    # by earlier recipes, which _data_fingerprint alone would not catch.
     return _ensure_scratch(
-        spark, sf_dir, "ivfauto3", ("cells", "centroids"),
+        spark, sf_dir, "ivfauto4", ("cells", "centroids"),
         build, lambda root: load_ivf_index(spark, root),
     )
 

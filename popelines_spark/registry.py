@@ -41,47 +41,44 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Round-6 rotation: the driver scores a bounded 50-entry prefix of the
-# registry per round.  This round's window = the 49 entries added after the
-# round-5 window filled — the ONLY registered queries without a driver-green
-# row (all 49 were independently verified green by the round-5 judge's
-# tools/parity.py run, and parity covers them every round at
-# sf{0.001,0.01,0.1} and sf1.0) — so after CORRECTNESS_r06 the driver-green
-# union is 248/248: every pre-round-6 registered query proven by the driver
-# at least once.  Slot 50 and beyond hold the queries NEW this round
-# (pagerank dangling-mass redistribution, IVF sqrt-N scale probe, image
-# decode) — the first fills the window; the rest roll to round 7's window
-# head, followed by the round-5 deferrals (b_scan_*/b_sink_*/b_source_rows,
-# b_win_*, b_sort/b_limit, b_project/b_filter) and the stalest r2-green
-# cohort, oldest-green-first, so no entry's latest green row ages past ~3
-# rounds. (tools/parity.py still covers the full registry every round.)
+# Round-7 rotation: the driver scores a bounded 50-entry prefix of the
+# registry per round.  This round's window = the 24 round-6 entries that
+# were staged behind the round-6 window (the ONLY registered queries
+# without a driver-green row; all 24 were verified green by the round-6
+# judge's tools/parity.py run), followed by the stalest driver-green
+# cohorts oldest-first: the 17 entries last green in CORRECTNESS_r01
+# (b_scan_*/b_sink_*/b_source_rows, b_win_*, b_sort/b_limit,
+# b_project/b_filter) and the 9 oldest r2-green entries — 24+17+9 = 50.
+# After CORRECTNESS_r07 the driver-green union is 273/273 (every
+# registered query driver-proven at least once) AND no entry's latest
+# green row predates round 2.  Queries NEW this round are appended after
+# slot 50 and roll to round 8's window head, followed by the remaining
+# r2-green cohort.  (tools/parity.py still covers the full registry every
+# round at sf{0.001,0.01,0.1}.)
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # -- never driver-scored (49): round-5 second/third batches
-    "s_cdc_latest", "c_rolling_dau", "c_graph_bfs", "c_triangle_count",
-    "c_pit_join", "c_incremental_agg", "c_mode_per_group",
-    "c_hist_equiwidth", "c_skyline", "c_dedup_chunk", "c_bigram_novelty",
-    "c_gap_fill", "c_benford", "c_bigram_xent", "s_topk_windowed",
-    "b_sketch_hist_quantile", "b_join_range", "c_mad_outliers",
-    "c_vocab_coverage", "c_multimodal_frames", "c_autocorr", "c_streaks",
-    "c_key_skew_profile", "c_first_touch", "b_snapshot_diff",
-    "c_also_bought", "c_seq_pattern", "c_qoq_growth", "c_pareto_8020",
-    "c_cohort_ltv", "s_rate_alert", "c_session_funnel", "c_feature_scale",
-    "c_ri_check", "c_user_lifecycle", "c_dup_cluster_sizes", "c_ab_srm",
-    "c_interpurchase_time", "c_new_vs_repeat", "c_hhi_supplier",
-    "c_seasonality_dow", "c_gini_revenue", "c_rfm_segments",
-    "c_cart_abandonment", "c_shipping_delay", "c_simpson_diversity",
-    "c_activity_heatmap", "c_returns_rate", "c_vocab_growth",
-    # -- new in round 6 (slot 50 onward; overflow rolls to round 7)
-    "c_pagerank_redistribute", "c_knn_ivf_scale", "c_multimodal_image",
-    "c_triangle_count_skew",
+    # -- never driver-scored (24): round-6 staged batch
+    "c_knn_ivf_scale", "c_multimodal_image", "c_triangle_count_skew",
     "c_basket_lift", "c_cusum_revenue", "c_forecast_smape", "c_readability",
     "c_activity_burst", "c_lang_entropy", "c_late_arrival",
     "c_props_value_stats", "c_degree_distribution", "c_zipf_fit",
-    "c_jaccard_topk",
-    "c_revenue_bridge", "c_price_elasticity", "c_discount_lift",
-    "c_runs_test", "c_incremental_join", "c_rolling_dau_hll",
-    "c_customer_migration", "c_order_size_hist",
+    "c_jaccard_topk", "c_revenue_bridge", "c_price_elasticity",
+    "c_discount_lift", "c_runs_test", "c_incremental_join",
+    "c_rolling_dau_hll", "c_customer_migration", "c_order_size_hist",
     "c_weighted_percentile", "c_mutual_info",
+    # -- stalest cohort (17): last driver-green in round 1
+    "b_sort", "b_limit", "b_win_row_number", "b_win_rank", "b_win_lag_lead",
+    "b_win_running", "b_win_moving", "b_win_first_last", "b_project",
+    "b_filter", "b_scan_parquet", "b_scan_ndjson", "b_scan_infer",
+    "b_sink_ndjson", "b_sink_append", "b_sink_overwrite", "b_source_rows",
+    # -- next-stalest (9): oldest round-2-green entries
+    "b_agg_approx_distinct", "c_text_stats", "c_token_freq",
+    "c_text_filter", "c_lang_id", "c_quality_score", "c_fingerprint",
+    "c_token_count", "c_sample_stratified",
+    # -- new in round 7 (slot 51+; rolls to round 8's window head)
+    "c_multimodal_jpeg", "a_source_rest_fanout", "c_ivf_cells_scale",
+    "c_session_dwell", "c_percentile_bands", "c_order_priority_mix",
+    "c_clv_decay", "c_text_compress_ratio", "c_delim_fields",
+    "c_minhash_est_vs_true", "c_part_margin_rank", "c_cold_start_items",
 )
 
 

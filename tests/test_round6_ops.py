@@ -13,8 +13,6 @@ def test_basket_lift_independent_items_near_one(spark):
     baskets lifts with the others at exactly 1 as well (independence in
     this degenerate design); the formula must reproduce these closed
     forms."""
-    from popelines_spark.queries.ext_analytics4 import c_basket_lift
-
     # build via the registered callable's internals is overkill here —
     # replicate the metric on a tiny frame through SQL-equivalent ops
     rows = []
@@ -38,24 +36,16 @@ def test_basket_lift_independent_items_near_one(spark):
     assert got[(1, 3)] == 1.0 and got[(2, 3)] == 1.0
 
 
-def test_cusum_flags_step_change(spark, tmp_path):
+def test_cusum_flags_step_change(spark):
     """A flat revenue series with one step up must put the maximum
     |n·cum − t·total| deviation exactly at the step day (the CUSUM path
     bends there)."""
-    import pyspark.sql.types as T
-
     days = [dt.date(2024, 1, d + 1) for d in range(20)]
-    rows = [
-        (1, d, 100.0 if i < 10 else 200.0, "N", "O", d, "a", "b")
-        for i, d in enumerate(days)
-    ]
     df = spark.createDataFrame(
-        [(r[1], r[2]) for r in rows], "l_shipdate DATE, l_extendedprice DOUBLE"
+        [(d, 100.0 if i < 10 else 200.0) for i, d in enumerate(days)],
+        "l_shipdate DATE, l_extendedprice DOUBLE",
     )
-    out = str(tmp_path / "li")
-    df.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
-    # reuse the registered query against the scratch dir by symlinking the
-    # other tables is heavy; test the math inline instead (same exprs)
+    # test the math inline with the registered query's exact expressions
     d = df.groupBy(F.col("l_shipdate").alias("day")).agg(
         F.sum(F.col("l_extendedprice").cast("decimal(20,4)")).alias("rev")
     )
