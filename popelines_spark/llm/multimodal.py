@@ -11,9 +11,10 @@ libraries: ``decode_ppm`` (netpbm P6 images), ``decode_wav`` (stdlib PCM
 audio), ``frame_sample`` (every-n-th-frame sampling over a
 concatenated-PPM stream — ffmpeg's ``ppm_pipe`` container), and
 ``decode_image`` (magic-byte dispatch over PNG — real zlib DEFLATE plus
-all five scanline filters — 24-bit BMP, and P6). PIL/ffmpeg slot into the
-same dispatch where they exist, adding JPEG/H.264; ``decode_stub``
-remains for plumbing-only tests.
+all five scanline filters — baseline JPEG — real Huffman entropy decode
++ dequantize + IDCT + chroma upsample, llm/jpeg.py — 24-bit BMP, and
+P6). ffmpeg slots into the same dispatch where it exists, adding H.264;
+``decode_stub`` remains for plumbing-only tests.
 """
 
 from __future__ import annotations
@@ -409,12 +410,14 @@ _IMAGE_SCHEMA = (
 def decode_image(payloads: DataFrame) -> DataFrame:
     """REAL image decode over the mapInPandas plumbing, no media libraries:
     dispatches on magic bytes to a pure-stdlib PNG decoder (zlib DEFLATE +
-    per-scanline un-filtering — a genuinely compressed codec), a 24-bit
-    BMP decoder, or the netpbm P6 parser, and computes an actual pixel
-    statistic (numpy mean of channel 0) from the decoded array. Unknown or
-    unsupported-variant payloads raise rather than guess. PIL/ffmpeg slot
-    into the same dispatch where they exist, adding JPEG/H.264 — the
-    Arrow-batched stage shape, schema, and error contract don't change."""
+    per-scanline un-filtering), a baseline JPEG decoder (Huffman entropy
+    decode + dequantize + IDCT + chroma upsample, written from ITU-T T.81
+    — llm/jpeg.py), a 24-bit BMP decoder, or the netpbm P6 parser, and
+    computes an actual pixel statistic (numpy mean of channel 0) from the
+    decoded array. Unknown or unsupported-variant payloads raise rather
+    than guess. ffmpeg slots into the same dispatch where it exists,
+    adding H.264 — the Arrow-batched stage shape, schema, and error
+    contract don't change."""
 
     def _decode(batches: Iterator) -> Iterator:
         import numpy as np
@@ -426,6 +429,10 @@ def decode_image(payloads: DataFrame) -> DataFrame:
                 buf = bytes(raw)
                 if buf[:8] == _PNG_SIG:
                     fmt, (w, h, ch, px) = "png", _png_decode(buf)
+                elif buf[:2] == b"\xff\xd8":
+                    from popelines_spark.llm.jpeg import decode_jpeg
+
+                    fmt, (w, h, ch, px) = "jpeg", decode_jpeg(buf)
                 elif buf[:2] == b"BM":
                     fmt, (w, h, ch, px) = "bmp", _bmp_decode(buf)
                 elif buf[:2] == b"P6":
@@ -669,3 +676,43 @@ def frame_sample(payloads: DataFrame, every_n: int = 10) -> DataFrame:
             )
 
     return payloads.mapInPandas(_sample, schema=_FRAME_SCHEMA)
+
+
+def make_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic baseline JPEG per row, encoded with the repo's own
+    T.81 encoder (llm/jpeg.py): same analytic content as make_png
+    (w = id%16+1, h = id%9+1, every sample = 65 + id%26), 4:4:4 layout
+    with ALL-ONES quantization tables. A flat-color image is DC-only in
+    every block, and with unit quantization the DC coefficient is stored
+    exactly — so decode returns the constant fill bit-exactly and a
+    decoder's output is analytically predictable from the id (the same
+    oracle proof pattern as make_png/make_ppm, now through a genuinely
+    lossy-format entropy pipeline: Huffman DC/AC coding, byte stuffing,
+    EOB/ZRL, MCU edge padding are all on the real path)."""
+
+    def _gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from popelines_spark.llm.jpeg import encode_jpeg
+
+        ones = np.ones((8, 8), np.int32)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h, fill = i % 16 + 1, i % 9 + 1, 65 + i % 26
+                px = np.full((h, w, 3), fill, np.uint8)
+                buf = encode_jpeg(px, "444", ones, ones)
+                rows.append(
+                    (i, buf, ("image/jpeg", len(buf), "synthetic"))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "payload", "meta"]
+            )
+
+    schema = (
+        "doc_id long, payload binary, "
+        "meta struct<mime:string,n_bytes:long,source:string>"
+    )
+    return df.select(F.col(id_col)).mapInPandas(_gen, schema=schema)
