@@ -177,9 +177,13 @@ def compact_table(
     exist, and removing the backup can delete files an in-flight reader
     already listed. Readers never see HALF-written data (the staging dir is
     complete before the first rename), but they can hit a transient
-    missing-path error. A truly atomic swap needs a manifest/metadata layer
-    (Delta/Iceberg-style); BigQuery does this server-side (the reference
-    never sees it).
+    missing-path error. For concurrent-reader safety use the
+    snapshot-versioned layout (``write_table_snapshot`` /
+    ``read_table_snapshot`` / ``compact_table_snapshot`` below), which
+    replaces the rename swap with an atomic commit-marker flip; BigQuery
+    does the equivalent server-side (the reference never sees it). This
+    in-place variant stays for plain-layout tables that external tools
+    read by path.
 
     All filesystem traffic goes through the Hadoop FileSystem API, so the
     same code path serves ``file://`` (unit-tested), ``s3a://``, ``gs://``
@@ -327,3 +331,148 @@ def read_table_stats(spark: SparkSession, warehouse: str, table_name: str) -> di
         return json.loads(text)
     finally:
         stream.close()
+
+
+# --- snapshot-versioned tables (atomic compaction; VERDICT r6 next #6) ---
+#
+# Layout:   <table>/_versions/v{N:08d}/  parquet files + _COMMITTED marker
+# Protocol: a version becomes visible the instant its _COMMITTED marker
+# exists; readers resolve "the table" = highest committed version. There
+# is NO pointer rename anywhere — visibility is one atomic object
+# creation, which holds on file:// and HDFS (create+close) and on modern
+# object stores (a single small PUT is atomic per-object), sidestepping
+# the copy+delete rename caveat that made plain compact_table unsafe for
+# concurrent readers. Version directories are immutable once committed,
+# so a reader that resolved v{N} keeps a consistent snapshot even while
+# v{N+1} lands — exactly the manifest-lite shape of Delta/Iceberg,
+# reduced to the single capability compaction needs.
+
+_VERSIONS_DIR = "_versions"
+_COMMIT_MARKER = "_COMMITTED"
+
+
+def _committed_versions(fs, root, jvm) -> list[int]:
+    HPath = jvm.org.apache.hadoop.fs.Path
+    vroot = HPath(root.toString() + "/" + _VERSIONS_DIR)
+    if not fs.exists(vroot):
+        return []
+    out = []
+    for st in fs.listStatus(vroot):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("v")):
+            continue
+        try:
+            n = int(name[1:])
+        except ValueError:
+            continue
+        if fs.exists(HPath(st.getPath(), _COMMIT_MARKER)):
+            out.append(n)
+    return sorted(out)
+
+
+def snapshot_version_path(warehouse: str, table_name: str, version: int) -> str:
+    return (
+        f"{table_path(warehouse, table_name)}/{_VERSIONS_DIR}/v{version:08d}"
+    )
+
+
+def write_table_snapshot(
+    spark: SparkSession,
+    warehouse: str,
+    table_name: str,
+    df: DataFrame,
+    n_files: int | None = None,
+) -> int:
+    """Write ``df`` as the table's next committed version; returns the new
+    version id. Concurrent writers are serialized by an atomic
+    create-no-overwrite reservation file (loser retries on the next id),
+    so two compactions racing produce two distinct versions, never a
+    corrupt mix."""
+    fs, root, jvm = _hadoop_fs(spark, table_path(warehouse, table_name))
+    HPath = jvm.org.apache.hadoop.fs.Path
+    existing = _committed_versions(fs, root, jvm)
+    version = (existing[-1] + 1) if existing else 1
+    while True:
+        vpath = snapshot_version_path(warehouse, table_name, version)
+        reserved = HPath(vpath + ".__reserved")
+        try:
+            # atomic create(overwrite=False): exactly one writer wins id N
+            fs.create(reserved, False).close()
+            break
+        except Exception:
+            version += 1
+    out = df.repartition(n_files) if n_files else df
+    out.write.mode("overwrite").parquet(vpath)
+    # visibility flip: one atomic object creation
+    fs.create(HPath(vpath + "/" + _COMMIT_MARKER), False).close()
+    fs.delete(reserved, False)
+    return version
+
+
+def read_table_snapshot(
+    spark: SparkSession, warehouse: str, table_name: str
+) -> DataFrame:
+    """Read the highest COMMITTED version (uncommitted/torn version dirs
+    are invisible by construction)."""
+    fs, root, jvm = _hadoop_fs(spark, table_path(warehouse, table_name))
+    versions = _committed_versions(fs, root, jvm)
+    if not versions:
+        raise FileNotFoundError(
+            f"no committed snapshot versions under {root}"
+        )
+    return spark.read.parquet(
+        snapshot_version_path(warehouse, table_name, versions[-1])
+    )
+
+
+def compact_table_snapshot(
+    spark: SparkSession,
+    warehouse: str,
+    table_name: str,
+    target_file_bytes: int = 128 << 20,
+    keep_versions: int = 2,
+) -> tuple[int, int]:
+    """Snapshot-safe compaction: read the current committed version,
+    rewrite it into ~target-size files as a NEW version, commit, then GC
+    versions beyond the ``keep_versions`` most recent (retention must
+    exceed the longest reader; committed dirs are immutable until GC'd).
+    Returns (files_before, files_after). A reader racing this sees
+    exactly the old or the new file set — never a mix, never a missing
+    path (the plain compact_table's documented failure mode)."""
+    import math
+
+    fs, root, jvm = _hadoop_fs(spark, table_path(warehouse, table_name))
+    versions = _committed_versions(fs, root, jvm)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    cur = snapshot_version_path(warehouse, table_name, versions[-1])
+    _, curp, _ = _hadoop_fs(spark, cur)
+
+    def _parquet_files(p):
+        out, total = 0, 0
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().getName().endswith(".parquet"):
+                out += 1
+                total += st.getLen()
+        return out, total
+
+    n_before, total = _parquet_files(curp)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(cur)
+    new_v = write_table_snapshot(
+        spark, warehouse, table_name, df, n_files=n_out
+    )
+    # GC: everything older than the keep_versions most recent committed
+    HPath = jvm.org.apache.hadoop.fs.Path
+    committed = _committed_versions(fs, root, jvm)
+    for v in committed[:-keep_versions] if keep_versions else committed[:-1]:
+        fs.delete(
+            HPath(snapshot_version_path(warehouse, table_name, v)), True
+        )
+    _, newp, _ = _hadoop_fs(
+        spark, snapshot_version_path(warehouse, table_name, new_v)
+    )
+    n_after, _ = _parquet_files(newp)
+    return n_before, n_after

@@ -191,3 +191,60 @@ def a_source_rest(spark, sf_dir):
         F.from_json("body", "page int, payload struct<sum: bigint>").alias("j"),
     )
     return parsed.select("page", F.col("j.payload.sum").alias("payload_sum"))
+
+
+@query(
+    "a_source_rest_fanout",
+    oracle="""
+    SELECT CAST(w AS BIGINT) AS w,
+           CAST(strftime(DATE '2024-01-01' + (w * 2) * INTERVAL 1 DAY,
+                         '%Y-%m-%d') AS VARCHAR) AS window_start,
+           CAST((w + 1) * 25 AS BIGINT) AS window_rev,
+           CAST(200 AS BIGINT) AS status,
+           CAST(1 AS BIGINT) AS attempts
+    FROM (SELECT unnest(range(8)) AS w)
+    """,
+)
+def a_source_rest_fanout(spark, sf_dir):
+    """The (url, window) incremental-extract fan-out (VERDICT r6 next #8):
+    chunk_date_range (the reference's driver-serial pagination,
+    popelines/main.py:208-223) now only BUILDS the window table; the
+    fetch itself runs executor-side via fetch_windows_distributed
+    (sources/rest.py) — retry/backoff, status + attempts surfaced as
+    columns. file:// endpoints keep the oracle hermetic; the code path is
+    byte-identical for http(s), proven against a live stub server in
+    tests/test_rest_fanout.py."""
+    import datetime as dt
+
+    from popelines_spark.incremental import chunk_date_range
+    from popelines_spark.sources.rest import fetch_windows_distributed
+
+    pages = os.path.join(_SCRATCH, "rest_windows")
+    shutil.rmtree(pages, ignore_errors=True)
+    os.makedirs(pages)
+    chunks = list(
+        chunk_date_range(
+            dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 16), 2
+        )
+    )
+    rows = []
+    for w, (start, _end) in enumerate(chunks):
+        key = start.strftime("%Y-%m-%d")
+        with open(os.path.join(pages, f"{key}.json"), "w") as f:
+            json.dump({"window_start": key, "rev": (w + 1) * 25}, f)
+        rows.append((w, key))
+    windows = spark.createDataFrame(rows, "w int, window_start string")
+    fetched = fetch_windows_distributed(
+        windows, f"file://{pages}/{{window_start}}.json"
+    )
+    parsed = fetched.select(
+        F.col("w").cast("long").alias("w"),
+        "window_start",
+        F.from_json("body", "window_start string, rev bigint").alias("j"),
+        F.col("__status").cast("long").alias("status"),
+        F.col("__attempts").cast("long").alias("attempts"),
+    )
+    return parsed.select(
+        "w", "window_start", F.col("j.rev").alias("window_rev"),
+        "status", "attempts",
+    )

@@ -74,3 +74,82 @@ def fetch_json_distributed(
             yield pdf
 
     return urls.mapInPandas(_fetch, schema=schema)
+
+
+def fetch_windows_distributed(
+    windows: DataFrame,
+    url_template: str,
+    out_col: str = "body",
+    max_retries: int = 3,
+    backoff_s: float = 0.2,
+    timeout_s: float = 30.0,
+) -> DataFrame:
+    """Parallel incremental-extract fan-out (VERDICT r6 next #8 /
+    SURVEY.md's promised (url, window) shape): each row of ``windows``
+    describes one extraction window; ``url_template`` is formatted with
+    the row's columns (e.g. ``"http://api/data?start={start}&end={end}"``)
+    and fetched EXECUTOR-side in Arrow batches. Replaces the reference's
+    driver-serial loop (chunk_date_range + call_api per chunk,
+    popelines/main.py:193-223) as the scale path: N windows fetch with
+    full cluster parallelism, the driver never touches payload bytes.
+
+    Per-row bounded retry with linear backoff (the reference's
+    retry-and-wait contract), and an honest error surface: output adds
+    ``out_col`` (response text or null), ``__status`` (HTTP status or -1),
+    ``__attempts``, ``__error`` (repr of the final failure or null) —
+    callers decide whether partial extraction is acceptable instead of a
+    silent None swallow."""
+    import pandas as pd  # noqa: F401 — typing only; imported in workers
+
+    schema = T.StructType(
+        list(windows.schema.fields)
+        + [
+            T.StructField(out_col, T.StringType(), True),
+            T.StructField("__status", T.IntegerType(), False),
+            T.StructField("__attempts", T.IntegerType(), False),
+            T.StructField("__error", T.StringType(), True),
+        ]
+    )
+    cols = [f.name for f in windows.schema.fields]
+
+    def _fetch(batches: Iterator) -> Iterator:
+        import time
+        import urllib.error
+        import urllib.request
+
+        for pdf in batches:
+            bodies, statuses, attempts_l, errors = [], [], [], []
+            for _, row in pdf.iterrows():
+                url = url_template.format(**{c: row[c] for c in cols})
+                body, status, err = None, -1, None
+                attempt = 0
+                while attempt < max_retries:
+                    attempt += 1
+                    try:
+                        with urllib.request.urlopen(
+                            url, timeout=timeout_s
+                        ) as r:
+                            body = r.read().decode()
+                            # file:// handles have no HTTP status
+                            status = getattr(r, "status", None) or 200
+                            err = None
+                        break
+                    except urllib.error.HTTPError as e:
+                        status, err = e.code, repr(e)
+                        if 400 <= e.code < 500 and e.code != 429:
+                            break  # client errors don't retry
+                    except Exception as e:  # URLError, timeout, ...
+                        err = repr(e)
+                    time.sleep(backoff_s * attempt)
+                bodies.append(body)
+                statuses.append(status)
+                attempts_l.append(attempt)
+                errors.append(None if body is not None else err)
+            pdf = pdf.copy()
+            pdf[out_col] = bodies
+            pdf["__status"] = statuses
+            pdf["__attempts"] = attempts_l
+            pdf["__error"] = errors
+            yield pdf
+
+    return windows.mapInPandas(_fetch, schema=schema)

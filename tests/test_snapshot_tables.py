@@ -1,0 +1,94 @@
+"""Snapshot-versioned tables (io.py; VERDICT r6 next #6): a reader racing
+a compaction sees exactly the old or the new file set — never a mix, never
+a missing path — via the commit-marker protocol on the same Hadoop FS code
+path used for s3a/gs."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from popelines_spark.io import (
+    compact_table_snapshot,
+    read_table_snapshot,
+    snapshot_version_path,
+    table_path,
+    write_table_snapshot,
+)
+
+
+def _mk(spark, n, tag):
+    return spark.range(n).select(
+        F.col("id"), F.lit(tag).alias("tag")
+    )
+
+
+def test_uncommitted_version_is_invisible(spark, scratch):
+    """A torn (marker-less) version dir — the mid-compaction state — must
+    not be resolvable; readers keep getting the last committed version."""
+    wh = f"{scratch}/wh"
+    v1 = write_table_snapshot(spark, wh, "t", _mk(spark, 20, "v1"))
+    assert v1 == 1
+    got = read_table_snapshot(spark, wh, "t")
+    assert got.count() == 20
+    # simulate a compaction in flight: v2 data fully written, NOT committed
+    v2_path = snapshot_version_path(wh, "t", 2)
+    _mk(spark, 99, "v2").write.parquet(v2_path)
+    assert os.path.exists(v2_path)  # the bytes exist...
+    df = read_table_snapshot(spark, wh, "t")
+    assert df.count() == 20  # ...but readers still resolve v1
+    assert set(r.tag for r in df.select("tag").distinct().collect()) == {"v1"}
+    # committing flips visibility atomically (one marker-file creation)
+    open(os.path.join(v2_path, "_COMMITTED"), "w").close()
+    df2 = read_table_snapshot(spark, wh, "t")
+    assert df2.count() == 99
+    assert set(r.tag for r in df2.select("tag").distinct().collect()) == {"v2"}
+
+
+def test_compaction_preserves_rows_and_shrinks_files(spark, scratch):
+    wh = f"{scratch}/wh"
+    # many small files: repartition(8) at write
+    write_table_snapshot(spark, wh, "t", _mk(spark, 1000, "a"), n_files=8)
+    before, after = compact_table_snapshot(
+        spark, wh, "t", target_file_bytes=1 << 30
+    )
+    assert before == 8 and after == 1
+    df = read_table_snapshot(spark, wh, "t")
+    assert df.count() == 1000
+    assert df.agg(F.sum("id")).collect()[0][0] == 999 * 1000 // 2
+
+
+def test_reader_snapshot_survives_compaction_and_gc(spark, scratch):
+    """A reader that resolved version N can still collect its DataFrame
+    after a compaction commits N+1, because committed version dirs are
+    immutable and GC retention (keep_versions=2) covers the in-flight
+    reader."""
+    wh = f"{scratch}/wh"
+    write_table_snapshot(spark, wh, "t", _mk(spark, 500, "old"), n_files=4)
+    reader_df = read_table_snapshot(spark, wh, "t")  # resolves v1
+    compact_table_snapshot(spark, wh, "t", target_file_bytes=1 << 30,
+                           keep_versions=2)
+    # the old snapshot is still fully readable mid-"query"
+    assert reader_df.count() == 500
+    # and new readers get the compacted version
+    assert read_table_snapshot(spark, wh, "t").count() == 500
+
+
+def test_gc_drops_versions_beyond_retention(spark, scratch):
+    wh = f"{scratch}/wh"
+    write_table_snapshot(spark, wh, "t", _mk(spark, 10, "a"))
+    for _ in range(3):
+        compact_table_snapshot(spark, wh, "t", keep_versions=2)
+    vroot = os.path.join(table_path(wh, "t"), "_versions")
+    alive = sorted(os.listdir(vroot))
+    assert len(alive) == 2, alive  # retention holds
+    assert read_table_snapshot(spark, wh, "t").count() == 10
+
+
+def test_concurrent_writers_get_distinct_versions(spark, scratch):
+    """The create-no-overwrite reservation serializes id assignment: two
+    writers never land on the same version dir."""
+    wh = f"{scratch}/wh"
+    a = write_table_snapshot(spark, wh, "t", _mk(spark, 5, "a"))
+    b = write_table_snapshot(spark, wh, "t", _mk(spark, 6, "b"))
+    assert a != b
+    assert read_table_snapshot(spark, wh, "t").count() == 6  # latest wins
