@@ -68,6 +68,13 @@ BASELINE_SEC = {
     "s_cdc_latest": 1.40,
     "s_topk_windowed": 1.57,
     "s_rate_alert": 1.21,
+    # round-7 streaming additions (VERDICT r6 #7): the remaining stateful
+    # entries, same 3-session/min-of-2 method; state-store peaks in
+    # BASELINE.md §Round 7.
+    "s_session": 2.55,
+    "s_watermark_late": 5.62,
+    "s_dedup_stream": 1.56,
+    "s_incremental_max": 0.83,
 }
 
 #: Local regression gate: with SPARK_GRAFT_BENCH_STRICT=1, exit nonzero if
@@ -105,6 +112,12 @@ BENCH_QUERIES = [
     "s_cdc_latest",            # streaming CDC latest-row materialization
     "s_topk_windowed",         # windowed agg in-stream + rank at serve
     "s_rate_alert",            # watermark-bounded threshold alerting
+    # round 7: the remaining streaming entries without wall-time baselines
+    # (VERDICT r6 next #7); state-store peaks recorded in BASELINE.md.
+    "s_session",               # event-time session windows (30-min gap)
+    "s_watermark_late",        # 3-batch late-data drop under watermark
+    "s_dedup_stream",          # streaming dropDuplicates state
+    "s_incremental_max",       # running high-water mark (find_last_entry)
 ]
 
 

@@ -50,11 +50,19 @@ def events_stream(spark: SparkSession, sf_dir: str, path: str | None = None) -> 
     return tables._ntz_to_ltz(stream)
 
 
+#: State-store metrics of the most recently drained query (peak across
+#: micro-batches), for perf evidence collection (VERDICT r6 next #7):
+#: {"batches", "state_rows_peak", "state_bytes_peak"}. Read it right
+#: after the run_to_completion call you want to measure.
+LAST_STATE_METRICS: dict = {}
+
+
 def run_to_completion(
     result: DataFrame, output_mode: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """Drain a streaming DataFrame into a memory sink; return the final
-    table as a batch DataFrame."""
+    table as a batch DataFrame. Side effect: LAST_STATE_METRICS records
+    the drained query's micro-batch count and peak state-store size."""
     name = f"pls_stream_{next(_COUNTER)}_{os.getpid()}"
     q = (
         result.writeStream.outputMode(output_mode)
@@ -64,6 +72,18 @@ def run_to_completion(
     )
     try:
         q.processAllAvailable()
+        metrics = {"batches": 0, "state_rows_peak": 0, "state_bytes_peak": 0}
+        for p in q.recentProgress:
+            metrics["batches"] += 1
+            for so in (p.get("stateOperators") or []):
+                metrics["state_rows_peak"] = max(
+                    metrics["state_rows_peak"], so.get("numRowsTotal", 0)
+                )
+                metrics["state_bytes_peak"] = max(
+                    metrics["state_bytes_peak"], so.get("memoryUsedBytes", 0)
+                )
+        LAST_STATE_METRICS.clear()
+        LAST_STATE_METRICS.update(metrics)
     finally:
         q.stop()
         q.awaitTermination()
