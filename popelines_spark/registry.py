@@ -100,6 +100,7 @@ def load_all() -> None:
         ext_analytics2,
         ext_analytics3,
         ext_analytics4,
+        ext_analytics5,
         ext_curation,
         ext_dedup,
         ext_graph,
