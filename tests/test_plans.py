@@ -506,3 +506,27 @@ def test_ivf_assign_cells_is_pure_projection(spark):
     # and it still assigns: every row got a cell id in range
     n = df.filter((F.col("__cell") >= 0) & (F.col("__cell") < 6)).count()
     assert n == 2000
+
+
+def test_round7_analytics_plans(spark):
+    """Round-7 batch plan audit: keyed joins/windows only, scalar frames
+    attach via broadcast, no cartesians (the global unpartitioned-window
+    rule covers these too)."""
+    for name in ("c_session_dwell", "c_percentile_bands",
+                 "c_order_priority_mix", "c_clv_decay",
+                 "c_text_compress_ratio", "c_delim_fields",
+                 "c_part_margin_rank", "c_cold_start_items"):
+        df = _q(name, spark)
+        assert not plan_report(df)["cartesian"], name
+        assert not unpartitioned_windows(df), name
+    # compress ratio / delim fields: pure HOF + keyed agg, no Python stage
+    for name in ("c_text_compress_ratio", "c_delim_fields"):
+        plan = physical_plan(_q(name, spark))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # clv decay: the anchor scalar attaches via one-row broadcast; exactly
+    # one keyed agg exchange in the plan
+    rep = plan_report(_q("c_clv_decay", spark))
+    assert rep["bcast_nested_loop"] or rep["broadcast_joins"] >= 1
+    # jpeg decode is the Arrow-batched stage (the Python IS the payload)
+    plan = physical_plan(_q("c_multimodal_jpeg", spark))
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
