@@ -543,3 +543,215 @@ def c_ivf_cells_scale(spark, sf_dir):
     return per_row.select(
         F.col("vec_id").cast("long").alias("vec_id")
     ).join(F.broadcast(agg))
+
+
+@query(
+    "c_repetition_filter",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    base AS (
+      SELECT doc_id, len(words) AS n_words,
+             len(list_distinct(words)) AS n_distinct
+      FROM w),
+    bg AS (
+      SELECT doc_id,
+             words[CAST(i AS INT) + 1] || ' ' || words[CAST(i AS INT) + 2]
+               AS bigram
+      FROM w, unnest(range(len(words) - 1)) AS t(i)),
+    bgc AS (
+      SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id, max(c) AS top_bigram_n, SUM(c) AS n_bigrams
+      FROM bgc GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(b.n_words AS BIGINT) AS n_words,
+           CAST(1 AS DOUBLE)
+             - CAST(b.n_distinct AS DOUBLE) / b.n_words AS dup_word_frac,
+           CAST(coalesce(t.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+           CASE WHEN t.n_bigrams > 0
+                THEN CAST(t.top_bigram_n AS DOUBLE) / t.n_bigrams
+                ELSE CAST(0 AS DOUBLE) END AS top_bigram_frac,
+           (CAST(1 AS DOUBLE) - CAST(b.n_distinct AS DOUBLE) / b.n_words
+              > CAST(0.6 AS DOUBLE))
+           OR (t.n_bigrams > 0 AND
+               CAST(t.top_bigram_n AS DOUBLE) / t.n_bigrams
+                 > CAST(0.18 AS DOUBLE)) AS flagged
+    FROM base b LEFT JOIN top t ON t.doc_id = b.doc_id
+    """,
+)
+def c_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition quality gates: duplicate-word fraction and
+    most-common-bigram fraction per document, with the standard
+    flag-if-repetitive decision. Bigram counting goes through keyed aggs
+    (explode → count → max), NOT an O(n²) per-row HOF mode search, so
+    per-doc cost is linear and the shuffle is keyed on doc_id. All
+    ratios are int/int double divisions (exact on both engines);
+    threshold literals are CAST AS DOUBLE in the oracle (the DuckDB
+    decimal-literal trap)."""
+    d = T(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("words"))
+    base = w.select(
+        "doc_id",
+        F.size("words").alias("n_words"),
+        F.size(F.array_distinct("words")).alias("n_distinct"),
+    )
+    bg = w.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice("words", 1, F.size("words") - 1),
+                lambda x, i: F.concat_ws(
+                    " ", x, F.element_at(F.col("words"), i + 2)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    bgc = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    top = bgc.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram_n"), F.sum("c").alias("n_bigrams")
+    )
+    j = base.join(top, "doc_id", "left")
+    dup_frac = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col(
+        "n_words"
+    )
+    top_frac = F.when(
+        F.col("n_bigrams") > 0,
+        F.col("top_bigram_n").cast("double") / F.col("n_bigrams"),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        dup_frac.alias("dup_word_frac"),
+        F.coalesce(F.col("top_bigram_n"), F.lit(0))
+        .cast("long")
+        .alias("top_bigram_n"),
+        top_frac.alias("top_bigram_frac"),
+        (
+            (dup_frac > 0.6)
+            | ((F.col("n_bigrams") > 0) & (top_frac > 0.18))
+        ).alias("flagged"),
+    )
+
+
+@query(
+    "c_dup_inflation",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text, source, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text, source, n_chars FROM documents
+      WHERE doc_id % 3 = 0),
+    per_text AS (
+      SELECT source, text, CAST(count(*) AS BIGINT) AS n_copies,
+             CAST(min(n_chars) AS BIGINT) AS chars_unique
+      FROM corpus GROUP BY source, text)
+    SELECT source,
+           CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_unique_texts,
+           CAST(SUM(n_copies * chars_unique) AS BIGINT) AS chars_total,
+           CAST(SUM(chars_unique) AS BIGINT) AS chars_unique_total,
+           CAST(SUM(n_copies * chars_unique) AS DOUBLE)
+             / SUM(chars_unique) AS inflation
+    FROM per_text GROUP BY source
+    """,
+)
+def c_dup_inflation(spark, sf_dir):
+    """Token(char)-weighted duplication inflation per source — the
+    before/after-dedup budget number a training-data pipeline reports
+    (storage and compute scale with chars_total; the model only sees
+    chars_unique worth of signal). Every third doc gets a planted exact
+    copy so inflation is nontrivial; grouping is (source, text) keyed —
+    at 100 TB substitute xxhash64(text) as the group key to shuffle
+    64-bit keys instead of full texts (same counts; the text key keeps
+    the oracle engine-portable here). Integer char sums; one final
+    int/int division."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            "text", "source", "n_chars",
+        )
+    )
+    per_text = corpus.groupBy("source", "text").agg(
+        F.count("*").cast("long").alias("n_copies"),
+        F.min("n_chars").cast("long").alias("chars_unique"),
+    )
+    return per_text.groupBy("source").agg(
+        F.sum("n_copies").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_unique_texts"),
+        F.sum(F.col("n_copies") * F.col("chars_unique"))
+        .cast("long")
+        .alias("chars_total"),
+        F.sum("chars_unique").cast("long").alias("chars_unique_total"),
+        (
+            F.sum(F.col("n_copies") * F.col("chars_unique")).cast("double")
+            / F.sum("chars_unique")
+        ).alias("inflation"),
+    )
+
+
+@query(
+    "c_winsorized_mean",
+    oracle="""
+    WITH r AS (
+      SELECT p_brand, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice, p_partkey) AS rn,
+             count(*) OVER (PARTITION BY p_brand) AS n
+      FROM part),
+    cuts AS (
+      SELECT p_brand, p_retailprice, rn, n,
+             max(CASE WHEN rn = n // 10 + 1 THEN p_retailprice END)
+               OVER (PARTITION BY p_brand) AS cut_lo,
+             max(CASE WHEN rn = n - n // 10 THEN p_retailprice END)
+               OVER (PARTITION BY p_brand) AS cut_hi
+      FROM r)
+    SELECT p_brand, CAST(max(n) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(least(greatest(p_retailprice, cut_lo), cut_hi)
+                         AS DECIMAL(20,4))) AS DOUBLE) / max(n)
+             AS winsorized_mean_price
+    FROM cuts GROUP BY p_brand
+    """,
+)
+def c_winsorized_mean(spark, sf_dir):
+    """Winsorized mean price per brand: clamp each value to the exact
+    RANK-based 10th/90th cut rows (integer rank arithmetic — NOT
+    percentile interpolation, whose fractional-index math differs per
+    engine), then the usual exact decimal mean. The cut values attach
+    via conditional window maxes inside the brand partition — no join,
+    one partitioned sort reused by all three windows."""
+    p = T(spark, sf_dir, "part")
+    wb = W.partitionBy("p_brand")
+    r = p.select(
+        "p_brand",
+        "p_retailprice",
+        F.row_number()
+        .over(wb.orderBy("p_retailprice", "p_partkey"))
+        .alias("rn"),
+        F.count("*").over(wb).alias("n"),
+    )
+    k = F.expr("div(n, 10)")
+    cuts = r.select(
+        "p_brand",
+        "p_retailprice",
+        "n",
+        F.max(F.when(F.col("rn") == k + 1, F.col("p_retailprice")))
+        .over(wb)
+        .alias("cut_lo"),
+        F.max(F.when(F.col("rn") == F.col("n") - k, F.col("p_retailprice")))
+        .over(wb)
+        .alias("cut_hi"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("p_retailprice"), F.col("cut_lo")), F.col("cut_hi")
+    )
+    return cuts.groupBy("p_brand").agg(
+        F.max("n").cast("long").alias("n_parts"),
+        (
+            F.sum(clamped.cast("decimal(20,4)")).cast("double")
+            / F.max("n")
+        ).alias("winsorized_mean_price"),
+    )
