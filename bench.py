@@ -75,6 +75,9 @@ BASELINE_SEC = {
     "s_watermark_late": 5.62,
     "s_dedup_stream": 1.56,
     "s_incremental_max": 0.83,
+    "s_sliding": 1.40,
+    "s_custom_state": 1.81,
+    "s_join_interval": 5.73,
 }
 
 #: Local regression gate: with SPARK_GRAFT_BENCH_STRICT=1, exit nonzero if
@@ -118,6 +121,9 @@ BENCH_QUERIES = [
     "s_watermark_late",        # 3-batch late-data drop under watermark
     "s_dedup_stream",          # streaming dropDuplicates state
     "s_incremental_max",       # running high-water mark (find_last_entry)
+    "s_sliding",               # overlapping sliding windows
+    "s_custom_state",          # applyInPandasWithState custom operator
+    "s_join_interval",         # stream-stream interval join
 ]
 
 
