@@ -69,3 +69,19 @@ def test_metrics_observability_example(spark):
     assert 0 <= stats["errors_isolated"] <= stats["errors_total"]
     # deterministic close: identical on rerun
     assert daily_close(spark, SF_DIR) == stats
+
+
+def test_media_pipeline_end_to_end(spark, scratch):
+    from media_pipeline import curate_media
+
+    stats = curate_media(spark, SF_DIR, scratch)
+    assert stats["input_docs"] == 500
+    assert stats["decoded"] == 500
+    assert stats["curated"] + stats["quarantined"] == 500
+    assert stats["quarantined"] > 0  # 1-wide/1-tall fixtures exist
+    assert stats["formats"] == ["bmp", "jpeg", "png"]
+    assert stats["partition_dirs"] == [
+        "format=bmp", "format=jpeg", "format=png"
+    ]
+    # deterministic across reruns
+    assert curate_media(spark, SF_DIR, scratch) == stats
