@@ -716,3 +716,86 @@ def make_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         "meta struct<mime:string,n_bytes:long,source:string>"
     )
     return df.select(F.col(id_col)).mapInPandas(_gen, schema=schema)
+
+
+def make_avi(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic MJPEG-in-AVI video per row: n_frames = id%6+2,
+    geometry w = id%8+1 / h = id%5+1, frame f is flat gray
+    65 + (id+f)%26 encoded by the repo's own baseline-JPEG encoder with
+    all-ones quantization tables (bit-exact round trip — llm/jpeg.py),
+    wrapped in a real RIFF/AVI container (llm/avi.py). A frame sampler's
+    output is analytically predictable from (id, f) — the compressed-
+    video counterpart of make_ppm_stream."""
+
+    def _gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from popelines_spark.llm.avi import make_avi_mjpeg
+        from popelines_spark.llm.jpeg import encode_jpeg
+
+        ones = np.ones((8, 8), np.int32)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h, n = i % 8 + 1, i % 5 + 1, i % 6 + 2
+                frames = [
+                    encode_jpeg(
+                        np.full((h, w, 3), 65 + (i + f) % 26, np.uint8),
+                        "444", ones, ones,
+                    )
+                    for f in range(n)
+                ]
+                buf = make_avi_mjpeg(frames, w, h, fps=10)
+                rows.append(
+                    (i, buf, ("video/x-msvideo", len(buf), "synthetic"))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "payload", "meta"]
+            )
+
+    schema = (
+        "doc_id long, payload binary, "
+        "meta struct<mime:string,n_bytes:long,source:string>"
+    )
+    return df.select(F.col(id_col)).mapInPandas(_gen, schema=schema)
+
+
+def frame_sample_mjpeg(payloads: DataFrame, every_n: int = 10) -> DataFrame:
+    """Every-n-th-frame sampling over MJPEG AVI payloads: the RIFF walker
+    (llm/avi.py) yields frame chunks, each kept frame is REALLY decoded
+    by the baseline-JPEG decoder (llm/jpeg.py — Huffman, dequant, IDCT),
+    and a true numpy channel statistic comes back per sampled frame.
+    Same Arrow-batched stage shape and output schema as frame_sample
+    (the ppm_pipe sampler), so a pipeline swaps containers without
+    touching anything downstream."""
+
+    def _sample(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from popelines_spark.llm.avi import parse_avi_mjpeg
+        from popelines_spark.llm.jpeg import decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, fps, frames = parse_avi_mjpeg(bytes(raw))
+                for f, jpeg in enumerate(frames):
+                    if f % every_n:
+                        continue
+                    fw, fh, ch, px = decode_jpeg(jpeg)
+                    if (fw, fh) != (w, h):
+                        raise ValueError(
+                            f"doc {doc_id}: frame {f} geometry "
+                            f"{fw}x{fh} != container {w}x{h}"
+                        )
+                    rows.append(
+                        (doc_id, f, fw, fh, float(px[..., 0].mean()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height", "mean_r"],
+            )
+
+    return payloads.mapInPandas(_sample, schema=_FRAME_SCHEMA)

@@ -176,3 +176,28 @@ def c_multimodal_jpeg(spark, sf_dir):
     pinned by unit tests on third-party files."""
     d = T(spark, sf_dir, "documents")
     return M.decode_image(M.make_jpeg(d, "doc_id"))
+
+
+@query(
+    "c_multimodal_video",
+    oracle="""
+    WITH fr AS (SELECT doc_id, unnest(range(doc_id % 6 + 2)) AS f
+                FROM documents)
+    SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+           CAST(doc_id % 8 + 1 AS BIGINT) AS width,
+           CAST(doc_id % 5 + 1 AS BIGINT) AS height,
+           CAST(65 + (doc_id + f) % 26 AS DOUBLE) AS mean_r
+    FROM fr WHERE f % 2 = 0
+    """,
+)
+def c_multimodal_video(spark, sf_dir):
+    """COMPRESSED-video frame sampling, oracle-checked end to end: each
+    doc becomes a real MJPEG AVI (RIFF container written by llm/avi.py,
+    every frame a genuine baseline JPEG from llm/jpeg.py with bit-exact
+    flat-color round trip), and frame_sample_mjpeg walks the container,
+    Huffman-decodes every 2nd frame, and reports true pixel statistics.
+    The analytic fixture lets DuckDB predict the decoder output exactly —
+    the same proof pattern as c_multimodal_frames, upgraded from the raw
+    ppm_pipe stream to an actual entropy-coded video format."""
+    d = T(spark, sf_dir, "documents")
+    return M.frame_sample_mjpeg(M.make_avi(d, "doc_id"), every_n=2)

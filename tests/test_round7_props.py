@@ -153,3 +153,55 @@ def test_two_level_full_probe_equals_flat_many_seeds(spark):
             ).collect()
         }
         assert two == flat, seed
+
+
+def test_avi_mjpeg_container_roundtrip():
+    """Container property: frames in == frames out, geometry and fps
+    preserved, byte-identical JPEG payloads (the container must not
+    touch the entropy-coded bytes)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from popelines_spark.llm.avi import make_avi_mjpeg, parse_avi_mjpeg
+    from popelines_spark.llm.jpeg import encode_jpeg
+
+    ones = np.ones((8, 8), np.int32)
+
+    @given(st.integers(1, 9), st.integers(1, 6), st.integers(1, 6),
+           st.integers(0, 2**32 - 1))
+    @settings(max_examples=25, deadline=None)
+    def prop(w, h, n, rngseed):
+        rng = np.random.default_rng(rngseed)
+        frames = [
+            encode_jpeg(
+                rng.integers(0, 256, (h, w, 3)).astype(np.uint8),
+                "444", ones, ones,
+            )
+            for _ in range(n)
+        ]
+        buf = make_avi_mjpeg(frames, w, h, fps=12)
+        gw, gh, fps, got = parse_avi_mjpeg(buf)
+        assert (gw, gh, fps) == (w, h, 12)
+        assert got == frames  # byte-identical payload chunks
+
+    prop()
+
+
+def test_avi_error_contract():
+    import pytest
+
+    from popelines_spark.llm.avi import make_avi_mjpeg, parse_avi_mjpeg
+
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_avi_mjpeg(b"\x89PNG____")
+    buf = make_avi_mjpeg([b"\xff\xd8fakejpeg\xff\xd9"], 4, 3)
+    with pytest.raises(ValueError, match="truncated"):
+        parse_avi_mjpeg(buf[: len(buf) - 6])
+    # non-MJPEG codec fourcc in strf must be rejected, not guessed
+    # (strh also contains MJPG; find the strf one by locating 'strf')
+    h264 = bytearray(buf)
+    strf = bytes(h264).find(b"strf")
+    comp = bytes(h264).find(b"MJPG", strf)
+    h264[comp:comp + 4] = b"H264"
+    with pytest.raises(ValueError, match="unsupported AVI video codec"):
+        parse_avi_mjpeg(bytes(h264))
