@@ -530,3 +530,25 @@ def test_round7_analytics_plans(spark):
     # jpeg decode is the Arrow-batched stage (the Python IS the payload)
     plan = physical_plan(_q("c_multimodal_jpeg", spark))
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+
+
+def test_no_cartesian_product_anywhere(spark):
+    """Registry-wide scale rule #2 (companion to the unpartitioned-window
+    ban): NO registered query may plan an unbounded CartesianProduct.
+    Deliberate small-side cross joins (recall stamps, one-row scalar
+    frames, bounded query sets) plan as BroadcastNestedLoopJoin, which
+    stays allowed — CartesianProduct means BOTH sides were too big to
+    broadcast, i.e. a guaranteed scale-killer. Allowlist: none."""
+    import re
+
+    qs = entrymod.queries()
+    offenders = {}
+    for name, fn in qs.items():
+        try:
+            plan = physical_plan(fn(spark, SF_DIR))
+        except Exception as exc:
+            offenders[name] = f"build failed: {exc}"
+            continue
+        if re.search(r"CartesianProduct", plan):
+            offenders[name] = "CartesianProduct"
+    assert not offenders, offenders
