@@ -755,3 +755,104 @@ def c_winsorized_mean(spark, sf_dir):
             / F.max("n")
         ).alias("winsorized_mean_price"),
     )
+
+
+@query(
+    "c_record_linkage",
+    oracle="""
+    WITH dirty AS (
+      SELECT c_custkey AS dirty_id,
+             substr(c_name, 1, 9 + (c_custkey % 9))
+               || 'X'
+               || substr(c_name, 11 + (c_custkey % 9)) AS dirty_name
+      FROM customer),
+    dmask AS (
+      SELECT dirty_id, dirty_name, CAST(p AS INT) AS p,
+             substr(dirty_name, 1, 9 + CAST(p AS INT))
+               || '_' || substr(dirty_name, 11 + CAST(p AS INT)) AS masked
+      FROM dirty, unnest(range(9)) AS t(p)),
+    cmask AS (
+      SELECT c_custkey AS clean_id, c_name, CAST(p AS INT) AS p,
+             substr(c_name, 1, 9 + CAST(p AS INT))
+               || '_' || substr(c_name, 11 + CAST(p AS INT)) AS masked
+      FROM customer, unnest(range(9)) AS t(p)),
+    cand AS (
+      SELECT DISTINCT d.dirty_id, d.dirty_name, c.clean_id, c.c_name
+      FROM dmask d JOIN cmask c ON c.p = d.p AND c.masked = d.masked),
+    scored AS (
+      SELECT dirty_id, clean_id,
+             CAST(levenshtein(dirty_name, c_name) AS BIGINT) AS lev,
+             row_number() OVER (PARTITION BY dirty_id
+                                ORDER BY levenshtein(dirty_name, c_name),
+                                         clean_id) AS rn
+      FROM cand)
+    SELECT dirty_id, CAST(clean_id AS BIGINT) AS matched_id, lev,
+           dirty_id = clean_id AS true_match
+    FROM scored WHERE rn = 1
+    """,
+)
+def c_record_linkage(spark, sf_dir):
+    """Record linkage (fuzzy entity matching) with deletion-neighborhood
+    blocking: each customer name gets one deterministic character
+    corruption, and the linker recovers matches by generating 9
+    one-position-masked variants per name and equi-joining on
+    (position, masked) — the SymSpell blocking identity: two strings at
+    substitution distance 1 agree on EXACTLY the variant that masks the
+    corrupted position, so candidate generation is a keyed join with no
+    cross product and provably total recall for substitution-1 noise.
+    Exact levenshtein then ranks candidates (both engines implement the
+    same DP, integer-exact); winner = min (distance, id) per dirty row —
+    a dirty_id-partitioned window, never a global one. true_match is
+    honest: a corrupted digit is ambiguous against sibling keys differing
+    only at that digit, so the deterministic winner is not always the
+    true twin — exactly the ambiguity a production linker reports."""
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pos = F.col("c_custkey") % 9
+    dirty = c.select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.concat(
+            F.expr("substr(c_name, 1, 9 + c_custkey % 9)"),
+            F.lit("X"),
+            F.expr("substr(c_name, 11 + c_custkey % 9)"),
+        ).alias("dirty_name"),
+    )
+
+    def masked(df, name_col, id_alias, id_col):
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(name_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(8)),
+                    lambda p: F.concat(
+                        F.substring(F.col(name_col), F.lit(1), 9 + p),
+                        F.lit("_"),
+                        F.substring(
+                            F.col(name_col), 11 + p, F.lit(99)
+                        ),
+                    ),
+                )
+            ).alias("p", "masked"),
+        )
+
+    dmask = masked(dirty, "dirty_name", "dirty_id", "dirty_id")
+    cmask = masked(c, "c_name", "clean_id", "c_custkey")
+    cand = dmask.join(cmask, ["p", "masked"]).select(
+        "dirty_id", "dirty_name", "clean_id", "c_name"
+    ).distinct()
+    scored = cand.select(
+        "dirty_id",
+        "clean_id",
+        F.levenshtein("dirty_name", "c_name").cast("long").alias("lev"),
+    )
+    w = W.partitionBy("dirty_id").orderBy("lev", "clean_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "dirty_id",
+            F.col("clean_id").cast("long").alias("matched_id"),
+            "lev",
+            (F.col("dirty_id") == F.col("clean_id")).alias("true_match"),
+        )
+    )
