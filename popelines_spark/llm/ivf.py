@@ -6,10 +6,13 @@ probes only the n_probe nearest cells. At 100 TB the corpus is written
 partitioned by cell id, so a probe reads n_probe partitions — the classic
 IVF-flat layout, expressed entirely in joins/aggregations.
 
-Training is deterministic: centroids initialize from the corpus rows with
-the lowest ids (no RNG) and refine with a fixed number of Lloyd iterations;
-every step is a broadcast join + groupBy of per-component means. The only
-driver-side data is the n_cells × dim centroid table (bounded, small).
+Training is deterministic: centroids initialize from hash-spread (or
+lowest-id) corpus rows — no RNG — and refine with a fixed number of Lloyd
+iterations; every step is the pure-projection assignment plus a keyed
+groupBy of exact DECIMAL per-component means (bit-identical under any
+input partitioning), optionally over a deterministic hash sample
+(``sample_cap``). The only driver-side data is the n_cells × dim centroid
+table (bounded, small).
 
 Design note: cell assignment is a PURE PROJECTION — transform+array_max
 over a centroid array literal (assign_cells) up to ~10⁴ cells, and the
