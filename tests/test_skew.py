@@ -175,3 +175,49 @@ def test_asof_join_exact_under_skew(spark, skew_dir):
             # chosen row carries the winning timestamp
             chosen = got[lr.lid]
             assert chosen in {r.rid for r in cands if r.rts == best_ts}
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Runtime skew handling (SURVEY.md §4 / ARCHITECTURE skew notes):
+    beside the manual salting operators, the session must be able to let
+    AQE's OptimizeSkewedJoin split an oversized shuffle partition at
+    runtime. Thresholds are lowered for the test fixture (half the fact
+    rows on ONE key); the assertion is the final executed plan carries
+    the SortMergeJoin(skew=true) annotation and the skewed AQEShuffleRead
+    — and the join result is still exact."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(0, 200000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7))
+            .otherwise(F.col("id") % 3000 + 10)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        dim = spark.range(0, 4000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("d")
+        )
+        j = hot.join(dim, "k")
+        rows = j.collect()  # executes THIS dataset → AQE final plan
+        assert len(rows) == 200000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "skewed" in plan  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
