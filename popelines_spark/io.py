@@ -392,6 +392,7 @@ def write_table_snapshot(
     HPath = jvm.org.apache.hadoop.fs.Path
     existing = _committed_versions(fs, root, jvm)
     version = (existing[-1] + 1) if existing else 1
+    attempts = 0
     while True:
         vpath = snapshot_version_path(warehouse, table_name, version)
         reserved = HPath(vpath + ".__reserved")
@@ -399,7 +400,23 @@ def write_table_snapshot(
             # atomic create(overwrite=False): exactly one writer wins id N
             fs.create(reserved, False).close()
             break
-        except Exception:
+        except Exception as exc:
+            # Only an already-reserved id means "another writer won —
+            # try the next one". Anything else (permissions, closed FS,
+            # expired credentials) must SURFACE, not spin version ids
+            # forever (code-review r7).
+            msg = str(exc)
+            if (
+                "FileAlreadyExists" not in msg
+                and "already exists" not in msg.lower()
+            ):
+                raise
+            attempts += 1
+            if attempts > 10_000:
+                raise RuntimeError(
+                    f"write_table_snapshot: {attempts} reservation "
+                    f"collisions under {root} — stale .__reserved files?"
+                ) from exc
             version += 1
     out = df.repartition(n_files) if n_files else df
     out.write.mode("overwrite").parquet(vpath)

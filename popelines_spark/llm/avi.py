@@ -49,7 +49,10 @@ def make_avi_mjpeg(
     max_bytes = max((len(f) for f in frames), default=0)
     avih = struct.pack(
         "<IIIIIIIIII4I",
-        us_per_frame, max_bytes * fps, 0, 0x10,  # AVIF_HASINDEX off: 0x10=interleaved-ish flags kept minimal
+        # dwFlags = 0: no idx1 chunk is written, so AVIF_HASINDEX (0x10)
+        # must NOT be claimed (code-review r7 — a strict player would
+        # attempt index-based seeking on a missing chunk)
+        us_per_frame, max_bytes * fps, 0, 0,
         n, 0, 1, max_bytes, width, height, 0, 0, 0, 0,
     )
     strh = (
@@ -82,9 +85,10 @@ def parse_avi_mjpeg(buf: bytes):
     fps = 0
     frames: list[bytes] = []
     compression = None
+    stream_type = None  # fccType of the most recent strh
 
     def walk(pos: int, end: int) -> None:
-        nonlocal width, height, fps, compression
+        nonlocal width, height, fps, compression, stream_type
         while pos + 8 <= end:
             fourcc = buf[pos:pos + 4]
             (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
@@ -100,8 +104,16 @@ def parse_avi_mjpeg(buf: bytes):
                     "<II", buf[body_start + 32:body_start + 40]
                 )
                 fps = 1_000_000 // us_pf if us_pf else 0
+            elif fourcc == b"strh":
+                stream_type = buf[body_start:body_start + 4]
             elif fourcc == b"strf":
-                compression = buf[body_start + 16:body_start + 20]
+                # only the VIDEO stream's format chunk carries the codec
+                # fourcc at offset 16 (BITMAPINFOHEADER.biCompression) —
+                # an audio strf (WAVEFORMATEX) would overwrite it with
+                # unrelated bytes and spuriously fail the codec check
+                # (code-review r7)
+                if stream_type == b"vids":
+                    compression = buf[body_start + 16:body_start + 20]
             elif fourcc in (b"00dc", b"00db"):
                 frames.append(buf[body_start:body_end])
             pos = body_end + (size % 2)  # even padding

@@ -443,7 +443,6 @@ def assign_cells_two_level(
     if n_coarse is None:
         n_coarse = max(4, int(math.isqrt(len(centroids))))
     n_coarse = min(n_coarse, len(centroids))
-    coarse_probe = min(coarse_probe, n_coarse)
     coarse, cell_to_coarse = _coarse_groups(centroids, n_coarse)
 
     spark = df.sparkSession
@@ -453,10 +452,16 @@ def assign_cells_two_level(
         groups.setdefault(cell_to_coarse[cid], []).append(
             (cid, [float(x) for x in vec])
         )
+    # EMPTY coarse groups (possible when the numpy Lloyd loop strands a
+    # seed: argmax ties collapse onto the lowest index) are dropped from
+    # BOTH the candidate table and the probe literal — probing one would
+    # yield zero candidates and a silent NULL __cell (code-review r7).
     fine = spark.createDataFrame(
         [(g, members) for g, members in sorted(groups.items())],
         "__coarse int, __cands array<struct<cell:int,cvec:array<double>>>",
     )
+    coarse = [(g, vec) for g, vec in coarse if g in groups]
+    coarse_probe = min(coarse_probe, len(coarse))
 
     coarse_arr = F.array(*[
         F.struct(

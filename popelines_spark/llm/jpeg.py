@@ -157,16 +157,13 @@ def _huff_codes(bits, huffval):
 
 
 def _huff_decode_table(bits, huffval):
-    """{(length, code): symbol} for the reader."""
-    out, code = {}, 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            out[(length, code)] = huffval[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return out
+    """{(length, code): symbol} for the reader — the same canonical
+    assignment as _huff_codes, inverted (one source of truth for the
+    Annex C loop; code-review r7)."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _huff_codes(bits, huffval).items()
+    }
 
 
 # --- bit-level IO with 0xFF byte stuffing -------------------------------
@@ -534,8 +531,18 @@ def decode_jpeg(buf: bytes):
         c["bw"] = mcux * c["h"]
         c["bh"] = mcuy * c["v"]
         c["plane"] = np.zeros((c["bh"] * 8, c["bw"] * 8), np.float64)
-        c["dc_tab"] = htabs.get((0, sel[c["id"]][0]))
-        c["ac_tab"] = htabs.get((1, sel[c["id"]][1]))
+        tt = sel.get(c["id"])
+        if tt is None:
+            # a legal non-interleaved multi-scan file (or a corrupt one)
+            # lists only a subset of SOF components in its first SOS —
+            # keep the documented ValueError contract, not a KeyError
+            # (code-review r7)
+            raise ValueError(
+                "unsupported JPEG variant (non-interleaved scan: SOS "
+                f"omits SOF component id {c['id']})"
+            )
+        c["dc_tab"] = htabs.get((0, tt[0]))
+        c["ac_tab"] = htabs.get((1, tt[1]))
         c["q"] = qtabs.get(c["tq"])
         if c["dc_tab"] is None or c["ac_tab"] is None or c["q"] is None:
             raise ValueError("scan references undefined huffman/quant table")

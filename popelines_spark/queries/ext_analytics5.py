@@ -323,7 +323,14 @@ def c_minhash_est_vs_true(spark, sf_dir):
         ).alias(f"h{k}")
         for k in range(64)
     ])
-    docs = d.select("doc_id", words.alias("w"), sig.alias("sig"))
+    # pre-filter to the pair members BEFORE computing the 64-hash
+    # signatures: Spark can't derive (doc_id-1)%25==0 through the join,
+    # so without this ~24/25 of the signature work is computed and
+    # discarded (code-review r7)
+    probe = d.filter(
+        (F.col("doc_id") % 25 == 0) | (F.col("doc_id") % 25 == 1)
+    )
+    docs = probe.select("doc_id", words.alias("w"), sig.alias("sig"))
     a = docs.filter(F.col("doc_id") % 25 == 0).select(
         F.col("doc_id").alias("a_id"),
         F.col("w").alias("wa"),
@@ -574,9 +581,9 @@ def c_ivf_cells_scale(spark, sf_dir):
                 ELSE CAST(0 AS DOUBLE) END AS top_bigram_frac,
            (CAST(1 AS DOUBLE) - CAST(b.n_distinct AS DOUBLE) / b.n_words
               > CAST(0.6 AS DOUBLE))
-           OR (t.n_bigrams > 0 AND
+           OR coalesce(t.n_bigrams > 0 AND
                CAST(t.top_bigram_n AS DOUBLE) / t.n_bigrams
-                 > CAST(0.18 AS DOUBLE)) AS flagged
+                 > CAST(0.18 AS DOUBLE), FALSE) AS flagged
     FROM base b LEFT JOIN top t ON t.doc_id = b.doc_id
     """,
 )
@@ -629,7 +636,13 @@ def c_repetition_filter(spark, sf_dir):
         top_frac.alias("top_bigram_frac"),
         (
             (dup_frac > 0.6)
-            | ((F.col("n_bigrams") > 0) & (top_frac > 0.18))
+            # coalesce: a 0/1-word doc has NULL n_bigrams, and
+            # NULL & FALSE / NULL AND NULL differ between the engines'
+            # three-valued-logic shortcuts (code-review r7) — pin the
+            # missing-bigram case to FALSE on BOTH sides
+            | F.coalesce(
+                (F.col("n_bigrams") > 0) & (top_frac > 0.18), F.lit(False)
+            )
         ).alias("flagged"),
     )
 

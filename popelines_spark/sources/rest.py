@@ -140,7 +140,8 @@ def fetch_windows_distributed(
                             break  # client errors don't retry
                     except Exception as e:  # URLError, timeout, ...
                         err = repr(e)
-                    time.sleep(backoff_s * attempt)
+                    if attempt < max_retries:  # no sleep after the final try
+                        time.sleep(backoff_s * attempt)
                 bodies.append(body)
                 statuses.append(status)
                 attempts_l.append(attempt)

@@ -64,6 +64,17 @@ def run_to_completion(
     table as a batch DataFrame. Side effect: LAST_STATE_METRICS records
     the drained query's micro-batch count and peak state-store size."""
     name = f"pls_stream_{next(_COUNTER)}_{os.getpid()}"
+    # recentProgress retains only numRecentProgressUpdates entries
+    # (default 100) — a replay with more micro-batches than that would
+    # under-report batches/state peaks (code-review r7); raise the
+    # retention well past any replay used here
+    spark = result.sparkSession
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.numRecentProgressUpdates", "10000"
+        )
+    except Exception:
+        pass  # conf locked: metrics degrade to last-100, never wrong sums
     q = (
         result.writeStream.outputMode(output_mode)
         .format("memory")
