@@ -248,3 +248,60 @@ def a_source_rest_fanout(spark, sf_dir):
         "w", "window_start", F.col("j.rev").alias("window_rev"),
         "status", "attempts",
     )
+
+
+@query(
+    "a_source_rest_pyds",
+    oracle="""
+    SELECT CAST(w AS BIGINT) AS w,
+           CAST(strftime(DATE '2024-01-01' + (w * 2) * INTERVAL 1 DAY,
+                         '%Y-%m-%d') AS VARCHAR) AS window_start,
+           CAST((w + 1) * 25 AS BIGINT) AS window_rev,
+           CAST(200 AS BIGINT) AS status,
+           CAST(1 AS BIGINT) AS attempts
+    FROM (SELECT unnest(range(8)) AS w)
+    """,
+)
+def a_source_rest_pyds(spark, sf_dir):
+    """The windowed REST extract as a FIRST-CLASS Spark data source
+    (Spark 4 Python DataSource API, sources/pyds.py): windows are the
+    source's input partitions — one task per window, retry/status/error
+    in the reader — so `spark.read.format("rest_windows")` composes with
+    the whole DataFrame surface. Same hermetic file:// fixture and
+    oracle as a_source_rest_fanout; live-http behavior is pinned by the
+    stub-server tests."""
+    from popelines_spark.sources.pyds import RestWindowsDataSource
+
+    pages = os.path.join(_SCRATCH, "rest_pyds")
+    shutil.rmtree(pages, ignore_errors=True)
+    os.makedirs(pages)
+    import datetime as dt
+
+    from popelines_spark.incremental import chunk_date_range
+
+    for w, (start, _end) in enumerate(
+        chunk_date_range(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 16), 2)
+    ):
+        key = start.strftime("%Y-%m-%d")
+        with open(os.path.join(pages, f"{key}.json"), "w") as f:
+            json.dump({"window_start": key, "rev": (w + 1) * 25}, f)
+    spark.dataSource.register(RestWindowsDataSource)
+    df = (
+        spark.read.format("rest_windows")
+        .option("url_template", f"file://{pages}/{{start}}.json")
+        .option("start", "2024-01-01")
+        .option("end", "2024-01-16")
+        .option("chunk_days", "2")
+        .load()
+    )
+    parsed = df.select(
+        F.col("w").cast("long").alias("w"),
+        "window_start",
+        F.from_json("body", "window_start string, rev bigint").alias("j"),
+        F.col("status").cast("long").alias("status"),
+        F.col("attempts").cast("long").alias("attempts"),
+    )
+    return parsed.select(
+        "w", "window_start", F.col("j.rev").alias("window_rev"),
+        "status", "attempts",
+    )

@@ -80,7 +80,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "c_clv_decay", "c_text_compress_ratio", "c_delim_fields",
     "c_minhash_est_vs_true", "c_part_margin_rank", "c_cold_start_items",
     "c_repetition_filter", "c_dup_inflation", "c_winsorized_mean",
-    "c_multimodal_video", "c_record_linkage",
+    "c_multimodal_video", "c_record_linkage", "a_source_rest_pyds",
 )
 
 

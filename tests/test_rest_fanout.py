@@ -116,3 +116,47 @@ def test_window_fanout_surfaces_hard_errors(spark):
         assert r["__error"] and "404" in r["__error"]
     finally:
         srv.shutdown()
+
+
+def test_pyds_rest_windows_against_live_server(spark):
+    """The Spark-4 Python DataSource form: one input partition per
+    window, executor-side fetch against a real HTTP server, retry and
+    error surface preserved."""
+    from popelines_spark.sources.pyds import RestWindowsDataSource
+
+    spark.dataSource.register(RestWindowsDataSource)
+    srv, port = _server()
+    try:
+        df = (
+            spark.read.format("rest_windows")
+            .option("url_template",
+                    f"http://127.0.0.1:{port}/data?start=10&end=17")
+            .option("start", "2024-02-01")
+            .option("end", "2024-02-09")
+            .option("chunk_days", "2")
+            .load()
+        )
+        rows = df.collect()
+        assert len(rows) == 5  # chunk_date_range yields 5 windows here
+        assert df.rdd.getNumPartitions() == 5  # one split per window
+        assert all(r.status == 200 and r.attempts == 1 for r in rows)
+        import json as _json
+
+        assert all(_json.loads(r.body)["n"] == 7 for r in rows)
+        # hard 404: surfaced per window, no retry on 4xx
+        bad = (
+            spark.read.format("rest_windows")
+            .option("url_template", f"http://127.0.0.1:{port}/gone")
+            .option("start", "2024-02-01")
+            .option("end", "2024-02-03")
+            .option("chunk_days", "2")
+            .option("backoff_s", "0.01")
+            .load()
+        ).collect()
+        assert all(
+            r.status == 404 and r.attempts == 1 and r.body is None
+            and "404" in r.error
+            for r in bad
+        )
+    finally:
+        srv.shutdown()
