@@ -869,3 +869,177 @@ def c_record_linkage(spark, sf_dir):
             (F.col("dirty_id") == F.col("clean_id")).alias("true_match"),
         )
     )
+
+
+@query(
+    "c_histogram2d",
+    oracle="""
+    WITH b AS (
+      SELECT least(CAST(floor(l_quantity / 10) AS BIGINT), 4) AS qty_bucket,
+             least(CAST(floor(l_extendedprice / 20000) AS BIGINT), 4)
+               AS price_bucket,
+             l_extendedprice
+      FROM lineitem)
+    SELECT qty_bucket, price_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           {rev} AS revenue
+    FROM b GROUP BY 1, 2
+    """.format(rev=sql_dsum("l_extendedprice")),
+)
+def c_histogram2d(spark, sf_dir):
+    """2-D equi-width histogram (quantity × price heat grid) — the
+    density backend for a scatter-heatmap over a table too big to plot
+    row-wise. Bucket index = floor(value / width) — floor on the raw
+    double, NEVER a double→BIGINT cast first (Spark truncates, DuckDB
+    rounds: the registry's banned pattern; the first cut moved one
+    boundary row per engine) — capped into a fixed 5×5 grid; one keyed
+    agg, no joins."""
+    li = T(spark, sf_dir, "lineitem")
+    qb = F.least(
+        F.floor(F.col("l_quantity") / 10), F.lit(4)
+    ).cast("long")
+    pb = F.least(
+        F.floor(F.col("l_extendedprice") / 20000), F.lit(4)
+    ).cast("long")
+    return li.groupBy(
+        qb.alias("qty_bucket"), pb.alias("price_bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        dsum("l_extendedprice").alias("revenue"),
+    )
+
+
+@query(
+    "c_spearman_brand",
+    oracle="""
+    WITH j AS (
+      SELECT p.p_brand, l.l_quantity AS x, l.l_extendedprice AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    r AS (
+      SELECT p_brand,
+             2 * rank() OVER (PARTITION BY p_brand ORDER BY x)
+               + count(*) OVER (PARTITION BY p_brand, x) - 1 AS rx2,
+             2 * rank() OVER (PARTITION BY p_brand ORDER BY y)
+               + count(*) OVER (PARTITION BY p_brand, y) - 1 AS ry2
+      FROM j),
+    s AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+             SUM(CAST(rx2 AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(ry2 AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(rx2 * rx2 AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(ry2 * ry2 AS DECIMAL(38,0))) AS syy,
+             SUM(CAST(rx2 * ry2 AS DECIMAL(38,0))) AS sxy
+      FROM r GROUP BY p_brand)
+    SELECT p_brand, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 9)
+             AS spearman_rho
+    FROM s
+    WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def c_spearman_brand(spark, sf_dir):
+    """Spearman rank correlation between quantity and price per brand —
+    the monotone-dependence screen that is robust where Pearson is not.
+
+    TIE-CORRECT by construction: ranks are AVERAGE ranks over VALUES
+    (doubled to stay integer: 2·avg_rank = 2·min_rank + tie_count − 1),
+    which depend only on the value multiset — NOT on row identity. The
+    first cut paired per-row row_numbers with a "(orderkey, linenumber)
+    unique tie-break"… which this synthetic lineitem does NOT satisfy
+    (719 duplicate key pairs), so the rx↔ry pairing was plan-dependent
+    and the two engines disagreed. With value ranks, rho = Pearson on
+    the rank variables: all five moment sums are scale-0-decimal exact
+    (magnitudes < 2^53, so the double casts are exact on both engines),
+    then one sqrt + one division — correctly rounded, identical."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    j = li.join(p, p.p_partkey == li.l_partkey).select(
+        "p_brand",
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+
+    def rank2(col):
+        return (
+            2 * F.rank().over(W.partitionBy("p_brand").orderBy(col))
+            + F.count("*").over(W.partitionBy("p_brand", col))
+            - 1
+        )
+
+    r = j.select(
+        "p_brand", rank2("x").alias("rx2"), rank2("y").alias("ry2")
+    )
+    dec = "decimal(38,0)"
+    s = r.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("rx2").cast(dec)).alias("sx"),
+        F.sum(F.col("ry2").cast(dec)).alias("sy"),
+        F.sum((F.col("rx2") * F.col("rx2")).cast(dec)).alias("sxx"),
+        F.sum((F.col("ry2") * F.col("ry2")).cast(dec)).alias("syy"),
+        F.sum((F.col("rx2") * F.col("ry2")).cast(dec)).alias("sxy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        s.filter((F.col("n") >= 2) & (varx > 0) & (vary > 0))
+        .select(
+            "p_brand",
+            "n",
+            F.round(
+                num.cast("double")
+                / F.sqrt(varx.cast("double") * vary.cast("double")),
+                9,
+            ).alias("spearman_rho"),
+        )
+    )
+
+
+@query(
+    "c_cdf_points",
+    oracle="""
+    WITH pts AS (SELECT unnest([1.0, 10.0, 25.0, 40.0, 50.0]) AS x),
+    seg AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY 1)
+    SELECT s.l_returnflag, CAST(p.x AS DOUBLE) AS x,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE l.l_returnflag = s.l_returnflag
+                   AND l.l_quantity <= p.x) AS DOUBLE) / s.n AS cdf
+    FROM seg s, pts p
+    """,
+)
+def c_cdf_points(spark, sf_dir):
+    """Empirical CDF of quantity evaluated at 5 fixed probe points per
+    return flag — the shape summary behind QQ/CDF plots without moving
+    raw rows. ONE scan: conditional counts per probe point fold into the
+    same keyed aggregate (sum of <=x indicators), then divide by the
+    segment count — int/int double division, exact both engines. The
+    oracle spells it as correlated counts; the engine computes all five
+    points in a single pass."""
+    li = T(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    pts = [1.0, 10.0, 25.0, 40.0, 50.0]
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        *[
+            F.sum((F.col("l_quantity") <= x).cast("long")).alias(f"c{i}")
+            for i, x in enumerate(pts)
+        ],
+    )
+    stacked = agg.select(
+        "l_returnflag",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(x).alias("x"),
+                    (F.col(f"c{i}").cast("double") / F.col("n"))
+                    .alias("cdf"),
+                )
+                for i, x in enumerate(pts)
+            ])
+        ).alias("s"),
+    )
+    return stacked.select(
+        "l_returnflag", F.col("s.x").alias("x"), F.col("s.cdf").alias("cdf")
+    )

@@ -81,6 +81,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "c_minhash_est_vs_true", "c_part_margin_rank", "c_cold_start_items",
     "c_repetition_filter", "c_dup_inflation", "c_winsorized_mean",
     "c_multimodal_video", "c_record_linkage", "a_source_rest_pyds",
+    "c_histogram2d", "c_spearman_brand", "c_cdf_points",
 )
 
 
