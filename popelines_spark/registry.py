@@ -82,6 +82,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "c_repetition_filter", "c_dup_inflation", "c_winsorized_mean",
     "c_multimodal_video", "c_record_linkage", "a_source_rest_pyds",
     "c_histogram2d", "c_spearman_brand", "c_cdf_points",
+    "c_kendall_tau", "c_chi2_independence", "c_lorenz_points",
 )
 
 
@@ -104,6 +105,7 @@ def load_all() -> None:
         ext_analytics3,
         ext_analytics4,
         ext_analytics5,
+        ext_analytics6,
         ext_curation,
         ext_dedup,
         ext_graph,
