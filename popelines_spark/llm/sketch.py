@@ -165,3 +165,87 @@ def bloom_probe(
         )
     )
     return hit.groupBy(*df.columns).agg(F.min("__bit_set").alias(out_col))
+
+
+# --- Misra-Gries heavy hitters (two-pass, mergeable candidates) ----------
+
+
+def misra_gries_candidates(
+    df: DataFrame, col: str, capacity: int
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries over ``df[col]`` → one
+    bounded candidate-term frame (``term`` column, ≤ capacity rows per
+    input partition).
+
+    The classic streaming frequent-items sketch as an Arrow-batched
+    partition fold: each partition keeps ≤ ``capacity`` counters; on
+    overflow every counter is decremented (at most n_p/(capacity+1)
+    decrement rounds), so any item with partition count
+    > n_p/(capacity+1) is guaranteed to survive. Union-of-candidates
+    across partitions therefore contains every item with GLOBAL count
+    > N/(capacity+1) (averaging argument: an item below that bar in
+    every partition is below it globally).
+
+    The candidate SET depends on partitioning — callers must treat it as
+    a superset and re-count exactly (see ``heavy_hitters``); that second
+    pass is what makes the operator's OUTPUT partitioning-invariant and
+    oracle-checkable.
+
+    Scale shape: one mapInPandas pass (no shuffle), output bounded by
+    capacity × n_partitions rows regardless of corpus size."""
+    import pandas as pd
+
+    def fold(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for term in pdf[col]:
+                if term is None:
+                    continue
+                if term in counters:
+                    counters[term] += 1
+                elif len(counters) < capacity:
+                    counters[term] = 1
+                else:
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"term": list(counters.keys())})
+
+    return df.select(F.col(col).alias(col)).mapInPandas(
+        fold, schema="term string"
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, denom: int, capacity: int | None = None
+) -> DataFrame:
+    """Exact heavy hitters: terms with count·denom > N (frequency above
+    1/denom of the stream), found WITHOUT a full-vocabulary shuffle.
+
+    Pass 1 (misra_gries_candidates, capacity defaults to 2·denom ≥ the
+    guarantee bar) yields a bounded candidate superset with no shuffle;
+    pass 2 exact-counts ONLY the broadcast candidates and applies the
+    integer cross-multiplied threshold (no float division), so the
+    result is exactly the true heavy-hitter set — the sketch bounds the
+    work, not the answer.
+
+    At 100 TB this is the only viable shape: the full-vocab groupBy that
+    an exact one-pass answer needs shuffles billions of distinct terms,
+    while this shuffles ≤ capacity × n_partitions candidate rows."""
+    capacity = capacity or 2 * denom
+    cand = misra_gries_candidates(df, col, capacity).distinct()
+    total = df.where(F.col(col).isNotNull()).agg(
+        F.count(col).cast("long").alias("total")
+    )
+    return (
+        df.join(F.broadcast(cand), df[col] == cand.term, "left_semi")
+        .groupBy(F.col(col).alias("term"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * denom > F.col("total"))
+        .select("term", "cnt", "total")
+    )

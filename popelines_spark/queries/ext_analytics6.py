@@ -320,3 +320,229 @@ def c_lorenz_points(spark, sf_dir):
             ).alias("cum_share"),
         )
     )
+
+
+@query(
+    "c_heavy_hitters",
+    oracle="""
+    WITH w AS (SELECT unnest(str_split(text, ' ')) AS term FROM documents),
+    c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+    SELECT term, cnt, total FROM c CROSS JOIN tot
+    WHERE cnt * 40 > total
+    """,
+)
+def c_heavy_hitters(spark, sf_dir):
+    """Exact frequent terms (frequency > 1/40 of the token stream) via
+    the two-pass Misra-Gries shape: a shuffle-free per-partition sketch
+    pass yields a bounded candidate superset, then ONLY the broadcast
+    candidates are exact-counted and thresholded by integer
+    cross-multiplication — the output is the exact heavy-hitter set, so
+    the DuckDB oracle is the plain full-vocabulary HAVING query.
+
+    At 100 TB the full-vocab groupBy the oracle runs would shuffle every
+    distinct term; the sketch path shuffles ≤ capacity×n_partitions
+    candidate rows and one broadcast. llm/sketch.py:heavy_hitters
+    carries the guarantee math (capacity 2·denom ≥ the N/(capacity+1)
+    survival bar)."""
+    from popelines_spark.llm.sketch import heavy_hitters
+
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    return heavy_hitters(toks, "term", denom=40)
+
+
+@query(
+    "c_pmi_bigrams",
+    oracle="""
+    WITH arrs AS (SELECT str_split(text, ' ') AS arr FROM documents
+                  WHERE len(str_split(text, ' ')) >= 2),
+    bgr AS (SELECT unnest(list_transform(range(len(arr) - 1),
+                          i -> arr[i+1])) AS w1,
+                   unnest(list_transform(range(len(arr) - 1),
+                          i -> arr[i+2])) AS w2
+            FROM arrs),
+    bgc AS MATERIALIZED (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+      FROM bgr GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM bgc GROUP BY 1),
+    c2 AS (SELECT w2, CAST(SUM(c_xy) AS BIGINT) AS c_y FROM bgc GROUP BY 1),
+    n AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_bg FROM bgc),
+    scored AS (
+      SELECT w1, w2, c_xy,
+             CAST(c_xy AS DOUBLE) * n_bg / (c_x * CAST(c_y AS DOUBLE))
+               AS ratio
+      FROM bgc JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+      WHERE c_xy >= 5)
+    SELECT w1, w2, c_xy, round(ln(ratio), 6) AS pmi
+    FROM scored
+    ORDER BY ratio DESC, w1, w2 LIMIT 50
+    """,
+)
+def c_pmi_bigrams(spark, sf_dir):
+    """Top-50 collocations by pointwise mutual information: bigrams
+    whose joint frequency most exceeds the independence expectation of
+    their first/second-position marginals (c_xy ≥ 5 noise floor) — the
+    classic phrase-mining signal over a pretraining corpus.
+
+    Determinism: the RANKING key is the rational ratio c_xy·N/(c_x·c_y)
+    computed with per-row IEEE arithmetic on exact integers (identical
+    doubles on both engines, unique (w1,w2) tie-break) — ln() touches
+    only the REPORTED pmi, rounded to 6dp, so a 1-ulp libm divergence
+    cannot reorder the result set. Scale shape: one bigram rollup
+    (vocab²-bounded), two marginal rollups of the rollup, broadcast
+    joins — corpus size only enters the first keyed agg."""
+    docs = T(spark, sf_dir, "documents")
+    arr = docs.select(F.split(F.col("text"), " ").alias("arr")).where(
+        F.size("arr") >= 2
+    )
+    bgr = arr.select(
+        "arr", F.posexplode(F.slice("arr", 1, F.size("arr") - 1))
+    ).select(
+        F.col("col").alias("w1"),
+        F.expr("arr[pos + 1]").alias("w2"),
+    )
+    bgc = bgr.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("c_xy")
+    )
+    bgc = checkpoint(bgc, "pmi-bigram-counts", eager=False)
+    c1 = bgc.groupBy("w1").agg(F.sum("c_xy").cast("long").alias("c_x"))
+    c2 = bgc.groupBy("w2").agg(F.sum("c_xy").cast("long").alias("c_y"))
+    n = bgc.agg(F.sum("c_xy").cast("long").alias("n_bg"))
+    ratio = (
+        F.col("c_xy").cast("double")
+        * F.col("n_bg")
+        / (F.col("c_x") * F.col("c_y").cast("double"))
+    )
+    return (
+        bgc.where(F.col("c_xy") >= 5)
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select("w1", "w2", "c_xy", ratio.alias("ratio"))
+        .orderBy(F.col("ratio").desc(), "w1", "w2")
+        .limit(50)
+        .select(
+            "w1", "w2", "c_xy", F.round(F.log("ratio"), 6).alias("pmi")
+        )
+    )
+
+
+@query(
+    "c_km_curve",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders),
+    anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+    life AS (
+      SELECT f.o_custkey,
+             CAST(CASE WHEN s.d IS NOT NULL
+                       THEN date_diff('day', f.d, s.d)
+                       ELSE date_diff('day', f.d, a.maxd) END AS BIGINT)
+               AS dur,
+             CASE WHEN s.d IS NOT NULL THEN 1 ELSE 0 END AS evt
+      FROM (SELECT * FROM ranked WHERE rn = 1) f
+      LEFT JOIN (SELECT * FROM ranked WHERE rn = 2) s USING (o_custkey)
+      CROSS JOIN anchor a),
+    grain AS MATERIALIZED (
+      SELECT dur, CAST(count(*) AS BIGINT) AS n_all,
+             CAST(SUM(evt) AS BIGINT) AS d_evt
+      FROM life GROUP BY dur),
+    ev AS MATERIALIZED (
+      SELECT t.dur AS t, t.d_evt AS d_t,
+             CAST(SUM(g.n_all) AS BIGINT) AS n_risk
+      FROM grain t JOIN grain g ON g.dur >= t.dur
+      WHERE t.d_evt > 0
+      GROUP BY t.dur, t.d_evt),
+    terms AS (
+      SELECT t, d_t, n_risk,
+             round(-ln(1 - CAST(d_t AS DOUBLE) / n_risk), 9) AS term
+      FROM ev WHERE d_t < n_risk)
+    SELECT a.t, a.d_t, a.n_risk,
+           round(CAST(SUM(CAST(b.term AS DECIMAL(20,9))) AS DOUBLE), 6)
+             AS km_nls
+    FROM terms a JOIN terms b ON b.t <= a.t
+    GROUP BY a.t, a.d_t, a.n_risk
+    """,
+)
+def c_km_curve(spark, sf_dir):
+    """Kaplan-Meier curve for time-to-second-order (repeat purchase):
+    one-order customers are right-censored at the corpus horizon, and
+    the curve is reported as the cumulative hazard km_nls = -ln S(t) at
+    each event time — survival itself is exp(-km_nls), but the product
+    is kept in log space so the cumulative is an order-free DECIMAL sum
+    of per-row 9dp-rounded hazard terms, not a float product chain.
+
+    Scale shape: per-customer first/second-order rollup (one keyed
+    window), then everything runs on the day-grain life table — a
+    calendar-bounded frame (thousands of rows at ANY corpus size) walked
+    with broadcast ≥/≤ staircase joins for risk sets and cumulative
+    hazards; no global window, no O(N²) anywhere past the rollup."""
+    from pyspark.sql.window import Window as W
+
+    od = T(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = od.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.row_number().over(w).alias("rn"),
+    )
+    ranked = checkpoint(ranked, "km-ranked", eager=False)
+    anchor = od.agg(F.max(F.to_date("o_orderdate")).alias("maxd"))
+    f = ranked.where(F.col("rn") == 1).select("o_custkey", "d")
+    s = ranked.where(F.col("rn") == 2).select(
+        "o_custkey", F.col("d").alias("d2")
+    )
+    life = (
+        f.join(s, "o_custkey", "left")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.when(
+                F.col("d2").isNotNull(), F.datediff("d2", "d")
+            )
+            .otherwise(F.datediff("maxd", "d"))
+            .cast("long")
+            .alias("dur"),
+            F.when(F.col("d2").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("evt"),
+        )
+    )
+    grain = life.groupBy("dur").agg(
+        F.count("*").cast("long").alias("n_all"),
+        F.sum("evt").cast("long").alias("d_evt"),
+    )
+    grain = checkpoint(grain, "km-grain", eager=False)
+    g2 = grain.select(
+        F.col("dur").alias("dur2"), F.col("n_all").alias("n_all2")
+    )
+    ev = (
+        grain.where(F.col("d_evt") > 0)
+        .join(F.broadcast(g2), F.col("dur2") >= F.col("dur"))
+        .groupBy(F.col("dur").alias("t"), F.col("d_evt").alias("d_t"))
+        .agg(F.sum("n_all2").cast("long").alias("n_risk"))
+    )
+    terms = ev.where(F.col("d_t") < F.col("n_risk")).select(
+        "t", "d_t", "n_risk",
+        F.round(
+            -F.log(F.lit(1) - F.col("d_t").cast("double") / F.col("n_risk")),
+            9,
+        ).alias("term"),
+    )
+    terms = checkpoint(terms, "km-terms", eager=False)
+    b = terms.select(F.col("t").alias("t2"), F.col("term").alias("term2"))
+    return (
+        terms.join(F.broadcast(b), F.col("t2") <= F.col("t"))
+        .groupBy("t", "d_t", "n_risk")
+        .agg(
+            F.round(
+                F.sum(F.col("term2").cast("decimal(20,9)")).cast("double"),
+                6,
+            ).alias("km_nls")
+        )
+    )

@@ -205,3 +205,40 @@ def test_avi_error_contract():
     h264[comp:comp + 4] = b"H264"
     with pytest.raises(ValueError, match="unsupported AVI video codec"):
         parse_avi_mjpeg(bytes(h264))
+
+
+def test_misra_gries_exact_under_any_partitioning(spark):
+    """heavy_hitters output must equal the exact HAVING-threshold set no
+    matter how the input is partitioned — the candidate pass may emit
+    different supersets per layout, but the exact re-count pass erases
+    that. Skewed stream: term t_i appears 2^i times, i=0..9 (N=1023,
+    only t_9=512 and t_8=256 clear N/4), plus capacity far below the
+    distinct count to make the sketch actually prune."""
+    from pyspark.sql import functions as F
+
+    from popelines_spark.llm.sketch import heavy_hitters
+
+    rows = [(f"t{i}",) for i in range(10) for _ in range(2 ** i)]
+    df = spark.createDataFrame(rows, "term string")
+    exact = {("t9", 512), ("t8", 256)}  # cnt*4 > 1023
+    for parts in (1, 7, 32):
+        got = {
+            (r.term, r.cnt)
+            for r in heavy_hitters(
+                df.repartition(parts), "term", denom=4, capacity=5
+            ).collect()
+        }
+        assert got == exact, (parts, got)
+
+
+def test_misra_gries_candidates_bounded(spark):
+    """The candidate frame is bounded by capacity × n_partitions even on
+    an adversarial all-distinct stream (nothing survives decrements
+    except the ≤capacity tail of each partition)."""
+    from popelines_spark.llm.sketch import misra_gries_candidates
+
+    df = spark.createDataFrame(
+        [(f"u{i}",) for i in range(5000)], "term string"
+    ).repartition(8)
+    n = misra_gries_candidates(df, "term", capacity=16).count()
+    assert n <= 16 * 8
