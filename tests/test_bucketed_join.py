@@ -1,0 +1,118 @@
+"""Bucketed-table evidence: the write-once shuffle buys exchange-free
+joins and aggregations — the layout play that keeps repeated fact-fact
+joins viable at 100 TB (operators/bucketed.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from popelines_spark.operators.bucketed import cobucketed_join, write_bucketed
+from popelines_spark.plans.inspect import physical_plan
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def bucketed_tables(spark):
+    from popelines_spark.tables import load
+
+    li = load(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    od = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_bucketed(li, "bt_lineitem", "l_orderkey", 8)
+    write_bucketed(
+        od.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "bt_orders", "l_orderkey", 8,
+    )
+    yield "bt_lineitem", "bt_orders"
+    spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+    spark.sql("DROP TABLE IF EXISTS bt_orders")
+
+
+def test_cobucketed_join_has_no_exchange(spark, bucketed_tables):
+    """Same key, same bucket count, broadcast disabled → SortMergeJoin
+    with ZERO Exchange operators: both sides stream straight from the
+    bucketed scans. This is the plan a path-based layout can never
+    produce — it re-shuffles both facts on every query."""
+    lt, rt = bucketed_tables
+    with _no_broadcast(spark):
+        df = cobucketed_join(spark, lt, rt, "l_orderkey")
+        plan = physical_plan(df)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # and the answer matches the shuffled path-based join
+        n = df.count()
+    from popelines_spark.tables import load
+
+    li = load(spark, SF_DIR, "lineitem")
+    od = load(spark, SF_DIR, "orders")
+    assert n == li.join(od, li.l_orderkey == od.o_orderkey).count()
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed_tables):
+    """groupBy on the bucket key rides the same layout: partial+final
+    hash agg collapse into one exchange-free pass over the scan."""
+    lt, _ = bucketed_tables
+    df = spark.table(lt).groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    assert "Exchange" not in physical_plan(df)
+
+
+def test_mismatched_bucket_count_still_correct(spark, bucketed_tables):
+    """A 4-bucket side joined to the 8-bucket table must still answer
+    correctly (Spark re-shuffles or coalesces the mismatch) — layout is
+    an optimization, never a correctness contract."""
+    lt, _ = bucketed_tables
+    from popelines_spark.tables import load
+
+    od = load(spark, SF_DIR, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    write_bucketed(od, "bt_orders4", "l_orderkey", 4)
+    try:
+        with _no_broadcast(spark):
+            n = cobucketed_join(spark, lt, "bt_orders4", "l_orderkey").count()
+        li = load(spark, SF_DIR, "lineitem")
+        assert n == li.join(
+            od, li.l_orderkey == od["l_orderkey"]
+        ).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_orders4")
+
+
+def test_bucket_file_count_is_bounded(spark, bucketed_tables):
+    """write_bucketed's pre-repartition keeps the layout at ~1 file per
+    bucket (not n_buckets × n_write_tasks small files)."""
+    import os
+
+    lt, _ = bucketed_tables
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {lt}")
+        .where(F.col("col_name") == "Location")
+        .collect()[0][1]
+    )
+    path = loc.removeprefix("file:")
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert 0 < len(files) <= 8, files
+
+
+class _no_broadcast:
+    """Temporarily disable auto-broadcast so small test tables exercise
+    the SortMergeJoin path the layout is built for."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", self.prev
+        )
+        return False
