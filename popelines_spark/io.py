@@ -74,6 +74,7 @@ def write_table(
     append: bool = True,
     ignore_unknown_values: bool = False,
     autodetect: bool = False,
+    partition_by: list[str] | str | None = None,
 ) -> str:
     """``write_to_bq`` semantics on parquet-by-path tables.
 
@@ -85,6 +86,11 @@ def write_table(
                    (popelines/main.py:141-142).
     autodetect   → trust the incoming schema as-is, skip the merge
                    (popelines/main.py:131-132).
+    partition_by → Hive-style directory partitioning (the engine-native
+                   analog of BigQuery's server-side table partitioning the
+                   reference relies on implicitly); date-ranged reads then
+                   prune at the directory listing
+                   (operators/partitioned.py carries the layout rules).
 
     Returns the table path. Parquet handles the at-rest schema union on read
     (mergeSchema) so appends never rewrite old files — same economics as
@@ -93,6 +99,14 @@ def write_table(
     spark = df.sparkSession
     path = table_path(warehouse, table_name)
     exists = _path_exists(spark, path)
+    pcols = (
+        [partition_by] if isinstance(partition_by, str) else partition_by
+    )
+
+    def _writer(frame: DataFrame):
+        w = frame.write
+        return w.partitionBy(*pcols) if pcols else w
+
     if append and exists and not autodetect:
         live_schema = spark.read.parquet(path).schema
         if ignore_unknown_values:
@@ -100,9 +114,11 @@ def write_table(
             df = df.select(*keep)
         target = merge_schemas(live_schema, df.schema)
         df = _align_to(df, target)
-        df.write.mode("append").parquet(path)
+        _writer(df).mode("append").parquet(path)
     else:
-        df.write.mode("append" if append and exists else "overwrite").parquet(path)
+        _writer(df).mode(
+            "append" if append and exists else "overwrite"
+        ).parquet(path)
     return path
 
 

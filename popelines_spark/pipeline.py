@@ -61,9 +61,13 @@ class Popeline:
         append: bool = True,
         ignore_unknown_values: bool = False,
         schema_autodetect: bool = False,
+        partition_by: list[str] | str | None = None,
     ) -> str:
         """popelines/main.py:100-155 — load NDJSON (or a DataFrame) into a
-        table with append/truncate + add-only evolution."""
+        table with append/truncate + add-only evolution. ``partition_by``
+        opts into Hive-style directory partitioning (the engine-native
+        analog of BigQuery's server-side partitioning; an extension, not a
+        reference parameter)."""
         if df is None:
             if file_name is None:
                 raise ValueError("need file_name or df")
@@ -75,6 +79,7 @@ class Popeline:
             append=append,
             ignore_unknown_values=ignore_unknown_values,
             autodetect=schema_autodetect,
+            partition_by=partition_by,
         )
 
     def write_to_store(self, dest_uri: str, file_name: str) -> None:

@@ -81,3 +81,25 @@ def test_static_overwrite_truncates_table(spark, tmp_path):
     batch = df.where(F.col("month") == months[0])
     write_partitioned(batch, path, "month", dynamic=False)
     assert spark.read.parquet(path).count() == batch.count()
+
+
+def test_write_table_partition_by_prunes(spark, tmp_path):
+    """The facade path: io.write_table(partition_by=...) lays out
+    directories and a partition-column predicate prunes on read —
+    including across an evolved append."""
+    from popelines_spark import io as pio
+
+    df = _daily(spark)
+    wh = str(tmp_path / "wh")
+    pio.write_table(df, wh, "orders_p", append=True, partition_by="month")
+    # evolved append (new column) keeps the layout
+    pio.write_table(
+        df.withColumn("flag", F.lit(1)), wh, "orders_p",
+        append=True, partition_by="month",
+    )
+    months = sorted(r.month for r in df.select("month").distinct().collect())
+    got = pio.read_table_evolved(spark, wh, "orders_p").where(
+        F.col("month") == months[0]
+    )
+    assert "PartitionFilters" in physical_plan(got)
+    assert got.count() == 2 * df.where(F.col("month") == months[0]).count()
