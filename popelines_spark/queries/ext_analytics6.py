@@ -546,3 +546,262 @@ def c_km_curve(spark, sf_dir):
             ).alias("km_nls")
         )
     )
+
+
+@query(
+    "c_max_concurrent",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+      FROM events GROUP BY 1, 2),
+    deltas AS (
+      SELECT day, t, CAST(SUM(d) AS BIGINT) AS net,
+             CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_starts
+      FROM (SELECT day, s AS t, 1 AS d FROM spans
+            UNION ALL
+            SELECT day, e + 1, -1 FROM spans)
+      GROUP BY day, t),
+    walked AS (
+      SELECT day, n_starts,
+             SUM(net) OVER (PARTITION BY day ORDER BY t) AS cur
+      FROM deltas)
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(max(cur) AS BIGINT) AS max_concurrent,
+           CAST(SUM(n_starts) AS BIGINT) AS n_spans
+    FROM walked GROUP BY day
+    """,
+)
+def c_max_concurrent(spark, sf_dir):
+    """Peak concurrency per day: each user's daily activity span
+    [first event, last event] is an interval; the classic ±1 sweep-line
+    (ends applied one µs AFTER the endpoint, so touching intervals
+    count as concurrent) gives the running active-user count and its
+    daily max — the capacity-planning number behind session stores and
+    rate limits.
+
+    Determinism: deltas are pre-aggregated per (day, µs-timestamp), so
+    the cumulative window's ORDER BY key is unique — no tie ordering
+    for engines to disagree on; all integers. Scale shape: one keyed
+    rollup to spans, one to net deltas, then a DAY-partitioned ordered
+    window (bounded by distinct active µs per day; the partition key
+    spreads days across the cluster)."""
+    from pyspark.sql.window import Window as W
+
+    ev = T(spark, sf_dir, "events")
+    spans = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.min(F.unix_micros("ts")).alias("s"),
+        F.max(F.unix_micros("ts")).alias("e"),
+    )
+    starts = spans.select("day", F.col("s").alias("t"), F.lit(1).alias("d"))
+    ends = spans.select(
+        "day", (F.col("e") + 1).alias("t"), F.lit(-1).alias("d")
+    )
+    deltas = (
+        starts.unionAll(ends)
+        .groupBy("day", "t")
+        .agg(
+            F.sum("d").cast("long").alias("net"),
+            F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_starts"),
+        )
+    )
+    walked = deltas.select(
+        "day",
+        "n_starts",
+        F.sum("net").over(W.partitionBy("day").orderBy("t")).alias("cur"),
+    )
+    return walked.groupBy("day").agg(
+        F.max("cur").cast("long").alias("max_concurrent"),
+        F.sum("n_starts").cast("long").alias("n_spans"),
+    ).select(
+        # DATE round-trips as midnight Timestamp through pandas on the
+        # DuckDB side — emit TIMESTAMP on both engines (repo convention,
+        # c_time_to_convert)
+        F.col("day").cast("timestamp").alias("day"),
+        "max_concurrent",
+        "n_spans",
+    )
+
+
+@query(
+    "c_theilsen_trend",
+    oracle="""
+    WITH d AS MATERIALIZED (
+      SELECT CAST(date_diff('day',
+                   (SELECT min(CAST(l_shipdate AS DATE)) FROM lineitem),
+                   CAST(l_shipdate AS DATE)) AS BIGINT) AS t,
+             SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS rev
+      FROM lineitem GROUP BY 1),
+    slopes AS (
+      SELECT CAST(b.rev - a.rev AS DOUBLE) / (b.t - a.t) AS slope
+      FROM d a JOIN d b ON b.t > a.t)
+    SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 6) AS theil_slope
+    FROM slopes
+    """,
+)
+def c_theilsen_trend(spark, sf_dir):
+    """Theil-Sen estimator of the daily-revenue trend: the median of
+    all pairwise day-to-day slopes — the robust regression line a
+    single promotional spike cannot drag (the complement of
+    c_forecast_smape's point forecasts and c_cusum_revenue's
+    change-points).
+
+    Scale shape: the corpus collapses to the calendar-bounded day grain
+    FIRST; the O(days²) pair set (~3M pairs on a 7-year calendar —
+    constant in corpus size) is produced by a broadcast self-join and
+    reduced by one exact interpolated median. Each slope is a per-row
+    IEEE divide of an exact decimal difference by an exact integer —
+    identical doubles on both engines; Spark's percentile() and
+    DuckDB's quantile_cont share the same interpolation."""
+    li = T(spark, sf_dir, "lineitem")
+    t0 = li.agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("d0")
+    )
+    d = (
+        li.crossJoin(F.broadcast(t0))
+        .groupBy(
+            F.datediff(F.col("l_shipdate").cast("date"), F.col("d0"))
+            .cast("long")
+            .alias("t")
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(20,4)")).alias(
+                "rev"
+            )
+        )
+    )
+    d = checkpoint(d, "theilsen-days", eager=False)
+    b = d.select(F.col("t").alias("t2"), F.col("rev").alias("rev2"))
+    slopes = d.join(F.broadcast(b), F.col("t2") > F.col("t")).select(
+        (
+            (F.col("rev2") - F.col("rev")).cast("double")
+            / (F.col("t2") - F.col("t"))
+        ).alias("slope")
+    )
+    n_days = d.agg(F.count("*").cast("long").alias("n_days"))
+    return slopes.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias("theil_slope"),
+    ).crossJoin(F.broadcast(n_days)).select(
+        "n_days", "n_pairs", "theil_slope"
+    )
+
+
+@query(
+    "c_heaps_law",
+    oracle="""
+    WITH arrs AS (SELECT doc_id, str_split(text, ' ') AS arr FROM documents
+                  WHERE len(str_split(text, ' ')) >= 2),
+    mx AS (SELECT max(doc_id) AS m FROM documents),
+    bgr AS MATERIALIZED (
+      SELECT CAST(doc_id * 10 // (m + 1) AS BIGINT) AS bucket,
+             unnest(list_transform(range(len(arr) - 1),
+                    i -> arr[i+1] || ' ' || arr[i+2])) AS bg
+      FROM arrs CROSS JOIN mx),
+    per_bucket AS (SELECT bucket, CAST(count(*) AS BIGINT) AS toks
+                   FROM bgr GROUP BY bucket),
+    first_seen AS (SELECT bg, CAST(min(bucket) AS BIGINT) AS fb
+                   FROM bgr GROUP BY bg),
+    vocab_new AS (SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS fresh
+                  FROM first_seen GROUP BY fb)
+    SELECT a.bucket,
+           CAST(SUM(b.toks) AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(v.fresh, 0)) AS BIGINT) AS cum_vocab,
+           round(ln(CAST(SUM(COALESCE(v.fresh, 0)) AS DOUBLE))
+                 / ln(CAST(SUM(b.toks) AS DOUBLE)), 6) AS heaps_beta
+    FROM per_bucket a
+    JOIN per_bucket b ON b.bucket <= a.bucket
+    LEFT JOIN vocab_new v ON v.bucket = b.bucket
+    GROUP BY a.bucket
+    """,
+)
+def c_heaps_law(spark, sf_dir):
+    """Heaps-law vocabulary-growth curve over the bigram vocabulary:
+    cumulative distinct bigrams vs cumulative bigram tokens across ten
+    corpus-order buckets, with the empirical exponent
+    β = ln V / ln N per point — the saturation diagnostic that tells a
+    corpus curator whether more data still buys new language (the
+    growth-side complement of c_zipf_fit's frequency side).
+
+    Cumulative DISTINCT counting is made distributable by the
+    first-occurrence trick: each term contributes exactly once, at its
+    MINIMUM bucket (one keyed agg), so cumulative vocabulary is a plain
+    SUM over the 10-row bucket table's staircase — no windowed
+    count-distinct anywhere. Bucket assignment is exact integer
+    arithmetic on doc_id against a broadcast max."""
+    docs = T(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    arr = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("arr")
+    ).where(F.size("arr") >= 2)
+    bgr = (
+        arr.crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("doc_id") * 10 / (F.col("m") + 1))
+            .cast("long")
+            .alias("bucket"),
+            "arr",
+        )
+        .select(
+            "bucket",
+            "arr",
+            F.posexplode(F.slice("arr", 1, F.size("arr") - 1)),
+        )
+        .select(
+            "bucket",
+            F.concat_ws(
+                " ", F.col("col"), F.expr("arr[pos + 1]")
+            ).alias("bg"),
+        )
+    )
+    bgr = checkpoint(bgr, "heaps-bigrams", eager=False)
+    per_bucket = bgr.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("toks")
+    )
+    vocab_new = (
+        bgr.groupBy("bg")
+        .agg(F.min("bucket").cast("long").alias("fb"))
+        .groupBy(F.col("fb").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("fresh"))
+    )
+    per_bucket = checkpoint(per_bucket, "heaps-buckets", eager=False)
+    b = per_bucket.select(
+        F.col("bucket").alias("bucket2"), F.col("toks").alias("toks2")
+    ).join(
+        F.broadcast(
+            vocab_new.select(
+                F.col("bucket").alias("bucket2"), "fresh"
+            )
+        ),
+        "bucket2",
+        "left",
+    )
+    return (
+        per_bucket.join(
+            F.broadcast(b), F.col("bucket2") <= F.col("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("toks2").cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("fresh"), F.lit(0)))
+            .cast("long")
+            .alias("cum_vocab"),
+        )
+        .select(
+            "bucket",
+            "cum_tokens",
+            "cum_vocab",
+            F.round(
+                F.log(F.col("cum_vocab").cast("double"))
+                / F.log(F.col("cum_tokens").cast("double")),
+                6,
+            ).alias("heaps_beta"),
+        )
+    )
