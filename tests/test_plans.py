@@ -552,3 +552,26 @@ def test_no_cartesian_product_anywhere(spark):
         if re.search(r"CartesianProduct", plan):
             offenders[name] = "CartesianProduct"
     assert not offenders, offenders
+
+
+def test_statistics_batch_plans(spark):
+    """ext_analytics6 batch audit: every statistic collapses to a
+    bounded frame first, pairwise/cumulative logic is broadcast-joined
+    on that frame, windows are partitioned, nothing plans a cartesian."""
+    for name in ("c_kendall_tau", "c_chi2_independence", "c_lorenz_points",
+                 "c_heavy_hitters", "c_pmi_bigrams", "c_km_curve",
+                 "c_max_concurrent", "c_theilsen_trend", "c_heaps_law"):
+        df = _q(name, spark)
+        rep = plan_report(df)
+        assert not rep["cartesian"], name
+        assert not unpartitioned_windows(df), name
+    # the pair/staircase frames must attach via broadcast, not shuffle
+    for name in ("c_kendall_tau", "c_lorenz_points", "c_km_curve",
+                 "c_theilsen_trend", "c_heaps_law"):
+        rep = plan_report(_q(name, spark))
+        assert rep["broadcast_joins"] + rep["bcast_nested_loop"] >= 1, name
+    # heavy hitters: candidate pass is the ONLY Python stage, and the
+    # exact re-count joins candidates via broadcast
+    plan = physical_plan(_q("c_heavy_hitters", spark))
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
