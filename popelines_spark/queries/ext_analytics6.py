@@ -805,3 +805,320 @@ def c_heaps_law(spark, sf_dir):
             ).alias("heaps_beta"),
         )
     )
+
+
+@query(
+    "c_ks_source",
+    oracle="""
+    WITH grain AS MATERIALIZED (
+      SELECT source, CAST(n_chars AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2),
+    support AS MATERIALIZED (SELECT DISTINCT v FROM grain),
+    all_g AS MATERIALIZED (
+      SELECT v, CAST(SUM(c) AS BIGINT) AS c FROM grain GROUP BY v),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM grain),
+    src_n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n1
+              FROM grain GROUP BY source),
+    cdf_src AS (
+      SELECT g.source, s.v, CAST(SUM(g.c) AS BIGINT) AS cum1
+      FROM support s JOIN grain g ON g.v <= s.v
+      GROUP BY g.source, s.v),
+    cdf_all AS (
+      SELECT s.v, CAST(SUM(a.c) AS BIGINT) AS cum
+      FROM support s JOIN all_g a ON a.v <= s.v
+      GROUP BY s.v)
+    SELECT c.source, sn.n1, (t.n - sn.n1) AS n2,
+           CAST(max(abs(c.cum1 * (t.n - sn.n1)
+                        - (ca.cum - c.cum1) * sn.n1)) AS BIGINT)
+             AS ks_scaled,
+           round(CAST(max(abs(c.cum1 * (t.n - sn.n1)
+                              - (ca.cum - c.cum1) * sn.n1)) AS DOUBLE)
+                 / (sn.n1 * CAST(t.n - sn.n1 AS DOUBLE)), 6) AS ks
+    FROM cdf_src c
+    JOIN cdf_all ca ON ca.v = c.v
+    JOIN src_n sn ON sn.source = c.source
+    CROSS JOIN tot t
+    GROUP BY c.source, sn.n1, t.n
+    """,
+)
+def c_ks_source(spark, sf_dir):
+    """Per-source Kolmogorov-Smirnov distance between a source's
+    doc-length distribution and the REST of the corpus — the
+    distribution-drift screen that flags a crawler or extractor whose
+    output stopped looking like everyone else's (one rung above
+    c_drift_psi's binned divergence: KS needs no bin design).
+
+    Exactness: the statistic is computed in cross-multiplied integers
+    (|cum₁·n₂ − cum₂·n₁|, max over the support) — the division by n₁·n₂
+    happens once per source on exact integer images, so there is no
+    float CDF anywhere. Scale shape: corpus → (source, length) grain in
+    one keyed agg; every staircase runs on the value support, which is
+    bounded by the length domain, not the corpus."""
+    docs = T(spark, sf_dir, "documents")
+    grain = docs.groupBy(
+        "source", F.col("n_chars").cast("long").alias("v")
+    ).agg(F.count("*").cast("long").alias("c"))
+    grain = checkpoint(grain, "ks-grain", eager=False)
+    support = grain.select("v").distinct()
+    all_g = grain.groupBy("v").agg(F.sum("c").cast("long").alias("ca"))
+    tot = grain.agg(F.sum("c").cast("long").alias("n"))
+    src_n = grain.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n1")
+    )
+    g2 = grain.select(
+        F.col("source").alias("src2"), F.col("v").alias("v2"),
+        F.col("c").alias("c2"),
+    )
+    cdf_src = (
+        support.join(F.broadcast(g2), F.col("v2") <= F.col("v"))
+        .groupBy(F.col("src2").alias("source"), "v")
+        .agg(F.sum("c2").cast("long").alias("cum1"))
+    )
+    a2 = all_g.select(F.col("v").alias("va"), F.col("ca").alias("ca2"))
+    cdf_all = (
+        support.join(F.broadcast(a2), F.col("va") <= F.col("v"))
+        .groupBy("v")
+        .agg(F.sum("ca2").cast("long").alias("cum"))
+    )
+    d_scaled = F.abs(
+        F.col("cum1") * (F.col("n") - F.col("n1"))
+        - (F.col("cum") - F.col("cum1")) * F.col("n1")
+    )
+    return (
+        cdf_src.join(F.broadcast(cdf_all), "v")
+        .join(F.broadcast(src_n), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "n1", "n")
+        .agg(F.max(d_scaled).cast("long").alias("ks_scaled"))
+        .select(
+            "source",
+            "n1",
+            (F.col("n") - F.col("n1")).alias("n2"),
+            "ks_scaled",
+            F.round(
+                F.col("ks_scaled").cast("double")
+                / (F.col("n1") * (F.col("n") - F.col("n1")).cast("double")),
+                6,
+            ).alias("ks"),
+        )
+    )
+
+
+@query(
+    "c_mannwhitney",
+    oracle="""
+    WITH cells AS MATERIALIZED (
+      SELECT c.c_mktsegment AS seg,
+             CAST(floor(o.o_totalprice / 100) AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    all_b AS MATERIALIZED (
+      SELECT b, CAST(SUM(cnt) AS BIGINT) AS ca FROM cells GROUP BY b),
+    cum_all AS (
+      SELECT s.b, CAST(COALESCE(SUM(a.ca), 0) AS BIGINT) AS cal
+      FROM all_b s LEFT JOIN all_b a ON a.b < s.b GROUP BY s.b),
+    cum_seg AS (
+      SELECT c.seg, c.b, c.cnt,
+             CAST(COALESCE(SUM(c2.cnt), 0) AS BIGINT) AS csl
+      FROM cells c LEFT JOIN cells c2 ON c2.seg = c.seg AND c2.b < c.b
+      GROUP BY c.seg, c.b, c.cnt),
+    segs AS (SELECT seg, CAST(SUM(cnt) AS BIGINT) AS n1
+             FROM cells GROUP BY seg),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cells)
+    SELECT cs.seg, sg.n1, (t.n - sg.n1) AS n2,
+           CAST(SUM(cs.cnt * (ca.cal - cs.csl)) * 2
+                + SUM(cs.cnt * (ab.ca - cs.cnt)) AS BIGINT) AS u2,
+           round(CAST(SUM(cs.cnt * (ca.cal - cs.csl)) * 2
+                      + SUM(cs.cnt * (ab.ca - cs.cnt)) AS DOUBLE)
+                 / (2 * sg.n1 * CAST(t.n - sg.n1 AS DOUBLE)), 6) AS auc
+    FROM cum_seg cs
+    JOIN cum_all ca ON ca.b = cs.b
+    JOIN all_b ab ON ab.b = cs.b
+    JOIN segs sg ON sg.seg = cs.seg
+    CROSS JOIN tot t
+    GROUP BY cs.seg, sg.n1, t.n
+    """,
+)
+def c_mannwhitney(spark, sf_dir):
+    """Mann-Whitney U (reported as the doubled-integer U2 and the AUC
+    effect size) for each market segment's order values against the
+    REST of the corpus — the nonparametric "does this segment spend
+    differently" test, on $100 value buckets (the documented
+    discretization that bounds the cell space).
+
+    Exactness: greater-than pairs come from the cumulative-staircase
+    identity Σ cnt_S(b)·(CumAll(b⁻) − CumS(b⁻)), ties from
+    cnt_S(b)·(all(b) − cnt_S(b)); U2 = 2·gt + eq stays BIGINT, AUC =
+    U2/(2·n₁·n₂) is one per-segment division of exact integers. Scale
+    shape: corpus → (seg, bucket) cells in one keyed agg; both
+    staircases run on the bounded bucket table."""
+    od = T(spark, sf_dir, "orders")
+    cu = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("o_totalprice") / 100).cast("long").alias("b"),
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    cells = checkpoint(cells, "mw-cells", eager=False)
+    all_b = cells.groupBy("b").agg(F.sum("cnt").cast("long").alias("ca"))
+    all_b = checkpoint(all_b, "mw-allb", eager=False)
+    a2 = all_b.select(F.col("b").alias("b2"), F.col("ca").alias("ca2"))
+    cum_all = (
+        all_b.join(F.broadcast(a2), F.col("b2") < F.col("b"), "left")
+        .groupBy("b")
+        .agg(
+            F.coalesce(F.sum("ca2"), F.lit(0)).cast("long").alias("cal")
+        )
+    )
+    c2 = cells.select(
+        F.col("seg").alias("seg2"), F.col("b").alias("b2"),
+        F.col("cnt").alias("cnt2"),
+    )
+    cum_seg = (
+        cells.join(
+            F.broadcast(c2),
+            (F.col("seg2") == F.col("seg")) & (F.col("b2") < F.col("b")),
+            "left",
+        )
+        .groupBy("seg", "b", "cnt")
+        .agg(
+            F.coalesce(F.sum("cnt2"), F.lit(0)).cast("long").alias("csl")
+        )
+    )
+    segs = cells.groupBy("seg").agg(F.sum("cnt").cast("long").alias("n1"))
+    tot = cells.agg(F.sum("cnt").cast("long").alias("n"))
+    u2 = (
+        F.sum(F.col("cnt") * (F.col("cal") - F.col("csl"))) * 2
+        + F.sum(F.col("cnt") * (F.col("ca") - F.col("cnt")))
+    ).cast("long")
+    return (
+        cum_seg.join(F.broadcast(cum_all), "b")
+        .join(F.broadcast(all_b), "b")
+        .join(F.broadcast(segs), "seg")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("seg", "n1", "n")
+        .agg(u2.alias("u2"))
+        .select(
+            "seg",
+            "n1",
+            (F.col("n") - F.col("n1")).alias("n2"),
+            "u2",
+            F.round(
+                F.col("u2").cast("double")
+                / (
+                    2
+                    * F.col("n1")
+                    * (F.col("n") - F.col("n1")).cast("double")
+                ),
+                6,
+            ).alias("auc"),
+        )
+    )
+
+
+#: Poisson(1) pmf cumulative thresholds (literal constants shared by the
+#: Spark expression and the DuckDB oracle — both engines compare the SAME
+#: Lehmer-derived uniform against the SAME doubles, so resample weights
+#: are bit-identical): P(X<=k) for k = 0..4; weights cap at 5.
+_POIS = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+)
+_POIS_W_SQL = (
+    "CASE WHEN u < {p0} THEN 0 WHEN u < {p1} THEN 1 WHEN u < {p2} THEN 2 "
+    "WHEN u < {p3} THEN 3 WHEN u < {p4} THEN 4 ELSE 5 END"
+).format(p0=_POIS[0], p1=_POIS[1], p2=_POIS[2], p3=_POIS[3], p4=_POIS[4])
+
+
+@query(
+    "c_bootstrap_ci",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderkey,
+             CAST(o.o_totalprice AS DECIMAL(20,4)) AS price
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    expanded AS (
+      SELECT seg, price,
+             (48271 * ((16807 * (o_orderkey * 100 + b.b + 1))
+                       % 2147483647)) % 2147483647
+               / 2147483647.0 AS u,
+             b.b
+      FROM base CROSS JOIN (SELECT unnest(range(100)) AS b) b),
+    weighted AS (
+      SELECT seg, b, {w} AS w, price FROM expanded),
+    means AS (
+      SELECT seg, b,
+             CAST(SUM(w * price) AS DOUBLE) / SUM(w) AS m
+      FROM weighted GROUP BY seg, b HAVING SUM(w) > 0)
+    SELECT seg,
+           CAST(count(*) AS BIGINT) AS n_resamples,
+           round(quantile_cont(m, 0.025), 6) AS ci_lo,
+           round(quantile_cont(m, 0.975), 6) AS ci_hi
+    FROM means GROUP BY seg
+    """.format(w=_POIS_W_SQL),
+)
+def c_bootstrap_ci(spark, sf_dir):
+    """95% bootstrap confidence interval for mean order value per
+    segment, via the DISTRIBUTED bootstrap: 100 Poisson(1) resamples
+    (the streaming/map-reduce bootstrap — per-row independent weights
+    instead of a shared with-replacement draw, so no resample ever
+    needs global coordination). Weights are deterministic inverse-CDF
+    draws from a two-step Lehmer LCG on (orderkey, b) — pure integer
+    mod-2³¹−1 arithmetic that both engines compute identically (and ~10×
+    cheaper than the sketch family's md5 device at this 100× fan-out),
+    making the whole Monte-Carlo procedure replayable and
+    hash-checkable.
+
+    Scale shape: the ×100 fan-out is the documented cost knob (B is a
+    constant; at 100 TB run B per-partition partial sums — the weighted
+    sums are decimal-exact and order-free, so resample means are
+    bit-identical under ANY partitioning). One keyed agg per (seg, b),
+    one exact percentile over B means per segment."""
+    od = T(spark, sf_dir, "orders")
+    cu = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = od.join(cu, od.o_custkey == cu.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(20,4)").alias("price"),
+    )
+    bs = spark.range(100).select(F.col("id").alias("b"))
+    m31 = F.lit(2147483647)
+    u = (
+        (F.lit(48271) * ((F.lit(16807)
+         * (F.col("o_orderkey") * 100 + F.col("b") + 1)) % m31)) % m31
+    ) / F.lit(2147483647.0)
+    w = (
+        F.when(F.col("u") < float(_POIS[0]), 0)
+        .when(F.col("u") < float(_POIS[1]), 1)
+        .when(F.col("u") < float(_POIS[2]), 2)
+        .when(F.col("u") < float(_POIS[3]), 3)
+        .when(F.col("u") < float(_POIS[4]), 4)
+        .otherwise(5)
+    )
+    means = (
+        base.crossJoin(F.broadcast(bs))
+        .withColumn("u", u)
+        .withColumn("w", w)
+        .groupBy("seg", "b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("price")).cast("double")
+                / F.sum("w")
+            ).alias("m"),
+            F.sum("w").alias("wsum"),
+        )
+        .where(F.col("wsum") > 0)
+    )
+    return means.groupBy("seg").agg(
+        F.count("*").cast("long").alias("n_resamples"),
+        F.round(F.expr("percentile(m, 0.025)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
+    )

@@ -560,14 +560,16 @@ def test_statistics_batch_plans(spark):
     on that frame, windows are partitioned, nothing plans a cartesian."""
     for name in ("c_kendall_tau", "c_chi2_independence", "c_lorenz_points",
                  "c_heavy_hitters", "c_pmi_bigrams", "c_km_curve",
-                 "c_max_concurrent", "c_theilsen_trend", "c_heaps_law"):
+                 "c_max_concurrent", "c_theilsen_trend", "c_heaps_law",
+                 "c_ks_source", "c_mannwhitney", "c_bootstrap_ci"):
         df = _q(name, spark)
         rep = plan_report(df)
         assert not rep["cartesian"], name
         assert not unpartitioned_windows(df), name
     # the pair/staircase frames must attach via broadcast, not shuffle
     for name in ("c_kendall_tau", "c_lorenz_points", "c_km_curve",
-                 "c_theilsen_trend", "c_heaps_law"):
+                 "c_theilsen_trend", "c_heaps_law", "c_ks_source",
+                 "c_mannwhitney", "c_bootstrap_ci"):
         rep = plan_report(_q(name, spark))
         assert rep["broadcast_joins"] + rep["bcast_nested_loop"] >= 1, name
     # heavy hitters: candidate pass is the ONLY Python stage, and the
