@@ -78,6 +78,12 @@ BASELINE_SEC = {
     "s_sliding": 1.40,
     "s_custom_state": 1.81,
     "s_join_interval": 5.73,
+    # round-7 statistics additions, same 3-session/min-of-2 method on the
+    # noop-write path bench uses (sessions: heavy_hitters 1.14/1.14/1.07,
+    # bootstrap 2.11/2.20/2.21 — after the integer-cent rewrite that cut
+    # the decimal-accumulator fan-out cost 3.5×, BASELINE.md §R7 batch 4).
+    "c_heavy_hitters": 1.14,
+    "c_bootstrap_ci": 2.20,
 }
 
 #: Local regression gate: with SPARK_GRAFT_BENCH_STRICT=1, exit nonzero if
@@ -108,6 +114,8 @@ BENCH_QUERIES = [
     "c_containment",           # asymmetric decontamination join (round 5)
     "c_pit_join",              # join-free SCD2 point-in-time lookup (r5b)
     "c_triangle_count",        # oriented wedge-join triangles (r5b)
+    "c_heavy_hitters",         # two-pass Misra-Gries exact frequent terms (r7)
+    "c_bootstrap_ci",          # Lehmer-seeded distributed Poisson bootstrap (r7)
     # round 6: stateful-streaming perf evidence (VERDICT r5 #7) — each
     # entry replays the events parquet through a file-source stream and
     # drains it, so the timing covers the full micro-batch execution of

@@ -1043,20 +1043,21 @@ _POIS_W_SQL = (
     oracle="""
     WITH base AS (
       SELECT c.c_mktsegment AS seg, o.o_orderkey,
-             CAST(o.o_totalprice AS DECIMAL(20,4)) AS price
+             CAST(CAST(o.o_totalprice AS DECIMAL(20,4)) * 10000 AS BIGINT)
+               AS price_u
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
     expanded AS (
-      SELECT seg, price,
+      SELECT seg, price_u,
              (48271 * ((16807 * (o_orderkey * 100 + b.b + 1))
                        % 2147483647)) % 2147483647
                / 2147483647.0 AS u,
              b.b
       FROM base CROSS JOIN (SELECT unnest(range(100)) AS b) b),
     weighted AS (
-      SELECT seg, b, {w} AS w, price FROM expanded),
+      SELECT seg, b, {w} AS w, price_u FROM expanded),
     means AS (
       SELECT seg, b,
-             CAST(SUM(w * price) AS DOUBLE) / SUM(w) AS m
+             CAST(SUM(w * price_u) AS DOUBLE) / (10000.0 * SUM(w)) AS m
       FROM weighted GROUP BY seg, b HAVING SUM(w) > 0)
     SELECT seg,
            CAST(count(*) AS BIGINT) AS n_resamples,
@@ -1087,9 +1088,16 @@ def c_bootstrap_ci(spark, sf_dir):
     base = od.join(cu, od.o_custkey == cu.c_custkey).select(
         F.col("c_mktsegment").alias("seg"),
         "o_orderkey",
-        F.col("o_totalprice").cast("decimal(20,4)").alias("price"),
+        # scale-0 integer units (price × 10⁴, exact): keeps the ×100
+        # fan-out's weighted sums in pure BIGINT codegen — the decimal
+        # accumulator here measured ~3.5× slower over 15M rows (bench
+        # noop-write path; count() silently pruned it). Magnitude: w≤5 ×
+        # price_u≤5e9 × 3e5 rows/resample ≈ 7.5e15 < 2^63 with 100×
+        # headroom; the exact sum < 2^53 so the double image is exact.
+        (F.col("o_totalprice").cast("decimal(20,4)") * 10000)
+        .cast("long")
+        .alias("price_u"),
     )
-    bs = spark.range(100).select(F.col("id").alias("b"))
     m31 = F.lit(2147483647)
     u = (
         (F.lit(48271) * ((F.lit(16807)
@@ -1104,14 +1112,16 @@ def c_bootstrap_ci(spark, sf_dir):
         .otherwise(5)
     )
     means = (
-        base.crossJoin(F.broadcast(bs))
+        base.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(99))).alias("b")
+        )
         .withColumn("u", u)
         .withColumn("w", w)
         .groupBy("seg", "b")
         .agg(
             (
-                F.sum(F.col("w") * F.col("price")).cast("double")
-                / F.sum("w")
+                F.sum(F.col("w") * F.col("price_u")).cast("double")
+                / (F.lit(10000.0) * F.sum("w"))
             ).alias("m"),
             F.sum("w").alias("wsum"),
         )
