@@ -85,3 +85,19 @@ def test_media_pipeline_end_to_end(spark, scratch):
     ]
     # deterministic across reruns
     assert curate_media(spark, SF_DIR, scratch) == stats
+
+
+def test_statistical_quality_gate_example(spark):
+    from statistical_quality_gate import weekly_review
+
+    stats = weekly_review(spark, SF_DIR)
+    assert stats["sources_screened"] == 20
+    assert 0 < stats["worst_drift_ks"] <= 1
+    assert stats["chi2_total"] >= 0
+    assert 0 <= stats["auc_deviation"] <= 0.5
+    assert stats["widest_ci_width"] > 0
+    assert 0 < stats["bottom_half_min_share"] < 1
+    assert stats["frequent_terms"] == 30
+    assert stats["trend_days"] > 0
+    # deterministic end to end (the bootstrap CI included)
+    assert weekly_review(spark, SF_DIR) == stats
