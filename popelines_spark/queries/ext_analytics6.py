@@ -1132,3 +1132,129 @@ def c_bootstrap_ci(spark, sf_dir):
         F.round(F.expr("percentile(m, 0.025)"), 6).alias("ci_lo"),
         F.round(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
     )
+
+
+def _markov_sql(n_iter: int = 8) -> str:
+    """Loop-unrolled DuckDB mirror of c_markov_steady. Same decimal-state
+    discipline as _pagerank_sql: 12dp-rounded per-edge contributions
+    (round() is HALF_UP on both engines; decimal CAST is not), DECIMAL
+    accumulation so every iteration is order-independent."""
+    sql = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    trans AS MATERIALIZED (
+      SELECT event_type AS src, nxt AS dst,
+             CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    out_c AS (SELECT src, CAST(SUM(c) AS BIGINT) AS oc
+              FROM trans GROUP BY src),
+    types AS (SELECT DISTINCT t FROM (
+                SELECT src AS t FROM trans
+                UNION SELECT dst FROM trans)),
+    k AS (SELECT CAST(count(*) AS DOUBLE) AS kk FROM types),
+    p AS (SELECT t.src, t.dst,
+                 CAST(round(CAST(t.c AS DOUBLE) / o.oc, 12)
+                      AS DECIMAL(14,12)) AS pij
+          FROM trans t JOIN out_c o ON o.src = t.src),
+    r0 AS (SELECT t AS node,
+                  CAST(round(1.0 / (SELECT kk FROM k), 12)
+                       AS DECIMAL(14,12)) AS v
+           FROM types)
+    """
+    for i in range(n_iter):
+        sql += f"""
+    , c{i} AS (SELECT p.dst AS node,
+                      CAST(round(r.v * p.pij, 12) AS DECIMAL(14,12))
+                        AS contrib
+               FROM r{i} r JOIN p ON r.node = p.src),
+    r{i + 1} AS (SELECT t.t AS node,
+                        CAST(COALESCE(s.v, 0) AS DECIMAL(14,12)) AS v
+                 FROM types t LEFT JOIN (
+                   SELECT node, CAST(SUM(contrib) AS DECIMAL(16,12)) AS v
+                   FROM c{i} GROUP BY node) s ON s.node = t.t)
+    """
+    return sql + f"""
+    SELECT r.node AS event_type,
+           CAST(COALESCE(o.oc, 0) AS BIGINT) AS out_transitions,
+           CAST(r.v AS DOUBLE) AS steady
+    FROM r{n_iter} r LEFT JOIN out_c o ON o.src = r.node
+    """
+
+
+@query("c_markov_steady", oracle=_markov_sql(8))
+def c_markov_steady(spark, sf_dir):
+    """Steady-state distribution of the event-type Markov chain (8
+    power iterations from uniform over the row-normalized transition
+    matrix) — "where do user journeys spend their time", the chain-level
+    summary above c_event_transitions' raw counts.
+
+    Exactness mirrors the PageRank discipline: transition probabilities
+    and state vectors live in DECIMAL(14,12); every per-edge product is
+    rounded to 12dp (HALF_UP round() on both engines) before the
+    order-free decimal sum, so all 8 iterations are bit-identical under
+    any partitioning. Scale shape: ONE corpus-scale pass (the user-keyed
+    lead window + (src,dst) rollup); the chain itself is
+    type-cardinality-bounded, so iterations cost K² rows each —
+    broadcast-sized forever."""
+    from pyspark.sql.window import Window as W
+
+    ev = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).where(F.col("nxt").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count("*").cast("long").alias("c"))
+    trans = checkpoint(trans, "markov-trans", eager=False)
+    out_c = trans.groupBy("src").agg(F.sum("c").cast("long").alias("oc"))
+    types = (
+        trans.select(F.col("src").alias("t"))
+        .union(trans.select(F.col("dst").alias("t")))
+        .distinct()
+    )
+    types = checkpoint(types, "markov-types", eager=False)
+    k = types.agg(F.count("*").cast("double").alias("kk"))
+    p = trans.join(F.broadcast(out_c), "src").select(
+        "src",
+        "dst",
+        F.round(F.col("c").cast("double") / F.col("oc"), 12)
+        .cast("decimal(14,12)")
+        .alias("pij"),
+    )
+    v = types.crossJoin(F.broadcast(k)).select(
+        F.col("t").alias("node"),
+        F.round(F.lit(1.0) / F.col("kk"), 12)
+        .cast("decimal(14,12)")
+        .alias("v"),
+    )
+    for _ in range(8):
+        contrib = v.join(
+            F.broadcast(p), v.node == p.src
+        ).select(
+            F.col("dst").alias("node"),
+            F.round(F.col("v") * F.col("pij"), 12)
+            .cast("decimal(14,12)")
+            .alias("contrib"),
+        )
+        s = contrib.groupBy("node").agg(
+            F.sum("contrib").cast("decimal(16,12)").alias("sv")
+        )
+        v = types.join(
+            F.broadcast(s), types.t == s.node, "left"
+        ).select(
+            F.col("t").alias("node"),
+            F.coalesce(F.col("sv"), F.lit(0))
+            .cast("decimal(14,12)")
+            .alias("v"),
+        )
+    return v.join(F.broadcast(out_c), v.node == out_c.src, "left").select(
+        F.col("node").alias("event_type"),
+        F.coalesce(F.col("oc"), F.lit(0))
+        .cast("long")
+        .alias("out_transitions"),
+        F.col("v").cast("double").alias("steady"),
+    )

@@ -85,7 +85,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "c_kendall_tau", "c_chi2_independence", "c_lorenz_points",
     "c_heavy_hitters", "c_pmi_bigrams", "c_km_curve",
     "c_max_concurrent", "c_theilsen_trend", "c_heaps_law",
-    "c_ks_source", "c_mannwhitney", "c_bootstrap_ci",
+    "c_ks_source", "c_mannwhitney", "c_bootstrap_ci", "c_markov_steady",
 )
 
 
