@@ -337,3 +337,99 @@ def s_rate_alert(spark, sf_dir):
     )
     drained = run_to_completion(counts, "complete")
     return drained.filter(F.col("n_errors") >= 5)
+
+
+@query(
+    "s_join_interval_left",
+    oracle="""
+    WITH err AS (SELECT * FROM events WHERE event_type = 'error'),
+         pur AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT err.event_id AS err_id, p.event_id AS pur_id,
+           p.ts AS pur_ts
+    FROM err LEFT JOIN pur p
+      ON err.user_id = p.user_id
+     AND p.ts BETWEEN err.ts - INTERVAL 1 HOUR AND err.ts
+    """,
+)
+def s_join_interval_left(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join: purchases within the hour
+    before each error, AND every error with no such purchase emitted
+    with NULLs — the alerting shape ("errors with no recent purchase
+    activity") that the inner join (s_join_interval) cannot express.
+
+    The outer semantics are watermark-driven: an unmatched error row is
+    withheld until the watermark proves no matching purchase can still
+    arrive. A finite replay therefore needs the sentinel recipe: file 1
+    = the real log, files 2-3 = far-future sentinel rows passing BOTH
+    type filters (one error + one purchase each), so the watermark
+    advances past all real data under the pinned one-batch-lag
+    semantics (tests/test_streaming_watermark.py) and the unmatched
+    tail flushes deterministically. Sentinels are filtered from the
+    output by their negative ids, making the append result exactly the
+    batch LEFT JOIN the oracle runs."""
+    import glob
+
+    scratch = "/tmp/popelines_spark_scratch/outer_join_events"
+    shutil.rmtree(scratch, ignore_errors=True)
+    ev = T(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]  # driver scalar: replay setup
+    far = F.lit(max_ts) + F.expr("interval 30 days")
+
+    def sentinels(base_id):
+        return (
+            ev.limit(1)
+            .select(
+                F.lit(base_id).cast("long").alias("event_id"),
+                far.alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.explode(
+                    F.array(F.lit("error"), F.lit("purchase"))
+                ).alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit(None).cast("string").alias("props"),
+            )
+        )
+
+    for i, df in enumerate(
+        (ev.select("event_id", "ts", "user_id", "event_type", "value",
+                   "props"),
+         sentinels(-1), sentinels(-2))
+    ):
+        tmp = os.path.join(scratch, f"_stage{i}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(scratch, f"{i}.parquet")
+        os.rename(part, dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (1600000000 + i * 10,) * 2)
+
+    raw = spark.read.parquet(os.path.join(scratch, "0.parquet"))
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(scratch)
+    )
+    err = stream.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", "ts"
+    )
+    pur = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pur_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("pur_ts"),
+    )
+    joined = ops.stream_interval_join(
+        err, pur, "user_id", "p_user_id", "ts", "pur_ts",
+        lookback="1 hour", how="left_outer",
+    )
+    out = run_to_completion(
+        joined.select("err_id", "pur_id", "pur_ts"), "append"
+    )
+    return out.where(F.col("err_id") >= 0).select(
+        "err_id",
+        "pur_id",
+        # sentinel purchases can match nothing real (user_id -1), but a
+        # real error can never join a sentinel purchase (far-future ts
+        # outside every lookback window) — only the sentinel err rows
+        # need dropping
+        "pur_ts",
+    )

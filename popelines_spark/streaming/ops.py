@@ -97,13 +97,20 @@ def stream_interval_join(
     right_ts: str,
     lookback: str = "1 hour",
     delay: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner interval join: right rows within ``lookback``
+    """Stream-stream interval join: right rows within ``lookback``
     BEFORE each left row, equi on the key. Both sides carry a watermark and
     the join condition bounds event time on both — Spark's requirement for
     state cleanup, so per-key join state is O(rows in the lookback window)
     at any stream length (the 100 TB-stream-safe shape). Column names must
-    be disjoint (rename before joining)."""
+    be disjoint (rename before joining).
+
+    how="left_outer" additionally emits each unmatched left row (right
+    columns NULL) — but only once the watermark passes its join bound, so
+    a finite replay must push the watermark past the data with sentinel
+    rows on BOTH input streams or the unmatched tail never flushes
+    (s_join_interval_left carries the replay recipe)."""
     l = left.withWatermark(left_ts, delay)
     r = right.withWatermark(right_ts, delay)
     cond = (
@@ -111,7 +118,7 @@ def stream_interval_join(
         & (r[right_ts] >= l[left_ts] - F.expr(f"interval {lookback}"))
         & (r[right_ts] <= l[left_ts])
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def running_max(events: DataFrame, col: str = "ts") -> DataFrame:
