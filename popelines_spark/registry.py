@@ -74,7 +74,10 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "b_agg_approx_distinct", "c_text_stats", "c_token_freq",
     "c_text_filter", "c_lang_id", "c_quality_score", "c_fingerprint",
     "c_token_count", "c_sample_stratified",
-    # -- new in round 7 (slot 51+; rolls to round 8's window head)
+    # -- new in round 7 (slot 51+; rolls to round 8's window head):
+    # 21 early-round entries, then the statistics batches (kendall →
+    # markov), then the left-outer stream join — 35 total, so round 8's
+    # window is these 35 + the 15 next-stalest r2-green entries.
     "c_multimodal_jpeg", "a_source_rest_fanout", "c_ivf_cells_scale",
     "c_session_dwell", "c_percentile_bands", "c_order_priority_mix",
     "c_clv_decay", "c_text_compress_ratio", "c_delim_fields",
