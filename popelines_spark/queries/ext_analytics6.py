@@ -1258,3 +1258,70 @@ def c_markov_steady(spark, sf_dir):
         .alias("out_transitions"),
         F.col("v").cast("double").alias("steady"),
     )
+
+
+@query(
+    "c_percentile_approx_err",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg, o.o_totalprice AS price
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+    SELECT seg, CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(price, 0.5), 6) AS exact_p50,
+           round(quantile_cont(price, 0.9), 6) AS exact_p90,
+           TRUE AS rank_ok_p50, TRUE AS rank_ok_p90
+    FROM j GROUP BY seg
+    """,
+)
+def c_percentile_approx_err(spark, sf_dir):
+    """Builtin percentile sketch next to its exact twin, with the FORMAL
+    guarantee stamped: approx_percentile(accuracy=1000) promises an
+    element whose rank is within n/accuracy of the target; the query
+    re-ranks each estimate (count of values ≤ estimate) and asserts
+    |rank − q·n| ≤ 2·n/1000 + 1. The hash-checkable output is the exact
+    interpolated percentiles plus the two booleans (the b_agg_
+    approx_distinct pattern — the estimate itself is algorithm-specific
+    and can never hash-match an oracle).
+
+    Scale note: at 100 TB the exact percentile exists only for this
+    invariant; production callers keep the one-pass mergeable sketch
+    (map-side partial, no sort, no full shuffle of values)."""
+    od = T(spark, sf_dir, "orders")
+    cu = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = od.join(cu, od.o_custkey == cu.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_totalprice").alias("price"),
+    )
+    j = checkpoint(j, "pctl-base", eager=False)
+    agg = j.groupBy("seg").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.expr("percentile(price, 0.5)"), 6).alias("exact_p50"),
+        F.round(F.expr("percentile(price, 0.9)"), 6).alias("exact_p90"),
+        F.expr("approx_percentile(price, 0.5, 1000)").alias("__e50"),
+        F.expr("approx_percentile(price, 0.9, 1000)").alias("__e90"),
+    )
+    ranks = (
+        j.join(F.broadcast(agg.select("seg", "__e50", "__e90")), "seg")
+        .groupBy("seg")
+        .agg(
+            F.sum(
+                F.when(F.col("price") <= F.col("__e50"), 1).otherwise(0)
+            ).cast("long").alias("r50"),
+            F.sum(
+                F.when(F.col("price") <= F.col("__e90"), 1).otherwise(0)
+            ).cast("long").alias("r90"),
+        )
+    )
+    tol = F.col("n") / 1000 * 2 + 1
+    return agg.join(ranks, "seg").select(
+        "seg",
+        "n",
+        "exact_p50",
+        "exact_p90",
+        (F.abs(F.col("r50") - 0.5 * F.col("n")) <= tol).alias(
+            "rank_ok_p50"
+        ),
+        (F.abs(F.col("r90") - 0.9 * F.col("n")) <= tol).alias(
+            "rank_ok_p90"
+        ),
+    )
