@@ -1325,3 +1325,141 @@ def c_percentile_approx_err(spark, sf_dir):
             "rank_ok_p90"
         ),
     )
+
+
+@query(
+    "c_permutation_test",
+    oracle="""
+    WITH base AS (
+      SELECT o.o_orderkey,
+             CAST(CAST(o.o_totalprice AS DECIMAL(20,4)) * 10000 AS BIGINT)
+               AS price_u,
+             CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+               AS ingrp
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    obs AS (
+      SELECT CAST(SUM(ingrp) AS BIGINT) AS n_in,
+             CAST(count(*) - SUM(ingrp) AS BIGINT) AS n_out,
+             CAST(SUM(CASE WHEN ingrp = 1 THEN price_u ELSE 0 END)
+                  AS DOUBLE) / (10000.0 * SUM(ingrp))
+             - CAST(SUM(CASE WHEN ingrp = 0 THEN price_u ELSE 0 END)
+                    AS DOUBLE) / (10000.0 * (count(*) - SUM(ingrp)))
+               AS diff_obs,
+             CAST(SUM(ingrp) AS DOUBLE) / count(*) AS ratio
+      FROM base),
+    perm AS (
+      SELECT b.b,
+             CASE WHEN (48271 * ((16807 * (o_orderkey * 200 + b.b + 7))
+                                 % 2147483647)) % 2147483647
+                       / 2147483647.0 < o.ratio
+                  THEN 1 ELSE 0 END AS pin,
+             price_u
+      FROM base CROSS JOIN (SELECT unnest(range(200)) AS b) b
+      CROSS JOIN obs o),
+    diffs AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN pin = 1 THEN price_u ELSE 0 END)
+                  AS DOUBLE) / (10000.0 * SUM(pin))
+             - CAST(SUM(CASE WHEN pin = 0 THEN price_u ELSE 0 END)
+                    AS DOUBLE) / (10000.0 * (count(*) - SUM(pin)))
+               AS d
+      FROM perm GROUP BY b
+      HAVING SUM(pin) > 0 AND SUM(pin) < count(*))
+    SELECT o.n_in, o.n_out,
+           round(o.diff_obs, 6) AS diff_obs,
+           CAST(count(*) AS BIGINT) AS b_effective,
+           round(CAST(1 + SUM(CASE WHEN abs(d.d) >= abs(o.diff_obs)
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                 / (count(*) + 1), 6) AS p_two
+    FROM diffs d CROSS JOIN obs o
+    GROUP BY o.n_in, o.n_out, o.diff_obs
+    """,
+)
+def c_permutation_test(spark, sf_dir):
+    """Randomization test for "does the BUILDING segment spend
+    differently": 200 deterministic label reshuffles (Lehmer-LCG
+    per-(order, b) draws at the observed group fraction — the
+    binomial-label form of the permutation test, the one that
+    distributes: each resample is a per-row independent decision, no
+    global without-replacement draw to coordinate), two-sided p-value
+    with the +1 correction. The inference twin of c_bootstrap_ci: that
+    one bounds the estimate, this one tests the null.
+
+    Determinism: group sums are exact scale-0 integers; each resample
+    diff is two IEEE divisions of exact images; the p-value is an
+    integer count over 200 such doubles — bit-identical on both
+    engines. Scale: the ×200 fan-out is one projection + one keyed agg
+    (map-side partial), nothing driver-side."""
+    od = T(spark, sf_dir, "orders")
+    cu = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = od.join(cu, od.o_custkey == cu.c_custkey).select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(20,4)") * 10000)
+        .cast("long")
+        .alias("price_u"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1)
+        .otherwise(0)
+        .alias("ingrp"),
+    )
+    base = checkpoint(base, "perm-base", eager=False)
+    in_sum = F.sum(F.when(F.col("ingrp") == 1, F.col("price_u")).otherwise(0))
+    out_sum = F.sum(F.when(F.col("ingrp") == 0, F.col("price_u")).otherwise(0))
+    obs = base.agg(
+        F.sum("ingrp").cast("long").alias("n_in"),
+        (F.count("*") - F.sum("ingrp")).cast("long").alias("n_out"),
+        (
+            in_sum.cast("double") / (F.lit(10000.0) * F.sum("ingrp"))
+            - out_sum.cast("double")
+            / (F.lit(10000.0) * (F.count("*") - F.sum("ingrp")))
+        ).alias("diff_obs"),
+        (F.sum("ingrp").cast("double") / F.count("*")).alias("ratio"),
+    )
+    m31 = F.lit(2147483647)
+    u = (
+        (F.lit(48271) * ((F.lit(16807)
+         * (F.col("o_orderkey") * 200 + F.col("b") + 7)) % m31)) % m31
+    ) / F.lit(2147483647.0)
+    pin_sum = F.sum(F.when(F.col("pin") == 1, F.col("price_u")).otherwise(0))
+    pout_sum = F.sum(F.when(F.col("pin") == 0, F.col("price_u")).otherwise(0))
+    diffs = (
+        base.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(199))).alias("b")
+        )
+        .crossJoin(F.broadcast(obs.select("ratio")))
+        .withColumn("pin", F.when(u < F.col("ratio"), 1).otherwise(0))
+        .groupBy("b")
+        .agg(
+            (
+                pin_sum.cast("double") / (F.lit(10000.0) * F.sum("pin"))
+                - pout_sum.cast("double")
+                / (F.lit(10000.0) * (F.count("*") - F.sum("pin")))
+            ).alias("d"),
+            F.sum("pin").alias("np"),
+            F.count("*").alias("nt"),
+        )
+        .where((F.col("np") > 0) & (F.col("np") < F.col("nt")))
+    )
+    return (
+        diffs.crossJoin(F.broadcast(obs))
+        .groupBy("n_in", "n_out", "diff_obs")
+        .agg(
+            F.count("*").cast("long").alias("b_effective"),
+            F.round(
+                (
+                    F.lit(1)
+                    + F.sum(
+                        F.when(
+                            F.abs(F.col("d")) >= F.abs(F.col("diff_obs")), 1
+                        ).otherwise(0)
+                    )
+                ).cast("double")
+                / (F.count("*") + 1),
+                6,
+            ).alias("p_two"),
+        )
+        .select(
+            "n_in", "n_out",
+            F.round("diff_obs", 6).alias("diff_obs"),
+            "b_effective", "p_two",
+        )
+    )
