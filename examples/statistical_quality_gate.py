@@ -9,6 +9,7 @@ registered, hash-checked engine query doubling as a library call:
   categorical independence screen (χ² partials)       c_chi2_independence
   segment spend difference (Mann-Whitney AUC)         c_mannwhitney
   uncertainty on the headline mean (Poisson bootstrap) c_bootstrap_ci
+  does BUILDING spend differently (randomization test) c_permutation_test
   concentration review (Lorenz curve + deciles)       c_lorenz_points
   exact frequent values w/o a vocab shuffle           c_heavy_hitters
   trend sanity (robust Theil-Sen slope)               c_theilsen_trend
@@ -44,6 +45,7 @@ def weekly_review(spark, sf_dir: str) -> dict:
         c_ks_source,
         c_lorenz_points,
         c_mannwhitney,
+        c_permutation_test,
         c_theilsen_trend,
     )
 
@@ -54,6 +56,7 @@ def weekly_review(spark, sf_dir: str) -> dict:
     lorenz = c_lorenz_points(spark, sf_dir)
     hh = c_heavy_hitters(spark, sf_dir)
     trend = c_theilsen_trend(spark, sf_dir).collect()[0]
+    perm = c_permutation_test(spark, sf_dir).collect()[0]
 
     worst_drift = drift.orderBy(F.col("ks").desc(), "source").first()
     chi2_total = chi2.agg(F.sum("chi2_part").alias("s")).collect()[0]["s"]
@@ -86,6 +89,8 @@ def weekly_review(spark, sf_dir: str) -> dict:
         "frequent_terms": hh.count(),
         "theil_slope": trend["theil_slope"],
         "trend_days": trend["n_days"],
+        "building_diff": perm["diff_obs"],
+        "building_p_two": perm["p_two"],
     }
 
 

@@ -99,5 +99,6 @@ def test_statistical_quality_gate_example(spark):
     assert 0 < stats["bottom_half_min_share"] < 1
     assert stats["frequent_terms"] == 30
     assert stats["trend_days"] > 0
+    assert 0 < stats["building_p_two"] <= 1
     # deterministic end to end (the bootstrap CI included)
     assert weekly_review(spark, SF_DIR) == stats
