@@ -1463,3 +1463,85 @@ def c_permutation_test(spark, sf_dir):
             "b_effective", "p_two",
         )
     )
+
+
+@query(
+    "c_embedding_norms",
+    oracle="""
+    WITH norms AS MATERIALIZED (
+      SELECT vec_id, label,
+             CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9)
+                           AS DECIMAL(20,9))) AS DOUBLE) AS norm2
+      FROM (SELECT vec_id, label, unnest(embedding) AS x
+            FROM embeddings)
+      GROUP BY vec_id, label),
+    med AS (SELECT label, median(norm2) AS med FROM norms GROUP BY label),
+    dev AS (SELECT n.label, abs(n.norm2 - m.med) AS ad, m.med
+            FROM norms n JOIN med m USING (label)),
+    mad AS (SELECT label, median(ad) AS mad FROM dev GROUP BY label)
+    SELECT CAST(d.label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN d.ad > m2.mad * 4.4478 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_out,
+           round(min(d.med), 6) AS med_norm2,
+           round(min(m2.mad), 6) AS mad_norm2
+    FROM dev d JOIN mad m2 USING (label)
+    GROUP BY d.label
+    """,
+)
+def c_embedding_norms(spark, sf_dir):
+    """Embedding-quality screen: per-label squared-norm distribution
+    with median/MAD outlier flags — the vector-side curation gate that
+    catches zero vectors, exploding norms, and mis-normalized batches
+    before they poison ANN indexes or centroid statistics (the vector
+    twin of c_mad_outliers).
+
+    Exactness: each x² term is a per-row IEEE double rounded to 9dp and
+    summed in DECIMAL (order-free; the unscaled sum stays < 2^53, so
+    the double image is exact — float inputs cast to double BEFORE the
+    multiply on both engines, or DuckDB would square in float32).
+    Scale shape: one explode + keyed agg (map-side partial collapses
+    the ×dim fan-out), two broadcast-scalar medians per label, one
+    shuffle-free flagging pass."""
+    em = T(spark, sf_dir, "embeddings")
+    norms = (
+        em.select(
+            "vec_id", "label", F.explode("embedding").alias("x")
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                F.col("x").cast("double") * F.col("x").cast("double"), 9
+            )
+            .cast("decimal(20,9)")
+            .alias("t"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("t").cast("double").alias("norm2"))
+    )
+    norms = checkpoint(norms, "emb-norms", eager=False)
+    med = norms.groupBy("label").agg(F.median("norm2").alias("med"))
+    dev = norms.join(F.broadcast(med), "label").select(
+        "label",
+        "med",
+        F.abs(F.col("norm2") - F.col("med")).alias("ad"),
+    )
+    dev = checkpoint(dev, "emb-dev", eager=False)
+    mad = dev.groupBy("label").agg(F.median("ad").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "label")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                (F.col("ad") > F.col("mad") * F.lit(4.4478)).cast("long")
+            ).alias("n_out"),
+            F.round(F.min("med"), 6).alias("med_norm2"),
+            F.round(F.min("mad"), 6).alias("mad_norm2"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n", "n_out", "med_norm2", "mad_norm2",
+        )
+    )
