@@ -1545,3 +1545,149 @@ def c_embedding_norms(spark, sf_dir):
             "n", "n_out", "med_norm2", "mad_norm2",
         )
     )
+
+
+@query(
+    "c_label_margin",
+    oracle="""
+    WITH ex AS MATERIALIZED (
+      SELECT vec_id, label AS own,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    cent AS MATERIALIZED (
+      SELECT own AS clabel, pos,
+             CAST(SUM(CAST(round(x, 9) AS DECIMAL(20,9))) AS DOUBLE)
+               / count(*) AS c
+      FROM ex GROUP BY own, pos),
+    vnorm AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(20,9))) AS DOUBLE)
+               AS n2v
+      FROM ex GROUP BY vec_id),
+    cnorm AS (
+      SELECT clabel,
+             CAST(SUM(CAST(round(c * c, 9) AS DECIMAL(20,9))) AS DOUBLE)
+               AS n2c
+      FROM cent GROUP BY clabel),
+    dots AS (
+      SELECT e.vec_id, e.own, c.clabel,
+             CAST(SUM(CAST(round(e.x * c.c, 9) AS DECIMAL(20,9)))
+                  AS DOUBLE) AS dot
+      FROM ex e JOIN cent c ON c.pos = e.pos
+      GROUP BY e.vec_id, e.own, c.clabel),
+    cos AS (
+      SELECT d.vec_id, d.own, d.clabel,
+             d.dot / sqrt(v.n2v * n.n2c) AS cs
+      FROM dots d JOIN vnorm v ON v.vec_id = d.vec_id
+                  JOIN cnorm n ON n.clabel = d.clabel),
+    margins AS (
+      SELECT vec_id, own,
+             round(max(CASE WHEN clabel = own THEN cs END)
+                   - max(CASE WHEN clabel <> own THEN cs END), 9)
+               AS margin
+      FROM cos GROUP BY vec_id, own)
+    SELECT CAST(own AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN margin < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mislabel_candidates,
+           round(CAST(SUM(CAST(margin AS DECIMAL(20,9))) AS DOUBLE)
+                 / count(*), 6) AS avg_margin
+    FROM margins GROUP BY own
+    """,
+)
+def c_label_margin(spark, sf_dir):
+    """Prototype-classifier margin per label: each vector's cosine to
+    its OWN label centroid minus its best OTHER-label cosine. Negative
+    margin = the vector sits closer to another class's prototype — the
+    standard mislabel/boundary screen run before training on labeled
+    embeddings (downstream of c_class_centroids; the curation action is
+    auditing the negative-margin rows).
+
+    Exactness: centroids, norms, and dot products are all DECIMAL sums
+    of 9dp-rounded per-row double terms (order-free — the float inputs
+    are cast to double BEFORE any multiply); cosines and the final
+    margin are per-row IEEE on those exact images; margins round to 9dp
+    before the per-label decimal average. Scale shape: explode → three
+    keyed aggs; the ×K centroid fan-out is label-bounded and the
+    centroid table broadcasts."""
+    em = T(spark, sf_dir, "embeddings")
+    ex = em.select(
+        "vec_id",
+        F.col("label").alias("own"),
+        F.posexplode("embedding"),
+    ).select(
+        "vec_id",
+        "own",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("col").cast("double").alias("x"),
+    )
+    ex = checkpoint(ex, "margin-ex", eager=False)
+    cent = ex.groupBy(F.col("own").alias("clabel"), "pos").agg(
+        (
+            F.sum(F.round(F.col("x"), 9).cast("decimal(20,9)")).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("c")
+    )
+    cent = checkpoint(cent, "margin-cent", eager=False)
+    vnorm = ex.groupBy("vec_id").agg(
+        F.sum(
+            F.round(F.col("x") * F.col("x"), 9).cast("decimal(20,9)")
+        )
+        .cast("double")
+        .alias("n2v")
+    )
+    cnorm = cent.groupBy("clabel").agg(
+        F.sum(
+            F.round(F.col("c") * F.col("c"), 9).cast("decimal(20,9)")
+        )
+        .cast("double")
+        .alias("n2c")
+    )
+    dots = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "own", "clabel")
+        .agg(
+            F.sum(
+                F.round(F.col("x") * F.col("c"), 9).cast("decimal(20,9)")
+            )
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    cos = (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "clabel")
+        .select(
+            "vec_id",
+            "own",
+            "clabel",
+            (F.col("dot") / F.sqrt(F.col("n2v") * F.col("n2c"))).alias(
+                "cs"
+            ),
+        )
+    )
+    margins = cos.groupBy("vec_id", "own").agg(
+        F.round(
+            F.max(
+                F.when(F.col("clabel") == F.col("own"), F.col("cs"))
+            )
+            - F.max(
+                F.when(F.col("clabel") != F.col("own"), F.col("cs"))
+            ),
+            9,
+        ).alias("margin")
+    )
+    return margins.groupBy(F.col("own").cast("long").alias("label")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("margin") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_mislabel_candidates"),
+        F.round(
+            F.sum(F.col("margin").cast("decimal(20,9)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_margin"),
+    )

@@ -563,7 +563,8 @@ def test_statistics_batch_plans(spark):
                  "c_max_concurrent", "c_theilsen_trend", "c_heaps_law",
                  "c_ks_source", "c_mannwhitney", "c_bootstrap_ci",
                  "c_markov_steady", "c_percentile_approx_err",
-                 "c_permutation_test", "c_embedding_norms"):
+                 "c_permutation_test", "c_embedding_norms",
+                 "c_label_margin"):
         df = _q(name, spark)
         rep = plan_report(df)
         assert not rep["cartesian"], name
