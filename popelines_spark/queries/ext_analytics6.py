@@ -1,4 +1,6 @@
-"""Round-7 batch 2 — rank/association statistics and concentration curves.
+"""Round-7 statistics family — rank/association statistics, concentration
+curves, two-sample tests, resampling inference, chain/survival models,
+and embedding curation screens.
 
 Reference basis: the reference's ``bq_query`` passthrough surface
 (popelines/main.py:208-216) delegates arbitrary analyst SQL to BigQuery;
