@@ -186,3 +186,47 @@ def test_lorenz_equal_spend_is_uniform(spark, tmp_path):
     out = _q("c_lorenz_points")(spark, str(tmp_path)).collect()
     for r in out:
         assert r["cum_share"] == round((r["decile"] + 1) / 10, 6)
+
+
+def test_label_margin_flags_planted_mislabel(spark, tmp_path):
+    """Two well-separated clusters; one vector carries the wrong label →
+    exactly that label reports one negative-margin candidate."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(20):
+        base = [1.0, 0.0] if i < 10 else [0.0, 1.0]
+        vec = [base[0] + rng.uniform(-0.05, 0.05),
+               base[1] + rng.uniform(-0.05, 0.05)]
+        label = 0 if i < 10 else 1
+        rows.append((i, vec, label))
+    # plant: vector 19 (cluster B) labeled 0
+    rows[19] = (19, rows[19][1], 0)
+    em = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    _write(spark, tmp_path, "embeddings", em)
+    out = {r["label"]: r
+           for r in _q("c_label_margin")(spark, str(tmp_path)).collect()}
+    assert out[0]["n_mislabel_candidates"] == 1
+    assert out[1]["n_mislabel_candidates"] == 0
+
+
+def test_embedding_norms_flags_planted_zero_vector(spark, tmp_path):
+    """Unit-norm corpus with one zero vector → exactly one outlier."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(30):
+        a = rng.uniform(0, 6.28)
+        rows.append((i, [math.cos(a), math.sin(a)], 0))
+    rows[0] = (0, [0.0, 0.0], 0)
+    em = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    _write(spark, tmp_path, "embeddings", em)
+    row = _q("c_embedding_norms")(spark, str(tmp_path)).collect()[0]
+    assert row["n"] == 30 and row["n_out"] == 1
+    assert abs(row["med_norm2"] - 1.0) < 1e-5
