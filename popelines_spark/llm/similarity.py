@@ -396,3 +396,107 @@ def class_centroids(
             ).alias("mean_val"),
         )
     )
+
+
+def label_margin_fast(
+    em: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Fan-out-free prototype-margin screen — the scale path promised by
+    the registered `c_label_margin` (queries/ext_analytics6.py).
+
+    The oracle-checked form explodes every vector ×dim and joins the
+    centroid long table — exactly mirrorable in SQL, but it ships
+    N·dim·K rows through a shuffle. This form follows the
+    assign_cells literal-projection pattern (llm/ivf.py): centroids are
+    computed in ONE keyed agg, collected (K×dim doubles — the same
+    driver-resident ceiling as IVF centroids, documented in
+    ARCHITECTURE.md), and embedded as array<struct> literals; each row
+    then scores all K prototypes inside a single Project via
+    zip_with + aggregate folds — no explode, no join, no per-row
+    shuffle. The only exchange left is the final K-row label rollup.
+
+    Results match the registered query to ≤1e-9 (the registered form
+    folds 9dp-rounded terms in DECIMAL; this one folds doubles in fixed
+    array order — both deterministic, bit-identical per engine, within
+    rounding distance of each other; asserted in
+    tests/test_statistics_props.py)."""
+    import math
+
+    ex = em.select(
+        id_col,
+        F.col(label_col).alias("own"),
+        F.posexplode(vec_col).alias("pos", "x"),
+    )
+    cent_rows = (
+        ex.groupBy("own", "pos")
+        .agg((F.sum(F.col("x").cast("double")) / F.count("*")).alias("c"))
+        .groupBy("own")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("pos", "c"))
+            ).alias("cv")
+        )
+        .collect()
+    )
+    cents = []
+    for r in cent_rows:
+        vec = [float(p["c"]) for p in r["cv"]]
+        n2c = sum(v * v for v in vec)
+        cents.append((int(r["own"]), vec, n2c))
+
+    def dot(vec, cvec_lits):
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec).cast("array<double>"),
+                F.array(*[F.lit(c) for c in cvec_lits]),
+                lambda x, c: x * c,
+            ),
+            F.lit(0.0),
+            lambda a, t: a + t,
+        )
+
+    n2v = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col(vec_col).cast("array<double>"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda a, t: a + t,
+    )
+    scored = F.array(*[
+        F.struct(
+            (dot(vec_col, vec) / F.sqrt(F.col("__n2v") * F.lit(n2c))).alias(
+                "cs"
+            ),
+            F.lit(lbl).alias("clabel"),
+        )
+        for lbl, vec, n2c in cents
+    ])
+    rows = (
+        em.withColumn("__n2v", n2v)
+        .withColumn("__scored", scored)
+        .select(
+            F.col(label_col).alias("own"),
+            F.expr(
+                "filter(__scored, s -> s.clabel = own)[0].cs"
+            ).alias("cs_own"),
+            F.expr(
+                "array_max(transform(filter(__scored, s -> s.clabel != own),"
+                " s -> s.cs))"
+            ).alias("cs_other"),
+        )
+        .select(
+            "own", (F.col("cs_own") - F.col("cs_other")).alias("margin")
+        )
+    )
+    return rows.groupBy(F.col("own").cast("long").alias(label_col)).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("margin") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_mislabel_candidates"),
+        F.round(F.avg("margin"), 6).alias("avg_margin"),
+    )

@@ -230,3 +230,32 @@ def test_embedding_norms_flags_planted_zero_vector(spark, tmp_path):
     row = _q("c_embedding_norms")(spark, str(tmp_path)).collect()[0]
     assert row["n"] == 30 and row["n_out"] == 1
     assert abs(row["med_norm2"] - 1.0) < 1e-5
+
+
+def test_label_margin_fast_matches_registered(spark):
+    """The fan-out-free projection form must agree with the
+    oracle-checked explode-join form: identical mislabel counts, margins
+    within rounding distance, and a plan with no join in the scoring
+    pass."""
+    from popelines_spark.llm.similarity import label_margin_fast
+    from popelines_spark.plans.inspect import physical_plan
+    from popelines_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    em = load(spark, SF_DIR, "embeddings")
+    fast = {r["label"]: r for r in label_margin_fast(em).collect()}
+    slow = {
+        r["label"]: r
+        for r in _q("c_label_margin")(spark, SF_DIR).collect()
+    }
+    assert set(fast) == set(slow)
+    for lbl in slow:
+        assert fast[lbl]["n"] == slow[lbl]["n"]
+        assert (
+            fast[lbl]["n_mislabel_candidates"]
+            == slow[lbl]["n_mislabel_candidates"]
+        )
+        assert abs(fast[lbl]["avg_margin"] - slow[lbl]["avg_margin"]) < 1e-5
+    plan = physical_plan(label_margin_fast(em))
+    # the scoring pass is a projection: no join operator anywhere
+    assert "Join" not in plan, plan
