@@ -433,3 +433,63 @@ def s_join_interval_left(spark, sf_dir):
         # need dropping
         "pur_ts",
     )
+
+
+@query(
+    "s_dedup_watermarked",
+    oracle="""
+    WITH m AS (SELECT max(ts) AS mx FROM events)
+    SELECT DISTINCT user_id, event_type
+    FROM events, m WHERE ts >= mx - INTERVAL 6 HOUR
+    """,
+)
+def s_dedup_watermarked(spark, sf_dir):
+    """Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    keeps a key's state only until the watermark passes its event time +
+    delay — the 100 TB-stream-safe spelling of s_dedup_stream, whose
+    plain dropDuplicates grows state forever.
+
+    Replay = the s_watermark_late 3-file recipe (6-hour bulk, nudge at
+    the stream max, then 2-hour-early straggler copies). Empirically
+    pinned semantics this entry encodes (prototyped before
+    registration): rows BELOW the watermark are dropped BEFORE the
+    dedup operator — the stragglers never re-emit even where their
+    key's state has expired — so the append output is exactly the
+    distinct key set of the 6-hour bulk, which is what the oracle
+    computes. The state-store peak is bounded by keys active within the
+    watermark horizon (vs the full-history key set in s_dedup_stream;
+    both recorded in BASELINE.md)."""
+    import glob
+
+    scratch = "/tmp/popelines_spark_scratch/wm_dedup_events"
+    shutil.rmtree(scratch, ignore_errors=True)
+    ev = T(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]  # driver scalar: replay setup
+    bulk = ev.filter(
+        F.col("ts") >= F.lit(max_ts) - F.expr("interval 6 hours")
+    )
+    nudge = bulk.filter(F.col("ts") == F.lit(max_ts)).limit(1)
+    late = bulk.filter(F.col("event_id") % 5 == 0).withColumn(
+        "ts", F.col("ts") - F.expr("interval 2 hours")
+    )
+    for i, df in enumerate((bulk, nudge, late)):
+        tmp = os.path.join(scratch, f"_stage{i}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(scratch, f"{i}.parquet")
+        os.rename(part, dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (1600000000 + i * 10,) * 2)
+
+    raw = spark.read.parquet(os.path.join(scratch, "0.parquet"))
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(scratch)
+    )
+    out = (
+        stream.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_completion(out, "append")
