@@ -116,3 +116,61 @@ class _no_broadcast:
             "spark.sql.autoBroadcastJoinThreshold", self.prev
         )
         return False
+
+
+def test_partitioned_and_bucketed_compose(spark, tmp_path):
+    """The standard lakehouse fact layout: directory-partitioned by date
+    grain AND bucketed by join key. A date-filtered equi-join must show
+    BOTH behaviors at once — PartitionFilters on the scan (directory
+    pruning) and no Exchange (co-located buckets)."""
+    from pyspark.sql import functions as F
+
+    from popelines_spark.tables import load
+
+    od = load(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    )
+    li = load(spark, SF_DIR, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    try:
+        (
+            od.repartition(4, "o_orderkey")
+            .write.format("parquet")
+            .partitionBy("month")
+            .bucketBy(4, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable("bt_orders_pm")
+        )
+        (
+            li.repartition(4, "o_orderkey")
+            .write.format("parquet")
+            .bucketBy(4, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable("bt_lineitem_pm")
+        )
+        months = sorted(
+            r.month for r in od.select("month").distinct().collect()
+        )
+        target = months[0]
+        with _no_broadcast(spark):
+            df = (
+                spark.table("bt_orders_pm")
+                .where(F.col("month") == target)
+                .join(spark.table("bt_lineitem_pm"), "o_orderkey")
+            )
+            plan = physical_plan(df)
+            assert "PartitionFilters" in plan, plan
+            assert "Exchange" not in plan, plan
+            n = df.count()
+        exp = (
+            od.where(F.col("month") == target).join(li, "o_orderkey").count()
+        )
+        assert n == exp
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_orders_pm")
+        spark.sql("DROP TABLE IF EXISTS bt_lineitem_pm")
