@@ -1,0 +1,92 @@
+"""Data-skipping evidence for the Z-order layout (operators/zorder.py):
+a 2-D box predicate must be answerable from FEWER files than a
+single-column sort layout allows — measured from the parquet footers'
+min/max stats, which is exactly the information row-group pruning uses."""
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from popelines_spark.operators.zorder import layout_by_zorder
+
+
+def _file_boxes(path):
+    """Per-file (min_a, max_a, min_b, max_b) from parquet footer stats."""
+    boxes = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        lo_a = lo_b = None
+        hi_a = hi_b = None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                st = col.statistics
+                if st is None or name not in ("a", "b"):
+                    continue
+                if name == "a":
+                    lo_a = st.min if lo_a is None else min(lo_a, st.min)
+                    hi_a = st.max if hi_a is None else max(hi_a, st.max)
+                else:
+                    lo_b = st.min if lo_b is None else min(lo_b, st.min)
+                    hi_b = st.max if hi_b is None else max(hi_b, st.max)
+        boxes.append((lo_a, hi_a, lo_b, hi_b))
+    return boxes
+
+
+def _touched(boxes, a_lo, a_hi, b_lo, b_hi):
+    return sum(
+        1
+        for (la, ha, lb, hb) in boxes
+        if not (ha < a_lo or la > a_hi or hb < b_lo or lb > b_hi)
+    )
+
+
+def test_zorder_layout_prunes_2d_boxes(spark, tmp_path):
+    """64k-point uniform (a, b) grid, 16 files per layout. A small 2-D
+    box query must intersect (i.e. be forced to read) every file of the
+    sort-by-a layout's b-dimension, but only a corner of the Z-order
+    layout's bounding boxes."""
+    n = 1 << 16
+    df = spark.range(n).select(
+        ((F.col("id") * 2654435761) % 1024).alias("a"),
+        ((F.col("id") * 40503 + 17) % 1024).alias("b"),
+    )
+    by_a = str(tmp_path / "by_a")
+    (
+        df.repartitionByRange(16, "a")
+        .sortWithinPartitions("a")
+        .write.mode("overwrite")
+        .parquet(by_a)
+    )
+    by_z = str(tmp_path / "by_z")
+    layout_by_zorder(df, "a", "b", n_files=16).write.mode(
+        "overwrite"
+    ).parquet(by_z)
+
+    boxes_a = _file_boxes(by_a)
+    boxes_z = _file_boxes(by_z)
+    assert len(boxes_a) == len(boxes_z) == 16
+
+    # box on BOTH dims: an eighth of each axis → 1/64 of the plane
+    t_a = _touched(boxes_a, 0, 127, 0, 127)
+    t_z = _touched(boxes_z, 0, 127, 0, 127)
+    # sort-by-a prunes on a (≥2 of 16 survive) but its surviving files
+    # span ALL of b; z-order bounds BOTH dims per file
+    assert t_z < t_a, (t_z, t_a)
+    assert t_z <= 4, t_z
+
+    # predicate on the NON-sorted dim only: by_a cannot prune at all
+    t_a_b = _touched(boxes_a, 0, 1023, 0, 127)
+    t_z_b = _touched(boxes_z, 0, 1023, 0, 127)
+    assert t_a_b == 16
+    assert t_z_b < 16, t_z_b
+
+    # and the layouts hold the same rows
+    assert (
+        spark.read.parquet(by_z).count()
+        == spark.read.parquet(by_a).count()
+        == n
+    )
