@@ -259,3 +259,43 @@ def test_label_margin_fast_matches_registered(spark):
     plan = physical_plan(label_margin_fast(em))
     # the scoring pass is a projection: no join operator anywhere
     assert "Join" not in plan, plan
+
+
+def test_theilsen_exact_linear_slope(spark, tmp_path):
+    """Daily revenue exactly 100 + 5·t dollars → every pairwise slope is
+    exactly 5.0, so the median is too."""
+    li = spark.createDataFrame(
+        [(t, 1, 1, t, 100.0 + 5.0 * t, 1.0, 0.0, 0.0, "N", "O",
+          dt.datetime(2024, 1, 1) + dt.timedelta(days=t))
+         for t in range(10)],
+        "l_orderkey long, l_partkey long, l_linenumber int, l_suppkey long,"
+        " l_extendedprice double, l_quantity double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    _write(spark, tmp_path, "lineitem", li)
+    row = _q("c_theilsen_trend")(spark, str(tmp_path)).collect()[0]
+    assert row["n_days"] == 10 and row["n_pairs"] == 45
+    assert row["theil_slope"] == 5.0
+
+
+def test_bootstrap_ci_degenerate_distribution(spark, tmp_path):
+    """Every order costs exactly 250 → every resample mean is exactly
+    250 → the CI collapses to a point."""
+    cust = spark.createDataFrame(
+        [(i, f"c{i}", 0, 0.0, "S") for i in range(50)],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(i, i, "O", 250.0, dt.datetime(2024, 1, 1), "P")
+         for i in range(50)],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    _write(spark, tmp_path, "customer", cust)
+    _write(spark, tmp_path, "orders", orders)
+    row = _q("c_bootstrap_ci")(spark, str(tmp_path)).collect()[0]
+    assert row["ci_lo"] == row["ci_hi"] == 250.0
+    assert row["n_resamples"] == 100
