@@ -443,18 +443,37 @@ def write_table_snapshot(
 
 
 def read_table_snapshot(
-    spark: SparkSession, warehouse: str, table_name: str
+    spark: SparkSession,
+    warehouse: str,
+    table_name: str,
+    version: int | None = None,
 ) -> DataFrame:
-    """Read the highest COMMITTED version (uncommitted/torn version dirs
-    are invisible by construction)."""
+    """Read a COMMITTED snapshot version (uncommitted/torn version dirs
+    are invisible by construction).
+
+    ``version=None`` reads the latest; an explicit ``version`` is TIME
+    TRAVEL — any committed version still inside the retention window
+    (``compact_table_snapshot(keep_versions=...)``) reads exactly as it
+    was committed, the debugging/backfill affordance BigQuery gives the
+    reference via table snapshots/``FOR SYSTEM_TIME AS OF``. A version
+    that never existed or was retention-GC'd raises with the available
+    window listed."""
     fs, root, jvm = _hadoop_fs(spark, table_path(warehouse, table_name))
     versions = _committed_versions(fs, root, jvm)
     if not versions:
         raise FileNotFoundError(
             f"no committed snapshot versions under {root}"
         )
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise FileNotFoundError(
+            f"snapshot version {version} of {table_name} is not available"
+            f" (committed versions: {versions} — older ones may have been"
+            " retention-GC'd)"
+        )
     return spark.read.parquet(
-        snapshot_version_path(warehouse, table_name, versions[-1])
+        snapshot_version_path(warehouse, table_name, version)
     )
 
 

@@ -92,3 +92,20 @@ def test_concurrent_writers_get_distinct_versions(spark, scratch):
     b = write_table_snapshot(spark, wh, "t", _mk(spark, 6, "b"))
     assert a != b
     assert read_table_snapshot(spark, wh, "t").count() == 6  # latest wins
+
+
+def test_time_travel_reads_pinned_version(spark, scratch):
+    """An explicit version= reads the table exactly as committed then;
+    a GC'd or never-committed version fails with the available window in
+    the message."""
+    import pytest
+
+    write_table_snapshot(spark, scratch, "tt", _mk(spark, 10, "v1"))
+    write_table_snapshot(spark, scratch, "tt", _mk(spark, 20, "v2"))
+    latest = read_table_snapshot(spark, scratch, "tt")
+    assert latest.count() == 20
+    old = read_table_snapshot(spark, scratch, "tt", version=1)
+    assert old.count() == 10
+    assert old.select("tag").distinct().collect()[0][0] == "v1"
+    with pytest.raises(FileNotFoundError, match="not available"):
+        read_table_snapshot(spark, scratch, "tt", version=99)
