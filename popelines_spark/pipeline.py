@@ -110,15 +110,19 @@ class Popeline:
         )
 
     # --- query -----------------------------------------------------------
-    def query(self, sql: str) -> list:
+    def query(self, sql: str, args: dict | None = None) -> list:
         """bq_query (popelines/main.py:236-243): arbitrary SQL → row list.
         Tables under the warehouse must be registered via register_table.
+        ``args`` binds named parameters (``:name`` placeholders) — the
+        injection-safe spelling of the reference's f-string SQL assembly.
         NOTE: materializes on the driver like the reference — prefer
         query_df for anything large."""
-        return self.query_df(sql).collect()
+        return self.query_df(sql, args).collect()
 
-    def query_df(self, sql: str) -> DataFrame:
+    def query_df(self, sql: str, args: dict | None = None) -> DataFrame:
         """The scale-safe spelling: SQL → lazy DataFrame."""
+        if args:
+            return self.spark.sql(sql, args=args)
         return self.spark.sql(sql)
 
     def register_table(self, table_name: str) -> None:

@@ -101,3 +101,18 @@ def test_composite_pipeline_end_to_end(spark, scratch):
     assert [r.user_name for r in rows] == ["ann", "bob", "cee"]
     assert rows[0].new_col is None and rows[2].new_col == 4.5
     assert p.find_last_entry("Users-Table", "_1st_field") == 3
+
+
+def test_query_named_parameters(spark, tmp_path):
+    """query/query_df bind :name parameters (the injection-safe spelling
+    of the reference's f-string SQL assembly)."""
+    from popelines_spark.pipeline import Popeline
+
+    p = Popeline(warehouse=str(tmp_path / "wh"), spark=spark)
+    p.write_to_table("t_params", df=spark.range(10).withColumnRenamed("id", "v"))
+    p.register_table("t_params")
+    rows = p.query(
+        "SELECT count(*) AS n FROM t_params WHERE v >= :lo AND v < :hi",
+        args={"lo": 2, "hi": 7},
+    )
+    assert rows[0]["n"] == 5
