@@ -130,6 +130,33 @@ class Popeline:
             io.normalize_table_name(table_name)
         )
 
+    def upsert_table(
+        self,
+        table_name: str,
+        df: DataFrame,
+        keys: list[str],
+        dedup_source_order=None,
+    ) -> str:
+        """BigQuery/Delta MERGE for path tables: rows matched on ``keys``
+        take ``df``'s values, unmatched rows on both sides survive
+        (operators/upsert.py carries the duplicate-source-key guard). The
+        merged result replaces the table in one truncate-write; for
+        reader-isolated replacement use the snapshot-table path
+        (io.write_table_snapshot). Engine-native extension — the
+        reference delegates MERGE to BigQuery via bq_query."""
+        from popelines_spark.operators.upsert import upsert
+
+        target = io.read_table_evolved(self.spark, self.warehouse, table_name)
+        merged = upsert(
+            target, df, keys, dedup_source_order=dedup_source_order
+        )
+        # localCheckpoint: the merged plan reads the files the write is
+        # about to truncate — materialize before overwriting.
+        merged = merged.localCheckpoint(eager=True)
+        return io.write_table(
+            merged, self.warehouse, table_name, append=False
+        )
+
     # --- table maintenance (engine-native; no reference analog — BigQuery
     # does both server-side) -----------------------------------------------
     def compact_table(self, table_name: str, target_file_bytes: int = 128 << 20):

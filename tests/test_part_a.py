@@ -116,3 +116,24 @@ def test_query_named_parameters(spark, tmp_path):
         args={"lo": 2, "hi": 7},
     )
     assert rows[0]["n"] == 5
+
+
+def test_upsert_table_merges_into_warehouse(spark, tmp_path):
+    """MERGE semantics through the facade: matched keys updated,
+    unmatched source rows inserted, unmatched target rows kept."""
+    from pyspark.sql import functions as F
+
+    from popelines_spark.pipeline import Popeline
+
+    p = Popeline(warehouse=str(tmp_path / "wh"), spark=spark)
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    p.write_to_table("t_up", df=base)
+    delta = spark.createDataFrame(
+        [(2, "B"), (4, "d")], "k long, v string"
+    )
+    p.upsert_table("t_up", delta, keys=["k"])
+    p.register_table("t_up")
+    rows = {r["k"]: r["v"] for r in p.query("SELECT k, v FROM t_up")}
+    assert rows == {1: "a", 2: "B", 3: "c", 4: "d"}
