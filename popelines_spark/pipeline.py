@@ -157,6 +157,22 @@ class Popeline:
             merged, self.warehouse, table_name, append=False
         )
 
+    def delete_rows(self, table_name: str, predicate: str) -> int:
+        """BigQuery DML DELETE for path tables: drop rows matching the
+        SQL ``predicate``, keep everything else; returns the deleted
+        count. With upsert_table (MERGE) and write_to_table (INSERT /
+        TRUNCATE) this completes the DML surface the reference reaches
+        through bq_query. Same materialize-before-truncate discipline as
+        upsert_table."""
+        target = io.read_table_evolved(self.spark, self.warehouse, table_name)
+        total = target.count()
+        kept = target.filter(f"NOT ({predicate})").localCheckpoint(
+            eager=True
+        )
+        n_kept = kept.count()
+        io.write_table(kept, self.warehouse, table_name, append=False)
+        return total - n_kept
+
     # --- table maintenance (engine-native; no reference analog — BigQuery
     # does both server-side) -----------------------------------------------
     def compact_table(self, table_name: str, target_file_bytes: int = 128 << 20):

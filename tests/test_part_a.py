@@ -137,3 +137,19 @@ def test_upsert_table_merges_into_warehouse(spark, tmp_path):
     p.register_table("t_up")
     rows = {r["k"]: r["v"] for r in p.query("SELECT k, v FROM t_up")}
     assert rows == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+
+def test_delete_rows_predicate(spark, tmp_path):
+    """DELETE WHERE through the facade: matching rows gone, count
+    returned, others intact."""
+    from popelines_spark.pipeline import Popeline
+
+    p = Popeline(warehouse=str(tmp_path / "wh"), spark=spark)
+    p.write_to_table(
+        "t_del", df=spark.range(10).withColumnRenamed("id", "v")
+    )
+    n = p.delete_rows("t_del", "v % 2 = 0")
+    assert n == 5
+    p.register_table("t_del")
+    vals = sorted(r["v"] for r in p.query("SELECT v FROM t_del"))
+    assert vals == [1, 3, 5, 7, 9]
