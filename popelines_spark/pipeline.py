@@ -173,6 +173,27 @@ class Popeline:
         io.write_table(kept, self.warehouse, table_name, append=False)
         return total - n_kept
 
+    def update_rows(
+        self, table_name: str, set_exprs: dict[str, str], predicate: str
+    ) -> int:
+        """BigQuery DML UPDATE for path tables: for rows matching the SQL
+        ``predicate``, assign each ``column: sql_expression`` in
+        ``set_exprs`` (expressions may reference the row's own columns);
+        other rows pass through untouched. Returns the updated count."""
+        from pyspark.sql import functions as F
+
+        target = io.read_table_evolved(self.spark, self.warehouse, table_name)
+        cond = F.expr(predicate)
+        n_match = target.filter(cond).count()
+        updated = target
+        for col, expr in set_exprs.items():
+            updated = updated.withColumn(
+                col, F.when(cond, F.expr(expr)).otherwise(F.col(col))
+            )
+        updated = updated.localCheckpoint(eager=True)
+        io.write_table(updated, self.warehouse, table_name, append=False)
+        return n_match
+
     # --- table maintenance (engine-native; no reference analog — BigQuery
     # does both server-side) -----------------------------------------------
     def compact_table(self, table_name: str, target_file_bytes: int = 128 << 20):

@@ -153,3 +153,19 @@ def test_delete_rows_predicate(spark, tmp_path):
     p.register_table("t_del")
     vals = sorted(r["v"] for r in p.query("SELECT v FROM t_del"))
     assert vals == [1, 3, 5, 7, 9]
+
+
+def test_update_rows_set_where(spark, tmp_path):
+    """UPDATE SET ... WHERE through the facade: matched rows rewritten
+    (expressions see the row's own columns), others untouched."""
+    from popelines_spark.pipeline import Popeline
+
+    p = Popeline(warehouse=str(tmp_path / "wh"), spark=spark)
+    p.write_to_table(
+        "t_upd", df=spark.range(6).selectExpr("id AS k", "id * 10 AS v")
+    )
+    n = p.update_rows("t_upd", {"v": "v + 1"}, "k >= 4")
+    assert n == 2
+    p.register_table("t_upd")
+    rows = {r["k"]: r["v"] for r in p.query("SELECT k, v FROM t_upd")}
+    assert rows == {0: 0, 1: 10, 2: 20, 3: 30, 4: 41, 5: 51}
