@@ -125,10 +125,24 @@ class Popeline:
             return self.spark.sql(sql, args=args)
         return self.spark.sql(sql)
 
-    def register_table(self, table_name: str) -> None:
-        io.read_table_evolved(self.spark, self.warehouse, table_name).createOrReplaceTempView(
-            io.normalize_table_name(table_name)
-        )
+    def register_table(
+        self,
+        table_name: str,
+        snapshot: bool = False,
+        version: int | None = None,
+    ) -> None:
+        """Expose a warehouse table to SQL. Default = the evolved
+        path-table read; ``snapshot=True`` reads the committed snapshot
+        layout instead, and ``version=`` pins a retained historical
+        version — time travel at the SQL surface
+        (io.read_table_snapshot)."""
+        if snapshot or version is not None:
+            df = io.read_table_snapshot(
+                self.spark, self.warehouse, table_name, version=version
+            )
+        else:
+            df = io.read_table_evolved(self.spark, self.warehouse, table_name)
+        df.createOrReplaceTempView(io.normalize_table_name(table_name))
 
     def upsert_table(
         self,

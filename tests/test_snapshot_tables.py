@@ -109,3 +109,17 @@ def test_time_travel_reads_pinned_version(spark, scratch):
     assert old.select("tag").distinct().collect()[0][0] == "v1"
     with pytest.raises(FileNotFoundError, match="not available"):
         read_table_snapshot(spark, scratch, "tt", version=99)
+
+
+def test_register_table_snapshot_time_travel_sql(spark, scratch):
+    """Time travel reaches the SQL surface: register a pinned version
+    and query it next to the live one."""
+    from popelines_spark.pipeline import Popeline
+
+    p = Popeline(warehouse=scratch, spark=spark)
+    write_table_snapshot(spark, scratch, "ttsql", _mk(spark, 5, "v1"))
+    write_table_snapshot(spark, scratch, "ttsql", _mk(spark, 9, "v2"))
+    p.register_table("ttsql", snapshot=True)
+    assert p.query("SELECT count(*) AS n FROM ttsql")[0]["n"] == 9
+    p.register_table("ttsql", version=1)
+    assert p.query("SELECT count(*) AS n FROM ttsql")[0]["n"] == 5
