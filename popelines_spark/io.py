@@ -442,6 +442,40 @@ def write_table_snapshot(
     return version
 
 
+def append_table_snapshot(
+    spark: SparkSession,
+    warehouse: str,
+    table_name: str,
+    df: DataFrame,
+    n_files: int | None = None,
+) -> int:
+    """WRITE_APPEND on the snapshot layout: new version = current
+    committed rows + ``df``, with the same add-only schema evolution as
+    ``write_table`` (union by name, missing fields → NULL, conflicting
+    primitives coerced to the live type). Readers pinned to any prior
+    version are untouched; the append becomes visible in ONE commit-marker
+    flip — the reference's atomic BigQuery append job
+    (popelines/main.py:135-139) on a plain object store. First append on
+    an empty table degrades to write_table_snapshot."""
+    try:
+        current = read_table_snapshot(spark, warehouse, table_name)
+    except FileNotFoundError:
+        return write_table_snapshot(
+            spark, warehouse, table_name, df, n_files=n_files
+        )
+    target = merge_schemas(current.schema, df.schema)
+    merged = _align_to(current, target).unionByName(
+        _align_to(df, target), allowMissingColumns=True
+    )
+    # materialize before writing: the union reads the version dir the
+    # reservation loop is about to extend (safe either way — new version
+    # is a NEW dir — but localCheckpoint keeps the plan from re-listing)
+    merged = merged.localCheckpoint(eager=True)
+    return write_table_snapshot(
+        spark, warehouse, table_name, merged, n_files=n_files
+    )
+
+
 def read_table_snapshot(
     spark: SparkSession,
     warehouse: str,

@@ -123,3 +123,23 @@ def test_register_table_snapshot_time_travel_sql(spark, scratch):
     assert p.query("SELECT count(*) AS n FROM ttsql")[0]["n"] == 9
     p.register_table("ttsql", version=1)
     assert p.query("SELECT count(*) AS n FROM ttsql")[0]["n"] == 5
+
+
+def test_append_snapshot_evolves_and_preserves_history(spark, scratch):
+    """Append with a new column: the new version holds old+new rows with
+    the evolved schema; the prior version still reads exactly as it was
+    (no in-place mutation anywhere)."""
+    from popelines_spark.io import append_table_snapshot
+
+    v1 = write_table_snapshot(spark, scratch, "ap", _mk(spark, 4, "v1"))
+    batch = _mk(spark, 3, "v2").withColumn("extra", F.lit(7))
+    v2 = append_table_snapshot(spark, scratch, "ap", batch)
+    assert v2 == v1 + 1
+    now = read_table_snapshot(spark, scratch, "ap")
+    assert now.count() == 7
+    assert "extra" in now.columns
+    # old rows carry NULL extra; new rows carry 7
+    assert now.where(F.col("extra").isNull()).count() == 4
+    # pinned history unchanged
+    old = read_table_snapshot(spark, scratch, "ap", version=v1)
+    assert old.count() == 4 and "extra" not in old.columns
