@@ -95,14 +95,16 @@ def _reserve_version(fs, vroot, jvm) -> int:
 
 
 def _commit_manifest(
-    spark, fs, vroot, version, files: list[str], schema_json: str, jvm
+    spark, fs, vroot, version, files: list[str], schema_json: str, jvm,
+    batch_id: str | None = None,
 ) -> None:
     HPath = jvm.org.apache.hadoop.fs.Path
     vdir = f"{vroot}/{version}"
     fs.mkdirs(HPath(vdir))
-    body = json.dumps(
-        {"version": version, "files": sorted(files), "schema": schema_json}
-    ).encode("utf-8")
+    doc = {"version": version, "files": sorted(files), "schema": schema_json}
+    if batch_id is not None:
+        doc["batch_id"] = batch_id
+    body = json.dumps(doc).encode("utf-8")
     out = fs.create(HPath(f"{vdir}/manifest.json"), True)
     try:
         out.write(body)
@@ -128,16 +130,28 @@ def append_manifest_table(
     table_name: str,
     df: DataFrame,
     n_files: int | None = None,
+    batch_id: str | int | None = None,
 ) -> int:
     """Append ``df`` as a new version whose manifest = previous files +
     this batch's files. O(batch) data written; old files untouched.
     Add-only schema evolution: the batch is aligned to the merged schema
     (missing fields NULL, conflicting primitives coerced); EXISTING files
     stay as written — the reader supplies the evolved schema, exactly the
-    parquet-mergeSchema economics of write_table."""
+    parquet-mergeSchema economics of write_table.
+
+    ``batch_id`` makes the append IDEMPOTENT: if any committed manifest
+    already carries this id, the call is a no-op returning that version —
+    the exactly-once contract a streaming foreachBatch sink needs across
+    restarts (streaming/manifest_sink.py)."""
     root, vroot, droot = _paths(warehouse, table_name)
     fs, _, jvm = _hadoop_fs(spark, root)
     versions = _committed_manifest_versions(fs, vroot, jvm)
+    if batch_id is not None:
+        for v in versions:
+            if _read_manifest(fs, vroot, v, jvm).get("batch_id") == str(
+                batch_id
+            ):
+                return v
     prev_files: list[str] = []
     target_schema = df.schema
     if versions:
@@ -157,6 +171,7 @@ def append_manifest_table(
     _commit_manifest(
         spark, fs, vroot, version,
         prev_files + new_files, json.dumps(target_schema.jsonValue()), jvm,
+        batch_id=None if batch_id is None else str(batch_id),
     )
     return version
 

@@ -115,3 +115,40 @@ def test_concurrent_appends_serialize_to_distinct_versions(spark, scratch):
     # protocol does promise:
     tags = {r["tag"] for r in final.select("tag").distinct().collect()}
     assert "base" in tags and len(tags) >= 2
+
+
+def test_streaming_sink_exactly_once_across_replay(spark, scratch, tmp_path):
+    """The foreachBatch manifest sink must not duplicate a replayed
+    micro-batch: running the same availableNow drain twice over the same
+    checkpoint adds nothing, and a DIRECT re-append with the same
+    batch_id is a no-op returning the original version."""
+    import os
+
+    from popelines_spark.manifest import append_manifest_table
+    from popelines_spark.streaming.manifest_sink import (
+        write_stream_to_manifest,
+    )
+
+    src = str(tmp_path / "src")
+    _mk(spark, 40, "a").coalesce(1).write.parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = write_stream_to_manifest(stream, scratch, "msk", ckpt)
+    q.awaitTermination()
+    assert read_manifest_table(spark, scratch, "msk").count() == 40
+    # restart over the same checkpoint: nothing new to process, nothing
+    # duplicated
+    stream2 = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q2 = write_stream_to_manifest(stream2, scratch, "msk", ckpt)
+    q2.awaitTermination()
+    assert read_manifest_table(spark, scratch, "msk").count() == 40
+    # simulate the crash-replay: re-deliver batch 0 by hand — idempotent
+    v = append_manifest_table(
+        spark, scratch, "msk", _mk(spark, 40, "a"), batch_id=0
+    )
+    assert read_manifest_table(spark, scratch, "msk").count() == 40
+    assert v == 1
