@@ -8,7 +8,10 @@ its daily close:
   per-source dataset cards published next to each snapshot →
   EWMA-smoothed daily revenue per nation for the trend dashboard →
   PageRank over the nation trade graph for the supply-map view →
-  a privacy-safe external release of event counts (seeded Laplace noise).
+  a privacy-safe external release of event counts (seeded Laplace noise) →
+  (round 7) the fact feed landed exactly-once into a MANIFEST table —
+  incremental ACID appends with time travel and retention GC
+  (popelines_spark/manifest.py + streaming/manifest_sink.py).
 
 Every stage is a keyed shuffle, a broadcast of a tiny frame, or a
 bounded iterative join (PageRank state = one row per node); nothing
@@ -60,6 +63,32 @@ def build_mart(spark, sf_dir: str, out_dir: str):
     for name, df in marts.items():
         df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
         counts[name] = spark.read.parquet(f"{out_dir}/{name}").count()
+
+    # 7. (round 7) land the raw feed in the governed ACID layout:
+    #    two daily batches append incrementally (old files untouched),
+    #    a replayed batch id is a no-op, and yesterday's version stays
+    #    queryable until retention GC
+    from popelines_spark.manifest import (
+        append_manifest_table,
+        read_manifest_table,
+    )
+
+    day1 = ev.filter(F.dayofmonth("ts") % 2 == 0)
+    day2 = ev.filter(F.dayofmonth("ts") % 2 == 1)
+    append_manifest_table(spark, out_dir, "events_acid", day1, batch_id=1)
+    v2 = append_manifest_table(
+        spark, out_dir, "events_acid", day2, batch_id=2
+    )
+    # crash-replay of batch 2: exactly-once, same version comes back
+    assert append_manifest_table(
+        spark, out_dir, "events_acid", day2, batch_id=2
+    ) == v2
+    counts["events_acid"] = read_manifest_table(
+        spark, out_dir, "events_acid"
+    ).count()
+    counts["events_acid_v1"] = read_manifest_table(
+        spark, out_dir, "events_acid", version=1
+    ).count()
     return counts
 
 

@@ -54,6 +54,10 @@ def test_governed_warehouse_example(spark, scratch):
     assert counts["user_state_history"] > 0
     assert counts["public_release"] == 5  # one noisy row per event type
     assert counts["nation_rank"] == 25
+    # ACID landing: both batches present, version 1 = batch-1 rows only
+    assert (
+        0 < counts["events_acid_v1"] < counts["events_acid"]
+    )
     assert all(n > 0 for n in counts.values())
 
 
