@@ -97,6 +97,7 @@ def _reserve_version(fs, vroot, jvm) -> int:
 def _commit_manifest(
     spark, fs, vroot, version, files: list[str], schema_json: str, jvm,
     batch_id: str | None = None,
+    file_stats: dict | None = None,
 ) -> None:
     HPath = jvm.org.apache.hadoop.fs.Path
     vdir = f"{vroot}/{version}"
@@ -104,6 +105,8 @@ def _commit_manifest(
     doc = {"version": version, "files": sorted(files), "schema": schema_json}
     if batch_id is not None:
         doc["batch_id"] = batch_id
+    if file_stats:
+        doc["file_stats"] = file_stats
     body = json.dumps(doc).encode("utf-8")
     out = fs.create(HPath(f"{vdir}/manifest.json"), True)
     try:
@@ -131,6 +134,7 @@ def append_manifest_table(
     df: DataFrame,
     n_files: int | None = None,
     batch_id: str | int | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Append ``df`` as a new version whose manifest = previous files +
     this batch's files. O(batch) data written; old files untouched.
@@ -142,7 +146,14 @@ def append_manifest_table(
     ``batch_id`` makes the append IDEMPOTENT: if any committed manifest
     already carries this id, the call is a no-op returning that version —
     the exactly-once contract a streaming foreachBatch sink needs across
-    restarts (streaming/manifest_sink.py)."""
+    restarts (streaming/manifest_sink.py).
+
+    ``stats_cols`` records the batch's min/max for those columns against
+    every file the batch created — Iceberg-style scan-planning stats:
+    ``read_manifest_table(prune=[(col, lo, hi)])`` then drops files whose
+    recorded range misses the predicate WITHOUT opening a single footer
+    (batch granularity — daily batches make this date-range pruning of
+    history, the incremental-query fast path)."""
     root, vroot, droot = _paths(warehouse, table_name)
     fs, _, jvm = _hadoop_fs(spark, root)
     versions = _committed_manifest_versions(fs, vroot, jvm)
@@ -166,14 +177,90 @@ def append_manifest_table(
     version = _reserve_version(fs, vroot, jvm)
     ddir = f"{droot}/v{version}"
     out = df.repartition(n_files) if n_files else df
+    batch_stats = None
+    if stats_cols:
+        from pyspark.sql import functions as F
+
+        out = out.localCheckpoint(eager=True)  # stats + write: one compute
+        row = out.agg(
+            *[F.min(c).alias(f"__lo_{c}") for c in stats_cols],
+            *[F.max(c).alias(f"__hi_{c}") for c in stats_cols],
+        ).collect()[0]
+        def _j(v):
+            # JSON-safe stat values; non-primitives (timestamps, dates,
+            # decimals) become ISO-format strings, which compare
+            # lexicographically consistently — pass prune bounds in the
+            # same string form for those columns
+            return v if isinstance(v, (int, float, str, type(None))) else str(v)
+
+        batch_stats = {
+            c: [_j(row[f"__lo_{c}"]), _j(row[f"__hi_{c}"])]
+            for c in stats_cols
+        }
     out.write.mode("overwrite").parquet(ddir)
     new_files = _list_parquet(fs, ddir, jvm)
+    # carry forward prior per-file stats; stamp this batch's files
+    prev_stats = {}
+    if versions:
+        prev_stats = man.get("file_stats", {})
+    file_stats = dict(prev_stats)
+    if batch_stats is not None:
+        for f in new_files:
+            file_stats[f] = batch_stats
     _commit_manifest(
         spark, fs, vroot, version,
         prev_files + new_files, json.dumps(target_schema.jsonValue()), jvm,
         batch_id=None if batch_id is None else str(batch_id),
+        file_stats=file_stats,
     )
     return version
+
+
+def manifest_file_list(
+    spark: SparkSession,
+    warehouse: str,
+    table_name: str,
+    version: int | None = None,
+    prune: list[tuple] | None = None,
+) -> list[str]:
+    """The version's member files after stats pruning — the scan-planning
+    primitive read_manifest_table builds on (exposed for tests/tooling).
+    ``prune`` entries are (col, lo, hi) closed ranges; a file is dropped
+    only when its RECORDED range provably misses one — files without
+    stats for the column are always kept (pruning may keep extra files,
+    never lose rows)."""
+    root, vroot, _ = _paths(warehouse, table_name)
+    fs, _, jvm = _hadoop_fs(spark, root)
+    versions = _committed_manifest_versions(fs, vroot, jvm)
+    if not versions:
+        raise FileNotFoundError(f"no committed manifest versions under {root}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise FileNotFoundError(
+            f"manifest version {version} of {table_name} not available"
+            f" (committed: {versions})"
+        )
+    man = _read_manifest(fs, vroot, version, jvm)
+    files = man["files"]
+    if prune:
+        stats = man.get("file_stats", {})
+        kept = []
+        for f in files:
+            st = stats.get(f)
+            drop = False
+            if st:
+                for col, lo, hi in prune:
+                    rng = st.get(col)
+                    if rng is None or rng[0] is None or rng[1] is None:
+                        continue
+                    if rng[1] < lo or rng[0] > hi:
+                        drop = True
+                        break
+            if not drop:
+                kept.append(f)
+        files = kept
+    return files
 
 
 def read_manifest_table(
@@ -181,11 +268,14 @@ def read_manifest_table(
     warehouse: str,
     table_name: str,
     version: int | None = None,
+    prune: list[tuple] | None = None,
 ) -> DataFrame:
     """Read a committed manifest version (latest by default; explicit
     ``version`` = time travel). The manifest's schema is applied on read,
     so pre-evolution files surface NULLs for later columns without
-    mergeSchema footer sampling."""
+    mergeSchema footer sampling. ``prune`` drops files by recorded batch
+    stats BEFORE Spark sees a path (manifest_file_list) — callers still
+    apply the row-level predicate; pruning only shrinks the scan."""
     root, vroot, _ = _paths(warehouse, table_name)
     fs, _, jvm = _hadoop_fs(spark, root)
     versions = _committed_manifest_versions(fs, vroot, jvm)
@@ -202,9 +292,12 @@ def read_manifest_table(
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(man["schema"]))
-    if not man["files"]:
+    files = manifest_file_list(
+        spark, warehouse, table_name, version=version, prune=prune
+    )
+    if not files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*man["files"])
+    return spark.read.schema(schema).parquet(*files)
 
 
 def compact_manifest_table(

@@ -152,3 +152,47 @@ def test_streaming_sink_exactly_once_across_replay(spark, scratch, tmp_path):
     )
     assert read_manifest_table(spark, scratch, "msk").count() == 40
     assert v == 1
+
+
+def test_stats_pruning_skips_disjoint_batches(spark, scratch):
+    """Three appends with disjoint id ranges + stats_cols: a range
+    predicate plans only the matching batch's files — and the pruned
+    read still returns exactly the right rows."""
+    from popelines_spark.manifest import manifest_file_list
+
+    for lo in (0, 100, 200):
+        batch = spark.range(lo, lo + 50).select(
+            F.col("id"), F.lit(f"b{lo}").alias("tag")
+        )
+        append_manifest_table(
+            spark, scratch, "mp", batch, n_files=2, stats_cols=["id"]
+        )
+    all_files = manifest_file_list(spark, scratch, "mp")
+    hit = manifest_file_list(spark, scratch, "mp", prune=[("id", 120, 130)])
+    assert len(hit) == 2 and len(all_files) == 6
+    pruned = read_manifest_table(
+        spark, scratch, "mp", prune=[("id", 120, 130)]
+    ).where("id BETWEEN 120 AND 130")
+    assert pruned.count() == 11
+    # a predicate outside every range plans zero files
+    assert manifest_file_list(
+        spark, scratch, "mp", prune=[("id", 900, 950)]
+    ) == []
+
+
+def test_stats_pruning_never_loses_rows_without_stats(spark, scratch):
+    """Files appended WITHOUT stats are always kept — pruning is
+    conservative by construction."""
+    from popelines_spark.manifest import manifest_file_list
+
+    append_manifest_table(spark, scratch, "mns", _mk(spark, 10, "nostats"))
+    append_manifest_table(
+        spark, scratch, "mns",
+        spark.range(100, 110).select(F.col("id"), F.lit("s").alias("tag")),
+        stats_cols=["id"],
+    )
+    files = manifest_file_list(
+        spark, scratch, "mns", prune=[("id", 5000, 6000)]
+    )
+    # stats-bearing batch pruned away; stat-less files conservatively kept
+    assert files == manifest_file_list(spark, scratch, "mns", version=1)
