@@ -159,3 +159,49 @@ def b_source_rows(spark, sf_dir):
         [(1, "alpha", 1.5), (2, "beta", None), (3, "gamma", 2.25)],
         "id long, name string, score double",
     )
+
+
+@query(
+    "b_sink_manifest",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def b_sink_manifest(spark, sf_dir):
+    """The ACID manifest layout under the correctness gate: the events
+    feed lands as TWO incremental appends (even/odd event ids — old
+    files never rewritten), the second delivered TWICE with the same
+    batch id (exactly-once no-op), then the table is read back through
+    the committed manifest and aggregated — equal to the plain batch
+    rollup the oracle runs iff no row was lost, duplicated, or torn.
+    popelines_spark/manifest.py carries the protocol."""
+    import shutil as _shutil
+
+    from popelines_spark.manifest import (
+        append_manifest_table,
+        read_manifest_table,
+    )
+
+    scratch = f"/tmp/popelines_spark_scratch/manifest_sink_{os.getpid()}"
+    _shutil.rmtree(scratch, ignore_errors=True)
+    ev = T(spark, sf_dir, "events").select("event_id", "event_type")
+    append_manifest_table(
+        spark, scratch, "ev", ev.filter("event_id % 2 = 0"), batch_id="even"
+    )
+    append_manifest_table(
+        spark, scratch, "ev", ev.filter("event_id % 2 = 1"), batch_id="odd"
+    )
+    # crash-replay: same batch id → no-op
+    append_manifest_table(
+        spark, scratch, "ev", ev.filter("event_id % 2 = 1"), batch_id="odd"
+    )
+    return (
+        read_manifest_table(spark, scratch, "ev")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+        )
+    )

@@ -91,7 +91,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "c_ks_source", "c_mannwhitney", "c_bootstrap_ci", "c_markov_steady",
     "s_join_interval_left", "c_percentile_approx_err",
     "c_permutation_test", "c_embedding_norms", "c_label_margin",
-    "s_dedup_watermarked",
+    "s_dedup_watermarked", "b_sink_manifest",
 )
 
 
