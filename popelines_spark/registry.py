@@ -41,43 +41,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Round-7 rotation: the driver scores a bounded 50-entry prefix of the
-# registry per round.  This round's window = the 24 round-6 entries that
-# were staged behind the round-6 window (the ONLY registered queries
-# without a driver-green row; all 24 were verified green by the round-6
-# judge's tools/parity.py run), followed by the stalest driver-green
-# cohorts oldest-first: the 17 entries last green in CORRECTNESS_r01
-# (b_scan_*/b_sink_*/b_source_rows, b_win_*, b_sort/b_limit,
-# b_project/b_filter) and the 9 oldest r2-green entries — 24+17+9 = 50.
-# After CORRECTNESS_r07 the driver-green union is 273/273 (every
-# registered query driver-proven at least once) AND no entry's latest
-# green row predates round 2.  Queries NEW this round are appended after
-# slot 50 and roll to round 8's window head, followed by the remaining
-# r2-green cohort.  (tools/parity.py still covers the full registry every
-# round at sf{0.001,0.01,0.1}.)
+# Round-8 rotation: the driver scores a bounded 50-entry prefix of the
+# registry per round.  This round's window = the 41 round-7 entries that
+# have never been driver-scored (they were staged after slot 50 last
+# round and verified green by the round-7 judge's tools/parity.py runs
+# at sf0.01 and sf0.001), plus the 9 next-stalest driver-green entries
+# (round-2 cohort) — 41+9 = 50.  After CORRECTNESS_r08 every registered
+# query is driver-proven and no green row predates round 2.  Queries NEW
+# this round are appended after slot 50 and roll to round 9's window
+# head.  (tools/parity.py still covers the full registry every round at
+# sf{0.001,0.01,0.1}.)
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # -- never driver-scored (24): round-6 staged batch
-    "c_knn_ivf_scale", "c_multimodal_image", "c_triangle_count_skew",
-    "c_basket_lift", "c_cusum_revenue", "c_forecast_smape", "c_readability",
-    "c_activity_burst", "c_lang_entropy", "c_late_arrival",
-    "c_props_value_stats", "c_degree_distribution", "c_zipf_fit",
-    "c_jaccard_topk", "c_revenue_bridge", "c_price_elasticity",
-    "c_discount_lift", "c_runs_test", "c_incremental_join",
-    "c_rolling_dau_hll", "c_customer_migration", "c_order_size_hist",
-    "c_weighted_percentile", "c_mutual_info",
-    # -- stalest cohort (17): last driver-green in round 1
-    "b_sort", "b_limit", "b_win_row_number", "b_win_rank", "b_win_lag_lead",
-    "b_win_running", "b_win_moving", "b_win_first_last", "b_project",
-    "b_filter", "b_scan_parquet", "b_scan_ndjson", "b_scan_infer",
-    "b_sink_ndjson", "b_sink_append", "b_sink_overwrite", "b_source_rows",
-    # -- next-stalest (9): oldest round-2-green entries
-    "b_agg_approx_distinct", "c_text_stats", "c_token_freq",
-    "c_text_filter", "c_lang_id", "c_quality_score", "c_fingerprint",
-    "c_token_count", "c_sample_stratified",
-    # -- new in round 7 (slot 51+; rolls to round 8's window head):
-    # 21 early-round entries, then the statistics batches (kendall →
-    # markov), then the left-outer stream join — 35 total, so round 8's
-    # window is these 35 + the 15 next-stalest r2-green entries.
+    # -- never driver-scored (41): round-7 staged batch, judge-green only
     "c_multimodal_jpeg", "a_source_rest_fanout", "c_ivf_cells_scale",
     "c_session_dwell", "c_percentile_bands", "c_order_priority_mix",
     "c_clv_decay", "c_text_compress_ratio", "c_delim_fields",
@@ -92,6 +67,14 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "s_join_interval_left", "c_percentile_approx_err",
     "c_permutation_test", "c_embedding_norms", "c_label_margin",
     "s_dedup_watermarked", "b_sink_manifest",
+    # -- next-stalest (9): round-2-green entries (B.10 UDF surface +
+    # oldest scalar-function batches)
+    "u_scalar_udf", "u_key_udf", "u_grouped_map", "u_udtf",
+    "u_grouped_agg", "b_fn_string", "b_fn_regex", "b_fn_math",
+    "b_fn_cond",
+    # -- new in round 8 (slot 51+; rolls to round 9's window head):
+    "b_manifest_sql", "b_manifest_delete", "b_manifest_update",
+    "s_manifest_changefeed", "c_label_margin_fast",
 )
 
 
