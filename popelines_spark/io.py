@@ -456,7 +456,15 @@ def append_table_snapshot(
     version are untouched; the append becomes visible in ONE commit-marker
     flip — the reference's atomic BigQuery append job
     (popelines/main.py:135-139) on a plain object store. First append on
-    an empty table degrades to write_table_snapshot."""
+    an empty table degrades to write_table_snapshot.
+
+    Concurrency: SINGLE WRITER PER TABLE for appends. The reservation
+    serializes version ids (racing compactions — full rewrites — stay
+    safe), but this read-union-write is not rebased after the
+    reservation: two RACING appends would both base on the same parent
+    and the later commit would omit the earlier's rows. Concurrent
+    appenders belong on the manifest layout
+    (manifest.append_manifest_table), which rebases and heals."""
     try:
         current = read_table_snapshot(spark, warehouse, table_name)
     except FileNotFoundError:

@@ -11,12 +11,37 @@ fix exactly that:
  - a version is ``versions/{N}/manifest.json`` — the list of member data
    files (old + new) — made visible by the same commit-marker flip and
    create-no-overwrite version reservation as the snapshot layout, so
-   concurrent writers serialize and readers never see a torn state;
+   readers never see a torn state;
  - append cost is O(batch) + one manifest write, never O(table);
  - time travel = read any retained manifest; compaction = rewrite into
    one new file set + a manifest that references ONLY it; GC = delete
    data files referenced by NO retained manifest (never by membership
    in a "latest" directory — a file can serve many versions).
+
+Concurrency contract (optimistic, Iceberg-style):
+ - the create-no-overwrite reservation serializes version IDS — each
+   writer owns a unique ``versions/{N}`` it alone writes;
+ - every writer REBASES after winning its reservation: the parent
+   manifest (file list, schema, stats, batch ids) is re-read after the
+   reservation, shrinking the lost-update window to
+   [post-reservation read, commit];
+ - every manifest records its ``parent`` version and ``op``
+   (append/compact/replace), so commit-order inversions between
+   in-flight writers are DETECTABLE from lineage;
+ - after committing, every writer runs :func:`heal_manifest_table`:
+   any committed APPEND whose contribution is missing from the tip
+   lineage is re-appended in a reconciliation commit (pure manifest
+   surgery — data files are never rewritten), so racing appends
+   converge to a tip containing both batches. Orphaned COMPACT commits
+   are redundant rewrites and are skipped (GC reclaims them); an
+   orphaned REPLACE (row-level DML) cannot be auto-merged and raises
+   :class:`ConcurrentWriteError` — the DML entry points catch it and
+   retry the whole operation against the new tip (OCC retry loop).
+
+Exactly-once streaming: every append may carry a ``batch_id``; the set
+of all batch ids ever committed is carried forward in EVERY manifest
+(``batch_ids``), compaction and reconciliation included, so replay
+detection survives compact + GC of old manifests.
 
 Reference basis: BigQuery gives the reference atomic load jobs and
 snapshot decorators (popelines/main.py:100-155's WRITE_APPEND /
@@ -34,6 +59,12 @@ from popelines_spark.io import _align_to, _hadoop_fs, table_path
 from popelines_spark.schemas import merge_schemas
 
 _COMMIT = "_COMMITTED"
+_LEGACY = object()  # sentinel: manifest predates parent tracking
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A replace-type commit (row-level DML) lost an optimistic race and
+    cannot be auto-merged; the caller must retry against the new tip."""
 
 
 def _paths(warehouse: str, name: str):
@@ -94,17 +125,34 @@ def _reserve_version(fs, vroot, jvm) -> int:
             version += 1
 
 
+def _release_reservation(fs, vroot, version, jvm) -> None:
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{vroot}/{version}.__reserved")
+    fs.delete(jpath, False)
+
+
 def _commit_manifest(
     spark, fs, vroot, version, files: list[str], schema_json: str, jvm,
+    parent: int | None,
+    op: str,
+    batch_ids: list[str] | None = None,
     batch_id: str | None = None,
     file_stats: dict | None = None,
 ) -> None:
     HPath = jvm.org.apache.hadoop.fs.Path
     vdir = f"{vroot}/{version}"
     fs.mkdirs(HPath(vdir))
-    doc = {"version": version, "files": sorted(files), "schema": schema_json}
+    doc = {
+        "version": version,
+        # set-dedupe: reconciliation unions may hand the same immutable
+        # file twice; a duplicate path would double-read its rows
+        "files": sorted(set(files)),
+        "schema": schema_json,
+        "parent": parent,
+        "op": op,
+        "batch_ids": sorted(set(batch_ids or [])),
+    }
     if batch_id is not None:
-        doc["batch_id"] = batch_id
+        doc["batch_id"] = batch_id  # legacy per-version field, kept
     if file_stats:
         doc["file_stats"] = file_stats
     body = json.dumps(doc).encode("utf-8")
@@ -115,7 +163,7 @@ def _commit_manifest(
         out.close()
     # visibility flip: one atomic object creation, manifest already durable
     fs.create(HPath(f"{vdir}/{_COMMIT}"), False).close()
-    fs.delete(HPath(f"{vroot}/{version}.__reserved"), False)
+    _release_reservation(fs, vroot, version, jvm)
 
 
 def _list_parquet(fs, path, jvm) -> list[str]:
@@ -127,6 +175,144 @@ def _list_parquet(fs, path, jvm) -> list[str]:
     ]
 
 
+def _parent_of(mans: dict[int, dict], versions: list[int], v: int):
+    """Parent version of ``v``: the recorded pointer, or (for manifests
+    written before parent tracking) the immediately preceding committed
+    version — the old protocol was single-writer-linear by assumption."""
+    p = mans[v].get("parent", _LEGACY)
+    if p is _LEGACY:
+        idx = versions.index(v)
+        return versions[idx - 1] if idx > 0 else None
+    return p
+
+
+def _lineage(mans: dict[int, dict], versions: list[int], tip: int) -> set[int]:
+    chain: set[int] = set()
+    v: int | None = tip
+    while v is not None and v in mans and v not in chain:
+        chain.add(v)
+        v = _parent_of(mans, versions, v)
+    return chain
+
+
+def _find_batch_version(fs, vroot, versions, jvm, batch_id: str):
+    """The committed version that already carries ``batch_id``, or None.
+    Fast path: ONE manifest read — the tip's carried-forward
+    ``batch_ids`` set is the complete id history of its lineage
+    (appends, reconciliations, and compactions all union it forward),
+    and every append heals orphans before returning, so a miss there is
+    authoritative. Only a pre-``batch_ids`` legacy tip falls back to the
+    per-version field scan. (Replays of the SAME batch_id are sequential
+    by the foreachBatch contract — never raced concurrently.)"""
+    if not versions:
+        return None
+    tip = versions[-1]
+    tipman = _read_manifest(fs, vroot, tip, jvm)
+    if "batch_ids" in tipman:
+        if batch_id not in tipman["batch_ids"]:
+            return None
+        for v in versions:  # report the ORIGINAL commit when retained
+            if _read_manifest(fs, vroot, v, jvm).get("batch_id") == batch_id:
+                return v
+        return tip
+    for v in versions:
+        if _read_manifest(fs, vroot, v, jvm).get("batch_id") == batch_id:
+            return v
+    return None
+
+
+def heal_manifest_table(
+    spark: SparkSession,
+    warehouse: str,
+    table_name: str,
+    max_rounds: int = 10,
+) -> int:
+    """Reconcile commit-order inversions: every committed APPEND whose
+    own contribution (its files minus its parent's) is missing from the
+    current tip gets re-appended in ONE reconciliation commit — manifest
+    surgery only, no data movement. Orphaned compacts are skipped
+    (redundant rewrites; GC reclaims their files). An orphaned REPLACE
+    raises :class:`ConcurrentWriteError` — row-level DML conflicts are
+    not auto-mergeable. Returns the number of reconciliation commits
+    made (0 = already convergent). Every writer calls this after its own
+    commit, and GC calls it before dropping manifests, so unhealed
+    orphans are never garbage-collected."""
+    root, vroot, _ = _paths(warehouse, table_name)
+    fs, _, jvm = _hadoop_fs(spark, root)
+    healed = 0
+    for _ in range(max_rounds):
+        versions = _committed_manifest_versions(fs, vroot, jvm)
+        if not versions:
+            return healed
+        mans = {v: _read_manifest(fs, vroot, v, jvm) for v in versions}
+        tip = versions[-1]
+        chain = _lineage(mans, versions, tip)
+        tip_files = set(mans[tip]["files"])
+        missing: list[str] = []
+        stats_add: dict = {}
+        ids_add: set[str] = set()
+        schemas_add = []
+        for v in versions:
+            if v in chain:
+                continue
+            m = mans[v]
+            op = m.get("op", "append")
+            if op == "compact":
+                continue
+            if op != "append":
+                raise ConcurrentWriteError(
+                    f"version {v} of {table_name} is an orphaned {op!r} "
+                    f"commit (tip {tip} skipped it); row-level DML "
+                    "conflicts cannot be auto-merged — retry the DML"
+                )
+            p = _parent_of(mans, versions, v)
+            if p is None:
+                contrib = list(m["files"])
+            elif p in mans:
+                pf = set(mans[p]["files"])
+                contrib = [f for f in m["files"] if f not in pf]
+            else:
+                raise ConcurrentWriteError(
+                    f"orphaned append {v} of {table_name}: its parent "
+                    f"manifest {p} was GC'd, so its contribution cannot "
+                    "be computed"
+                )
+            new = [f for f in contrib if f not in tip_files]
+            if new:
+                missing.extend(new)
+                fstats = m.get("file_stats", {})
+                for f in new:
+                    if f in fstats:
+                        stats_add[f] = fstats[f]
+                ids_add |= set(m.get("batch_ids", []))
+                if m.get("batch_id"):
+                    ids_add.add(m["batch_id"])
+                schemas_add.append(m["schema"])
+        if not missing:
+            return healed
+        from pyspark.sql.types import StructType
+
+        tipman = mans[tip]
+        schema = StructType.fromJson(json.loads(tipman["schema"]))
+        for sj in schemas_add:
+            schema = merge_schemas(
+                schema, StructType.fromJson(json.loads(sj))
+            )
+        version = _reserve_version(fs, vroot, jvm)
+        file_stats = dict(tipman.get("file_stats", {}))
+        file_stats.update(stats_add)
+        _commit_manifest(
+            spark, fs, vroot, version,
+            list(tip_files) + missing,
+            json.dumps(schema.jsonValue()), jvm,
+            parent=tip, op="append",
+            batch_ids=sorted(set(tipman.get("batch_ids", [])) | ids_add),
+            file_stats=file_stats,
+        )
+        healed += 1
+    return healed
+
+
 def append_manifest_table(
     spark: SparkSession,
     warehouse: str,
@@ -136,15 +322,22 @@ def append_manifest_table(
     batch_id: str | int | None = None,
     stats_cols: list[str] | None = None,
 ) -> int:
-    """Append ``df`` as a new version whose manifest = previous files +
+    """Append ``df`` as a new version whose manifest = parent files +
     this batch's files. O(batch) data written; old files untouched.
     Add-only schema evolution: the batch is aligned to the merged schema
     (missing fields NULL, conflicting primitives coerced); EXISTING files
     stay as written — the reader supplies the evolved schema, exactly the
     parquet-mergeSchema economics of write_table.
 
-    ``batch_id`` makes the append IDEMPOTENT: if any committed manifest
-    already carries this id, the call is a no-op returning that version —
+    Concurrency: the parent manifest is (re-)read AFTER the version
+    reservation is won, so the common read-then-write lost update is
+    gone; the residual window (a lower reserved version committing after
+    our rebase read) is closed post-commit by :func:`heal_manifest_table`
+    — racing appends converge to a tip containing both batches.
+
+    ``batch_id`` makes the append IDEMPOTENT: if the table has ever
+    committed this id, the call is a no-op returning that version (the
+    tip manifest carries ALL ids forward — compaction and GC included) —
     the exactly-once contract a streaming foreachBatch sink needs across
     restarts (streaming/manifest_sink.py).
 
@@ -158,23 +351,34 @@ def append_manifest_table(
     fs, _, jvm = _hadoop_fs(spark, root)
     versions = _committed_manifest_versions(fs, vroot, jvm)
     if batch_id is not None:
-        for v in versions:
-            if _read_manifest(fs, vroot, v, jvm).get("batch_id") == str(
-                batch_id
-            ):
-                return v
+        seen = _find_batch_version(fs, vroot, versions, jvm, str(batch_id))
+        if seen is not None:
+            return seen
+    version = _reserve_version(fs, vroot, jvm)
+    # REBASE: everything about the parent is read after the reservation
+    versions = _committed_manifest_versions(fs, vroot, jvm)
+    if batch_id is not None:
+        seen = _find_batch_version(fs, vroot, versions, jvm, str(batch_id))
+        if seen is not None:
+            _release_reservation(fs, vroot, version, jvm)
+            return seen
     prev_files: list[str] = []
+    prev_stats: dict = {}
+    prev_ids: list[str] = []
+    parent: int | None = None
     target_schema = df.schema
     if versions:
-        man = _read_manifest(fs, vroot, versions[-1], jvm)
+        parent = versions[-1]
+        man = _read_manifest(fs, vroot, parent, jvm)
         prev_files = man["files"]
+        prev_stats = man.get("file_stats", {})
+        prev_ids = man.get("batch_ids", [])
         from pyspark.sql.types import StructType
 
         live = StructType.fromJson(json.loads(man["schema"]))
         target_schema = merge_schemas(live, df.schema)
         df = _align_to(df, target_schema)
         target_schema = df.schema
-    version = _reserve_version(fs, vroot, jvm)
     ddir = f"{droot}/v{version}"
     out = df.repartition(n_files) if n_files else df
     batch_stats = None
@@ -200,19 +404,22 @@ def append_manifest_table(
     out.write.mode("overwrite").parquet(ddir)
     new_files = _list_parquet(fs, ddir, jvm)
     # carry forward prior per-file stats; stamp this batch's files
-    prev_stats = {}
-    if versions:
-        prev_stats = man.get("file_stats", {})
     file_stats = dict(prev_stats)
     if batch_stats is not None:
         for f in new_files:
             file_stats[f] = batch_stats
+    batch_ids = set(prev_ids)
+    if batch_id is not None:
+        batch_ids.add(str(batch_id))
     _commit_manifest(
         spark, fs, vroot, version,
         prev_files + new_files, json.dumps(target_schema.jsonValue()), jvm,
+        parent=parent, op="append",
+        batch_ids=sorted(batch_ids),
         batch_id=None if batch_id is None else str(batch_id),
         file_stats=file_stats,
     )
+    heal_manifest_table(spark, warehouse, table_name)
     return version
 
 
@@ -308,18 +515,31 @@ def compact_manifest_table(
 ) -> int:
     """Rewrite the current version into ``n_files`` files and commit a
     manifest referencing ONLY the rewrite — readers of prior versions
-    keep their file lists; nothing is deleted here (see gc)."""
+    keep their file lists; nothing is deleted here (see gc). The commit
+    records parent + carries every seen batch_id forward, so streaming
+    replay detection survives compaction; appends racing the compact are
+    re-applied by the post-commit heal."""
     root, vroot, droot = _paths(warehouse, table_name)
     fs, _, jvm = _hadoop_fs(spark, root)
-    current = read_manifest_table(spark, warehouse, table_name)
-    schema_json = json.dumps(current.schema.jsonValue())
     version = _reserve_version(fs, vroot, jvm)
+    # rebase: the compacted parent is chosen AFTER the reservation
+    versions = _committed_manifest_versions(fs, vroot, jvm)
+    if not versions:
+        _release_reservation(fs, vroot, version, jvm)
+        raise FileNotFoundError(f"no committed manifest versions under {root}")
+    parent = versions[-1]
+    man = _read_manifest(fs, vroot, parent, jvm)
+    current = read_manifest_table(spark, warehouse, table_name, version=parent)
+    schema_json = json.dumps(current.schema.jsonValue())
     ddir = f"{droot}/v{version}"
     current.repartition(n_files).write.mode("overwrite").parquet(ddir)
     _commit_manifest(
         spark, fs, vroot, version,
         _list_parquet(fs, ddir, jvm), schema_json, jvm,
+        parent=parent, op="compact",
+        batch_ids=man.get("batch_ids", []),
     )
+    heal_manifest_table(spark, warehouse, table_name)
     return version
 
 
@@ -333,7 +553,11 @@ def gc_manifest_table(
     delete data files referenced by NO retained manifest. Returns
     (versions_dropped, files_deleted). Retention IS the reader contract:
     a reader pinned inside the window never loses a file, because files
-    are only deleted when no retained manifest lists them."""
+    are only deleted when no retained manifest lists them. Heals first,
+    so an unreconciled orphan commit is folded into the tip before its
+    manifest can be dropped — and batch_ids live in every descendant
+    manifest, so replay detection never regresses past GC."""
+    heal_manifest_table(spark, warehouse, table_name)
     root, vroot, droot = _paths(warehouse, table_name)
     fs, _, jvm = _hadoop_fs(spark, root)
     HPath = jvm.org.apache.hadoop.fs.Path

@@ -1,0 +1,334 @@
+"""Row-level DML on manifest tables — copy-on-write at FILE granularity.
+
+The path-table DML (pipeline.py delete_rows/update_rows/upsert_table)
+materializes and truncate-rewrites the whole table — the right cost for
+small governed tables, the wrong one at 100 TB. Here a DELETE/UPDATE/
+MERGE commits a new manifest version where
+
+ - files provably untouched by the predicate are carried BY REFERENCE
+   (byte-identical on disk, same paths — never rewritten, never read
+   beyond the targeting scan);
+ - only files that actually contain matching rows are rewritten, into
+   ``data/v{N}``, minus/with the changed rows;
+ - the commit is one manifest flip (op="replace"), time-travel intact.
+
+Targeting is two-stage, Iceberg-style: recorded batch stats first
+(``prune`` bounds skip whole files without opening a footer), then one
+column-pruned scan that maps the predicate to the distinct files holding
+matching rows (``input_file_name()``). At 100 TB a date-scoped DELETE
+touches only the files whose recorded ranges overlap the date — O(hit),
+not O(table).
+
+Concurrency: replace commits validate their parent right before the
+manifest flip and RETRACT + RETRY on an optimistic conflict (a replace
+that lost the race is useless — it rewrote files of a superseded tip).
+Appends racing a replace are never lost: the heal pass re-appends their
+contribution on top of the replace (see manifest.py's contract).
+
+Reference basis: the reference reaches DELETE/UPDATE/MERGE through
+BigQuery DML via bq_query (popelines/main.py:236-243); this is that DML
+surface at lakehouse cost on a bare object store.
+"""
+
+from __future__ import annotations
+
+import json
+from urllib.parse import unquote, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from popelines_spark.manifest import (
+    ConcurrentWriteError,
+    _commit_manifest,
+    _committed_manifest_versions,
+    _hadoop_fs,
+    _list_parquet,
+    _paths,
+    _read_manifest,
+    _release_reservation,
+    _reserve_version,
+    heal_manifest_table,
+)
+from popelines_spark.schemas import merge_schemas
+
+
+def _canon(p: str) -> tuple[str, str, str]:
+    """Canonical (scheme, authority, path) so Hadoop's Path.toString()
+    (``file:/tmp/x``) and Spark's input_file_name() (``file:///tmp/x``)
+    compare equal."""
+    u = urlparse(p)
+    if not u.scheme:
+        return ("file", "", p)
+    return (u.scheme, u.netloc, unquote(u.path))
+
+
+def _affected_files(
+    spark: SparkSession,
+    schema,
+    candidates: list[str],
+    cond,
+) -> list[str]:
+    """The manifest files among ``candidates`` that contain ≥1 row where
+    ``cond`` is TRUE — ONE column-pruned scan (the predicate's columns +
+    the virtual file name), result bounded by the file count."""
+    if not candidates:
+        return []
+    hit = (
+        spark.read.schema(schema)
+        .parquet(*candidates)
+        .where(cond)
+        .select(F.input_file_name().alias("_f"))
+        .distinct()
+        .collect()
+    )
+    hit_canon = {_canon(r["_f"]) for r in hit}
+    return [f for f in candidates if _canon(f) in hit_canon]
+
+
+class _Conflict(Exception):
+    pass
+
+
+def _replace_commit(
+    spark: SparkSession,
+    warehouse: str,
+    table_name: str,
+    build,  # (tip_manifest, schema) -> (affected, rewritten_df|None, extra_df|None, schema_out)
+    prune: list[tuple] | None = None,
+    max_retries: int = 3,
+):
+    """Shared OCC skeleton for replace-type commits. ``build`` runs
+    against the rebased tip and returns which files to drop, the
+    rewrite of their surviving rows, an optional extra frame of brand-new
+    rows (MERGE inserts), and the (possibly evolved) output schema.
+    Retries the WHOLE operation against the new tip on conflict."""
+    from pyspark.sql.types import StructType
+
+    root, vroot, droot = _paths(warehouse, table_name)
+    fs, _, jvm = _hadoop_fs(spark, root)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    last: Exception | None = None
+    for _ in range(max_retries):
+        version = _reserve_version(fs, vroot, jvm)
+        try:
+            versions = _committed_manifest_versions(fs, vroot, jvm)
+            if not versions:
+                raise FileNotFoundError(
+                    f"no committed manifest versions under {root}"
+                )
+            parent = versions[-1]
+            man = _read_manifest(fs, vroot, parent, jvm)
+            schema = StructType.fromJson(json.loads(man["schema"]))
+            affected, rewritten, extra, schema_out = build(man, schema)
+            ddir = f"{droot}/v{version}"
+            new_files: list[str] = []
+            frames = [f for f in (rewritten, extra) if f is not None]
+            if frames:
+                out = frames[0]
+                for f in frames[1:]:
+                    out = out.unionByName(f, allowMissingColumns=True)
+                out.write.mode("overwrite").parquet(ddir)
+                new_files = _list_parquet(fs, ddir, jvm)
+            affected_set = set(affected)
+            files = [f for f in man["files"] if f not in affected_set]
+            files += new_files
+            file_stats = {
+                f: s
+                for f, s in man.get("file_stats", {}).items()
+                if f not in affected_set
+            }
+            # validate the parent right before the flip: a racing commit
+            # since the rebase read means our rewrite targeted a stale tip
+            now = _committed_manifest_versions(fs, vroot, jvm)
+            if now and now[-1] != parent:
+                raise _Conflict(f"tip moved {parent} -> {now[-1]}")
+            _commit_manifest(
+                spark, fs, vroot, version, files,
+                json.dumps(schema_out.jsonValue()), jvm,
+                parent=parent, op="replace",
+                batch_ids=man.get("batch_ids", []),
+                file_stats=file_stats,
+            )
+            # post-commit: if a lower in-flight reservation committed
+            # after our validation, our replace may be orphaned — retract
+            # (nothing can have built on it: anything parented on us
+            # would put us in the tip lineage) and retry.
+            now = _committed_manifest_versions(fs, vroot, jvm)
+            tip = now[-1]
+            on_tip = False
+            v: int | None = tip
+            seen: set[int] = set()
+            while v is not None and v not in seen:
+                if v == version:
+                    on_tip = True
+                    break
+                seen.add(v)
+                try:
+                    v = _read_manifest(fs, vroot, v, jvm).get("parent")
+                except Exception:
+                    break
+            if not on_tip:
+                fs.delete(HPath(f"{vroot}/{version}"), True)
+                fs.delete(HPath(ddir), True)
+                raise _Conflict(f"replace {version} superseded by tip {tip}")
+            heal_manifest_table(spark, warehouse, table_name)
+            return version
+        except _Conflict as exc:
+            _release_reservation(fs, vroot, version, jvm)
+            last = exc
+            continue
+        except Exception:
+            _release_reservation(fs, vroot, version, jvm)
+            raise
+    raise ConcurrentWriteError(
+        f"replace on {table_name} lost {max_retries} optimistic races"
+    ) from last
+
+
+class _NoOp(Exception):
+    """Predicate matched no file — nothing to rewrite, no commit."""
+
+    def __init__(self, version: int):
+        self.version = version
+
+
+def delete_manifest_rows(
+    spark: SparkSession,
+    warehouse: str,
+    table_name: str,
+    predicate: str,
+    prune: list[tuple] | None = None,
+) -> tuple[int, int]:
+    """SQL DELETE on a manifest table: rows where ``predicate`` is TRUE
+    are removed (NULL keeps the row); returns (new_version, n_deleted).
+    Only files containing matching rows are rewritten — everything else
+    is carried by reference, byte-identical. Optional ``prune`` bounds
+    (col, lo, hi) must be IMPLIED by the predicate; they let the
+    targeting scan skip files via recorded batch stats."""
+    n_deleted = 0
+
+    def build(man, schema):
+        nonlocal n_deleted
+        cond = F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
+        candidates = man["files"]
+        if prune:
+            from popelines_spark.manifest import manifest_file_list
+
+            candidates = manifest_file_list(
+                spark, warehouse, table_name,
+                version=man["version"], prune=prune,
+            )
+        affected = _affected_files(spark, schema, candidates, cond)
+        if not affected:
+            raise _NoOp(man["version"])
+        src = spark.read.schema(schema).parquet(*affected)
+        n_deleted = src.where(cond).count()  # assign: retries rebuild
+        kept = src.where(~cond)
+        return affected, kept, None, schema
+
+    try:
+        v = _replace_commit(spark, warehouse, table_name, build, prune=prune)
+    except _NoOp as noop:
+        return noop.version, 0
+    return v, n_deleted
+
+
+def update_manifest_rows(
+    spark: SparkSession,
+    warehouse: str,
+    table_name: str,
+    set_exprs: dict[str, str],
+    predicate: str,
+    prune: list[tuple] | None = None,
+) -> tuple[int, int]:
+    """SQL UPDATE on a manifest table: rows where ``predicate`` is TRUE
+    get each ``column: sql_expression`` applied — every SET expression
+    evaluated against the PRE-update row (``SET a=b, b=a`` swaps) — in a
+    copy-on-write commit that rewrites only the files holding matching
+    rows. Returns (new_version, n_updated)."""
+    n_updated = 0
+
+    def build(man, schema):
+        nonlocal n_updated
+        unknown = set(set_exprs) - {f.name for f in schema.fields}
+        if unknown:
+            raise ValueError(
+                f"UPDATE of non-existent column(s): {sorted(unknown)}"
+            )
+        cond = F.expr(predicate)
+        candidates = man["files"]
+        if prune:
+            from popelines_spark.manifest import manifest_file_list
+
+            candidates = manifest_file_list(
+                spark, warehouse, table_name,
+                version=man["version"], prune=prune,
+            )
+        affected = _affected_files(spark, schema, candidates, cond)
+        if not affected:
+            raise _NoOp(man["version"])
+        src = spark.read.schema(schema).parquet(*affected)
+        n_updated = src.where(cond).count()  # assign: retries rebuild
+        updated = src.select(
+            *[
+                F.when(cond, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in src.columns
+            ]
+        )
+        return affected, updated, None, schema
+
+    try:
+        v = _replace_commit(spark, warehouse, table_name, build, prune=prune)
+    except _NoOp as noop:
+        return noop.version, 0
+    return v, n_updated
+
+
+def upsert_manifest_table(
+    spark: SparkSession,
+    warehouse: str,
+    table_name: str,
+    source: DataFrame,
+    keys: list[str],
+) -> int:
+    """MERGE into a manifest table: target rows matched on ``keys`` take
+    the source's values, unmatched source rows are inserted, unmatched
+    target rows survive UNTOUCHED — files with no matching key are
+    carried by reference. Duplicate source keys raise (BigQuery/Delta
+    MERGE semantics; the same lazy guard as operators/upsert). Add-only
+    schema evolution applies to new source columns. Returns the new
+    version."""
+    from popelines_spark.io import _align_to
+
+    def build(man, schema):
+        src = source
+        target_schema = merge_schemas(schema, src.schema)
+        keyset = (
+            src.select(*keys).distinct()
+        )
+        # targeting scan: files holding ≥1 matching key (broadcast the
+        # source key set — MERGE sources are batch-sized by contract)
+        probe = (
+            spark.read.schema(schema)
+            .parquet(*man["files"])
+            .join(F.broadcast(keyset), on=keys, how="leftsemi")
+            .select(F.input_file_name().alias("_f"))
+            .distinct()
+            .collect()
+        ) if man["files"] else []
+        hit_canon = {_canon(r["_f"]) for r in probe}
+        affected = [f for f in man["files"] if _canon(f) in hit_canon]
+        from popelines_spark.operators.upsert import upsert as _merge
+
+        if affected:
+            tgt_hit = spark.read.schema(schema).parquet(*affected)
+        else:
+            tgt_hit = spark.createDataFrame([], schema)
+        merged = _merge(tgt_hit, src, keys)
+        merged = _align_to(merged, target_schema)
+        return affected, merged, None, merged.schema
+
+    return _replace_commit(spark, warehouse, table_name, build)

@@ -129,14 +129,22 @@ class Popeline:
         self,
         table_name: str,
         snapshot: bool = False,
+        manifest: bool = False,
         version: int | None = None,
     ) -> None:
         """Expose a warehouse table to SQL. Default = the evolved
         path-table read; ``snapshot=True`` reads the committed snapshot
-        layout instead, and ``version=`` pins a retained historical
-        version — time travel at the SQL surface
-        (io.read_table_snapshot)."""
-        if snapshot or version is not None:
+        layout, ``manifest=True`` reads the ACID manifest layout
+        (manifest.read_manifest_table) — and ``version=`` pins a
+        retained historical version of either — time travel at the SQL
+        surface."""
+        if manifest:
+            from popelines_spark.manifest import read_manifest_table
+
+            df = read_manifest_table(
+                self.spark, self.warehouse, table_name, version=version
+            )
+        elif snapshot or version is not None:
             df = io.read_table_snapshot(
                 self.spark, self.warehouse, table_name, version=version
             )
@@ -177,12 +185,15 @@ class Popeline:
         count. With upsert_table (MERGE) and write_to_table (INSERT /
         TRUNCATE) this completes the DML surface the reference reaches
         through bq_query. Same materialize-before-truncate discipline as
-        upsert_table."""
+        upsert_table. SQL DELETE semantics: only rows where the
+        predicate is TRUE are deleted — rows where it evaluates to NULL
+        survive (``NOT (p)`` alone would drop them)."""
+        from pyspark.sql import functions as F
+
         target = io.read_table_evolved(self.spark, self.warehouse, table_name)
         total = target.count()
-        kept = target.filter(f"NOT ({predicate})").localCheckpoint(
-            eager=True
-        )
+        cond = F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
+        kept = target.filter(~cond).localCheckpoint(eager=True)
         n_kept = kept.count()
         io.write_table(kept, self.warehouse, table_name, append=False)
         return total - n_kept
@@ -192,18 +203,27 @@ class Popeline:
     ) -> int:
         """BigQuery DML UPDATE for path tables: for rows matching the SQL
         ``predicate``, assign each ``column: sql_expression`` in
-        ``set_exprs`` (expressions may reference the row's own columns);
-        other rows pass through untouched. Returns the updated count."""
+        ``set_exprs``; other rows pass through untouched. Returns the
+        updated count. SQL UPDATE semantics: every SET expression is
+        evaluated against the PRE-update row — ``SET a=b, b=a`` swaps —
+        so all updated columns are built in ONE select over the original
+        row, never sequentially."""
         from pyspark.sql import functions as F
 
         target = io.read_table_evolved(self.spark, self.warehouse, table_name)
+        unknown = set(set_exprs) - set(target.columns)
+        if unknown:
+            raise ValueError(f"UPDATE of non-existent column(s): {sorted(unknown)}")
         cond = F.expr(predicate)
         n_match = target.filter(cond).count()
-        updated = target
-        for col, expr in set_exprs.items():
-            updated = updated.withColumn(
-                col, F.when(cond, F.expr(expr)).otherwise(F.col(col))
-            )
+        updated = target.select(
+            *[
+                F.when(cond, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in target.columns
+            ]
+        )
         updated = updated.localCheckpoint(eager=True)
         io.write_table(updated, self.warehouse, table_name, append=False)
         return n_match

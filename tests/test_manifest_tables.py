@@ -107,14 +107,72 @@ def test_concurrent_appends_serialize_to_distinct_versions(spark, scratch):
     t1.start(); t2.start(); t1.join(); t2.join()
     assert not errs
     final = read_manifest_table(spark, scratch, "mc")
-    # NOTE: racing appends both chain from the same base manifest, so
-    # the LAST committer's manifest may omit the other's batch (classic
-    # optimistic-concurrency conflict). The protocol guarantees no torn
-    # state and distinct versions; row-level union under races needs a
-    # retry-on-conflict loop at the caller. Assert the invariants the
-    # protocol does promise:
+    # Racing appends rebase after the reservation and heal after the
+    # commit, so BOTH batches must be visible at the tip — no lost
+    # update, no duplicated rows.
     tags = {r["tag"] for r in final.select("tag").distinct().collect()}
-    assert "base" in tags and len(tags) >= 2
+    assert tags == {"base", "r1", "r2"}
+    assert final.count() == 15
+
+
+def test_heal_reconciles_out_of_order_commits(spark, scratch):
+    """Deterministic commit-order inversion: writer A reserves version 2
+    but commits AFTER writer B committed version 3 (parented on 1) — the
+    classic lost update the reservation alone cannot prevent. The heal
+    pass must fold A's contribution into a reconciliation tip without
+    rewriting any data file, and carry A's batch id forward."""
+    import json as _json
+
+    from popelines_spark import manifest as M
+
+    v1 = append_manifest_table(spark, scratch, "mh", _mk(spark, 5, "base"))
+    assert v1 == 1
+    root, vroot, droot = M._paths(scratch, "mh")
+    fs, _, jvm = M._hadoop_fs(spark, root)
+    # writer A: wins reservation 2, stalls after writing its data files
+    vA = M._reserve_version(fs, vroot, jvm)
+    assert vA == 2
+    _mk(spark, 5, "slow").write.mode("overwrite").parquet(f"{droot}/v{vA}")
+    a_files = M._list_parquet(fs, droot + f"/v{vA}", jvm)
+    base_man = M._read_manifest(fs, vroot, 1, jvm)
+    # writer B: reserves 3, rebases on 1, commits, heals (no orphans yet)
+    vB = append_manifest_table(spark, scratch, "mh", _mk(spark, 5, "fast"))
+    assert vB == 3
+    # writer A finally commits version 2 parented on 1 — now orphaned
+    M._commit_manifest(
+        spark, fs, vroot, vA,
+        base_man["files"] + a_files, base_man["schema"], jvm,
+        parent=1, op="append", batch_ids=["slow-batch"],
+    )
+    healed = M.heal_manifest_table(spark, scratch, "mh")
+    assert healed == 1
+    final = read_manifest_table(spark, scratch, "mh")
+    tags = {r["tag"] for r in final.select("tag").distinct().collect()}
+    assert tags == {"base", "slow", "fast"} and final.count() == 15
+    # data files untouched: the reconciliation tip references A's files
+    tip = M._committed_manifest_versions(fs, vroot, jvm)[-1]
+    tipman = M._read_manifest(fs, vroot, tip, jvm)
+    assert set(a_files) <= set(tipman["files"])
+    assert "slow-batch" in tipman["batch_ids"]
+    # idempotent: a second heal finds nothing to do
+    assert M.heal_manifest_table(spark, scratch, "mh") == 0
+
+
+def test_batch_id_replay_detection_survives_compact_and_gc(spark, scratch):
+    """The exactly-once contract must hold even after compaction + GC
+    drop the manifest that originally recorded a batch_id: the id set is
+    carried forward in every descendant manifest."""
+    append_manifest_table(spark, scratch, "mb", _mk(spark, 10, "a"), batch_id=0)
+    append_manifest_table(spark, scratch, "mb", _mk(spark, 10, "b"), batch_id=1)
+    compact_manifest_table(spark, scratch, "mb", n_files=1)
+    gc_manifest_table(spark, scratch, "mb", keep_versions=1)
+    # replay of batch 0 after its manifest is gone: still a no-op
+    v = append_manifest_table(
+        spark, scratch, "mb", _mk(spark, 10, "a"), batch_id=0
+    )
+    assert read_manifest_table(spark, scratch, "mb").count() == 20
+    # the original version is GC'd, so the tip is reported
+    assert v == 3
 
 
 def test_streaming_sink_exactly_once_across_replay(spark, scratch, tmp_path):
@@ -196,3 +254,17 @@ def test_stats_pruning_never_loses_rows_without_stats(spark, scratch):
     )
     # stats-bearing batch pruned away; stat-less files conservatively kept
     assert files == manifest_file_list(spark, scratch, "mns", version=1)
+
+
+def test_register_manifest_table_at_sql_surface(spark, scratch):
+    """register_table(manifest=True) exposes the ACID layout to
+    Pipeline.query(), version= pins time travel."""
+    from popelines_spark.pipeline import Popeline
+
+    p = Popeline(warehouse=scratch, spark=spark)
+    append_manifest_table(spark, scratch, "msql", _mk(spark, 10, "a"))
+    append_manifest_table(spark, scratch, "msql", _mk(spark, 5, "b"))
+    p.register_table("msql", manifest=True)
+    assert p.query("SELECT count(*) AS n FROM msql")[0]["n"] == 15
+    p.register_table("msql", manifest=True, version=1)
+    assert p.query("SELECT count(*) AS n FROM msql")[0]["n"] == 10

@@ -169,3 +169,46 @@ def test_update_rows_set_where(spark, tmp_path):
     p.register_table("t_upd")
     rows = {r["k"]: r["v"] for r in p.query("SELECT k, v FROM t_upd")}
     assert rows == {0: 0, 1: 10, 2: 20, 3: 30, 4: 41, 5: 51}
+
+
+def test_delete_rows_null_predicate_keeps_rows(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate evaluates to NULL
+    are NOT deleted (only TRUE deletes) — the naive NOT(p) filter would
+    drop them."""
+    from popelines_spark.pipeline import Popeline
+
+    p = Popeline(warehouse=str(tmp_path / "wh"), spark=spark)
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 3), (4, None)], "k long, v long"
+    )
+    p.write_to_table("t_del_null", df=df)
+    n = p.delete_rows("t_del_null", "v > 5")
+    assert n == 1  # only k=1 (v=10) matches TRUE; NULL v rows survive
+    p.register_table("t_del_null")
+    ks = sorted(r["k"] for r in p.query("SELECT k FROM t_del_null"))
+    assert ks == [2, 3, 4]
+
+
+def test_update_rows_swap_sees_pre_update_row(spark, tmp_path):
+    """SQL UPDATE semantics: SET a=b, b=a swaps because every SET
+    expression is evaluated against the pre-update row."""
+    from popelines_spark.pipeline import Popeline
+
+    p = Popeline(warehouse=str(tmp_path / "wh"), spark=spark)
+    df = spark.createDataFrame([(1, 10, 20), (2, 30, 40)], "k long, a long, b long")
+    p.write_to_table("t_swap", df=df)
+    n = p.update_rows("t_swap", {"a": "b", "b": "a"}, "k = 1")
+    assert n == 1
+    p.register_table("t_swap")
+    rows = {r["k"]: (r["a"], r["b"]) for r in p.query("SELECT * FROM t_swap")}
+    assert rows == {1: (20, 10), 2: (30, 40)}
+
+
+def test_update_rows_unknown_column_raises(spark, tmp_path):
+    from popelines_spark.pipeline import Popeline
+    import pytest as _pytest
+
+    p = Popeline(warehouse=str(tmp_path / "wh"), spark=spark)
+    p.write_to_table("t_badcol", df=spark.range(3).selectExpr("id AS k"))
+    with _pytest.raises(ValueError, match="non-existent"):
+        p.update_rows("t_badcol", {"nope": "1"}, "k = 0")
