@@ -87,13 +87,19 @@ def test_zorder_layout_prunes_2d_boxes(spark, tmp_path):
     n_a, n_z = len(boxes_a), len(boxes_z)
     assert n_a >= 8 and n_z >= 8, (n_a, n_z)
 
-    # box on BOTH dims: an eighth of each axis → 1/64 of the plane
-    t_a = _touched(boxes_a, 0, 127, 0, 127)
-    t_z = _touched(boxes_z, 0, 127, 0, 127)
-    # sort-by-a prunes on a but its surviving files span ALL of b;
-    # z-order bounds BOTH dims per file
+    # Box on BOTH dims, wide on a (half the axis) and narrow on b (an
+    # eighth): sort-by-a must read every file whose a-range overlaps
+    # [0, 511] — half its files — because each of those spans ALL of b;
+    # z-order bounds BOTH dims per file, so only the low-b corner cells
+    # are touched.  The a-range is deliberately wide so the expected
+    # separation is structural (≈ n/2 vs ≈ n/8), not a 1-file margin —
+    # the old 1/8-by-1/8 box gave sort-by-a nearly as much a-pruning as
+    # z-order got, and boundary-row slop made the strict < flaky.
+    t_a = _touched(boxes_a, 0, 511, 0, 127)
+    t_z = _touched(boxes_z, 0, 511, 0, 127)
+    assert t_a >= n_a // 2, (t_a, n_a)
+    assert t_z <= n_z // 4, (t_z, n_z)
     assert t_z < t_a, (t_z, t_a)
-    assert t_z <= max(4, n_z // 4), (t_z, n_z)
 
     # predicate on the NON-sorted dim only: by_a cannot prune at all
     t_a_b = _touched(boxes_a, 0, 1023, 0, 127)
