@@ -1,0 +1,163 @@
+"""SURVEY.md §2 — the manifest (ACID lakehouse) layout under the
+correctness gate: SQL-surface registration, and row-level copy-on-write
+DML (DELETE / UPDATE) whose read-back must equal the plain batch query
+the oracle runs.
+
+Reference basis: the reference reaches its table state through BigQuery
+load jobs + DML via bq_query (popelines/main.py:100-155, 236-243); these
+queries prove the engine-native manifest layout (popelines_spark/
+manifest.py, manifest_dml.py) delivers the same end states.
+
+Scale notes: every entry lands data as multiple stats-stamped appends so
+the DML's file targeting actually exercises the scan-planning path —
+files whose recorded ranges miss the predicate are carried by reference,
+which is the whole 100 TB story (rewrite O(hit), not O(table)).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from popelines_spark.registry import query
+from popelines_spark.queries._util import T
+
+_SCRATCH = "/tmp/popelines_spark_scratch"
+
+
+def _fresh(name: str) -> str:
+    path = os.path.join(_SCRATCH, f"{name}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+def _land_events(spark, sf_dir, wh, chunks=4):
+    """Land events as ``chunks`` incremental appends with recorded
+    event_id batch stats — disjoint ranges, so DML targeting can skip
+    whole batches from the manifest alone."""
+    from popelines_spark.manifest import append_manifest_table
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    hi = ev.agg(F.max("event_id")).collect()[0][0]
+    step = (hi + chunks) // chunks
+    for i in range(chunks):
+        lo, up = i * step, (i + 1) * step
+        append_manifest_table(
+            spark, wh, "ev",
+            ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < up)),
+            stats_cols=["event_id"],
+            batch_id=f"chunk{i}",
+        )
+    return hi, step
+
+
+@query(
+    "b_manifest_sql",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def b_manifest_sql(spark, sf_dir):
+    """The manifest layout at the SQL surface: land events as four
+    stats-stamped appends, register the table via
+    Pipeline.register_table(manifest=True), and aggregate THROUGH
+    spark.sql over the registered view — equal to the batch rollup iff
+    registration reads the committed tip exactly."""
+    from popelines_spark.pipeline import Popeline
+
+    wh = _fresh("manifest_sql")
+    _land_events(spark, sf_dir, wh)
+    p = Popeline(warehouse=wh, spark=spark)
+    p.register_table("ev", manifest=True)
+    return spark.sql(
+        """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(event_id) AS BIGINT) AS id_sum
+        FROM ev GROUP BY event_type
+        """
+    )
+
+
+@query(
+    "b_manifest_delete",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null
+    FROM events
+    WHERE NOT COALESCE(
+        event_id BETWEEN 1000 AND 1499 AND value > 0.5, FALSE)
+    GROUP BY event_type
+    """,
+)
+def b_manifest_delete(spark, sf_dir):
+    """Copy-on-write DELETE on the manifest layout: rows where the
+    predicate is TRUE vanish, NULL-predicate rows survive, and only the
+    files whose recorded event_id range overlaps [1000, 1499] are
+    rewritten — the other batches are carried by reference. Read-back ≡
+    the oracle's batch DELETE-equivalent filter."""
+    from popelines_spark.manifest import read_manifest_table
+    from popelines_spark.manifest_dml import delete_manifest_rows
+
+    wh = _fresh("manifest_del")
+    _land_events(spark, sf_dir, wh)
+    delete_manifest_rows(
+        spark, wh, "ev",
+        "event_id BETWEEN 1000 AND 1499 AND value > 0.5",
+        prune=[("event_id", 1000, 1499)],
+    )
+    return (
+        read_manifest_table(spark, wh, "ev")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+        )
+    )
+
+
+@query(
+    "b_manifest_update",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(CASE
+               WHEN event_id BETWEEN 2000 AND 2999 AND event_type = 'purchase'
+               THEN value * 2 ELSE value END), 4) AS value_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def b_manifest_update(spark, sf_dir):
+    """Copy-on-write UPDATE on the manifest layout: purchases in one
+    event_id band get value doubled; every other row — and every file
+    outside the band — is untouched. Read-back ≡ the oracle's CASE
+    rewrite of the same batch."""
+    from popelines_spark.manifest import read_manifest_table
+    from popelines_spark.manifest_dml import update_manifest_rows
+
+    wh = _fresh("manifest_upd")
+    _land_events(spark, sf_dir, wh)
+    update_manifest_rows(
+        spark, wh, "ev",
+        {"value": "value * 2"},
+        "event_id BETWEEN 2000 AND 2999 AND event_type = 'purchase'",
+        prune=[("event_id", 2000, 2999)],
+    )
+    return (
+        read_manifest_table(spark, wh, "ev")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+    )

@@ -121,6 +121,7 @@ def load_all() -> None:
         rel_project_filter,
         rel_scan_sink,
         part_a,
+        manifest_queries,
     )
 
     front = [n for n in _DRIVER_WINDOW_FIRST if n in SPARK_QUERIES]
