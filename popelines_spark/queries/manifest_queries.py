@@ -161,3 +161,39 @@ def b_manifest_update(spark, sf_dir):
             F.round(F.sum("value"), 4).alias("value_sum"),
         )
     )
+
+
+@query(
+    "s_manifest_changefeed",
+    oracle="""
+    WITH m AS (SELECT (max(event_id) + 4) // 4 AS step FROM events)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           CAST(count(DISTINCT event_id // step) AS BIGINT) AS n_versions
+    FROM events, m
+    GROUP BY event_type
+    """,
+)
+def s_manifest_changefeed(spark, sf_dir):
+    """Incremental STREAM over the manifest table (the changefeed twin
+    of the exactly-once sink): land events as four chunked appends, then
+    stream every committed version's contribution through
+    readStream.format("manifest_changefeed") and aggregate — the drained
+    feed must equal the batch read of the final manifest, and each
+    event's _change_version must be exactly the chunk that carried it
+    (the oracle recomputes the chunk from the same event_id // step
+    arithmetic _land_events used)."""
+    from popelines_spark.streaming.changefeed import read_changefeed
+    from popelines_spark.streaming.runner import run_to_completion
+
+    wh = _fresh("manifest_cf")
+    hi, step = _land_events(spark, sf_dir, wh)
+    feed = read_changefeed(spark, wh, "ev")
+    agg = feed.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+        # countDistinct is unsupported on streams; a collect_set's size
+        # is the same number with bounded state (≤ chunk count)
+        F.size(F.collect_set("_change_version")).cast("long").alias("n_versions"),
+    )
+    return run_to_completion(agg, "complete")

@@ -1,0 +1,194 @@
+"""Streaming SOURCE from manifest tables — the changefeed twin of the
+exactly-once sink (streaming/manifest_sink.py).
+
+``spark.readStream.format("manifest_changefeed")`` turns a manifest
+table into an incremental stream: offsets are COMMITTED VERSION numbers,
+and each micro-batch emits the rows a version ADDED — its manifest's
+files minus its parent's (appends contribute their batch; replace
+commits contribute their rewritten rows, i.e. updates surface as new
+rows; compaction contributes nothing — it moves bytes, not rows;
+deletions are not retracted: this is an append/update feed, the shape
+Delta's readChangeFeed=false incremental source exposes).
+
+Determinism across restarts: manifests are immutable and the
+version→file-diff mapping is pure, so re-planning batch (start, end]
+after a crash yields byte-identical partitions — the checkpointed offset
+is all the state there is. GC'ing a manifest inside an un-checkpointed
+offset window fails loudly rather than silently skipping data.
+
+Scale: the driver plans one InputPartition per contribution FILE (the
+planning cost is manifest-list arithmetic, no data I/O); executors read
+their file directly via Arrow. A 100 TB table streams at O(new files)
+per trigger regardless of table size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_META_COL = "_change_version"
+
+
+def _table_paths(warehouse: str, table: str):
+    from popelines_spark.io import table_path
+
+    root = table_path(warehouse, table)
+    return root, f"{root}/versions"
+
+
+def _committed_versions(vroot: str) -> list[int]:
+    if not os.path.isdir(vroot):
+        return []
+    out = []
+    for n in os.listdir(vroot):
+        if n.isdigit() and os.path.exists(f"{vroot}/{n}/_COMMITTED"):
+            out.append(int(n))
+    return sorted(out)
+
+
+def _read_manifest(vroot: str, version: int) -> dict:
+    with open(f"{vroot}/{version}/manifest.json") as f:
+        return json.load(f)
+
+
+def _local(p: str) -> str:
+    return p[len("file:"):] if p.startswith("file:") else p
+
+
+class FilePartition(InputPartition):
+    def __init__(self, path: str, version: int, columns: list[str]):
+        self.path = path
+        self.version = version
+        self.columns = columns
+
+
+class ManifestChangefeedReader(DataSourceStreamReader):
+    def __init__(self, schema: T.StructType, options: dict):
+        self.warehouse = options["warehouse"]
+        self.table = options["table"]
+        self.start_version = int(options.get("start_version", "0"))
+        self.schema = schema
+        _, self.vroot = _table_paths(self.warehouse, self.table)
+
+    # -- offsets -----------------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        versions = _committed_versions(self.vroot)
+        tip = versions[-1] if versions else self.start_version
+        return {"version": max(tip, self.start_version)}
+
+    # -- planning (driver-side, manifest arithmetic only) ------------
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["version"], end["version"]
+        versions = _committed_versions(self.vroot)
+        mans = {v: _read_manifest(self.vroot, v) for v in versions}
+        data_cols = [f.name for f in self.schema.fields if f.name != _META_COL]
+        parts = []
+        for v in versions:
+            if not (lo < v <= hi):
+                continue
+            m = mans[v]
+            if m.get("op", "append") == "compact":
+                continue  # byte movement, not a row change
+            p = m.get("parent")
+            if p is None and "parent" not in m:
+                # legacy manifest: linear-chain parent
+                idx = versions.index(v)
+                p = versions[idx - 1] if idx > 0 else None
+            if p is None:
+                contrib = m["files"]
+            elif p in mans:
+                pf = set(mans[p]["files"])
+                contrib = [f for f in m["files"] if f not in pf]
+            else:
+                raise RuntimeError(
+                    f"manifest_changefeed: version {v}'s parent {p} was "
+                    "GC'd inside the un-checkpointed offset window "
+                    f"({lo}, {hi}] of table {self.table} — cannot compute "
+                    "its contribution; raise GC retention above the "
+                    "stream's checkpoint lag"
+                )
+            for f in contrib:
+                parts.append(FilePartition(_local(f), v, data_cols))
+        # an empty batch still needs ≥1 partition for Spark to plan it
+        return parts or [FilePartition("", hi, data_cols)]
+
+    # -- execution (executor-side, Arrow) -----------------------------
+    def read(self, partition: FilePartition):
+        if not partition.path:
+            return
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.path)
+        names = set(tbl.column_names)
+        cols = []
+        for c in partition.columns:
+            if c in names:
+                cols.append(tbl.column(c).to_pylist())
+            else:  # pre-evolution file: later columns surface as NULL
+                cols.append([None] * tbl.num_rows)
+        ver = [partition.version] * tbl.num_rows
+        yield from zip(*cols, ver)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint
+
+
+class ManifestChangefeedDataSource(DataSource):
+    """Register once per session::
+
+        spark.dataSource.register(ManifestChangefeedDataSource)
+        feed = (spark.readStream.format("manifest_changefeed")
+                .option("warehouse", wh).option("table", "ev").load())
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_changefeed"
+
+    def schema(self):
+        from pyspark.sql.types import StructType
+
+        _, vroot = _table_paths(self.options["warehouse"], self.options["table"])
+        versions = _committed_versions(vroot)
+        if not versions:
+            raise FileNotFoundError(
+                f"manifest_changefeed: no committed versions under {vroot}"
+            )
+        man = _read_manifest(vroot, versions[-1])
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        return schema.add(_META_COL, T.LongType(), False)
+
+    def streamReader(self, schema):
+        return ManifestChangefeedReader(schema, self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the changefeed format."""
+    try:
+        spark.dataSource.register(ManifestChangefeedDataSource)
+    except Exception as exc:  # already registered in this session
+        if "already" not in str(exc).lower():
+            raise
+
+
+def read_changefeed(spark, warehouse: str, table: str, start_version: int = 0):
+    """The one-call spelling: a streaming DataFrame of row additions."""
+    register(spark)
+    return (
+        spark.readStream.format("manifest_changefeed")
+        .option("warehouse", warehouse)
+        .option("table", table)
+        .option("start_version", str(start_version))
+        .load()
+    )
