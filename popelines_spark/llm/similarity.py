@@ -500,3 +500,12 @@ def label_margin_fast(
         .alias("n_mislabel_candidates"),
         F.round(F.avg("margin"), 6).alias("avg_margin"),
     )
+
+
+#: The PUBLIC operator name (VERDICT r7 #6): consumers screening labeled
+#: embeddings get the fan-out-free projection form by default — measured
+#: 6.4x faster at sf1.0 (BASELINE.md) with results within rounding
+#: distance of the oracle-checked explode-join twin, which stays
+#: registered as `c_label_margin` for the DuckDB gate (the equivalence
+#: itself is gated by `c_label_margin_fast`).
+label_margin = label_margin_fast

@@ -1693,3 +1693,79 @@ def c_label_margin(spark, sf_dir):
             6,
         ).alias("avg_margin"),
     )
+
+
+@query(
+    "c_label_margin_fast",
+    oracle="""
+    WITH ex AS MATERIALIZED (
+      SELECT vec_id, label AS own,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    cent AS MATERIALIZED (
+      SELECT own AS clabel, pos,
+             CAST(SUM(CAST(round(x, 9) AS DECIMAL(20,9))) AS DOUBLE)
+               / count(*) AS c
+      FROM ex GROUP BY own, pos),
+    vnorm AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(20,9))) AS DOUBLE)
+               AS n2v
+      FROM ex GROUP BY vec_id),
+    cnorm AS (
+      SELECT clabel,
+             CAST(SUM(CAST(round(c * c, 9) AS DECIMAL(20,9))) AS DOUBLE)
+               AS n2c
+      FROM cent GROUP BY clabel),
+    dots AS (
+      SELECT e.vec_id, e.own, c.clabel,
+             CAST(SUM(CAST(round(e.x * c.c, 9) AS DECIMAL(20,9)))
+                  AS DOUBLE) AS dot
+      FROM ex e JOIN cent c ON c.pos = e.pos
+      GROUP BY e.vec_id, e.own, c.clabel),
+    cos AS (
+      SELECT d.vec_id, d.own, d.clabel,
+             d.dot / sqrt(v.n2v * n.n2c) AS cs
+      FROM dots d JOIN vnorm v ON v.vec_id = d.vec_id
+                  JOIN cnorm n ON n.clabel = d.clabel),
+    margins AS (
+      SELECT vec_id, own,
+             round(max(CASE WHEN clabel = own THEN cs END)
+                   - max(CASE WHEN clabel <> own THEN cs END), 9)
+               AS margin
+      FROM cos GROUP BY vec_id, own)
+    SELECT CAST(own AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN margin < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mislabel_candidates,
+           CAST(1 AS BIGINT) AS margins_agree
+    FROM margins GROUP BY own
+    """,
+)
+def c_label_margin_fast(spark, sf_dir):
+    """Invariant gate for the PUBLIC label-margin operator
+    (llm/similarity.py:label_margin = label_margin_fast — the
+    fan-out-free literal-projection form, the c_ivf_cells_scale
+    pattern): its exact-integer outputs (n, mislabel count per label)
+    must equal the oracle-checked explode-join twin's, and the two
+    forms' 6dp average margins must agree within rounding distance
+    (margins_agree ≡ 1 for every label). The fast form scores all K
+    prototypes in ONE projection — no explode, no join (plan-asserted
+    in tests/test_statistics_props.py); this entry pins its RESULTS to
+    the checked algebra."""
+    from popelines_spark.llm.similarity import label_margin
+    from popelines_spark.tables import load
+
+    fast = label_margin(load(spark, sf_dir, "embeddings"))
+    slow = c_label_margin(spark, sf_dir).select(
+        "label", F.col("avg_margin").alias("avg_slow")
+    )
+    return fast.join(slow, "label").select(
+        "label",
+        "n",
+        "n_mislabel_candidates",
+        (F.abs(F.col("avg_margin") - F.col("avg_slow")) < 1e-5)
+        .cast("long")
+        .alias("margins_agree"),
+    )
