@@ -84,6 +84,15 @@ BASELINE_SEC = {
     # the decimal-accumulator fan-out cost 3.5×, BASELINE.md §R7 batch 4).
     "c_heavy_hitters": 1.14,
     "c_bootstrap_ci": 2.20,
+    # round-8 additions (VERDICT r7 #7): the round-7 heavyweights, same
+    # 3-session/min-of-2 method (sessions in BASELINE.md §Round 8):
+    # c_label_margin 4.80/4.61/4.89, fastpath 1.46/1.44/1.51,
+    # c_permutation_test 2.27/2.27/2.35, s_join_interval_left
+    # 10.40/8.24/9.54.
+    "c_label_margin": 4.80,
+    "c_label_margin_fastpath": 1.46,
+    "c_permutation_test": 2.27,
+    "s_join_interval_left": 9.54,
 }
 
 #: Local regression gate: with SPARK_GRAFT_BENCH_STRICT=1, exit nonzero if
@@ -132,7 +141,30 @@ BENCH_QUERIES = [
     "s_sliding",               # overlapping sliding windows
     "s_custom_state",          # applyInPandasWithState custom operator
     "s_join_interval",         # stream-stream interval join
+    # round 8: the round-7 heavyweights (VERDICT r7 #7) — regressions in
+    # the most expensive new operators become visible per-round.
+    "c_label_margin",          # decimal-exact prototype margins (oracle twin)
+    "c_label_margin_fastpath", # the PUBLIC projection form (llm label_margin)
+    "c_permutation_test",      # ×200 label-reshuffle significance test
+    "s_join_interval_left",    # left-outer stream-stream interval join
 ]
+
+
+def _label_margin_fastpath(spark, sf_dir):
+    """Bench-only callable: the public operator (llm.similarity.
+    label_margin — the projection form), timed on the same embeddings
+    input as the registered explode-join twin so the speedup is a
+    recorded artifact. Not a registered query: its equivalence gate is
+    c_label_margin_fast, which runs BOTH forms and is therefore not a
+    representative timing."""
+    from popelines_spark.llm.similarity import label_margin
+    from popelines_spark.tables import load
+
+    return label_margin(load(spark, sf_dir, "embeddings"))
+
+
+#: Bench-only callables (not in the registry).
+BENCH_EXTRA = {"c_label_margin_fastpath": _label_margin_fastpath}
 
 
 def main() -> None:
@@ -175,7 +207,7 @@ def main() -> None:
     ensure_exact_topk(spark, sf_dir)
 
     def run_once(name: str) -> float:
-        fn = qs[name]
+        fn = BENCH_EXTRA.get(name) or qs[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
         if df.isStreaming:  # pragma: no cover - streaming queries pre-drained
