@@ -305,3 +305,53 @@ def a_source_rest_pyds(spark, sf_dir):
         "w", "window_start", F.col("j.rev").alias("window_rev"),
         "status", "attempts",
     )
+
+
+@query(
+    "a_source_rest_paged",
+    oracle="""
+    SELECT CAST(s.seed AS BIGINT) AS seed,
+           CAST(p.page AS BIGINT) AS page,
+           CAST(s.seed * 100 + p.page AS BIGINT) AS page_val,
+           CAST(200 AS BIGINT) AS status,
+           CAST(1 AS BIGINT) AS attempts
+    FROM (SELECT unnest(range(4)) AS seed) s
+    JOIN (SELECT unnest(range(4)) AS page) p ON p.page <= s.seed
+    """,
+)
+def a_source_rest_paged(spark, sf_dir):
+    """Cursor pagination as a distributed source (VERDICT r7 #9): each
+    seed is one pagination CHAIN — chains fan out across executors,
+    pages within a chain follow the cursor the previous body returned
+    (fetch_pages_distributed, sources/rest.py). Chains here have
+    DIFFERENT lengths (seed s → s+1 pages) so termination-by-missing-
+    next is exercised per chain, not globally. file:// fixtures keep the
+    oracle hermetic; the code path is byte-identical for http(s), proven
+    against a live stub server in tests/test_rest_fanout.py."""
+    from popelines_spark.sources.rest import fetch_pages_distributed
+
+    pages = os.path.join(_SCRATCH, "rest_paged")
+    shutil.rmtree(pages, ignore_errors=True)
+    os.makedirs(pages)
+    for seed in range(4):
+        for cur in range(seed + 1):
+            doc = {"page_val": seed * 100 + cur}
+            if cur < seed:
+                doc["next"] = str(cur + 1)
+            with open(os.path.join(pages, f"{seed}_{cur}.json"), "w") as f:
+                json.dump(doc, f)
+    seeds = spark.createDataFrame([(i,) for i in range(4)], "seed int")
+    fetched = fetch_pages_distributed(
+        seeds,
+        f"file://{pages}/{{seed}}_{{cursor}}.json",
+        first_cursor="0",
+    )
+    return fetched.select(
+        F.col("seed").cast("long").alias("seed"),
+        F.col("__page").cast("long").alias("page"),
+        F.from_json("body", "page_val bigint, next string")["page_val"].alias(
+            "page_val"
+        ),
+        F.col("__status").cast("long").alias("status"),
+        F.col("__attempts").cast("long").alias("attempts"),
+    )

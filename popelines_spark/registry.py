@@ -74,7 +74,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "b_fn_cond",
     # -- new in round 8 (slot 51+; rolls to round 9's window head):
     "b_manifest_sql", "b_manifest_delete", "b_manifest_update",
-    "s_manifest_changefeed", "c_label_margin_fast",
+    "s_manifest_changefeed", "c_label_margin_fast", "a_source_rest_paged",
 )
 
 

@@ -83,6 +83,8 @@ def fetch_windows_distributed(
     max_retries: int = 3,
     backoff_s: float = 0.2,
     timeout_s: float = 30.0,
+    max_concurrent: int | None = None,
+    rate_limit_rps: float | None = None,
 ) -> DataFrame:
     """Parallel incremental-extract fan-out (VERDICT r6 next #8 /
     SURVEY.md's promised (url, window) shape): each row of ``windows``
@@ -98,9 +100,20 @@ def fetch_windows_distributed(
     ``out_col`` (response text or null), ``__status`` (HTTP status or -1),
     ``__attempts``, ``__error`` (repr of the final failure or null) —
     callers decide whether partial extraction is acceptable instead of a
-    silent None swallow."""
+    silent None swallow.
+
+    Politeness knobs (real APIs throttle): ``max_concurrent`` bounds the
+    number of simultaneous fetching tasks STRUCTURALLY — the window
+    table is repartitioned to that many partitions, so the cap holds
+    across executor processes and machines without any shared state
+    (Spark schedules ≤ one task per partition at a time).
+    ``rate_limit_rps`` spaces request STARTS within each task, so the
+    aggregate rate is ≤ max_concurrent × rate_limit_rps — a deliberate,
+    observable ceiling instead of a thundering herd."""
     import pandas as pd  # noqa: F401 — typing only; imported in workers
 
+    if max_concurrent is not None:
+        windows = windows.repartition(max_concurrent)
     schema = T.StructType(
         list(windows.schema.fields)
         + [
@@ -111,16 +124,24 @@ def fetch_windows_distributed(
         ]
     )
     cols = [f.name for f in windows.schema.fields]
+    min_interval = 1.0 / rate_limit_rps if rate_limit_rps else 0.0
 
     def _fetch(batches: Iterator) -> Iterator:
         import time
         import urllib.error
         import urllib.request
 
+        next_start = [0.0]  # per-task rate-limit clock
+
         for pdf in batches:
             bodies, statuses, attempts_l, errors = [], [], [], []
             for _, row in pdf.iterrows():
                 url = url_template.format(**{c: row[c] for c in cols})
+                if min_interval:
+                    wait = next_start[0] - time.monotonic()
+                    if wait > 0:
+                        time.sleep(wait)
+                    next_start[0] = time.monotonic() + min_interval
                 body, status, err = None, -1, None
                 attempt = 0
                 while attempt < max_retries:
@@ -154,3 +175,125 @@ def fetch_windows_distributed(
             yield pdf
 
     return windows.mapInPandas(_fetch, schema=schema)
+
+
+def fetch_pages_distributed(
+    seeds: DataFrame,
+    url_template: str,
+    first_cursor: str = "",
+    next_cursor_key: str = "next",
+    out_col: str = "body",
+    max_pages: int = 1000,
+    max_retries: int = 3,
+    backoff_s: float = 0.2,
+    timeout_s: float = 30.0,
+    max_concurrent: int | None = None,
+    rate_limit_rps: float | None = None,
+) -> DataFrame:
+    """Cursor-paginated REST extract, executor-side: each row of
+    ``seeds`` is one pagination chain (an entity/endpoint to walk);
+    ``url_template`` is formatted with the row's columns PLUS
+    ``{cursor}``, and each page's JSON body supplies the next cursor
+    under ``next_cursor_key`` (absent/null/empty ⇒ chain done). Emits
+    ONE OUTPUT ROW PER PAGE: seed columns + ``__page`` (0-based) +
+    ``__cursor`` (the cursor that FETCHED the page) + body/status/
+    attempts/error — the same honest error surface as
+    fetch_windows_distributed; a failed page ends its chain with the
+    error recorded, chains never silently truncate (``max_pages`` is the
+    runaway bound; hitting it is visible as __page == max_pages-1).
+
+    This is the reference's call_api loop (popelines/main.py:193-206,
+    driver-serial, cursor in params) turned into the scale shape:
+    CHAINS fan out across the cluster (pages within a chain are
+    inherently sequential — the cursor is a data dependency), so N
+    entities paginate with N-way parallelism. ``max_concurrent`` /
+    ``rate_limit_rps`` bound politeness exactly as in
+    fetch_windows_distributed."""
+    import pandas as pd  # noqa: F401 — imported in workers
+
+    if max_concurrent is not None:
+        seeds = seeds.repartition(max_concurrent)
+    schema = T.StructType(
+        list(seeds.schema.fields)
+        + [
+            T.StructField("__page", T.IntegerType(), False),
+            T.StructField("__cursor", T.StringType(), True),
+            T.StructField(out_col, T.StringType(), True),
+            T.StructField("__status", T.IntegerType(), False),
+            T.StructField("__attempts", T.IntegerType(), False),
+            T.StructField("__error", T.StringType(), True),
+        ]
+    )
+    cols = [f.name for f in seeds.schema.fields]
+    out_cols = [f.name for f in schema.fields]
+    min_interval = 1.0 / rate_limit_rps if rate_limit_rps else 0.0
+
+    def _fetch(batches: Iterator) -> Iterator:
+        import json as _json
+        import time
+        import urllib.error
+        import urllib.request
+
+        import pandas as pd
+
+        next_start = [0.0]
+
+        def get(url):
+            if min_interval:
+                wait = next_start[0] - time.monotonic()
+                if wait > 0:
+                    time.sleep(wait)
+                next_start[0] = time.monotonic() + min_interval
+            body, status, err = None, -1, None
+            attempt = 0
+            while attempt < max_retries:
+                attempt += 1
+                try:
+                    with urllib.request.urlopen(url, timeout=timeout_s) as r:
+                        body = r.read().decode()
+                        status = getattr(r, "status", None) or 200
+                        err = None
+                    break
+                except urllib.error.HTTPError as e:
+                    status, err = e.code, repr(e)
+                    if 400 <= e.code < 500 and e.code != 429:
+                        break
+                except Exception as e:
+                    err = repr(e)
+                if attempt < max_retries:
+                    time.sleep(backoff_s * attempt)
+            return body, status, attempt, err
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                seed_vals = [row[c] for c in cols]
+                cursor = first_cursor
+                for page in range(max_pages):
+                    url = url_template.format(
+                        **{c: row[c] for c in cols}, cursor=cursor
+                    )
+                    body, status, attempt, err = get(url)
+                    rows.append(
+                        seed_vals
+                        + [
+                            page,
+                            cursor,
+                            body,
+                            status,
+                            attempt,
+                            None if body is not None else err,
+                        ]
+                    )
+                    if body is None:
+                        break  # chain ends; the error row records why
+                    try:
+                        nxt = _json.loads(body).get(next_cursor_key)
+                    except ValueError:
+                        nxt = None
+                    if nxt is None or nxt == "":
+                        break
+                    cursor = str(nxt)
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return seeds.mapInPandas(_fetch, schema=schema)

@@ -160,3 +160,136 @@ def test_pyds_rest_windows_against_live_server(spark):
         )
     finally:
         srv.shutdown()
+
+
+class _PagedHandler(http.server.BaseHTTPRequestHandler):
+    """/paged?seed=S&cursor=C -> 3-page chains: items + next cursor."""
+
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):
+        from urllib.parse import parse_qs, urlparse
+
+        u = urlparse(self.path)
+        q = {k: v[0] for k, v in parse_qs(u.query).items()}
+        seed, cur = int(q["seed"]), int(q.get("cursor") or 0)
+        doc = {"seed": seed, "page_val": seed * 100 + cur}
+        if cur < 2:
+            doc["next"] = str(cur + 1)
+        body = json.dumps(doc).encode()
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+def test_cursor_pagination_walks_chains(spark):
+    """fetch_pages_distributed follows each seed's cursor chain to the
+    end: 3 pages per seed, cursors handed from body to request."""
+    from popelines_spark.sources.rest import fetch_pages_distributed
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _PagedHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    try:
+        seeds = spark.createDataFrame([(i,) for i in range(5)], "seed int")
+        out = fetch_pages_distributed(
+            seeds,
+            f"http://127.0.0.1:{port}/paged?seed={{seed}}&cursor={{cursor}}",
+            first_cursor="0",
+        )
+        rows = out.select(
+            "seed", "__page", "__cursor", "__status",
+            F.from_json("body", "seed int, page_val int, next string").alias("j"),
+        ).collect()
+        assert len(rows) == 15  # 5 chains × 3 pages
+        by_seed = {}
+        for r in rows:
+            by_seed.setdefault(r["seed"], []).append(r)
+        for s, chain in by_seed.items():
+            chain.sort(key=lambda r: r["__page"])
+            assert [r["__page"] for r in chain] == [0, 1, 2]
+            assert [r["__cursor"] for r in chain] == ["0", "1", "2"]
+            assert [r.j.page_val for r in chain] == [s * 100, s * 100 + 1, s * 100 + 2]
+            assert all(r["__status"] == 200 for r in chain)
+    finally:
+        srv.shutdown()
+
+
+_INFLIGHT = {"now": 0, "peak": 0}
+_INFLIGHT_LOCK = threading.Lock()
+
+
+class _SlowHandler(http.server.BaseHTTPRequestHandler):
+    """Tracks peak concurrent in-flight requests; each takes ~100 ms."""
+
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):
+        import time as _t
+
+        with _INFLIGHT_LOCK:
+            _INFLIGHT["now"] += 1
+            _INFLIGHT["peak"] = max(_INFLIGHT["peak"], _INFLIGHT["now"])
+        _t.sleep(0.1)
+        body = b'{"ok": true}'
+        with _INFLIGHT_LOCK:
+            _INFLIGHT["now"] -= 1
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+def test_max_concurrent_bounds_parallel_fetches(spark):
+    """max_concurrent=2 repartitions the window table to 2 partitions, so
+    at most 2 tasks fetch simultaneously — the server's observed peak
+    in-flight count proves the structural cap."""
+    from popelines_spark.sources.rest import fetch_windows_distributed
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _SlowHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    try:
+        _INFLIGHT["now"] = _INFLIGHT["peak"] = 0
+        windows = spark.createDataFrame(
+            [(i,) for i in range(12)], "w int"
+        )
+        out = fetch_windows_distributed(
+            windows,
+            f"http://127.0.0.1:{port}/slow?w={{w}}",
+            max_concurrent=2,
+        )
+        assert out.count() == 12
+        assert _INFLIGHT["peak"] <= 2, _INFLIGHT
+    finally:
+        srv.shutdown()
+
+
+def test_rate_limit_spaces_request_starts(spark):
+    """rate_limit_rps=20 on a single task: 6 requests must span at least
+    5 × 50 ms of enforced spacing."""
+    import time as _t
+
+    from popelines_spark.sources.rest import fetch_windows_distributed
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    try:
+        windows = spark.createDataFrame(
+            [(i * 10, i * 10 + 1) for i in range(6)], "start int, end int"
+        )
+        t0 = _t.monotonic()
+        out = fetch_windows_distributed(
+            windows,
+            f"http://127.0.0.1:{port}/data?start={{start}}&end={{end}}",
+            max_concurrent=1,
+            rate_limit_rps=20.0,
+        )
+        assert out.where("__status = 200").count() == 6
+        assert _t.monotonic() - t0 >= 0.25
+    finally:
+        srv.shutdown()
