@@ -75,6 +75,9 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # -- new in round 8 (slot 51+; rolls to round 9's window head):
     "b_manifest_sql", "b_manifest_delete", "b_manifest_update",
     "s_manifest_changefeed", "c_label_margin_fast", "a_source_rest_paged",
+    "c_anova_oneway", "c_cramers_v", "c_ab_cuped", "c_seasonal_decompose",
+    "c_rolling_corr", "c_groupwise_ols", "c_calibration_bins",
+    "c_sax_symbolize",
 )
 
 
@@ -98,6 +101,7 @@ def load_all() -> None:
         ext_analytics4,
         ext_analytics5,
         ext_analytics6,
+        ext_analytics7,
         ext_curation,
         ext_dedup,
         ext_graph,
