@@ -310,12 +310,16 @@ def upsert_manifest_table(
             src.select(*keys).distinct()
         )
         # targeting scan: files holding ≥1 matching key (broadcast the
-        # source key set — MERGE sources are batch-sized by contract)
+        # source key set — MERGE sources are batch-sized by contract).
+        # input_file_name() is stamped BEFORE the join: after a join of
+        # two file sources the expression fails analysis
+        # (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION).
         probe = (
             spark.read.schema(schema)
             .parquet(*man["files"])
+            .select(F.input_file_name().alias("_f"), *keys)
             .join(F.broadcast(keyset), on=keys, how="leftsemi")
-            .select(F.input_file_name().alias("_f"))
+            .select("_f")
             .distinct()
             .collect()
         ) if man["files"] else []

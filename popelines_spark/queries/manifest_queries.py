@@ -197,3 +197,69 @@ def s_manifest_changefeed(spark, sf_dir):
         F.size(F.collect_set("_change_version")).cast("long").alias("n_versions"),
     )
     return run_to_completion(agg, "complete")
+
+
+@query(
+    "b_manifest_upsert",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, 'upserted' AS event_type, 999.99 AS value
+      FROM events WHERE event_id % 100 = 7
+      UNION ALL
+      SELECT 10000000 + range AS event_id, 'inserted' AS event_type,
+             1.0 AS value
+      FROM range(5)),
+    merged AS (
+      SELECT e.event_id, e.user_id,
+             COALESCE(s.event_type, e.event_type) AS event_type,
+             COALESCE(s.value, e.value) AS value
+      FROM events e LEFT JOIN src s ON s.event_id = e.event_id
+      UNION ALL
+      SELECT s.event_id, NULL AS user_id, s.event_type, s.value
+      FROM src s WHERE s.event_id NOT IN (SELECT event_id FROM events))
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 2)
+               AS value_sum
+    FROM merged GROUP BY event_type
+    """,
+)
+def b_manifest_upsert(spark, sf_dir):
+    """MERGE into the manifest layout: matched event_ids take the
+    source's values (every 100th id re-typed + re-priced), unmatched
+    source rows insert, unmatched target rows — and every FILE without a
+    matching key — survive untouched by reference. Read-back ≡ the
+    oracle's LEFT JOIN + anti-union MERGE expansion."""
+    from popelines_spark.manifest import read_manifest_table
+    from popelines_spark.manifest_dml import upsert_manifest_table
+
+    wh = _fresh("manifest_ups")
+    _land_events(spark, sf_dir, wh)
+    hits = (
+        T(spark, sf_dir, "events")
+        .where("event_id % 100 = 7")
+        .select(
+            "event_id",
+            F.lit("upserted").alias("event_type"),
+            F.lit(999.99).alias("value"),
+        )
+    )
+    inserts = spark.range(5).select(
+        (F.col("id") + 10000000).alias("event_id"),
+        F.lit("inserted").alias("event_type"),
+        F.lit(1.0).alias("value"),
+    )
+    upsert_manifest_table(
+        spark, wh, "ev", hits.unionByName(inserts), keys=["event_id"]
+    )
+    return (
+        read_manifest_table(spark, wh, "ev")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(20,4)")).cast("double"), 2
+            ).alias("value_sum"),
+        )
+    )

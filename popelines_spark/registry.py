@@ -77,7 +77,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "s_manifest_changefeed", "c_label_margin_fast", "a_source_rest_paged",
     "c_anova_oneway", "c_cramers_v", "c_ab_cuped", "c_seasonal_decompose",
     "c_rolling_corr", "c_groupwise_ols", "c_calibration_bins",
-    "c_sax_symbolize",
+    "c_sax_symbolize", "b_manifest_upsert",
 )
 
 
