@@ -700,3 +700,333 @@ def c_sax_symbolize(spark, sf_dir):
         F.round(F.min("z"), 6).alias("z_min"),
         F.round(F.max("z"), 6).alias("z_max"),
     )
+
+
+@query(
+    "c_welch_ttest",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(round(value * value, 4) AS DECIMAL(38,4)))
+                  AS DOUBLE) AS ss
+      FROM events WHERE event_type IN ('purchase', 'view')
+      GROUP BY 1),
+    v AS (
+      SELECT event_type, n, s / n AS mean,
+             (ss - n * (s / n) * (s / n)) / (n - 1) AS var
+      FROM m),
+    pair AS (
+      SELECT a.n AS n1, b.n AS n2, a.mean AS m1, b.mean AS m2,
+             a.var / a.n AS va, b.var / b.n AS vb
+      FROM v a, v b
+      WHERE a.event_type = 'purchase' AND b.event_type = 'view')
+    SELECT n1, n2,
+           round((m1 - m2) / sqrt(va + vb), 6) AS t_stat,
+           round((va + vb) * (va + vb)
+                 / (va * va / (n1 - 1) + vb * vb / (n2 - 1)), 6) AS df
+    FROM pair
+    """,
+)
+def c_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t statistic (purchase vs view event
+    values) with the Welch–Satterthwaite effective degrees of freedom —
+    the parametric twin of c_mannwhitney. Means and variances come from
+    exact decimal moments (2dp values, 4dp squares); t and df are single
+    per-row IEEE expressions on them. Scale: one K=2 keyed agg."""
+    ev = T(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(20,4)")).cast("double").alias("s"),
+        F.sum(F.round(F.col("value") * F.col("value"), 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    v = m.select(
+        "event_type",
+        "n",
+        mean.alias("mean"),
+        ((F.col("ss") - F.col("n") * mean * mean) / (F.col("n") - 1)).alias(
+            "var"
+        ),
+    )
+    a = v.where("event_type = 'purchase'").select(
+        F.col("n").alias("n1"),
+        F.col("mean").alias("m1"),
+        (F.col("var") / F.col("n")).alias("va"),
+    )
+    b = v.where("event_type = 'view'").select(
+        F.col("n").alias("n2"),
+        F.col("mean").alias("m2"),
+        (F.col("var") / F.col("n")).alias("vb"),
+    )
+    pair = a.crossJoin(F.broadcast(b))
+    return pair.select(
+        "n1",
+        "n2",
+        F.round(
+            (F.col("m1") - F.col("m2")) / F.sqrt(F.col("va") + F.col("vb")), 6
+        ).alias("t_stat"),
+        F.round(
+            (F.col("va") + F.col("vb")) * (F.col("va") + F.col("vb"))
+            / (
+                F.col("va") * F.col("va") / (F.col("n1") - 1)
+                + F.col("vb") * F.col("vb") / (F.col("n2") - 1)
+            ),
+            6,
+        ).alias("df"),
+    )
+
+
+@query(
+    "c_levene_test",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority AS grp,
+             median(o_totalprice) AS med
+      FROM orders GROUP BY 1),
+    z AS (
+      SELECT o.o_orderpriority AS grp,
+             abs(o.o_totalprice - m.med) AS z
+      FROM orders o JOIN med m ON m.grp = o.o_orderpriority),
+    g AS (
+      SELECT grp,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(SUM(CAST(round(z, 4) AS DECIMAL(20,4))) AS DOUBLE) AS s_g,
+             CAST(SUM(CAST(round(z * z, 6) AS DECIMAL(38,6))) AS DOUBLE)
+               AS ss_g
+      FROM z GROUP BY 1),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(CAST(s_g AS DECIMAL(20,4))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(ss_g AS DECIMAL(38,6))) AS DOUBLE) AS ss
+      FROM g),
+    b AS (
+      SELECT CAST(SUM(CAST(round(
+               n_g * (s_g / n_g - t.s / t.n) * (s_g / n_g - t.s / t.n), 6)
+               AS DECIMAL(30,6))) AS DOUBLE) AS ssb
+      FROM g, t GROUP BY t.k, t.n, t.s, t.ss)
+    SELECT t.k, t.n,
+           round((b.ssb / (t.k - 1))
+                 / (((t.ss - t.n * (t.s / t.n) * (t.s / t.n)) - b.ssb)
+                    / (t.n - t.k)), 6) AS w_stat
+    FROM t, b
+    """,
+)
+def c_levene_test(spark, sf_dir):
+    """Brown-Forsythe (median-centered Levene) homogeneity-of-variance
+    test across order priorities: ANOVA's F machinery applied to the
+    absolute deviations from each group's MEDIAN — the robust
+    pre-check before trusting c_anova_oneway's pooled variance. Group
+    medians are exact percentiles (both engines interpolate the
+    midpoint of even counts identically on exact 2dp inputs); the
+    deviations round per-row then fold in DECIMAL. Scale: one exact-
+    percentile agg (K groups), one broadcast join, then the K-row
+    ANOVA arithmetic."""
+    o = T(spark, sf_dir, "orders")
+    med = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    z = (
+        o.join(
+            F.broadcast(med), o["o_orderpriority"] == med["grp"]
+        ).select(
+            "grp",
+            F.abs(F.col("o_totalprice") - F.col("med")).alias("z"),
+        )
+    )
+    g = z.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum(F.round(F.col("z"), 4).cast("decimal(20,4)"))
+        .cast("double")
+        .alias("s_g"),
+        F.sum(F.round(F.col("z") * F.col("z"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("ss_g"),
+    )
+    t = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum(F.col("s_g").cast("decimal(20,4)")).cast("double").alias("s"),
+        F.sum(F.col("ss_g").cast("decimal(38,6)")).cast("double").alias("ss"),
+    )
+    b = (
+        g.crossJoin(F.broadcast(t))
+        .groupBy("k", "n", "s", "ss")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("n_g")
+                    * (F.col("s_g") / F.col("n_g") - F.col("s") / F.col("n"))
+                    * (F.col("s_g") / F.col("n_g") - F.col("s") / F.col("n")),
+                    6,
+                ).cast("decimal(30,6)")
+            )
+            .cast("double")
+            .alias("ssb")
+        )
+    )
+    sst = F.col("ss") - F.col("n") * (F.col("s") / F.col("n")) * (
+        F.col("s") / F.col("n")
+    )
+    return b.select(
+        "k",
+        "n",
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / ((sst - F.col("ssb")) / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("w_stat"),
+    )
+
+
+@query(
+    "c_ndcg_eval",
+    oracle="""
+    WITH ex AS MATERIALIZED (
+      SELECT vec_id, label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    nrm AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(20,9))) AS DOUBLE)
+               AS n2
+      FROM ex GROUP BY 1),
+    lab AS (SELECT DISTINCT vec_id, label FROM ex),
+    dots AS (
+      SELECT p.vec_id AS q, e.vec_id AS c,
+             CAST(SUM(CAST(round(p.x * e.x, 9) AS DECIMAL(20,9)))
+                  AS DOUBLE) AS dot
+      FROM ex p JOIN ex e ON e.pos = p.pos AND e.vec_id <> p.vec_id
+      WHERE p.vec_id < 8
+      GROUP BY 1, 2),
+    cos AS (
+      SELECT d.q, d.c,
+             round(d.dot / sqrt(nq.n2 * nc.n2), 9) AS cs,
+             CASE WHEN lq.label = lc.label THEN 1 ELSE 0 END AS rel
+      FROM dots d
+      JOIN nrm nq ON nq.vec_id = d.q
+      JOIN nrm nc ON nc.vec_id = d.c
+      JOIN lab lq ON lq.vec_id = d.q
+      JOIN lab lc ON lc.vec_id = d.c),
+    top AS (
+      SELECT q, rel, rk FROM (
+        SELECT q, rel,
+               row_number() OVER (PARTITION BY q ORDER BY cs DESC, c) AS rk
+        FROM cos) WHERE rk <= 10),
+    dcg AS (
+      SELECT q,
+             CAST(SUM(CAST(round(rel / log2(rk + 1), 9) AS DECIMAL(20,9)))
+                  AS DOUBLE) AS dcg,
+             CAST(SUM(rel) AS BIGINT) AS n_rel
+      FROM top GROUP BY 1),
+    ideal AS (
+      SELECT d.q,
+             CAST(SUM(CAST(round(1.0 / log2(r.r + 1), 9) AS DECIMAL(20,9)))
+                  AS DOUBLE) AS idcg
+      FROM dcg d JOIN range(1, 11) r(r) ON r.r <= d.n_rel
+      GROUP BY 1)
+    SELECT d.q AS probe_id, d.n_rel,
+           round(COALESCE(d.dcg / i.idcg, 0.0), 6) AS ndcg10
+    FROM dcg d LEFT JOIN ideal i ON i.q = d.q
+    """,
+)
+def c_ndcg_eval(spark, sf_dir):
+    """NDCG@10 of cosine retrieval against label relevance — the
+    standard IR metric for the similarity stack (llm/similarity.py):
+    for each of 8 probe vectors, rank every other vector by exact
+    cosine (the c_label_margin decimal-dot discipline, 9dp-rounded
+    before ranking with a vec_id tie-break), relevance = same label,
+    and score DCG against the ideal ordering. DCG/IDCG terms fold
+    through 9dp-round → DECIMAL sums on both engines, so no log2 chain
+    depends on accumulation order. Scale: probes are a fixed constant —
+    the scoring join is O(probes · N), the bounded-candidate pattern;
+    the production path swaps in the LSH/IVF candidate sets."""
+    em = T(spark, sf_dir, "embeddings")
+    ex = em.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        "vec_id", "label", "pos", F.col("xf").cast("double").alias("x")
+    )
+    nrm = ex.groupBy("vec_id").agg(
+        F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(20,9)"))
+        .cast("double")
+        .alias("n2")
+    )
+    lab = em.select("vec_id", "label")
+    probe = ex.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q"), "pos", F.col("x").alias("px")
+    )
+    dots = (
+        probe.join(ex, "pos")
+        .where(F.col("vec_id") != F.col("q"))
+        .groupBy("q", F.col("vec_id").alias("c"))
+        .agg(
+            F.sum(
+                F.round(F.col("px") * F.col("x"), 9).cast("decimal(20,9)")
+            )
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    cos = (
+        dots.join(
+            F.broadcast(nrm.select(F.col("vec_id").alias("q"), F.col("n2").alias("n2q"))),
+            "q",
+        )
+        .join(nrm.select(F.col("vec_id").alias("c"), F.col("n2").alias("n2c")), "c")
+        .join(
+            F.broadcast(lab.select(F.col("vec_id").alias("q"), F.col("label").alias("lq"))),
+            "q",
+        )
+        .join(lab.select(F.col("vec_id").alias("c"), F.col("label").alias("lc")), "c")
+        .select(
+            "q",
+            "c",
+            F.round(
+                F.col("dot") / F.sqrt(F.col("n2q") * F.col("n2c")), 9
+            ).alias("cs"),
+            F.when(F.col("lq") == F.col("lc"), 1).otherwise(0).alias("rel"),
+        )
+    )
+    w = W.partitionBy("q").orderBy(F.col("cs").desc(), "c")
+    top = cos.select("q", "rel", F.row_number().over(w).alias("rk")).where(
+        F.col("rk") <= 10
+    )
+    dcg = top.groupBy("q").agg(
+        F.sum(
+            F.round(F.col("rel") / F.log2(F.col("rk") + 1), 9).cast(
+                "decimal(20,9)"
+            )
+        )
+        .cast("double")
+        .alias("dcg"),
+        F.sum("rel").cast("long").alias("n_rel"),
+    )
+    ranks = spark.range(1, 11).select(F.col("id").alias("r"))
+    ideal = (
+        dcg.join(F.broadcast(ranks), F.col("r") <= F.col("n_rel"))
+        .groupBy("q")
+        .agg(
+            F.sum(
+                F.round(F.lit(1.0) / F.log2(F.col("r") + 1), 9).cast(
+                    "decimal(20,9)"
+                )
+            )
+            .cast("double")
+            .alias("idcg")
+        )
+    )
+    return dcg.join(ideal, "q", "left").select(
+        F.col("q").alias("probe_id"),
+        "n_rel",
+        F.round(
+            F.coalesce(F.col("dcg") / F.col("idcg"), F.lit(0.0)), 6
+        ).alias("ndcg10"),
+    )

@@ -78,6 +78,7 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "c_anova_oneway", "c_cramers_v", "c_ab_cuped", "c_seasonal_decompose",
     "c_rolling_corr", "c_groupwise_ols", "c_calibration_bins",
     "c_sax_symbolize", "b_manifest_upsert",
+    "c_welch_ttest", "c_levene_test", "c_ndcg_eval",
 )
 
 
