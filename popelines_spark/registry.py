@@ -79,6 +79,9 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "c_rolling_corr", "c_groupwise_ols", "c_calibration_bins",
     "c_sax_symbolize", "b_manifest_upsert",
     "c_welch_ttest", "c_levene_test", "c_ndcg_eval",
+    "c_auc_roc", "c_kruskal_wallis", "c_cohens_kappa", "c_brier_logloss",
+    "c_wilson_ci", "c_odds_ratio", "c_cross_corr_lag", "c_info_gain_split",
+    "c_kfold_assign", "c_bpe_pair_stats",
 )
 
 
@@ -103,6 +106,7 @@ def load_all() -> None:
         ext_analytics5,
         ext_analytics6,
         ext_analytics7,
+        ext_analytics8,
         ext_curation,
         ext_dedup,
         ext_graph,
