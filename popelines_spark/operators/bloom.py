@@ -1,0 +1,110 @@
+"""Bloom-filter join pre-filtering — cut the big side's shuffle volume
+before a selective equi-join.
+
+The reference delegates joins to BigQuery, whose engine applies runtime
+semi-join ("bloom") filters transparently; Spark only injects its own
+runtime filters in narrow cases (`spark.sql.optimizer.runtimeFilter.*`).
+This operator is the explicit, always-available form: build a bloom
+bitmap from the SMALL side's join keys executor-side, broadcast it (it
+is bounded by the bitmap size, NOT the dim row count), and pre-filter
+the BIG side with pure JVM expressions before the real join runs.
+
+Why it matters at 100 TB: a fact-to-filtered-dim join shuffles the whole
+fact table even when only 1% of fact rows survive the join. The bloom
+pre-filter drops non-matching fact rows at the SCAN (map side), so the
+shuffle carries ~(hit rate + false-positive rate) of the fact table.
+False positives are removed by the join itself — the rewrite is
+semantically invisible (the registered query's oracle is the plain
+join), false negatives are impossible (every true key sets its bits).
+
+Plan shape: the bitmap build is one keyed aggregation of the dim side's
+bit positions into ≤ m/64 (word, bits) rows, folded to a single
+map<long,long> row; the probe is a broadcast of that one row plus
+per-row xxhash64 — no Python, no driver collect, whole-stage codegen
+throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Default bitmap size: 2^20 bits = 16 Ki words = 128 KiB broadcast.
+DEFAULT_M_BITS = 1 << 20
+
+#: Hash-seed family for the k probes (any distinct ints work; fixed so
+#: results are deterministic across runs and engines).
+DEFAULT_SEEDS = (0x9E37, 0x85EB, 0xC2B2, 0x27D4, 0x1656)
+
+
+def _positions(key: Column, m_bits: int, seeds) -> list[Column]:
+    return [
+        F.pmod(F.xxhash64(key, F.lit(int(s))), F.lit(m_bits))
+        for s in seeds
+    ]
+
+
+def bloom_bitmap(
+    small: DataFrame,
+    key: str,
+    m_bits: int = DEFAULT_M_BITS,
+    seeds=DEFAULT_SEEDS,
+) -> DataFrame:
+    """1-row DataFrame ``{bloom: map<long,long>}`` — the OR of every
+    key's k bit positions, grouped into 64-bit words. Build cost: one
+    shuffle of k·|small| ints into ≤ m/64 groups."""
+    pos = F.explode(F.array(*_positions(F.col(key), m_bits, seeds))).alias(
+        "pos"
+    )
+    # distinct (word, bit) first so the SUM below is an exact bitwise OR
+    distinct_bits = (
+        small.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            F.shiftleft(
+                F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+            ).alias("bit"),
+        )
+        .distinct()
+        .groupBy("word")
+        .agg(F.sum("bit").cast("long").alias("bits"))
+    )
+    return distinct_bits.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word", "bits"))
+        ).alias("bloom")
+    )
+
+
+def bloom_might_contain(
+    key: Column, bloom: Column, m_bits: int = DEFAULT_M_BITS,
+    seeds=DEFAULT_SEEDS,
+) -> Column:
+    """True iff every probe bit for ``key`` is set in ``bloom``."""
+    cond = F.lit(True)
+    for p in _positions(key, m_bits, seeds):
+        word = (p / 64).cast("long")
+        bit = F.shiftleft(F.lit(1).cast("long"), (p % 64).cast("int"))
+        cond = cond & (
+            F.coalesce(F.element_at(bloom, word), F.lit(0)).bitwiseAND(bit)
+            != 0
+        )
+    return cond
+
+
+def bloom_filter_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    m_bits: int = DEFAULT_M_BITS,
+    seeds=DEFAULT_SEEDS,
+) -> DataFrame:
+    """``big JOIN small ON big[on] = small[on]`` with a bloom pre-filter
+    on the big side. Results are identical to the plain join (the join
+    removes bloom false positives; false negatives cannot occur)."""
+    bitmap = bloom_bitmap(small.select(on), on, m_bits, seeds)
+    pre = big.crossJoin(F.broadcast(bitmap)).filter(
+        bloom_might_contain(F.col(on), F.col("bloom"), m_bits, seeds)
+    ).drop("bloom")
+    return pre.join(small, on, how)
