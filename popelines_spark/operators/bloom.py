@@ -17,6 +17,12 @@ False positives are removed by the join itself — the rewrite is
 semantically invisible (the registered query's oracle is the plain
 join), false negatives are impossible (every true key sets its bits).
 
+The rewrite is only valid for join types that cannot keep unmatched
+big-side rows: pre-filtering the big side of a LEFT join silently drops
+rows whose key misses the small side (they belong in the output with
+NULLs). ``bloom_filter_join`` therefore refuses anything but
+inner/left_semi/cross.
+
 Plan shape: the bitmap build is one keyed aggregation of the dim side's
 bit positions into ≤ m/64 (word, bits) rows, folded to a single
 map<long,long> row; the probe is a broadcast of that one row plus
@@ -36,6 +42,14 @@ DEFAULT_M_BITS = 1 << 20
 #: results are deterministic across runs and engines).
 DEFAULT_SEEDS = (0x9E37, 0x85EB, 0xC2B2, 0x27D4, 0x1656)
 
+#: Join types for which dropping unmatched big-side rows pre-join cannot
+#: change the result set.
+_SAFE_HOW = {"inner", "left_semi", "leftsemi", "semi", "cross"}
+
+#: Collision-proof name for the broadcast bitmap column while it rides
+#: along the big side (user columns can legitimately be called "bloom").
+_BITMAP_COL = "__bloom_bitmap__"
+
 
 def _positions(key: Column, m_bits: int, seeds) -> list[Column]:
     return [
@@ -44,15 +58,26 @@ def _positions(key: Column, m_bits: int, seeds) -> list[Column]:
     ]
 
 
+def _one_shl(pos: Column) -> Column:
+    """``1L << (pos % 64)`` as a Column.
+
+    ``F.shiftleft`` in PySpark 4.x type-checks numBits as a Python int,
+    so the column-shift form must go through the SQL function registry.
+    """
+    return F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+    )
+
+
 def bloom_bitmap(
     small: DataFrame,
     key: str,
     m_bits: int = DEFAULT_M_BITS,
     seeds=DEFAULT_SEEDS,
 ) -> DataFrame:
-    """1-row DataFrame ``{bloom: map<long,long>}`` — the OR of every
-    key's k bit positions, grouped into 64-bit words. Build cost: one
-    shuffle of k·|small| ints into ≤ m/64 groups."""
+    """1-row DataFrame ``{__bloom_bitmap__: map<long,long>}`` — the OR of
+    every key's k bit positions, grouped into 64-bit words. Build cost:
+    one shuffle of k·|small| ints into ≤ m/64 groups."""
     pos = F.explode(F.array(*_positions(F.col(key), m_bits, seeds))).alias(
         "pos"
     )
@@ -61,9 +86,7 @@ def bloom_bitmap(
         small.select(pos)
         .select(
             (F.col("pos") / 64).cast("long").alias("word"),
-            F.shiftleft(
-                F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
-            ).alias("bit"),
+            _one_shl(F.col("pos")).alias("bit"),
         )
         .distinct()
         .groupBy("word")
@@ -72,7 +95,7 @@ def bloom_bitmap(
     return distinct_bits.agg(
         F.map_from_entries(
             F.collect_list(F.struct("word", "bits"))
-        ).alias("bloom")
+        ).alias(_BITMAP_COL)
     )
 
 
@@ -84,7 +107,7 @@ def bloom_might_contain(
     cond = F.lit(True)
     for p in _positions(key, m_bits, seeds):
         word = (p / 64).cast("long")
-        bit = F.shiftleft(F.lit(1).cast("long"), (p % 64).cast("int"))
+        bit = _one_shl(p)
         cond = cond & (
             F.coalesce(F.element_at(bloom, word), F.lit(0)).bitwiseAND(bit)
             != 0
@@ -102,9 +125,21 @@ def bloom_filter_join(
 ) -> DataFrame:
     """``big JOIN small ON big[on] = small[on]`` with a bloom pre-filter
     on the big side. Results are identical to the plain join (the join
-    removes bloom false positives; false negatives cannot occur)."""
+    removes bloom false positives; false negatives cannot occur).
+
+    Only inner/left_semi/cross are accepted: any join type that keeps
+    unmatched big-side rows (left/full/anti/...) would lose those rows
+    to the pre-filter."""
+    if how.lower().replace("_", "") not in {
+        h.replace("_", "") for h in _SAFE_HOW
+    }:
+        raise ValueError(
+            f"bloom_filter_join: how={how!r} can keep unmatched big-side "
+            "rows, which the bloom pre-filter would drop; use one of "
+            f"{sorted(_SAFE_HOW)} or a plain join"
+        )
     bitmap = bloom_bitmap(small.select(on), on, m_bits, seeds)
     pre = big.crossJoin(F.broadcast(bitmap)).filter(
-        bloom_might_contain(F.col(on), F.col("bloom"), m_bits, seeds)
-    ).drop("bloom")
+        bloom_might_contain(F.col(on), F.col(_BITMAP_COL), m_bits, seeds)
+    ).drop(_BITMAP_COL)
     return pre.join(small, on, how)

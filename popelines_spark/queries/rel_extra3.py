@@ -313,3 +313,47 @@ def b_snapshot_diff(spark, sf_dir):
         key_cols=["o_orderkey"],
         compare_cols=["o_totalprice", "o_orderstatus"],
     )
+
+
+@query(
+    "b_join_bloom",
+    oracle="""
+    SELECT s_name,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    WHERE s_nationkey = 7
+    GROUP BY s_name
+    """,
+)
+def b_join_bloom(spark, sf_dir):
+    """Bloom-prefiltered selective star join (operators/bloom.py): the
+    dim side (suppliers of one nation, ~4% of keys) builds a 128 KiB
+    bloom bitmap that is broadcast and probed with pure JVM xxhash64
+    expressions on the fact side BEFORE the join's exchange — so the
+    shuffle carries ~(hit rate + FPR) of lineitem instead of all of it.
+    The explicit form of the runtime semi-join filter BigQuery applies
+    transparently to the reference's delegated joins. Semantically
+    invisible rewrite (b_join_salted pattern): the oracle is the plain
+    join, the join itself removes bloom false positives, false negatives
+    are impossible. The merge hint keeps the exchange in the plan at
+    tiny SFs (at 100 TB neither side broadcasts and the prefiltered SMJ
+    is what you get anyway); test_plans.py asserts the xxhash64 filter
+    sits BELOW the big side's exchange."""
+    from popelines_spark.operators.bloom import bloom_filter_join
+    from popelines_spark.queries._util import dsum
+
+    fact = T(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("k"), "l_extendedprice"
+    )
+    dim = (
+        T(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 7)
+        .select(F.col("s_suppkey").alias("k"), "s_name")
+    )
+    joined = bloom_filter_join(fact, dim.hint("merge"), on="k")
+    return joined.groupBy("s_name").agg(
+        F.count("*").cast("long").alias("n"),
+        dsum("l_extendedprice").alias("revenue"),
+    )
