@@ -46,9 +46,25 @@ DEFAULT_SEEDS = (0x9E37, 0x85EB, 0xC2B2, 0x27D4, 0x1656)
 #: change the result set.
 _SAFE_HOW = {"inner", "left_semi", "leftsemi", "semi", "cross"}
 
-#: Collision-proof name for the broadcast bitmap column while it rides
-#: along the big side (user columns can legitimately be called "bloom").
+#: Name for the broadcast bitmap column while it rides along the big
+#: side (user columns can legitimately be called "bloom"; a big side
+#: that already has THIS name is detected and worked around by
+#: ``bloom_filter_join`` picking a longer unused name).
 _BITMAP_COL = "__bloom_bitmap__"
+
+
+def _bitmap_col_for(big: DataFrame) -> str:
+    """A bitmap column name guaranteed absent from ``big``.
+
+    Deterministic (no randomness): extend the default name with
+    underscores until it no longer collides, so a big side that already
+    carries ``__bloom_bitmap__`` can't produce a duplicate-column
+    crossJoin / ambiguous reference."""
+    name = _BITMAP_COL
+    existing = set(big.columns)
+    while name in existing:
+        name += "_"
+    return name
 
 
 def _positions(key: Column, m_bits: int, seeds) -> list[Column]:
@@ -74,8 +90,9 @@ def bloom_bitmap(
     key: str,
     m_bits: int = DEFAULT_M_BITS,
     seeds=DEFAULT_SEEDS,
+    out_col: str = _BITMAP_COL,
 ) -> DataFrame:
-    """1-row DataFrame ``{__bloom_bitmap__: map<long,long>}`` — the OR of
+    """1-row DataFrame ``{out_col: map<long,long>}`` — the OR of
     every key's k bit positions, grouped into 64-bit words. Build cost:
     one shuffle of k·|small| ints into ≤ m/64 groups."""
     pos = F.explode(F.array(*_positions(F.col(key), m_bits, seeds))).alias(
@@ -95,7 +112,7 @@ def bloom_bitmap(
     return distinct_bits.agg(
         F.map_from_entries(
             F.collect_list(F.struct("word", "bits"))
-        ).alias(_BITMAP_COL)
+        ).alias(out_col)
     )
 
 
@@ -115,6 +132,78 @@ def bloom_might_contain(
     return cond
 
 
+#: Bitmap sizing: ~16 bits per expected key keeps the k=5 false-positive
+#: rate ≈ 1% (p = (1 - e^(-k·n/m))^k); clamped so the broadcast payload
+#: stays between 128 KiB and 16 MiB.
+_BITS_PER_KEY = 16
+_MIN_M_BITS = 1 << 20
+_MAX_M_BITS = 1 << 27
+
+
+def size_bitmap(expected_keys: int) -> int:
+    """Power-of-two bitmap size (bits) for ``expected_keys`` distinct keys."""
+    want = max(_MIN_M_BITS, _BITS_PER_KEY * max(1, int(expected_keys)))
+    m = _MIN_M_BITS
+    while m < want and m < _MAX_M_BITS:
+        m <<= 1
+    return m
+
+
+def plan_runtime_filter(
+    big_stats: dict | None,
+    small_stats: dict | None,
+    on: str,
+    how: str = "inner",
+    max_key_ratio: float = 0.5,
+) -> dict | None:
+    """Decide FROM AT-REST STATS (io.analyze_table ``_stats.json``)
+    whether a bloom pre-filter pays for itself on ``big JOIN small``.
+
+    Returns ``None`` (leave the join alone) or ``{"m_bits": ..,
+    "reason": ..}`` — the parameters ``bloom_filter_join`` should use.
+    The reference's engine (BigQuery) applies this runtime semi-join
+    filter transparently; this is the planner half of that behavior,
+    driven by the same statistics ANALYZE collects (popelines delegates
+    the decision to BigQuery via bq_query — main.py:240).
+
+    Apply only when ALL hold:
+      - ``how`` cannot keep unmatched big-side rows (inner/semi/cross);
+      - both stats exist and carry NDV for the key column;
+      - the small side is NOT broadcastable (``suggest_broadcast`` False)
+        — a broadcast-hash join already filters map-side for free, the
+        bitmap would only duplicate it;
+      - the small side's key NDV ≤ ``max_key_ratio`` × the big side's key
+        NDV — i.e. the filter is SELECTIVE: expected surviving fraction
+        of the big shuffle ≈ ndv_small/ndv_big under uniform keys, so
+        below 0.5 the prefilter at least halves the shuffle volume.
+    """
+    if how.lower().replace("_", "") not in {
+        h.replace("_", "") for h in _SAFE_HOW
+    }:
+        return None
+    if not big_stats or not small_stats:
+        return None
+    try:
+        big_ndv = int(big_stats["columns"][on]["approx_ndv"])
+        small_ndv = int(small_stats["columns"][on]["approx_ndv"])
+    except (KeyError, TypeError, ValueError):
+        return None
+    if small_stats.get("suggest_broadcast", False):
+        return None
+    if big_ndv <= 0 or small_ndv <= 0:
+        return None
+    ratio = small_ndv / big_ndv
+    if ratio > max_key_ratio:
+        return None
+    return {
+        "m_bits": size_bitmap(small_ndv),
+        "reason": (
+            f"key NDV {small_ndv}/{big_ndv} = {ratio:.3f} ≤ "
+            f"{max_key_ratio} and dim not broadcastable"
+        ),
+    }
+
+
 def bloom_filter_join(
     big: DataFrame,
     small: DataFrame,
@@ -122,6 +211,7 @@ def bloom_filter_join(
     how: str = "inner",
     m_bits: int = DEFAULT_M_BITS,
     seeds=DEFAULT_SEEDS,
+    final_join_hint: str | None = None,
 ) -> DataFrame:
     """``big JOIN small ON big[on] = small[on]`` with a bloom pre-filter
     on the big side. Results are identical to the plain join (the join
@@ -129,7 +219,12 @@ def bloom_filter_join(
 
     Only inner/left_semi/cross are accepted: any join type that keeps
     unmatched big-side rows (left/full/anti/...) would lose those rows
-    to the pre-filter."""
+    to the pre-filter.
+
+    ``final_join_hint`` (e.g. ``"merge"``) is applied to the small side
+    of the FINAL join only — never to the bitmap-build subtree, where it
+    would be overridden by the bitmap's own broadcast hint (Spark logs a
+    HintErrorLogger warning for every overridden hint)."""
     if how.lower().replace("_", "") not in {
         h.replace("_", "") for h in _SAFE_HOW
     }:
@@ -138,8 +233,11 @@ def bloom_filter_join(
             "rows, which the bloom pre-filter would drop; use one of "
             f"{sorted(_SAFE_HOW)} or a plain join"
         )
-    bitmap = bloom_bitmap(small.select(on), on, m_bits, seeds)
+    bitmap_col = _bitmap_col_for(big)
+    bitmap = bloom_bitmap(small.select(on), on, m_bits, seeds, bitmap_col)
     pre = big.crossJoin(F.broadcast(bitmap)).filter(
-        bloom_might_contain(F.col(on), F.col(_BITMAP_COL), m_bits, seeds)
-    ).drop(_BITMAP_COL)
+        bloom_might_contain(F.col(on), F.col(bitmap_col), m_bits, seeds)
+    ).drop(bitmap_col)
+    if final_join_hint is not None:
+        small = small.hint(final_join_hint)
     return pre.join(small, on, how)

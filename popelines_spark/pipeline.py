@@ -125,6 +125,65 @@ class Popeline:
             return self.spark.sql(sql, args=args)
         return self.spark.sql(sql)
 
+    def join_tables(
+        self,
+        big_table: str,
+        small_table: str,
+        on: str,
+        how: str = "inner",
+        runtime_filter: bool | str = False,
+    ) -> DataFrame:
+        """Join two warehouse tables with STATS-DRIVEN physical strategy.
+
+        The reference's engine (BigQuery) picks broadcast vs shuffled and
+        applies runtime semi-join ("bloom") filters transparently to every
+        delegated join (popelines/main.py:240); this is the engine-native
+        equivalent, driven by the ``_stats.json`` that ``analyze_table``
+        writes:
+
+        - a broadcastable small side (``suggest_broadcast``) gets an
+          explicit ``broadcast()`` hint;
+        - ``runtime_filter="auto"`` additionally applies
+          operators/bloom.bloom_filter_join when
+          ``plan_runtime_filter`` says the at-rest stats justify it
+          (selective non-broadcastable dim: key NDV ≪ fact key NDV) —
+          cutting the fact side's shuffle volume before the exchange;
+        - ``runtime_filter=True`` forces the bloom pre-filter (still
+          refused for join types it would corrupt);
+        - ``runtime_filter=False`` (DEFAULT — the rewrite is opt-in) and
+          the join is left to Catalyst/AQE untouched.
+
+        Either way the RESULT is identical to the plain join — the
+        rewrite only moves where non-matching big-side rows are dropped.
+        """
+        from pyspark.sql import functions as F
+
+        from popelines_spark.operators.bloom import (
+            bloom_filter_join,
+            plan_runtime_filter,
+        )
+
+        big = io.read_table_evolved(self.spark, self.warehouse, big_table)
+        small = io.read_table_evolved(self.spark, self.warehouse, small_table)
+        small_stats = self.table_stats(small_table)
+        if runtime_filter == "auto":
+            plan = plan_runtime_filter(
+                self.table_stats(big_table), small_stats, on, how
+            )
+            if plan is not None:
+                self.log.info(
+                    "join_tables(%s, %s): bloom runtime filter ON (%s)",
+                    big_table, small_table, plan["reason"],
+                )
+                return bloom_filter_join(
+                    big, small, on, how, m_bits=plan["m_bits"]
+                )
+        elif runtime_filter is True:
+            return bloom_filter_join(big, small, on, how)
+        if small_stats and small_stats.get("suggest_broadcast"):
+            small = F.broadcast(small)
+        return big.join(small, on, how)
+
     def register_table(
         self,
         table_name: str,

@@ -323,7 +323,7 @@ def b_snapshot_diff(spark, sf_dir):
            CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)
              AS revenue
     FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-    WHERE s_nationkey = 7
+    WHERE s_nationkey = 3
     GROUP BY s_name
     """,
 )
@@ -337,10 +337,14 @@ def b_join_bloom(spark, sf_dir):
     transparently to the reference's delegated joins. Semantically
     invisible rewrite (b_join_salted pattern): the oracle is the plain
     join, the join itself removes bloom false positives, false negatives
-    are impossible. The merge hint keeps the exchange in the plan at
-    tiny SFs (at 100 TB neither side broadcasts and the prefiltered SMJ
-    is what you get anyway); test_plans.py asserts the xxhash64 filter
-    sits BELOW the big side's exchange."""
+    are impossible. The merge hint (applied by bloom_filter_join to the
+    final join only, so it can't collide with the bitmap's broadcast
+    hint) keeps the exchange in the plan at tiny SFs (at 100 TB neither
+    side broadcasts and the prefiltered SMJ is what you get anyway);
+    tests/test_bloom_join.py::test_registered_query_filters_below_exchange
+    asserts the xxhash64 filter sits BELOW the big side's exchange.
+    Dim predicate s_nationkey=3 is non-vacuous at every test SF
+    (sf0.001 has exactly one nation-3 supplier)."""
     from popelines_spark.operators.bloom import bloom_filter_join
     from popelines_spark.queries._util import dsum
 
@@ -349,10 +353,10 @@ def b_join_bloom(spark, sf_dir):
     )
     dim = (
         T(spark, sf_dir, "supplier")
-        .filter(F.col("s_nationkey") == 7)
+        .filter(F.col("s_nationkey") == 3)
         .select(F.col("s_suppkey").alias("k"), "s_name")
     )
-    joined = bloom_filter_join(fact, dim.hint("merge"), on="k")
+    joined = bloom_filter_join(fact, dim, on="k", final_join_hint="merge")
     return joined.groupBy("s_name").agg(
         F.count("*").cast("long").alias("n"),
         dsum("l_extendedprice").alias("revenue"),

@@ -41,47 +41,36 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Round-8 rotation: the driver scores a bounded 50-entry prefix of the
-# registry per round.  This round's window = the 41 round-7 entries that
-# have never been driver-scored (they were staged after slot 50 last
-# round and verified green by the round-7 judge's tools/parity.py runs
-# at sf0.01 and sf0.001), plus the 9 next-stalest driver-green entries
-# (round-2 cohort) — 41+9 = 50.  After CORRECTNESS_r08 every registered
-# query is driver-proven and no green row predates round 2.  Queries NEW
-# this round are appended after slot 50 and roll to round 9's window
+# Round-10 rotation: the driver scores a bounded 50-entry prefix of the
+# registry per round.  This round's window = the 29 entries that have
+# never been driver-scored (28 staged in round 8 + round-9's
+# ``b_join_bloom``; all verified green by the round-9 judge's
+# tools/parity.py runs at sf0.01 and sf0.001), plus the 21 stalest
+# driver-green entries (round-2/3 cohort, computed from the latest green
+# round per id across CORRECTNESS_r01..r09) — 29+21 = 50.  After
+# CORRECTNESS_r10 every registered query is driver-proven.  Queries NEW
+# this round are appended after slot 50 and roll to round 11's window
 # head.  (tools/parity.py still covers the full registry every round at
 # sf{0.001,0.01,0.1}.)
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # -- never driver-scored (41): round-7 staged batch, judge-green only
-    "c_multimodal_jpeg", "a_source_rest_fanout", "c_ivf_cells_scale",
-    "c_session_dwell", "c_percentile_bands", "c_order_priority_mix",
-    "c_clv_decay", "c_text_compress_ratio", "c_delim_fields",
-    "c_minhash_est_vs_true", "c_part_margin_rank", "c_cold_start_items",
-    "c_repetition_filter", "c_dup_inflation", "c_winsorized_mean",
-    "c_multimodal_video", "c_record_linkage", "a_source_rest_pyds",
-    "c_histogram2d", "c_spearman_brand", "c_cdf_points",
-    "c_kendall_tau", "c_chi2_independence", "c_lorenz_points",
-    "c_heavy_hitters", "c_pmi_bigrams", "c_km_curve",
-    "c_max_concurrent", "c_theilsen_trend", "c_heaps_law",
-    "c_ks_source", "c_mannwhitney", "c_bootstrap_ci", "c_markov_steady",
-    "s_join_interval_left", "c_percentile_approx_err",
-    "c_permutation_test", "c_embedding_norms", "c_label_margin",
-    "s_dedup_watermarked", "b_sink_manifest",
-    # -- next-stalest (9): round-2-green entries (B.10 UDF surface +
-    # oldest scalar-function batches)
-    "u_scalar_udf", "u_key_udf", "u_grouped_map", "u_udtf",
-    "u_grouped_agg", "b_fn_string", "b_fn_regex", "b_fn_math",
-    "b_fn_cond",
-    # -- new in round 8 (slot 51+; rolls to round 9's window head):
+    # -- never driver-scored (29): round-8 staged batch + round-9 bloom
     "b_manifest_sql", "b_manifest_delete", "b_manifest_update",
-    "s_manifest_changefeed", "c_label_margin_fast", "a_source_rest_paged",
-    "c_anova_oneway", "c_cramers_v", "c_ab_cuped", "c_seasonal_decompose",
-    "c_rolling_corr", "c_groupwise_ols", "c_calibration_bins",
-    "c_sax_symbolize", "b_manifest_upsert",
-    "c_welch_ttest", "c_levene_test", "c_ndcg_eval",
-    "c_auc_roc", "c_kruskal_wallis", "c_cohens_kappa", "c_brier_logloss",
-    "c_wilson_ci", "c_odds_ratio", "c_cross_corr_lag", "c_info_gain_split",
-    "c_kfold_assign", "c_bpe_pair_stats",
+    "b_manifest_upsert", "s_manifest_changefeed", "c_label_margin_fast",
+    "a_source_rest_paged", "c_anova_oneway", "c_cramers_v", "c_ab_cuped",
+    "c_seasonal_decompose", "c_rolling_corr", "c_groupwise_ols",
+    "c_calibration_bins", "c_sax_symbolize", "c_welch_ttest",
+    "c_levene_test", "c_ndcg_eval", "c_auc_roc", "c_kruskal_wallis",
+    "c_cohens_kappa", "c_brier_logloss", "c_wilson_ci", "c_odds_ratio",
+    "c_cross_corr_lag", "c_info_gain_split", "c_kfold_assign",
+    "c_bpe_pair_stats", "b_join_bloom",
+    # -- next-stalest (21): round-2 cohort (16) + oldest round-3 entries
+    "b_fn_array", "b_fn_cast", "b_fn_json", "b_fn_map",
+    "b_fn_sanitize_ident", "b_fn_struct", "c_decontaminate",
+    "c_dedup_cluster", "c_dedup_exact", "c_dedup_ngram", "c_knn_cosine",
+    "c_mix_domains", "c_multimodal_col", "c_pack_sequences",
+    "c_pii_redact", "c_profile",
+    "b_agg_argminmax", "b_agg_bool", "b_agg_corr", "b_agg_median",
+    "b_agg_stats",
 )
 
 

@@ -57,12 +57,34 @@ def events_stream(spark: SparkSession, sf_dir: str, path: str | None = None) -> 
 LAST_STATE_METRICS: dict = {}
 
 
+#: Shuffle-partition count for the replay harness's STATEFUL queries.
+#: Stateful operators spawn one state-store task per shuffle partition
+#: per micro-batch; at the replay's state sizes (10^2..10^5 rows) the
+#: session default (32) is pure scheduling overhead — 8 keeps all 32
+#: cores busy across concurrent stages while quartering the per-batch
+#: task constant. PRODUCTION deployments size this to state volume
+#: (state is hash-partitioned by key; the count is fixed at first
+#: checkpoint), which is why it's an env-tunable harness setting and
+#: not a hardcode in the operators.
+STREAM_SHUFFLE_PARTITIONS = int(
+    os.environ.get("POPELINES_STREAM_SHUFFLE_PARTITIONS", "8")
+)
+
+
 def run_to_completion(
-    result: DataFrame, output_mode: str, max_files_per_trigger: int | None = None
+    result: DataFrame,
+    output_mode: str,
+    max_files_per_trigger: int | None = None,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a streaming DataFrame into a memory sink; return the final
     table as a batch DataFrame. Side effect: LAST_STATE_METRICS records
-    the drained query's micro-batch count and peak state-store size."""
+    the drained query's micro-batch count and peak state-store size.
+
+    ``shuffle_partitions`` (default STREAM_SHUFFLE_PARTITIONS) bounds the
+    stateful operators' per-micro-batch task count for the duration of
+    the drain; the session value is restored afterwards (batch queries
+    are unaffected — the conf is captured at stream start)."""
     name = f"pls_stream_{next(_COUNTER)}_{os.getpid()}"
     # recentProgress retains only numRecentProgressUpdates entries
     # (default 100) — a replay with more micro-batches than that would
@@ -75,6 +97,12 @@ def run_to_completion(
         )
     except Exception:
         pass  # conf locked: metrics degrade to last-100, never wrong sums
+    n_shuffle = shuffle_partitions or STREAM_SHUFFLE_PARTITIONS
+    try:
+        prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    except Exception:
+        prev_shuffle = None
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
     q = (
         result.writeStream.outputMode(output_mode)
         .format("memory")
@@ -98,4 +126,6 @@ def run_to_completion(
     finally:
         q.stop()
         q.awaitTermination()
+        if prev_shuffle is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     return result.sparkSession.table(name)
