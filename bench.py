@@ -44,7 +44,7 @@ BASELINE_SEC = {
     "c_knn_lsh": 4.36,
     "c_knn_ivf": 6.42,
     "c_text_stats": 0.25,
-    "s_tumbling": 2.24,
+    "s_tumbling": 1.18,  # r10 re-record (was 2.24)
     # round-4 additions, RE-recorded round 5 (VERDICT r4 #8): median of
     # 3 independent sessions, min-of-2 per session, sf0.1, this machine.
     # Per-session spread is in BASELINE.md §Round 5.
@@ -52,6 +52,14 @@ BASELINE_SEC = {
     "c_rollup_multi": 0.56,
     "c_tfidf_topk": 1.21,
     "c_bm25": 0.89,
+    # ROUND-10 RE-RECORD (every entry tagged "r10 re-record"): the
+    # replay harness now drains
+    # stateful queries at 8 shuffle partitions instead of the session's
+    # 32 (streaming/runner.py STREAM_SHUFFLE_PARTITIONS — one state-store
+    # task per partition per micro-batch was pure scheduling overhead at
+    # replay state sizes). Median of 3 full bench.py sessions, min-of-2
+    # per session, sf0.1, this machine (sessions in BASELINE.md §R10).
+    # Old values kept inline as comments for the audit trail.
     # round-5 additions, RE-recorded round 6 (VERDICT r5 #10): median of
     # 3 full bench.py sessions, min-of-2 per session, sf0.1, this machine
     # (per-session values in BASELINE.md §Round 6 baselines).
@@ -65,19 +73,19 @@ BASELINE_SEC = {
     "c_triangle_count": 1.85,
     # round-6 streaming additions (VERDICT r5 #7), same 3-session method;
     # timing covers the full micro-batch replay of the stateful operator.
-    "s_cdc_latest": 1.40,
-    "s_topk_windowed": 1.57,
-    "s_rate_alert": 1.21,
+    "s_cdc_latest": 1.4,  # r10 re-record (was 1.40)
+    "s_topk_windowed": 1.52,  # r10 re-record (was 1.57)
+    "s_rate_alert": 1.08,  # r10 re-record (was 1.21)
     # round-7 streaming additions (VERDICT r6 #7): the remaining stateful
     # entries, same 3-session/min-of-2 method; state-store peaks in
     # BASELINE.md §Round 7.
-    "s_session": 2.55,
-    "s_watermark_late": 5.62,
-    "s_dedup_stream": 1.56,
-    "s_incremental_max": 0.83,
-    "s_sliding": 1.40,
+    "s_session": 1.49,  # r10 re-record (was 2.55)
+    "s_watermark_late": 2.46,  # r10 re-record (was 5.62)
+    "s_dedup_stream": 0.79,  # r10 re-record (was 1.56)
+    "s_incremental_max": 0.69,  # r10 re-record (was 0.83)
+    "s_sliding": 1.02,  # r10 re-record (was 1.40)
     "s_custom_state": 1.81,
-    "s_join_interval": 5.73,
+    "s_join_interval": 3.38,  # r10 re-record (was 5.73)
     # round-7 statistics additions, same 3-session/min-of-2 method on the
     # noop-write path bench uses (sessions: heavy_hitters 1.14/1.14/1.07,
     # bootstrap 2.11/2.20/2.21 — after the integer-cent rewrite that cut
@@ -92,7 +100,10 @@ BASELINE_SEC = {
     "c_label_margin": 4.80,
     "c_label_margin_fastpath": 1.46,
     "c_permutation_test": 2.27,
-    "s_join_interval_left": 9.54,
+    "s_join_interval_left": 6.01,  # r10 re-record (was 9.54)
+    # round-10 addition: bloom-prefiltered star join (sessions
+    # 1.68/1.28/1.58 — median of 3, min-of-2 per session, sf0.1).
+    "b_join_bloom": 1.58,
 }
 
 #: Local regression gate: with SPARK_GRAFT_BENCH_STRICT=1, exit nonzero if
@@ -147,6 +158,8 @@ BENCH_QUERIES = [
     "c_label_margin_fastpath", # the PUBLIC projection form (llm label_margin)
     "c_permutation_test",      # ×200 label-reshuffle significance test
     "s_join_interval_left",    # left-outer stream-stream interval join
+    # round 10: shuffle-volume-cutting rewrite operator (VERDICT r9 #3)
+    "b_join_bloom",            # bloom-prefiltered selective star join
 ]
 
 
