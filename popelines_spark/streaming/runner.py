@@ -111,7 +111,12 @@ def run_to_completion(
     )
     try:
         q.processAllAvailable()
-        metrics = {"batches": 0, "state_rows_peak": 0, "state_bytes_peak": 0}
+        metrics = {
+            "batches": 0,
+            "state_rows_peak": 0,
+            "state_bytes_peak": 0,
+            "shuffle_partitions": 0,
+        }
         for p in q.recentProgress:
             metrics["batches"] += 1
             for so in (p.get("stateOperators") or []):
@@ -120,6 +125,11 @@ def run_to_completion(
                 )
                 metrics["state_bytes_peak"] = max(
                     metrics["state_bytes_peak"], so.get("memoryUsedBytes", 0)
+                )
+                # evidence the harness partition override took effect
+                metrics["shuffle_partitions"] = max(
+                    metrics["shuffle_partitions"],
+                    so.get("numShufflePartitions", 0),
                 )
         LAST_STATE_METRICS.clear()
         LAST_STATE_METRICS.update(metrics)

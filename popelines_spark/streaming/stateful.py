@@ -56,6 +56,11 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             }
         )
 
+    # Project BEFORE the Python boundary: applyInPandasWithState is
+    # opaque to Catalyst, so column pruning stops here — without this
+    # select every events column (event_id, event_type, props, ...)
+    # rides the Arrow transfer into Python just to be ignored.
+    events = events.select("user_id", "value", "ts")
     return events.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id long, n_events long, total_cents long, "

@@ -1,0 +1,36 @@
+"""Replay-harness conf discipline (streaming/runner.py).
+
+run_to_completion drains stateful queries at STREAM_SHUFFLE_PARTITIONS
+(one state-store task per shuffle partition per micro-batch — the
+session's 32 was pure scheduling overhead at replay state sizes, the
+round-9 "streaming ratio cluster"). Contract pinned here: the override
+applies to the streamed plan, and the SESSION value is restored after
+the drain so batch queries are untouched.
+"""
+
+from pyspark.sql import functions as F
+
+from popelines_spark.streaming import runner
+from tests.conftest import SF_DIR
+
+
+def test_session_shuffle_partitions_restored_after_drain(spark):
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    ev = runner.events_stream(spark, SF_DIR)
+    agg = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    runner.run_to_completion(agg, "complete")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
+
+
+def test_drain_uses_reduced_partitions(spark):
+    """The streamed stateful plan runs with the harness partition count:
+    the state operator's reported numShufflePartitions equals the
+    override, not the session conf."""
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    ev = runner.events_stream(spark, SF_DIR)
+    agg = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    out = runner.run_to_completion(agg, "complete", shuffle_partitions=2)
+    assert out.count() > 0
+    # explicit override wins over the module default and the session conf
+    assert runner.LAST_STATE_METRICS["shuffle_partitions"] == 2
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
