@@ -256,6 +256,7 @@ def analyze_table(
     warehouse: str,
     table_name: str,
     broadcast_threshold_bytes: int = 10 << 20,
+    key_columns: list[str] | None = None,
 ) -> dict:
     """Collect table statistics — row count, total bytes, per-column
     null count / min / max / approx NDV — and write them as
@@ -270,6 +271,15 @@ def analyze_table(
     after loads. One aggregation pass (all column stats in one scan:
     conditional aggregates + approx_count_distinct partials); only the
     one stats row is collected.
+
+    ``key_columns`` names columns this table is JOINED or GROUPED on:
+    for each, one extra keyed count records the key-frequency skew
+    profile under ``stats["keys"][col]`` — ``max_key_rows`` /
+    ``mean_key_rows`` / ``skew_ratio`` plus the top-5 heavy keys — the
+    input ``operators/skew.plan_skew_salt`` uses to decide salted-join
+    rewrites the same way ``plan_runtime_filter`` consumes NDV. Cost is
+    one groupBy shuffle per named column (ANALYZE-time, never
+    query-time); only 5 rows per column are collected.
     """
     import json
 
@@ -322,6 +332,31 @@ def analyze_table(
             for c in flat_cols
         },
     }
+    for kc in key_columns or []:
+        if kc not in flat_cols:
+            raise ValueError(
+                f"analyze_table: key column {kc!r} is not a flat column of "
+                f"{table_name!r} (have {sorted(flat_cols)})"
+            )
+        top = (
+            df.groupBy(kc)
+            .agg(F.count(F.lit(1)).alias("__key_rows"))
+            .orderBy(F.desc("__key_rows"), F.col(kc).cast("string"))
+            .limit(5)
+            .collect()
+        )
+        max_key_rows = int(top[0]["__key_rows"]) if top else 0
+        ndv = max(1, int(stats["columns"][kc]["approx_ndv"] or 1))
+        mean_key_rows = stats["rows"] / ndv
+        stats.setdefault("keys", {})[kc] = {
+            "max_key_rows": max_key_rows,
+            "mean_key_rows": round(mean_key_rows, 2),
+            "skew_ratio": round(max_key_rows / max(mean_key_rows, 1e-9), 2),
+            "top_keys": [
+                {"value": str(r[kc]), "rows": int(r["__key_rows"])}
+                for r in top
+            ],
+        }
     stats_path = jvm.org.apache.hadoop.fs.Path(path + "/_stats.json")
     out = fs.create(stats_path, True)
     out.write(bytearray(json.dumps(stats, indent=1).encode()))

@@ -225,19 +225,40 @@ def bloom_filter_join(
     of the FINAL join only — never to the bitmap-build subtree, where it
     would be overridden by the bitmap's own broadcast hint (Spark logs a
     HintErrorLogger warning for every overridden hint)."""
+    ensure_prefilter_safe(how)
+    pre = bloom_prefilter(big, small, on, m_bits, seeds)
+    if final_join_hint is not None:
+        small = small.hint(final_join_hint)
+    return pre.join(small, on, how)
+
+
+def ensure_prefilter_safe(how: str) -> None:
+    """Raise unless ``how`` is a join type for which dropping unmatched
+    big-side rows pre-join cannot change the result set."""
     if how.lower().replace("_", "") not in {
         h.replace("_", "") for h in _SAFE_HOW
     }:
         raise ValueError(
-            f"bloom_filter_join: how={how!r} can keep unmatched big-side "
-            "rows, which the bloom pre-filter would drop; use one of "
+            f"bloom pre-filter: how={how!r} can keep unmatched big-side "
+            "rows, which the pre-filter would drop; use one of "
             f"{sorted(_SAFE_HOW)} or a plain join"
         )
+
+
+def bloom_prefilter(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    m_bits: int = DEFAULT_M_BITS,
+    seeds=DEFAULT_SEEDS,
+) -> DataFrame:
+    """``big`` minus rows whose ``on`` key definitely misses ``small`` —
+    the filter half of ``bloom_filter_join``, exposed so other rewrites
+    (e.g. a salted join on a skewed fact) can compose with it. May keep
+    bloom false positives: only follow with an operation that removes
+    non-matching keys anyway (an inner/semi join on ``on``)."""
     bitmap_col = _bitmap_col_for(big)
     bitmap = bloom_bitmap(small.select(on), on, m_bits, seeds, bitmap_col)
-    pre = big.crossJoin(F.broadcast(bitmap)).filter(
+    return big.crossJoin(F.broadcast(bitmap)).filter(
         bloom_might_contain(F.col(on), F.col(bitmap_col), m_bits, seeds)
     ).drop(bitmap_col)
-    if final_join_hint is not None:
-        small = small.hint(final_join_hint)
-    return pre.join(small, on, how)

@@ -45,6 +45,69 @@ def salted_join(
     return s.join(r, [on, "__salt"]).drop("__salt")
 
 
+#: Salt-bucket bounds for the planner: 2 is the smallest split that
+#: helps; 64 caps the small side's replication cost at 64×.
+_MIN_BUCKETS = 2
+_MAX_BUCKETS = 64
+
+
+def plan_skew_salt(
+    big_stats: dict | None,
+    on: str,
+    how: str = "inner",
+    shuffle_partitions: int = 32,
+    min_skew_ratio: float = 4.0,
+) -> dict | None:
+    """Decide FROM AT-REST STATS (io.analyze_table ``key_columns=``)
+    whether ``big JOIN small ON on`` needs a salted rewrite.
+
+    Returns ``None`` (leave the join to Catalyst/AQE) or
+    ``{"buckets": .., "reason": ..}`` for ``salted_join``. The planner
+    half of skew mitigation, symmetric with ``bloom.plan_runtime_filter``:
+    the reference's engine (BigQuery) re-plans hot keys transparently
+    (popelines delegates via bq_query — main.py:240).
+
+    Apply only when ALL hold:
+      - ``how`` is inner: ``salted_join`` replicates the small side
+        ×buckets, which any outer/semi/anti variant would double-count;
+      - the big side's stats carry a ``keys[on]`` skew profile;
+      - the hottest key overflows one reducer's even share
+        (``max_key_rows > rows / shuffle_partitions``) — below that a
+        single task absorbs it and salting only adds replication cost;
+      - ``skew_ratio ≥ min_skew_ratio`` — near-uniform overflow means
+        EVERY key is big and AQE's skew-join splitting already handles
+        oversized partitions; salting pays only for outlier keys.
+
+    ``buckets`` = smallest power of two spreading the hottest key back
+    under the even share, clamped to [2, 64].
+    """
+    if how.lower().replace("_", "") != "inner":
+        return None
+    try:
+        key = (big_stats or {})["keys"][on]
+        rows = int(big_stats["rows"])
+        max_key_rows = int(key["max_key_rows"])
+        skew_ratio = float(key["skew_ratio"])
+    except (KeyError, TypeError, ValueError):
+        return None
+    if rows <= 0 or max_key_rows <= 0:
+        return None
+    even_share = rows / max(1, shuffle_partitions)
+    if max_key_rows <= even_share or skew_ratio < min_skew_ratio:
+        return None
+    buckets = _MIN_BUCKETS
+    while buckets < _MAX_BUCKETS and max_key_rows / buckets > even_share:
+        buckets <<= 1
+    return {
+        "buckets": buckets,
+        "reason": (
+            f"hottest key holds {max_key_rows} rows = "
+            f"{max_key_rows / even_share:.1f}× a reducer's even share "
+            f"(skew_ratio {skew_ratio}); salting ×{buckets}"
+        ),
+    }
+
+
 def salted_count_distinct(
     df: DataFrame, group_col: str, distinct_col: str, buckets: int = 16
 ) -> DataFrame:

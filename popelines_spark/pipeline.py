@@ -132,6 +132,7 @@ class Popeline:
         on: str,
         how: str = "inner",
         runtime_filter: bool | str = False,
+        skew: bool | str = False,
     ) -> DataFrame:
         """Join two warehouse tables with STATS-DRIVEN physical strategy.
 
@@ -151,36 +152,85 @@ class Popeline:
         - ``runtime_filter=True`` forces the bloom pre-filter (still
           refused for join types it would corrupt);
         - ``runtime_filter=False`` (DEFAULT — the rewrite is opt-in) and
-          the join is left to Catalyst/AQE untouched.
+          the join is left to Catalyst/AQE untouched;
+        - ``skew="auto"`` applies operators/skew.salted_join when
+          ``plan_skew_salt`` finds a hot join key in the big side's
+          ``analyze_table(key_columns=[on])`` skew profile (one key
+          overflowing a reducer's even share) — spreading it over
+          (key, salt) sub-partitions; ``skew=True`` forces it. Composes
+          with the bloom filter: prefilter first (cut volume), then
+          salt the survivors' shuffle.
+
+        A broadcastable small side short-circuits both rewrites: a
+        broadcast-hash join never shuffles the big side by key, so
+        there is no shuffle volume to cut and no hot reducer to split.
 
         Either way the RESULT is identical to the plain join — the
-        rewrite only moves where non-matching big-side rows are dropped.
+        rewrites only move where non-matching big-side rows are dropped
+        and which reducer a hot key's rows land on.
         """
         from pyspark.sql import functions as F
 
         from popelines_spark.operators.bloom import (
-            bloom_filter_join,
+            DEFAULT_M_BITS,
+            bloom_prefilter,
+            ensure_prefilter_safe,
             plan_runtime_filter,
+            size_bitmap,
         )
+        from popelines_spark.operators.skew import plan_skew_salt, salted_join
 
         big = io.read_table_evolved(self.spark, self.warehouse, big_table)
         small = io.read_table_evolved(self.spark, self.warehouse, small_table)
+        big_stats = self.table_stats(big_table)
         small_stats = self.table_stats(small_table)
-        if runtime_filter == "auto":
-            plan = plan_runtime_filter(
-                self.table_stats(big_table), small_stats, on, how
+
+        broadcastable = bool(small_stats and small_stats.get("suggest_broadcast"))
+        bloom_m_bits = None
+        if runtime_filter is True:
+            ensure_prefilter_safe(how)
+            key_ndv = ((small_stats or {}).get("columns", {}).get(on) or {}).get(
+                "approx_ndv"
             )
+            bloom_m_bits = (
+                size_bitmap(int(key_ndv)) if key_ndv else DEFAULT_M_BITS
+            )
+        elif runtime_filter == "auto" and not broadcastable:
+            plan = plan_runtime_filter(big_stats, small_stats, on, how)
             if plan is not None:
                 self.log.info(
                     "join_tables(%s, %s): bloom runtime filter ON (%s)",
                     big_table, small_table, plan["reason"],
                 )
-                return bloom_filter_join(
-                    big, small, on, how, m_bits=plan["m_bits"]
+                bloom_m_bits = plan["m_bits"]
+
+        salt_buckets = None
+        if skew is True:
+            if how.lower().replace("_", "") != "inner":
+                raise ValueError(
+                    f"join_tables: skew=True salts via salted_join, which is "
+                    f"inner-only (small side replicates ×buckets); how={how!r}"
                 )
-        elif runtime_filter is True:
-            return bloom_filter_join(big, small, on, how)
-        if small_stats and small_stats.get("suggest_broadcast"):
+            salt_buckets = 16
+        elif skew == "auto" and not broadcastable:
+            shuffle_parts = int(
+                self.spark.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+            salt_plan = plan_skew_salt(
+                big_stats, on, how, shuffle_partitions=shuffle_parts
+            )
+            if salt_plan is not None:
+                self.log.info(
+                    "join_tables(%s, %s): salted join ON (%s)",
+                    big_table, small_table, salt_plan["reason"],
+                )
+                salt_buckets = salt_plan["buckets"]
+
+        if bloom_m_bits is not None:
+            big = bloom_prefilter(big, small, on, m_bits=bloom_m_bits)
+        if salt_buckets is not None:
+            return salted_join(big, small, on, buckets=salt_buckets)
+        if broadcastable:
             small = F.broadcast(small)
         return big.join(small, on, how)
 
@@ -294,8 +344,12 @@ class Popeline:
             self.spark, self.warehouse, table_name, target_file_bytes
         )
 
-    def analyze_table(self, table_name: str) -> dict:
-        return io.analyze_table(self.spark, self.warehouse, table_name)
+    def analyze_table(
+        self, table_name: str, key_columns: list[str] | None = None
+    ) -> dict:
+        return io.analyze_table(
+            self.spark, self.warehouse, table_name, key_columns=key_columns
+        )
 
     def table_stats(self, table_name: str) -> dict | None:
         return io.read_table_stats(self.spark, self.warehouse, table_name)
