@@ -70,6 +70,29 @@ STREAM_SHUFFLE_PARTITIONS = int(
     os.environ.get("POPELINES_STREAM_SHUFFLE_PARTITIONS", "8")
 )
 
+#: State-store provider for the replay harness. Default "hdfs" (Spark's
+#: in-JVM-heap HDFSBackedStateStoreProvider) — at replay state sizes
+#: (10^2..10^5 rows) it measures faster than RocksDB, whose JNI +
+#: WAL/compaction constants only pay off when state outgrows the heap
+#: (measured: see BASELINE.md §Round 10 state-store sweep). PRODUCTION
+#: jobs with large or long-lived state should set
+#: POPELINES_STREAM_STATE_PROVIDER=rocksdb: bounded-memory state with
+#: incremental checkpointing, the standard choice at 100-TB stream
+#: volumes.
+_PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming."
+        "state.HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+    ),
+}
+STREAM_STATE_PROVIDER = os.environ.get(
+    "POPELINES_STREAM_STATE_PROVIDER", "hdfs"
+).lower()
+
 
 def run_to_completion(
     result: DataFrame,
@@ -103,6 +126,14 @@ def run_to_completion(
     except Exception:
         prev_shuffle = None
     spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = None
+    if STREAM_STATE_PROVIDER != "hdfs":
+        try:
+            prev_provider = spark.conf.get(provider_conf)
+        except Exception:
+            prev_provider = None
+        spark.conf.set(provider_conf, _PROVIDERS[STREAM_STATE_PROVIDER])
     q = (
         result.writeStream.outputMode(output_mode)
         .format("memory")
@@ -138,4 +169,9 @@ def run_to_completion(
         q.awaitTermination()
         if prev_shuffle is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        if STREAM_STATE_PROVIDER != "hdfs":
+            if prev_provider is not None:
+                spark.conf.set(provider_conf, prev_provider)
+            else:
+                spark.conf.unset(provider_conf)
     return result.sparkSession.table(name)

@@ -34,3 +34,21 @@ def test_drain_uses_reduced_partitions(spark):
     # explicit override wins over the module default and the session conf
     assert runner.LAST_STATE_METRICS["shuffle_partitions"] == 2
     assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
+
+
+def test_state_provider_override_and_restore(spark, monkeypatch):
+    """POPELINES_STREAM_STATE_PROVIDER=rocksdb drains with the RocksDB
+    state store and restores (unsets) the session conf afterwards."""
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    monkeypatch.setattr(runner, "STREAM_STATE_PROVIDER", "rocksdb")
+    ev = runner.events_stream(spark, SF_DIR)
+    agg = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    hdfs = runner.run_to_completion(agg, "complete").count()
+    # restored: session conf is back to unset (get raises / returns default)
+    try:
+        val = spark.conf.get(conf)
+    except Exception:
+        val = None
+    assert not val or "RocksDB" not in val
+    monkeypatch.setattr(runner, "STREAM_STATE_PROVIDER", "hdfs")
+    assert runner.run_to_completion(agg, "complete").count() == hdfs
