@@ -324,6 +324,7 @@ def analyze_table(
         "skipped_nested_columns": nested_cols,
         "columns": {
             c: {
+                "type": df.schema[c].dataType.simpleString(),
                 "nulls": row[f"__nulls_{c}"],
                 "min": row[f"__min_{c}"],
                 "max": row[f"__max_{c}"],

@@ -54,6 +54,123 @@ def write_partitioned(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+#: Directory-partitioning cardinality band: below _MIN the pruning is
+#: too coarse to matter; above _MAX the directory tree explodes into a
+#: small-files problem (one dir per value).
+_MIN_PARTITIONS = 2
+_MAX_PARTITIONS = 4096
+
+
+def plan_layout(
+    stats: dict | None,
+    filter_columns: list[str],
+    max_partitions: int = _MAX_PARTITIONS,
+) -> dict | None:
+    """Recommend an at-rest layout for a table FROM ITS STATS
+    (io.analyze_table ``_stats.json``) and its workload's filter
+    columns — the engine-native analog of BigQuery's partitioning +
+    clustering recommendations (the reference's tables get this
+    server-side; popelines/main.py:240 delegates).
+
+    Returns ``None`` (no filter column is layout-eligible) or::
+
+        {"partition_by": col | None,   # directory partitioning
+         "cluster_by": [col, ...],     # sort/z-order within files
+         "zorder": bool,               # True when len(cluster_by) == 2
+         "reason": str}
+
+    Rules (the sizing law from this module's docstring):
+      - ``partition_by``: the filter column with the LARGEST NDV still
+        inside [2, max_partitions] — finest directory pruning that
+        cannot explode into small files. Mostly-null columns (> 10%)
+        are skipped: their rows concentrate in one
+        ``__HIVE_DEFAULT_PARTITION__`` directory.
+      - ``cluster_by``: remaining filter columns with NDV >
+        max_partitions, highest first — too fine for directories, ideal
+        for min/max row-group pruning via sort; exactly two → Z-order
+        (a single-column sort gives no pruning on the second).
+    """
+    if not stats:
+        return None
+    cols = stats.get("columns") or {}
+    rows = max(1, int(stats.get("rows") or 1))
+    part_cands: list[tuple[int, str]] = []
+    cluster: list[tuple[int, str]] = []
+    for c in filter_columns:
+        cs = cols.get(c)
+        if not cs:
+            continue
+        try:
+            ndv = int(cs["approx_ndv"])
+            nulls = int(cs.get("nulls") or 0)
+        except (KeyError, TypeError, ValueError):
+            continue
+        if nulls / rows > 0.10:
+            continue
+        if _MIN_PARTITIONS <= ndv <= max_partitions:
+            part_cands.append((ndv, c))
+        elif ndv > max_partitions:
+            cluster.append((ndv, c))
+    if not part_cands and not cluster:
+        return None
+    partition_by = max(part_cands)[1] if part_cands else None
+    cluster_by = [c for _, c in sorted(cluster, reverse=True)]
+    # columns that lost the partition race still prune via sort order
+    cluster_by += [
+        c for _, c in sorted(part_cands, reverse=True) if c != partition_by
+    ]
+    return {
+        "partition_by": partition_by,
+        "cluster_by": cluster_by,
+        "zorder": len(cluster_by) == 2,
+        "reason": (
+            f"partition_by={partition_by} "
+            f"(NDV {dict((c, n) for n, c in part_cands).get(partition_by)}) "
+            f"within [{_MIN_PARTITIONS}, {max_partitions}]; "
+            f"cluster_by={cluster_by} for row-group min/max pruning"
+        ),
+    }
+
+
+def apply_layout(df: DataFrame, path: str, layout: dict) -> None:
+    """Rewrite ``df`` at ``path`` with a ``plan_layout`` recommendation:
+    directory-partition on ``partition_by``, cluster the data files on
+    ``cluster_by`` (Z-order for two columns, range + sort otherwise) so
+    parquet min/max stats prune on every filter column.
+
+    The shuffle ranges over (partition_by, cluster key) TOGETHER: each
+    write task then holds one contiguous slice of one directory's data —
+    without the partition column in the range, every task would spray a
+    file into every directory it touches (the classic partitioned-write
+    small-files bug)."""
+    from pyspark.sql import functions as F
+
+    cluster = layout.get("cluster_by") or []
+    pcol = layout.get("partition_by")
+    drop_after = []
+    if layout.get("zorder") and len(cluster) == 2:
+        from popelines_spark.operators.zorder import zorder_key
+
+        df = df.withColumn(
+            "__z", zorder_key(F.col(cluster[0]), F.col(cluster[1]))
+        )
+        sort_cols = ["__z"]
+        drop_after = ["__z"]
+    else:
+        sort_cols = list(cluster)
+    range_cols = ([pcol] if pcol else []) + sort_cols
+    if range_cols:
+        df = df.repartitionByRange(*range_cols).sortWithinPartitions(
+            *range_cols
+        )
+    for c in drop_after:
+        df = df.drop(c)  # projection after the sort keeps row order
+    if pcol:
+        write_partitioned(df, path, pcol, mode="overwrite", dynamic=False)
+    else:
+        df.write.mode("overwrite").parquet(path)
+
+
 def read_partition_range(
     spark: SparkSession,
     path: str,

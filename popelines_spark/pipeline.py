@@ -354,6 +354,37 @@ class Popeline:
     def table_stats(self, table_name: str) -> dict | None:
         return io.read_table_stats(self.spark, self.warehouse, table_name)
 
+    def suggest_layout(
+        self, table_name: str, filter_columns: list[str]
+    ) -> dict | None:
+        """Partitioning/clustering recommendation for ``table_name``
+        from its at-rest stats and the workload's filter columns —
+        operators/partitioned.plan_layout (the ANALYZE-driven analog of
+        BigQuery's partitioning + clustering recommendations)."""
+        from popelines_spark.operators.partitioned import plan_layout
+
+        return plan_layout(self.table_stats(table_name), filter_columns)
+
+    def relayout_table(
+        self, table_name: str, filter_columns: list[str]
+    ) -> dict | None:
+        """Rewrite ``table_name`` with its ``suggest_layout``
+        recommendation (no-op returning None when nothing is eligible).
+        The maintenance triplet: analyze_table (stats) → compact_table
+        (file sizes) → relayout_table (pruning order). Returns the
+        applied layout."""
+        from popelines_spark.operators.partitioned import apply_layout
+
+        layout = self.suggest_layout(table_name, filter_columns)
+        if layout is None:
+            return None
+        self.log.info("relayout_table(%s): %s", table_name, layout["reason"])
+        df = io.read_table_evolved(self.spark, self.warehouse, table_name)
+        # the rewrite reads the files it is about to replace
+        df = df.localCheckpoint(eager=True)
+        apply_layout(df, io.table_path(self.warehouse, table_name), layout)
+        return layout
+
     # --- JSON wrangling ---------------------------------------------------
     def fix_json_keys(self, obj, callback):
         """popelines/main.py:245-262 — recursive key rewrite (driver-side,

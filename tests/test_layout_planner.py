@@ -1,0 +1,103 @@
+"""Stats-driven layout advisor (operators/partitioned.plan_layout /
+apply_layout + the Pipeline facade).
+
+Contract: plan_layout picks directory partitioning for filter columns in
+the [2, max_partitions] NDV band (finest eligible wins), demotes
+too-fine columns to file clustering (sort / Z-order), and apply_layout's
+rewrite changes bytes-on-disk layout ONLY — the table's row set is
+untouched and the promised pruning shows up in the scan plan.
+"""
+
+from pyspark.sql import functions as F
+
+from popelines_spark import io
+from popelines_spark.operators.partitioned import apply_layout, plan_layout
+from popelines_spark.pipeline import Popeline
+from popelines_spark.plans.inspect import physical_plan
+
+
+def _col(ndv, nulls=0, typ="int"):
+    return {"type": typ, "nulls": nulls, "min": "0", "max": "9", "approx_ndv": ndv}
+
+
+def _stats(rows=100_000, **cols):
+    return {"rows": rows, "columns": cols}
+
+
+def test_plan_layout_decision_table():
+    stats = _stats(
+        day=_col(60, typ="date"),
+        region=_col(5),
+        user_id=_col(50_000),
+        item_id=_col(9_000),
+        mostly_null=_col(40, nulls=60_000),
+    )
+    # finest in-band NDV wins the directory; finer-than-band clusters
+    plan = plan_layout(stats, ["day", "user_id"])
+    assert plan["partition_by"] == "day"
+    assert plan["cluster_by"] == ["user_id"] and plan["zorder"] is False
+    # two in-band candidates: larger NDV partitions, loser clusters
+    plan = plan_layout(stats, ["region", "day"])
+    assert plan["partition_by"] == "day" and plan["cluster_by"] == ["region"]
+    # two too-fine columns -> no directory, Z-order pair
+    plan = plan_layout(stats, ["user_id", "item_id"])
+    assert plan["partition_by"] is None
+    assert plan["cluster_by"] == ["user_id", "item_id"] and plan["zorder"]
+    # max_partitions is tunable: 9k fits a 16k budget
+    plan = plan_layout(stats, ["item_id"], max_partitions=16_384)
+    assert plan["partition_by"] == "item_id"
+    # mostly-null column is never the directory key
+    assert plan_layout(stats, ["mostly_null"]) is None
+    # no stats / unknown columns -> no recommendation
+    assert plan_layout(None, ["day"]) is None
+    assert plan_layout(stats, ["nope"]) is None
+
+
+def _events_table(spark, tmp_path, name="ev"):
+    df = spark.range(0, 20_000).select(
+        F.date_add(F.lit("2024-01-01"), (F.col("id") % 60).cast("int")).alias("day"),
+        (F.xxhash64("id") % 50_000).alias("user_id"),
+        F.col("id").alias("payload"),
+    )
+    io.write_table(df, str(tmp_path), name)
+    return df
+
+
+def test_relayout_table_partitions_and_prunes(spark, tmp_path):
+    p = Popeline(warehouse=str(tmp_path), spark=spark)
+    orig = _events_table(spark, tmp_path).collect()
+    p.analyze_table("ev")
+    layout = p.relayout_table("ev", filter_columns=["day", "user_id"])
+    assert layout["partition_by"] == "day"
+    # directory layout on disk
+    assert any(d.name.startswith("day=") for d in (tmp_path / "ev").iterdir())
+    # row set unchanged by the rewrite (column ORDER may move: the
+    # partition column goes last in the on-disk schema)
+    after = io.read_table_evolved(spark, str(tmp_path), "ev")
+    key = lambda r: (str(r["day"]), r["user_id"], r["payload"])  # noqa: E731
+    assert sorted(key(r) for r in after.collect()) == sorted(
+        key(r) for r in orig
+    )
+    # a day predicate resolves at the directory listing
+    plan = physical_plan(after.where(F.col("day") == "2024-01-15"))
+    assert "PartitionFilters" in plan and "day" in plan
+
+
+def test_apply_layout_zorder_pair(spark, tmp_path):
+    df = spark.range(0, 5_000).select(
+        (F.col("id") % 997).alias("a"),
+        F.xxhash64("id").bitwiseAND(F.lit(0x7FFFFFFF)).alias("b"),
+        F.col("id").alias("payload"),
+    )
+    layout = plan_layout(
+        _stats(5_000, a=_col(997), b=_col(5_000)),
+        ["a", "b"],
+        max_partitions=64,
+    )
+    assert layout["zorder"] and layout["partition_by"] is None
+    path = str(tmp_path / "zt")
+    apply_layout(df, path, layout)
+    back = spark.read.parquet(path)
+    assert back.count() == 5_000
+    assert "__z" not in back.columns
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
