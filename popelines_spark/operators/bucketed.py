@@ -52,6 +52,64 @@ def write_bucketed(
     w.mode(mode).saveAsTable(table_name)
 
 
+#: Bucket sizing: aim ~256 MiB of on-disk data per bucket (one healthy
+#: parquet file), clamped so tiny pairs don't over-split and huge ones
+#: don't exceed the catalog's comfort.
+_TARGET_BUCKET_BYTES = 256 << 20
+_MIN_BUCKETS = 8
+_MAX_BUCKETS = 4096
+
+
+def plan_bucketing(
+    left_stats: dict | None,
+    right_stats: dict | None,
+    on: str,
+    target_bucket_bytes: int = _TARGET_BUCKET_BYTES,
+) -> dict | None:
+    """Decide FROM AT-REST STATS whether a join pair should be
+    co-bucketed, and at what bucket count — the planner leg for
+    REPEATED big⋈big joins (broadcast/bloom/salt cover the asymmetric
+    cases; this one pays one write-time shuffle to delete the per-query
+    exchange on BOTH sides).
+
+    Returns ``None`` or ``{"n_buckets": .., "reason": ..}``. Apply only
+    when ALL hold:
+      - both stats exist and carry the key column (else the join can't
+        co-locate on it);
+      - NEITHER side is broadcastable — a broadcastable side makes the
+        join exchange-free already, bucketing would be pure write cost.
+
+    ``n_buckets``: power of two (so Spark's
+    coalesceBucketedTableScan can still mate a future table at a 2^k
+    ratio) putting the LARGER side near ``target_bucket_bytes`` per
+    bucket, clamped to [8, 4096].
+    """
+    if not left_stats or not right_stats:
+        return None
+    for s in (left_stats, right_stats):
+        if s.get("suggest_broadcast", False):
+            return None
+        if on not in (s.get("columns") or {}):
+            return None
+    biggest = max(
+        int(left_stats.get("total_bytes") or 0),
+        int(right_stats.get("total_bytes") or 0),
+    )
+    if biggest <= 0:
+        return None
+    n = _MIN_BUCKETS
+    while n < _MAX_BUCKETS and biggest / n > target_bucket_bytes:
+        n <<= 1
+    return {
+        "n_buckets": n,
+        "reason": (
+            f"both sides non-broadcastable; larger side {biggest}B → "
+            f"{n} buckets ≈ {biggest // n}B/bucket "
+            f"(target {target_bucket_bytes}B)"
+        ),
+    }
+
+
 def cobucketed_join(
     spark: SparkSession,
     left_table: str,

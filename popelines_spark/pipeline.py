@@ -354,6 +354,44 @@ class Popeline:
     def table_stats(self, table_name: str) -> dict | None:
         return io.read_table_stats(self.spark, self.warehouse, table_name)
 
+    def bucketize_pair(
+        self,
+        left_table: str,
+        right_table: str,
+        on: str,
+        n_buckets: int | None = None,
+    ) -> tuple[str, str] | None:
+        """Co-bucket two warehouse tables on their join key as catalog
+        tables ``<name>_by_<key>`` — pay the shuffle once at write time;
+        every later equi-join/groupBy on the key plans exchange-free
+        (operators/bucketed.py). ``n_buckets`` defaults to the
+        stats-driven ``plan_bucketing`` choice; returns None (no-op)
+        when the stats say bucketing won't pay (a broadcastable side or
+        missing stats) and no explicit count is given."""
+        from popelines_spark.operators.bucketed import (
+            plan_bucketing,
+            write_bucketed,
+        )
+
+        if n_buckets is None:
+            plan = plan_bucketing(
+                self.table_stats(left_table), self.table_stats(right_table), on
+            )
+            if plan is None:
+                return None
+            self.log.info(
+                "bucketize_pair(%s, %s): %s",
+                left_table, right_table, plan["reason"],
+            )
+            n_buckets = plan["n_buckets"]
+        names = []
+        for t in (left_table, right_table):
+            df = io.read_table_evolved(self.spark, self.warehouse, t)
+            name = f"{io.normalize_table_name(t)}_by_{on}"
+            write_bucketed(df, name, on, n_buckets)
+            names.append(name)
+        return tuple(names)
+
     def suggest_layout(
         self, table_name: str, filter_columns: list[str]
     ) -> dict | None:

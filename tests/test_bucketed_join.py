@@ -174,3 +174,79 @@ def test_partitioned_and_bucketed_compose(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_orders_pm")
         spark.sql("DROP TABLE IF EXISTS bt_lineitem_pm")
+
+
+def test_plan_bucketing_decision_table():
+    from popelines_spark.operators.bucketed import plan_bucketing
+
+    def _s(total_bytes, broadcastable=False, key="k"):
+        return {
+            "total_bytes": total_bytes,
+            "suggest_broadcast": broadcastable,
+            "columns": {key: {"approx_ndv": 1000}},
+        }
+
+    gb = 1 << 30
+    # two big sides -> bucket, power of two, sized to the larger side
+    plan = plan_bucketing(_s(40 * gb), _s(10 * gb), "k")
+    n = plan["n_buckets"]
+    assert (n & (n - 1)) == 0
+    assert 40 * gb / n <= (256 << 20)
+    # a broadcastable side -> the join is exchange-free already
+    assert plan_bucketing(_s(40 * gb), _s(1 << 20, broadcastable=True), "k") is None
+    # key missing from one side's stats -> can't co-locate
+    assert plan_bucketing(_s(40 * gb), _s(10 * gb, key="other"), "k") is None
+    # missing stats -> no recommendation
+    assert plan_bucketing(None, _s(10 * gb), "k") is None
+    # floor / cap
+    assert plan_bucketing(_s(1 << 20), _s(1 << 20), "k")["n_buckets"] == 8
+    assert plan_bucketing(_s(1 << 50), _s(1 << 20), "k")["n_buckets"] == 4096
+
+
+def test_bucketize_pair_facade(spark, tmp_path):
+    """Stats-driven co-bucketing end-to-end: the rewritten pair joins
+    with no Exchange and matches the path-table join."""
+    from popelines_spark import io
+    from popelines_spark.operators.bucketed import cobucketed_join
+    from popelines_spark.pipeline import Popeline
+    import json
+
+    p = Popeline(warehouse=str(tmp_path), spark=spark)
+    left = spark.range(0, 5_000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("lv")
+    )
+    right = spark.range(0, 2_000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("rv")
+    )
+    io.write_table(left, str(tmp_path), "lt")
+    io.write_table(right, str(tmp_path), "rt")
+    for t in ("lt", "rt"):
+        stats = p.analyze_table(t)
+        # tiny test tables are always broadcastable; simulate at-scale
+        stats["suggest_broadcast"] = False
+        (tmp_path / t / "_stats.json").write_text(json.dumps(stats))
+        (tmp_path / t / f"._stats.json.crc").unlink(missing_ok=True)
+    names = p.bucketize_pair("lt", "rt", on="k")
+    assert names == ("lt_by_k", "rt_by_k")
+    try:
+        with _no_broadcast(spark):
+            joined = cobucketed_join(spark, *names, key="k")
+            plan = physical_plan(joined)
+            assert "Exchange" not in plan
+        plain = left.join(right, "k")
+        assert joined.exceptAll(plain).count() == 0
+        assert plain.exceptAll(joined).count() == 0
+    finally:
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
+def test_bucketize_pair_noop_when_broadcastable(spark, tmp_path):
+    from popelines_spark import io
+    from popelines_spark.pipeline import Popeline
+
+    p = Popeline(warehouse=str(tmp_path), spark=spark)
+    io.write_table(spark.range(10).select(F.col("id").alias("k")), str(tmp_path), "a1")
+    io.write_table(spark.range(10).select(F.col("id").alias("k")), str(tmp_path), "b1")
+    p.analyze_table("a1"); p.analyze_table("b1")
+    assert p.bucketize_pair("a1", "b1", on="k") is None
