@@ -119,7 +119,40 @@ def write_table(
         _writer(df).mode(
             "append" if append and exists else "overwrite"
         ).parquet(path)
+    if append and exists:
+        # appended rows age the ANALYZE stats; mark rather than guess
+        # (overwrite needs no mark: mode("overwrite") clears the dir,
+        # _stats.json included)
+        _mark_stats_stale(spark, path)
     return path
+
+
+def _mark_stats_stale(spark: SparkSession, path: str) -> None:
+    """Set ``"stale": true`` in an existing ``_stats.json`` — appends
+    change rows/NDV/skew under the planner's feet. Stale stats still
+    steer (NDV ratios drift slowly); the flag tells maintenance to
+    re-run analyze_table and tells auditors which decisions ran on aged
+    metadata."""
+    import json
+
+    fs, _, jvm = _hadoop_fs(spark, path)
+    sp = jvm.org.apache.hadoop.fs.Path(path + "/_stats.json")
+    if not fs.exists(sp):
+        return
+    stream = fs.open(sp)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    stats = json.loads(text)
+    if stats.get("stale"):
+        return
+    stats["stale"] = True
+    out = fs.create(sp, True)
+    out.write(bytearray(json.dumps(stats, indent=1).encode()))
+    out.close()
 
 
 def read_table_evolved(spark: SparkSession, warehouse: str, table_name: str) -> DataFrame:

@@ -167,3 +167,20 @@ def test_join_tables_skew_true_rejects_outer(spark, tmp_path):
     p = _skewed_warehouse(spark, tmp_path)
     with pytest.raises(ValueError):
         p.join_tables("fact", "dim", on="k", how="left", skew=True)
+
+
+def test_append_marks_stats_stale(spark, tmp_path):
+    """Appends age ANALYZE stats: the planner inputs gain "stale": true
+    until analyze_table reruns (overwrite clears the file wholesale)."""
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    io.write_table(df, str(tmp_path), "t")
+    io.analyze_table(spark, str(tmp_path), "t")
+    assert "stale" not in io.read_table_stats(spark, str(tmp_path), "t")
+    io.write_table(df, str(tmp_path), "t", append=True)
+    assert io.read_table_stats(spark, str(tmp_path), "t")["stale"] is True
+    # re-analyze refreshes
+    io.analyze_table(spark, str(tmp_path), "t")
+    assert "stale" not in io.read_table_stats(spark, str(tmp_path), "t")
+    # overwrite removes the file entirely (directory truncation)
+    io.write_table(df, str(tmp_path), "t", append=False)
+    assert io.read_table_stats(spark, str(tmp_path), "t") is None
