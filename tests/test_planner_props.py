@@ -1,0 +1,115 @@
+"""Property tests for the pure planner functions (no Spark session).
+
+The planner matrix's decision functions are pure dict→dict maps; these
+pin their invariants over the whole input space so a future threshold
+tweak can't silently produce a plan that explodes replication cost or
+recommends an illegal layout.
+"""
+
+from hypothesis import given, strategies as st
+
+from popelines_spark.operators.bloom import size_bitmap
+from popelines_spark.operators.bucketed import plan_bucketing
+from popelines_spark.operators.partitioned import plan_layout
+from popelines_spark.operators.skew import plan_skew_salt
+
+
+def _skew_stats(rows, max_key_rows, ndv=100):
+    mean = rows / max(ndv, 1)
+    return {
+        "rows": rows,
+        "columns": {"k": {"approx_ndv": ndv}},
+        "keys": {
+            "k": {
+                "max_key_rows": max_key_rows,
+                "mean_key_rows": mean,
+                "skew_ratio": max_key_rows / max(mean, 1e-9),
+            }
+        },
+    }
+
+
+@given(
+    rows=st.integers(1, 10**12),
+    hot_frac=st.floats(0.0, 1.0),
+    parts=st.integers(1, 100_000),
+)
+def test_plan_skew_salt_invariants(rows, hot_frac, parts):
+    hot = int(rows * hot_frac)
+    plan = plan_skew_salt(_skew_stats(rows, hot), "k", shuffle_partitions=parts)
+    if plan is None:
+        return
+    b = plan["buckets"]
+    # power of two within the replication bound
+    assert (b & (b - 1)) == 0 and 2 <= b <= 64
+    # only fires when the hot key overflows a reducer's even share
+    assert hot > rows / parts
+    # bucket count either restores the even share or hit the cap
+    assert hot / b <= rows / parts or b == 64
+
+
+@given(
+    rows=st.integers(1, 10**12),
+    hot_a=st.integers(0, 10**12),
+    hot_b=st.integers(0, 10**12),
+    parts=st.integers(1, 100_000),
+)
+def test_plan_skew_salt_monotone_in_heat(rows, hot_a, hot_b, parts):
+    """More heat never salts LESS (None orders below any plan)."""
+    lo, hi = sorted((min(hot_a, rows), min(hot_b, rows)))
+    p_lo = plan_skew_salt(_skew_stats(rows, lo), "k", shuffle_partitions=parts)
+    p_hi = plan_skew_salt(_skew_stats(rows, hi), "k", shuffle_partitions=parts)
+    if p_lo is not None:
+        assert p_hi is not None
+        assert p_hi["buckets"] >= p_lo["buckets"]
+
+
+@given(n=st.integers(1, 1 << 40))
+def test_size_bitmap_envelope(n):
+    m = size_bitmap(n)
+    assert (m & (m - 1)) == 0
+    assert 1 << 20 <= m <= 1 << 27
+    # below the cap the bitmap keeps ≥16 bits/key
+    assert m >= min(16 * n, 1 << 27)
+
+
+@given(
+    left=st.integers(0, 1 << 50),
+    right=st.integers(0, 1 << 50),
+)
+def test_plan_bucketing_envelope(left, right):
+    def _s(b):
+        return {
+            "total_bytes": b,
+            "suggest_broadcast": False,
+            "columns": {"k": {"approx_ndv": 10}},
+        }
+
+    plan = plan_bucketing(_s(left), _s(right), "k")
+    if plan is None:
+        assert max(left, right) == 0
+        return
+    n = plan["n_buckets"]
+    assert (n & (n - 1)) == 0 and 8 <= n <= 4096
+    # at the cap the per-bucket size may exceed target; below it, never
+    if n < 4096:
+        assert max(left, right) / n <= (256 << 20)
+
+
+@given(
+    ndvs=st.lists(st.integers(0, 10**9), min_size=1, max_size=6),
+    rows=st.integers(1, 10**9),
+)
+def test_plan_layout_partitions_stay_in_band(ndvs, rows):
+    cols = {f"c{i}": {"nulls": 0, "approx_ndv": v} for i, v in enumerate(ndvs)}
+    plan = plan_layout({"rows": rows, "columns": cols}, list(cols))
+    if plan is None:
+        return
+    p = plan["partition_by"]
+    if p is not None:
+        assert 2 <= int(cols[p]["approx_ndv"]) <= 4096
+    # every filter column with usable stats lands somewhere exactly once
+    placed = ([p] if p else []) + plan["cluster_by"]
+    assert len(placed) == len(set(placed))
+    for c in placed:
+        assert c in cols
