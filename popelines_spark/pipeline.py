@@ -171,68 +171,57 @@ class Popeline:
         """
         from pyspark.sql import functions as F
 
-        from popelines_spark.operators.bloom import (
-            DEFAULT_M_BITS,
-            bloom_prefilter,
-            ensure_prefilter_safe,
-            plan_runtime_filter,
-            size_bitmap,
-        )
-        from popelines_spark.operators.skew import plan_skew_salt, salted_join
+        from popelines_spark.operators.bloom import bloom_prefilter
+        from popelines_spark.operators.skew import salted_join
 
+        decision = self.explain_join(
+            big_table, small_table, on, how,
+            runtime_filter=runtime_filter, skew=skew,
+        )
+        self.log.info(
+            "join_tables(%s, %s): %s",
+            big_table, small_table, "; ".join(decision["reasons"]),
+        )
         big = io.read_table_evolved(self.spark, self.warehouse, big_table)
         small = io.read_table_evolved(self.spark, self.warehouse, small_table)
-        big_stats = self.table_stats(big_table)
-        small_stats = self.table_stats(small_table)
-
-        broadcastable = bool(small_stats and small_stats.get("suggest_broadcast"))
-        bloom_m_bits = None
-        if runtime_filter is True:
-            ensure_prefilter_safe(how)
-            key_ndv = ((small_stats or {}).get("columns", {}).get(on) or {}).get(
-                "approx_ndv"
+        if decision["bloom_m_bits"] is not None:
+            big = bloom_prefilter(
+                big, small, on, m_bits=decision["bloom_m_bits"]
             )
-            bloom_m_bits = (
-                size_bitmap(int(key_ndv)) if key_ndv else DEFAULT_M_BITS
+        if decision["salt_buckets"] is not None:
+            return salted_join(
+                big, small, on, buckets=decision["salt_buckets"]
             )
-        elif runtime_filter == "auto" and not broadcastable:
-            plan = plan_runtime_filter(big_stats, small_stats, on, how)
-            if plan is not None:
-                self.log.info(
-                    "join_tables(%s, %s): bloom runtime filter ON (%s)",
-                    big_table, small_table, plan["reason"],
-                )
-                bloom_m_bits = plan["m_bits"]
-
-        salt_buckets = None
-        if skew is True:
-            if how.lower().replace("_", "") != "inner":
-                raise ValueError(
-                    f"join_tables: skew=True salts via salted_join, which is "
-                    f"inner-only (small side replicates ×buckets); how={how!r}"
-                )
-            salt_buckets = 16
-        elif skew == "auto" and not broadcastable:
-            shuffle_parts = int(
-                self.spark.conf.get("spark.sql.shuffle.partitions", "200")
-            )
-            salt_plan = plan_skew_salt(
-                big_stats, on, how, shuffle_partitions=shuffle_parts
-            )
-            if salt_plan is not None:
-                self.log.info(
-                    "join_tables(%s, %s): salted join ON (%s)",
-                    big_table, small_table, salt_plan["reason"],
-                )
-                salt_buckets = salt_plan["buckets"]
-
-        if bloom_m_bits is not None:
-            big = bloom_prefilter(big, small, on, m_bits=bloom_m_bits)
-        if salt_buckets is not None:
-            return salted_join(big, small, on, buckets=salt_buckets)
-        if broadcastable:
+        if decision["broadcast"]:
             small = F.broadcast(small)
         return big.join(small, on, how)
+
+    def explain_join(
+        self,
+        big_table: str,
+        small_table: str,
+        on: str,
+        how: str = "inner",
+        runtime_filter: bool | str = False,
+        skew: bool | str = False,
+    ) -> dict:
+        """The join_tables decision WITHOUT executing it —
+        planner.plan_join over the two tables' at-rest stats. Costs two
+        JSON reads regardless of table size; ``reasons`` says what would
+        be applied and why."""
+        from popelines_spark.planner import plan_join
+
+        return plan_join(
+            self.table_stats(big_table),
+            self.table_stats(small_table),
+            on,
+            how,
+            runtime_filter=runtime_filter,
+            skew=skew,
+            shuffle_partitions=int(
+                self.spark.conf.get("spark.sql.shuffle.partitions", "200")
+            ),
+        )
 
     def register_table(
         self,

@@ -184,3 +184,25 @@ def test_append_marks_stats_stale(spark, tmp_path):
     # overwrite removes the file entirely (directory truncation)
     io.write_table(df, str(tmp_path), "t", append=False)
     assert io.read_table_stats(spark, str(tmp_path), "t") is None
+
+
+def test_explain_join_reports_without_executing(spark, tmp_path):
+    """plan_join is the single source of truth: explain_join's decision
+    matches what join_tables applies, leg by leg."""
+    p = _skewed_warehouse(spark, tmp_path)
+    d = p.explain_join("fact", "dim", on="k", runtime_filter="auto", skew="auto")
+    assert d["broadcast"] is False
+    assert d["bloom_m_bits"] is not None and d["salt_buckets"] is not None
+    assert any("salt" in r for r in d["reasons"])
+    # broadcastable regime: both auto legs short-circuit
+    p.analyze_table("dim")
+    d = p.explain_join("fact", "dim", on="k", runtime_filter="auto", skew="auto")
+    assert d["broadcast"] is True
+    assert d["bloom_m_bits"] is None and d["salt_buckets"] is None
+    # no stats at all -> plain join, says so
+    io.write_table(spark.range(3), str(tmp_path), "bare")
+    d = p.explain_join("bare", "bare", on="id")
+    assert d == {
+        "broadcast": False, "bloom_m_bits": None, "salt_buckets": None,
+        "reasons": ["no rewrite: left to Catalyst/AQE"],
+    }
