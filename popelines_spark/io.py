@@ -258,6 +258,7 @@ def compact_table(
 
     n_files, total = _parquet_files(root)
     n_out = max(1, math.ceil(total / target_file_bytes))
+    stats_before = read_table_stats(spark, warehouse, table_name)
     df = spark.read.parquet(path)
     staging = HPath(root.toString() + ".__compacting")
     backup = HPath(root.toString() + ".__old")
@@ -271,6 +272,11 @@ def compact_table(
         raise IOError(f"compact_table: rename {staging} -> {root} failed")
     fs.delete(backup, True)
     after, _ = _parquet_files(root)
+    if stats_before is not None:
+        # rows/NDV/skew are untouched by compaction — only the byte
+        # layout moved; refresh the byte-derived fields and carry the
+        # stats forward instead of losing them with the old directory
+        carry_stats_forward(spark, warehouse, table_name, stats_before)
     return n_files, after
 
 
@@ -352,6 +358,9 @@ def analyze_table(
         "est_memory_bytes": int(total_bytes) * expansion,
         "suggest_broadcast": int(total_bytes) * expansion
         <= broadcast_threshold_bytes,
+        # recorded so layout-only rewrites (compact/relayout) can
+        # re-derive suggest_broadcast with the caller's threshold
+        "broadcast_threshold_bytes": broadcast_threshold_bytes,
         # nested (struct/array/map) columns have no per-column stats row —
         # named here so their absence from `columns` is visible, not silent
         "skipped_nested_columns": nested_cols,
@@ -391,10 +400,38 @@ def analyze_table(
                 for r in top
             ],
         }
+    _write_stats(fs, jvm, path, stats)
+    return stats
+
+
+def _write_stats(fs, jvm, path: str, stats: dict) -> None:
+    import json
+
     stats_path = jvm.org.apache.hadoop.fs.Path(path + "/_stats.json")
     out = fs.create(stats_path, True)
     out.write(bytearray(json.dumps(stats, indent=1).encode()))
     out.close()
+
+
+def carry_stats_forward(
+    spark: SparkSession, warehouse: str, table_name: str, stats: dict
+) -> dict:
+    """Re-attach ANALYZE stats after a LAYOUT-ONLY rewrite (compaction,
+    relayout): rows/NDV/min-max/skew are still exact — only the byte
+    layout moved — so instead of losing the stats with the old
+    directory, refresh the byte-derived fields from the new files and
+    write the rest forward. ``suggest_broadcast`` re-derives with the
+    threshold recorded at ANALYZE time."""
+    path = table_path(warehouse, table_name)
+    fs, root, jvm = _hadoop_fs(spark, path)
+    total_bytes = int(fs.getContentSummary(root).getLength())
+    expansion = 5
+    threshold = int(stats.get("broadcast_threshold_bytes") or (10 << 20))
+    stats = dict(stats)
+    stats["total_bytes"] = total_bytes
+    stats["est_memory_bytes"] = total_bytes * expansion
+    stats["suggest_broadcast"] = total_bytes * expansion <= threshold
+    _write_stats(fs, jvm, path, stats)
     return stats
 
 

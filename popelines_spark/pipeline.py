@@ -406,10 +406,16 @@ class Popeline:
         if layout is None:
             return None
         self.log.info("relayout_table(%s): %s", table_name, layout["reason"])
+        stats = self.table_stats(table_name)
         df = io.read_table_evolved(self.spark, self.warehouse, table_name)
         # the rewrite reads the files it is about to replace
         df = df.localCheckpoint(eager=True)
         apply_layout(df, io.table_path(self.warehouse, table_name), layout)
+        if stats is not None:
+            # layout-only rewrite: row-level stats still exact
+            io.carry_stats_forward(
+                self.spark, self.warehouse, table_name, stats
+            )
         return layout
 
     # --- JSON wrangling ---------------------------------------------------

@@ -101,3 +101,21 @@ def test_apply_layout_zorder_pair(spark, tmp_path):
     assert back.count() == 5_000
     assert "__z" not in back.columns
     assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+
+
+def test_layout_rewrites_carry_stats_forward(spark, tmp_path):
+    """compact_table and relayout_table move bytes, not rows: the
+    ANALYZE stats survive the rewrite with byte-derived fields
+    refreshed (they used to vanish with the replaced directory)."""
+    p = Popeline(warehouse=str(tmp_path), spark=spark)
+    _events_table(spark, tmp_path, "t")
+    before = p.analyze_table("t", key_columns=["user_id"])
+    p.compact_table("t")
+    after = p.table_stats("t")
+    assert after is not None
+    assert after["rows"] == before["rows"]
+    assert after["keys"]["user_id"] == before["keys"]["user_id"]
+    assert after["total_bytes"] > 0
+    p.relayout_table("t", filter_columns=["day", "user_id"])
+    after = p.table_stats("t")
+    assert after is not None and after["rows"] == before["rows"]
