@@ -107,6 +107,22 @@ def write_table(
         w = frame.write
         return w.partitionBy(*pcols) if pcols else w
 
+    if exists:
+        live_pcols = _detect_partition_cols(spark, path)
+        if live_pcols and append:
+            # the table is Hive-directory-partitioned: a flat append at
+            # the root would break partition discovery for every reader
+            # ("Conflicting directory structures"), so appends inherit
+            # the live layout when the caller doesn't spell it out
+            if pcols is None:
+                pcols = live_pcols
+            elif pcols != live_pcols:
+                raise ValueError(
+                    f"write_table: table {table_name!r} is partitioned by "
+                    f"{live_pcols}, but partition_by={pcols} was requested; "
+                    "appends must match the live layout (overwrite to "
+                    "change it)"
+                )
     if append and exists and not autodetect:
         live_schema = spark.read.parquet(path).schema
         if ignore_unknown_values:
@@ -132,27 +148,62 @@ def _mark_stats_stale(spark: SparkSession, path: str) -> None:
     change rows/NDV/skew under the planner's feet. Stale stats still
     steer (NDV ratios drift slowly); the flag tells maintenance to
     re-run analyze_table and tells auditors which decisions ran on aged
-    metadata."""
-    import json
+    metadata.
 
-    fs, _, jvm = _hadoop_fs(spark, path)
-    sp = jvm.org.apache.hadoop.fs.Path(path + "/_stats.json")
-    if not fs.exists(sp):
-        return
-    stream = fs.open(sp)
+    BEST-EFFORT: this runs after the data append has already committed,
+    so a broken stats file or transient FS error must not turn a
+    successful load into a reported failure (an orchestrator would
+    retry the chunk and duplicate rows) — log and move on."""
+    import json
+    import logging
+
     try:
-        text = jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
+        fs, _, jvm = _hadoop_fs(spark, path)
+        sp = jvm.org.apache.hadoop.fs.Path(path + "/_stats.json")
+        if not fs.exists(sp):
+            return
+        stream = fs.open(sp)
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        stats = json.loads(text)
+        if stats.get("stale"):
+            return
+        stats["stale"] = True
+        _write_stats(fs, jvm, path, stats)
+    except Exception:
+        logging.getLogger(__name__).warning(
+            "could not mark %s/_stats.json stale (append succeeded)",
+            path, exc_info=True,
         )
-    finally:
-        stream.close()
-    stats = json.loads(text)
-    if stats.get("stale"):
-        return
-    stats["stale"] = True
-    out = fs.create(sp, True)
-    out.write(bytearray(json.dumps(stats, indent=1).encode()))
-    out.close()
+
+
+def _detect_partition_cols(spark: SparkSession, path: str) -> list[str]:
+    """Partition columns of a Hive-directory-layout table, read from the
+    directory names (``day=2024-01-01/…``) down one branch; [] for a
+    flat table. One listStatus per nesting level — metadata only."""
+    fs, root, jvm = _hadoop_fs(spark, path)
+    cols: list[str] = []
+    cur = root
+    while True:
+        try:
+            entries = fs.listStatus(cur)
+        except Exception:
+            break
+        subdir = None
+        for s in entries:
+            name = s.getPath().getName()
+            if s.isDirectory() and "=" in name and not name.startswith("."):
+                subdir = s.getPath()
+                cols.append(name.split("=", 1)[0])
+                break
+        if subdir is None:
+            break
+        cur = subdir
+    return cols
 
 
 def read_table_evolved(spark: SparkSession, warehouse: str, table_name: str) -> DataFrame:
@@ -259,11 +310,21 @@ def compact_table(
     n_files, total = _parquet_files(root)
     n_out = max(1, math.ceil(total / target_file_bytes))
     stats_before = read_table_stats(spark, warehouse, table_name)
+    pcols = _detect_partition_cols(spark, path)
     df = spark.read.parquet(path)
     staging = HPath(root.toString() + ".__compacting")
     backup = HPath(root.toString() + ".__old")
     fs.delete(staging, True)
-    df.repartition(n_out).write.parquet(staging.toString())
+    if pcols:
+        # directory-partitioned table: compaction must PRESERVE the
+        # pruning layout (a flat rewrite would silently destroy it) —
+        # hash on the partition columns so each value lands in one task
+        # → one file per partition directory
+        df.repartition(*pcols).write.partitionBy(*pcols).parquet(
+            staging.toString()
+        )
+    else:
+        df.repartition(n_out).write.parquet(staging.toString())
     fs.delete(backup, True)
     if not fs.rename(root, backup):
         raise IOError(f"compact_table: rename {root} -> {backup} failed")
@@ -318,13 +379,20 @@ def analyze_table(
     input ``operators/skew.plan_skew_salt`` uses to decide salted-join
     rewrites the same way ``plan_runtime_filter`` consumes NDV. Cost is
     one groupBy shuffle per named column (ANALYZE-time, never
-    query-time); only 5 rows per column are collected.
+    query-time); only 5 rows per column are collected. When
+    ``key_columns`` is omitted, the key columns of the EXISTING stats
+    file are re-profiled — "re-run analyze_table after appends" must
+    refresh the skew profile, not silently drop it and deactivate
+    ``skew="auto"``.
     """
     import json
 
     from pyspark.sql import functions as F
 
     path = table_path(warehouse, table_name)
+    if key_columns is None:
+        prev = read_table_stats(spark, warehouse, table_name)
+        key_columns = list((prev or {}).get("keys") or {}) or None
     df = read_table_evolved(spark, warehouse, table_name)
     aggs = [F.count(F.lit(1)).alias("__rows")]
     flat_cols = [

@@ -83,12 +83,15 @@ def plan_layout(
       - ``partition_by``: the filter column with the LARGEST NDV still
         inside [2, max_partitions] — finest directory pruning that
         cannot explode into small files. Mostly-null columns (> 10%)
-        are skipped: their rows concentrate in one
-        ``__HIVE_DEFAULT_PARTITION__`` directory.
+        are not DIRECTORY candidates (their rows concentrate in one
+        ``__HIVE_DEFAULT_PARTITION__`` dir) but still cluster fine —
+        nulls sort together and don't hurt row-group min/max stats.
       - ``cluster_by``: remaining filter columns with NDV >
         max_partitions, highest first — too fine for directories, ideal
-        for min/max row-group pruning via sort; exactly two → Z-order
-        (a single-column sort gives no pruning on the second).
+        for min/max row-group pruning via sort; exactly two INTEGER
+        columns → Z-order (zorder_key interleaves long bits; string/
+        date/float columns get the plain multi-column sort, which still
+        prunes on the leading column).
     """
     if not stats:
         return None
@@ -105,11 +108,10 @@ def plan_layout(
             nulls = int(cs.get("nulls") or 0)
         except (KeyError, TypeError, ValueError):
             continue
-        if nulls / rows > 0.10:
-            continue
-        if _MIN_PARTITIONS <= ndv <= max_partitions:
+        mostly_null = nulls / rows > 0.10
+        if _MIN_PARTITIONS <= ndv <= max_partitions and not mostly_null:
             part_cands.append((ndv, c))
-        elif ndv > max_partitions:
+        elif ndv > max_partitions or (mostly_null and ndv >= _MIN_PARTITIONS):
             cluster.append((ndv, c))
     if not part_cands and not cluster:
         return None
@@ -119,10 +121,14 @@ def plan_layout(
     cluster_by += [
         c for _, c in sorted(part_cands, reverse=True) if c != partition_by
     ]
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    zorder = len(cluster_by) == 2 and all(
+        (cols[c].get("type") or "") in integral for c in cluster_by
+    )
     return {
         "partition_by": partition_by,
         "cluster_by": cluster_by,
-        "zorder": len(cluster_by) == 2,
+        "zorder": zorder,
         "reason": (
             f"partition_by={partition_by} "
             f"(NDV {dict((c, n) for n, c in part_cands).get(partition_by)}) "

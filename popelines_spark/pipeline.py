@@ -408,9 +408,24 @@ class Popeline:
         self.log.info("relayout_table(%s): %s", table_name, layout["reason"])
         stats = self.table_stats(table_name)
         df = io.read_table_evolved(self.spark, self.warehouse, table_name)
-        # the rewrite reads the files it is about to replace
-        df = df.localCheckpoint(eager=True)
-        apply_layout(df, io.table_path(self.warehouse, table_name), layout)
+        path = io.table_path(self.warehouse, table_name)
+        # STAGED swap (same discipline as io.compact_table): the rewrite
+        # lands beside the table and only replaces it once complete — a
+        # mid-write failure (bad cast, lost executor) leaves the live
+        # table untouched instead of half-deleted
+        fs, root, jvm = io._hadoop_fs(self.spark, path)
+        HPath = jvm.org.apache.hadoop.fs.Path
+        staging = HPath(root.toString() + ".__relayout")
+        backup = HPath(root.toString() + ".__old")
+        fs.delete(staging, True)
+        apply_layout(df, staging.toString(), layout)
+        fs.delete(backup, True)
+        if not fs.rename(root, backup):
+            raise IOError(f"relayout_table: rename {root} -> {backup} failed")
+        if not fs.rename(staging, root):
+            fs.rename(backup, root)  # roll the live table back
+            raise IOError(f"relayout_table: rename {staging} -> {root} failed")
+        fs.delete(backup, True)
         if stats is not None:
             # layout-only rewrite: row-level stats still exact
             io.carry_stats_forward(

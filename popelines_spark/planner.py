@@ -98,6 +98,13 @@ def plan_join(
             decision["salt_buckets"] = plan["buckets"]
             decision["reasons"].append(f"salt: {plan['reason']}")
 
+    if decision["salt_buckets"] is not None and decision["broadcast"]:
+        # forced salt takes the salted_join path, which never broadcasts
+        # — keep the decision record truthful about what will execute
+        decision["broadcast"] = False
+        decision["reasons"].append(
+            "forced salt overrides broadcast (salted_join path)"
+        )
     if not decision["reasons"]:
         decision["reasons"].append("no rewrite: left to Catalyst/AQE")
     return decision

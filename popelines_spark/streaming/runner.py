@@ -120,6 +120,13 @@ def run_to_completion(
         )
     except Exception:
         pass  # conf locked: metrics degrade to last-100, never wrong sums
+    if STREAM_STATE_PROVIDER not in _PROVIDERS:
+        # validate BEFORE any conf override: raising later would leak
+        # the shuffle-partition override into the session
+        raise ValueError(
+            f"POPELINES_STREAM_STATE_PROVIDER={STREAM_STATE_PROVIDER!r}: "
+            f"use one of {sorted(_PROVIDERS)}"
+        )
     n_shuffle = shuffle_partitions or STREAM_SHUFFLE_PARTITIONS
     try:
         prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")

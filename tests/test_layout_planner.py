@@ -46,8 +46,9 @@ def test_plan_layout_decision_table():
     # max_partitions is tunable: 9k fits a 16k budget
     plan = plan_layout(stats, ["item_id"], max_partitions=16_384)
     assert plan["partition_by"] == "item_id"
-    # mostly-null column is never the directory key
-    assert plan_layout(stats, ["mostly_null"]) is None
+    # mostly-null column is never the directory key (it may still
+    # cluster — test_plan_layout_null_heavy_column_still_clusters)
+    assert plan_layout(stats, ["mostly_null"])["partition_by"] is None
     # no stats / unknown columns -> no recommendation
     assert plan_layout(None, ["day"]) is None
     assert plan_layout(stats, ["nope"]) is None
@@ -119,3 +120,93 @@ def test_layout_rewrites_carry_stats_forward(spark, tmp_path):
     p.relayout_table("t", filter_columns=["day", "user_id"])
     after = p.table_stats("t")
     assert after is not None and after["rows"] == before["rows"]
+
+
+def test_plan_layout_zorder_needs_integer_pair():
+    """zorder_key interleaves LONG bits: a non-integer cluster pair gets
+    the plain multi-column sort, never a crashing cast."""
+    stats = _stats(
+        u1=_col(50_000, typ="string"),
+        u2=_col(60_000, typ="string"),
+        a=_col(50_000),
+        b=_col(60_000),
+    )
+    plan = plan_layout(stats, ["u1", "u2"])
+    assert plan["cluster_by"] == ["u2", "u1"] and plan["zorder"] is False
+    assert plan_layout(stats, ["a", "b"])["zorder"] is True
+    # mixed pair: still no zorder
+    assert plan_layout(stats, ["a", "u1"])["zorder"] is False
+
+
+def test_plan_layout_null_heavy_column_still_clusters():
+    """>10% nulls disqualifies the DIRECTORY (one giant
+    __HIVE_DEFAULT_PARTITION__), not the sort — nulls sort together and
+    row-group min/max pruning still works."""
+    stats = _stats(fk=_col(1_000_000, nulls=50_000), day=_col(60))
+    plan = plan_layout(stats, ["fk", "day"])
+    assert plan["partition_by"] == "day"
+    assert "fk" in plan["cluster_by"]
+    # null-heavy IN-BAND column: clusters instead of partitioning
+    stats = _stats(tag=_col(40, nulls=50_000))
+    plan = plan_layout(stats, ["tag"])
+    assert plan["partition_by"] is None and plan["cluster_by"] == ["tag"]
+
+
+def test_append_to_partitioned_table_inherits_layout(spark, tmp_path):
+    """A flat append into a directory-partitioned table would break
+    partition discovery for every reader; write_table inherits the live
+    layout (and refuses a conflicting explicit one)."""
+    import pytest as _pytest
+
+    df = spark.range(0, 100).select(
+        (F.col("id") % 3).cast("string").alias("day"),
+        F.col("id").alias("v"),
+    )
+    io.write_table(df, str(tmp_path), "pt", partition_by="day")
+    io.write_table(df, str(tmp_path), "pt", append=True)  # no partition_by
+    back = io.read_table_evolved(spark, str(tmp_path), "pt")
+    assert back.count() == 200
+    assert any(d.name.startswith("day=") for d in (tmp_path / "pt").iterdir())
+    assert not any(
+        f.name.startswith("part-") for f in (tmp_path / "pt").iterdir()
+    )
+    with _pytest.raises(ValueError):
+        io.write_table(df, str(tmp_path), "pt", append=True, partition_by="v")
+
+
+def test_compact_preserves_partition_layout(spark, tmp_path):
+    df = spark.range(0, 1_000).select(
+        (F.col("id") % 5).cast("string").alias("day"),
+        F.col("id").alias("v"),
+    )
+    io.write_table(df, str(tmp_path), "pt", partition_by="day")
+    io.write_table(df, str(tmp_path), "pt", append=True)
+    before, after = io.compact_table(spark, str(tmp_path), "pt")
+    assert after <= before
+    dirs = [d.name for d in (tmp_path / "pt").iterdir() if d.is_dir()]
+    assert sum(1 for d in dirs if d.startswith("day=")) == 5
+    assert io.read_table_evolved(spark, str(tmp_path), "pt").count() == 2_000
+
+
+def test_reanalyze_refreshes_key_profile(spark, tmp_path):
+    """analyze_table() after appends re-profiles the PREVIOUS key
+    columns instead of silently dropping the skew profile (which would
+    deactivate skew='auto')."""
+    df = spark.range(0, 1_000).select(
+        F.when(F.col("id") < 500, F.lit(1)).otherwise(F.col("id")).alias("k")
+    )
+    io.write_table(df, str(tmp_path), "t")
+    io.analyze_table(spark, str(tmp_path), "t", key_columns=["k"])
+    io.write_table(df, str(tmp_path), "t", append=True)
+    stats = io.analyze_table(spark, str(tmp_path), "t")  # no key_columns
+    assert stats["keys"]["k"]["max_key_rows"] == 1_000
+    assert "stale" not in stats
+
+
+def test_corrupt_stats_never_fails_an_append(spark, tmp_path):
+    io.write_table(spark.range(5), str(tmp_path), "t")
+    (tmp_path / "t" / "_stats.json").write_text("{not json")
+    (tmp_path / "t" / "._stats.json.crc").unlink(missing_ok=True)
+    # the data append must succeed despite the broken metadata file
+    io.write_table(spark.range(5), str(tmp_path), "t", append=True)
+    assert io.read_table_evolved(spark, str(tmp_path), "t").count() == 10

@@ -206,3 +206,20 @@ def test_explain_join_reports_without_executing(spark, tmp_path):
         "broadcast": False, "bloom_m_bits": None, "salt_buckets": None,
         "reasons": ["no rewrite: left to Catalyst/AQE"],
     }
+
+
+def test_plan_join_forced_salt_overrides_broadcast():
+    """The decision record must describe what executes: forced salt
+    takes the salted_join path, so broadcast reads False."""
+    from popelines_spark.planner import plan_join
+
+    small = {
+        "suggest_broadcast": True,
+        "est_memory_bytes": 1024,
+        "columns": {"k": {"approx_ndv": 10}},
+    }
+    d = plan_join(None, small, "k", skew=True)
+    assert d["salt_buckets"] == 16 and d["broadcast"] is False
+    assert any("overrides broadcast" in r for r in d["reasons"])
+    # without the forced salt the same stats broadcast
+    assert plan_join(None, small, "k")["broadcast"] is True

@@ -52,3 +52,16 @@ def test_state_provider_override_and_restore(spark, monkeypatch):
     assert not val or "RocksDB" not in val
     monkeypatch.setattr(runner, "STREAM_STATE_PROVIDER", "hdfs")
     assert runner.run_to_completion(agg, "complete").count() == hdfs
+
+
+def test_invalid_state_provider_fails_before_conf_override(spark, monkeypatch):
+    import pytest as _pytest
+
+    monkeypatch.setattr(runner, "STREAM_STATE_PROVIDER", "rocks-db")  # typo
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    ev = runner.events_stream(spark, SF_DIR)
+    agg = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    with _pytest.raises(ValueError, match="rocks-db"):
+        runner.run_to_completion(agg, "complete")
+    # the session conf was never touched (validation precedes override)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
