@@ -48,10 +48,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # tools/parity.py runs at sf0.01 and sf0.001), plus the 21 stalest
 # driver-green entries (round-2/3 cohort, computed from the latest green
 # round per id across CORRECTNESS_r01..r09) — 29+21 = 50.  After
-# CORRECTNESS_r10 every registered query is driver-proven.  Queries NEW
-# this round are appended after slot 50 and roll to round 11's window
-# head.  (tools/parity.py still covers the full registry every round at
-# sf{0.001,0.01,0.1}.)
+# CORRECTNESS_r10 every registered query is driver-proven.
+#
+# ROTATION IS MECHANIZED: `python tools/rotate_window.py` prints the
+# canonical tuple for the current scoring history, and
+# tests/test_driver_window.py FAILS at each round start until it is
+# pasted here (the round-9 forgot-to-rotate failure mode, made
+# impossible to miss).  (tools/parity.py still covers the full registry
+# every round at sf{0.001,0.01,0.1}.)
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # -- never driver-scored (29): round-8 staged batch + round-9 bloom
     "b_manifest_sql", "b_manifest_delete", "b_manifest_update",
