@@ -223,6 +223,74 @@ class Popeline:
             ),
         )
 
+    def explain_star_join(
+        self,
+        fact_table: str,
+        dims: list[dict],
+        runtime_filter: bool | str = "auto",
+    ) -> dict:
+        """Plan ``fact ⋈ dim₁ ⋈ … ⋈ dimₙ`` WITHOUT executing it —
+        planner.plan_star_join over at-rest stats. ``dims``:
+        ``[{"table": str, "on": str, "how": "inner"|"left"}, ...]``.
+        Costs N+1 JSON reads regardless of table sizes; ``reasons``
+        explains the leg order and each leg's strategy."""
+        from popelines_spark.planner import plan_star_join
+
+        return plan_star_join(
+            self.table_stats(fact_table),
+            [
+                {
+                    "name": d["table"],
+                    "on": d["on"],
+                    "how": d.get("how", "inner"),
+                    "stats": self.table_stats(d["table"]),
+                }
+                for d in dims
+            ],
+            runtime_filter=runtime_filter,
+            shuffle_partitions=int(
+                self.spark.conf.get("spark.sql.shuffle.partitions", "200")
+            ),
+        )
+
+    def star_join(
+        self,
+        fact_table: str,
+        dims: list[dict],
+        runtime_filter: bool | str = "auto",
+    ) -> DataFrame:
+        """Join a fact table to N dimension tables with STATS-PLANNED
+        leg order and per-leg strategy (operators/star.star_join over
+        explain_star_join's plan): most-selective inner dims first so
+        every later leg shuffles only the survivors, broadcast hints for
+        under-threshold dims, bloom prefilters for selective
+        non-broadcastable inner dims. The two moves BigQuery's optimizer
+        applied to the reference's delegated multi-way joins
+        (popelines/main.py:240), made explicit. Result is identical to
+        joining in the user's order — reordering is restricted to
+        inner/left star legs, where it commutes."""
+        from popelines_spark.operators.star import star_join as _star
+
+        plan = self.explain_star_join(
+            fact_table, dims, runtime_filter=runtime_filter
+        )
+        self.log.info(
+            "star_join(%s): %s", fact_table, "; ".join(plan["reasons"])
+        )
+        fact = io.read_table_evolved(self.spark, self.warehouse, fact_table)
+        legs = [
+            {
+                "name": d["table"],
+                "df": io.read_table_evolved(
+                    self.spark, self.warehouse, d["table"]
+                ),
+                "on": d["on"],
+                "how": d.get("how", "inner"),
+            }
+            for d in dims
+        ]
+        return _star(fact, legs, plan)
+
     def register_table(
         self,
         table_name: str,

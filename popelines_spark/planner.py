@@ -21,6 +21,12 @@ Decision order (each leg individually unit/plan/equivalence-tested):
      (operators/skew.plan_skew_salt sizes the buckets);
   2+3 compose: the bloom filter drops non-matching rows at the scan,
   the salt spreads what survives.
+
+``plan_star_join`` lifts the same decisions to N-dimension star joins
+and adds the one decision a 2-way planner can't make: LEG ORDER
+(most-selective inner dims first, non-filtering left legs last).
+``estimate_stats`` produces the same stats shape from a live DataFrame
+in one aggregation pass, for frames with no at-rest ``_stats.json``.
 """
 
 from __future__ import annotations
@@ -108,3 +114,163 @@ def plan_join(
     if not decision["reasons"]:
         decision["reasons"].append("no rewrite: left to Catalyst/AQE")
     return decision
+
+
+_STAR_HOW = {"inner", "left", "leftouter"}
+
+
+def plan_star_join(
+    fact_stats: dict | None,
+    dims: list[dict],
+    runtime_filter: bool | str = "auto",
+    shuffle_partitions: int = 200,
+) -> dict:
+    """Order and strategize ``fact ⋈ dim₁ ⋈ … ⋈ dimₙ`` from at-rest stats.
+
+    ``dims``: ``[{"name": str, "on": str, "how": "inner"|"left",
+    "stats": dict | None}, ...]`` — one leg per dimension, ``on`` naming
+    the shared join column, ``stats`` from ``io.analyze_table`` /
+    ``estimate_stats`` (or None: no information).
+
+    Returns ``{"order": [leg names, planned order], "legs": {name:
+    plan_join decision + "selectivity"}, "reasons": [...]}`` for
+    ``operators/star.star_join``.
+
+    Ordering rule (the cost model, in one line): an INNER leg keeps
+    ≈ ``dim_key_NDV / fact_key_NDV`` of the fact's rows (uniform-keys
+    estimate, the same one ``plan_runtime_filter`` uses), so inner legs
+    run most-selective-first — every later leg shuffles/probes only the
+    survivors — and LEFT legs, which never filter, run last in user
+    order. Legs without NDV stats assume selectivity 1.0 and keep their
+    user order after the estimated ones (stable sort). RIGHT/FULL legs
+    raise: they change the fact row set in order-dependent ways.
+
+    Per-leg strategy is ``plan_join`` unchanged: broadcast for
+    under-threshold dims; ``runtime_filter="auto"`` adds the bloom
+    prefilter for selective non-broadcastable INNER legs (never LEFT —
+    the prefilter would drop unmatched fact rows a left join must keep).
+    """
+    fact_cols = (fact_stats or {}).get("columns", {})
+    legs: dict[str, dict] = {}
+    inner_order: list[tuple[float, int, str]] = []
+    left_order: list[str] = []
+    reasons: list[str] = []
+    for i, d in enumerate(dims):
+        name, on = d["name"], d["on"]
+        if name in legs:
+            raise ValueError(f"plan_star_join: duplicate leg name {name!r}")
+        how = d.get("how", "inner")
+        hnorm = how.lower().replace("_", "")
+        if hnorm not in _STAR_HOW:
+            raise ValueError(
+                f"plan_star_join: leg {name!r} has how={how!r}; only "
+                "inner/left legs commute safely in a star — join "
+                "right/full shapes explicitly in the order you mean"
+            )
+        is_inner = hnorm == "inner"
+        fact_ndv = (fact_cols.get(on) or {}).get("approx_ndv")
+        dim_ndv = (
+            ((d.get("stats") or {}).get("columns", {}).get(on) or {})
+        ).get("approx_ndv")
+        if is_inner and fact_ndv and dim_ndv:
+            sel = min(1.0, int(dim_ndv) / int(fact_ndv))
+            sel_why = (
+                f"≈{sel:.0%} of fact keys survive "
+                f"(dim NDV {dim_ndv} / fact NDV {fact_ndv})"
+            )
+        elif is_inner:
+            sel = 1.0
+            sel_why = "no key NDV stats: assume non-selective"
+        else:
+            sel = 1.0
+            sel_why = "left join keeps every fact row"
+        leg = plan_join(
+            fact_stats,
+            d.get("stats"),
+            on,
+            how,
+            runtime_filter=runtime_filter if is_inner else False,
+            shuffle_partitions=shuffle_partitions,
+        )
+        leg["selectivity"] = sel
+        leg["how"] = how
+        legs[name] = leg
+        if is_inner:
+            inner_order.append((sel, i, name))
+        else:
+            left_order.append(name)
+        reasons.append(f"{name}: {sel_why}; {'; '.join(leg['reasons'])}")
+    order = [name for _, _, name in sorted(inner_order)] + left_order
+    reasons.insert(
+        0,
+        "order: inner legs most-selective-first, left legs last "
+        f"→ {' → '.join(order) if order else '(no legs)'}",
+    )
+    return {"order": order, "legs": legs, "reasons": reasons}
+
+
+def estimate_stats(
+    df,
+    keys: list[str] | None = None,
+    broadcast_threshold_bytes: int = 10 << 20,
+) -> dict:
+    """A stats dict in the ``io.analyze_table`` shape, computed from a
+    live DataFrame in ONE aggregation pass — for planning joins over
+    frames that have no at-rest ``_stats.json`` (mid-pipeline results,
+    ad-hoc scans). Collects exactly one row regardless of table size.
+
+    ``keys``: columns to record ``approx_ndv`` for (default: none —
+    rows/size only). ``est_memory_bytes`` is rows × an in-memory row
+    width from the schema (fixed widths per primitive; strings use the
+    measured average length + object overhead) — the same decoded-size
+    framing ``analyze_table`` documents for broadcast decisions.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    keys = keys or []
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for k in keys:
+        aggs.append(F.approx_count_distinct(k).alias(f"__ndv_{k}"))
+    fixed = {
+        T.BooleanType: 1,
+        T.ByteType: 1,
+        T.ShortType: 2,
+        T.IntegerType: 4,
+        T.FloatType: 4,
+        T.DateType: 4,
+        T.LongType: 8,
+        T.DoubleType: 8,
+        T.TimestampType: 8,
+        T.TimestampNTZType: 8,
+    }
+    str_cols = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, T.StringType)
+    ]
+    for c in str_cols:
+        aggs.append(
+            F.coalesce(F.avg(F.length(c)), F.lit(0.0)).alias(f"__len_{c}")
+        )
+    row = df.agg(*aggs).collect()[0].asDict()
+    rows = int(row["__rows"])
+    width = 0.0
+    for f in df.schema.fields:
+        w = fixed.get(type(f.dataType))
+        if w is not None:
+            width += w
+        elif isinstance(f.dataType, T.StringType):
+            width += float(row[f"__len_{f.name}"]) + 20  # object overhead
+        elif isinstance(f.dataType, T.DecimalType):
+            width += 16
+        else:
+            width += 32  # struct/array/map/binary: coarse floor
+    est = int(rows * width)
+    return {
+        "rows": rows,
+        "est_memory_bytes": est,
+        "suggest_broadcast": 0 < est <= broadcast_threshold_bytes,
+        "columns": {
+            k: {"approx_ndv": int(row[f"__ndv_{k}"])} for k in keys
+        },
+    }

@@ -361,3 +361,84 @@ def b_join_bloom(spark, sf_dir):
         F.count("*").cast("long").alias("n"),
         dsum("l_extendedprice").alias("revenue"),
     )
+
+
+@query(
+    "b_join_star_planned",
+    oracle="""
+    SELECT p_brand, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_size <= 5
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey < 10
+    LEFT JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY p_brand, o_orderpriority
+    """,
+)
+def b_join_star_planned(spark, sf_dir):
+    """Stats-PLANNED star join (planner.plan_star_join +
+    operators/star.star_join): lineitem fact against three dims, leg
+    order and per-leg strategy decided from one-pass estimate_stats
+    profiles — most-selective inner dim first (part at ~10% of keys,
+    then supplier at ~40%), the non-filtering LEFT orders leg last, and
+    broadcast/bloom per leg exactly as plan_join would choose for a
+    2-way join. The explicit form of the join-reordering BigQuery's
+    optimizer applied to the reference's delegated multi-way joins
+    (popelines/main.py:240). Reordering inner/left star legs cannot
+    change the result, so the oracle is the plain user-order SQL join;
+    at the test SFs every dim broadcasts (no bloom legs fire) — the
+    SAME code picks bloom prefilters at non-broadcastable dim sizes
+    (tests/test_star_planner.py covers that regime from synthetic
+    stats)."""
+    from popelines_spark.operators.star import star_join
+    from popelines_spark.planner import estimate_stats, plan_star_join
+    from popelines_spark.queries._util import dsum
+
+    fact = T(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("sk"),
+        F.col("l_orderkey").alias("ok"),
+        "l_extendedprice",
+    )
+    part_d = (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 5)
+        .select(F.col("p_partkey").alias("pk"), "p_brand")
+    )
+    supp_d = (
+        T(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 10)
+        .select(F.col("s_suppkey").alias("sk"), "s_nationkey")
+    )
+    ord_d = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), "o_orderpriority"
+    )
+    plan = plan_star_join(
+        estimate_stats(fact, keys=["pk", "sk", "ok"]),
+        [
+            # described in DELIBERATELY suboptimal user order: the
+            # non-filtering left leg first, least selective inner next —
+            # the planner must reorder to part → supplier → orders
+            {"name": "orders", "on": "ok", "how": "left",
+             "stats": estimate_stats(ord_d, keys=["ok"])},
+            {"name": "supplier", "on": "sk",
+             "stats": estimate_stats(supp_d, keys=["sk"])},
+            {"name": "part", "on": "pk",
+             "stats": estimate_stats(part_d, keys=["pk"])},
+        ],
+    )
+    joined = star_join(
+        fact,
+        [
+            {"name": "part", "df": part_d, "on": "pk"},
+            {"name": "supplier", "df": supp_d, "on": "sk"},
+            {"name": "orders", "df": ord_d, "on": "ok", "how": "left"},
+        ],
+        plan,
+    )
+    return joined.groupBy("p_brand", "o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        dsum("l_extendedprice").alias("revenue"),
+    )

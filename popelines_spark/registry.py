@@ -42,13 +42,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # Round-10 rotation: the driver scores a bounded 50-entry prefix of the
-# registry per round.  This round's window = the 29 entries that have
+# registry per round.  This round's window = the 30 entries that have
 # never been driver-scored (28 staged in round 8 + round-9's
-# ``b_join_bloom``; all verified green by the round-9 judge's
-# tools/parity.py runs at sf0.01 and sf0.001), plus the 21 stalest
+# ``b_join_bloom`` + round-10's ``b_join_star_planned``; the first 29
+# verified green by the round-9 judge's tools/parity.py runs at sf0.01
+# and sf0.001, the last by this round's), plus the 20 stalest
 # driver-green entries (round-2/3 cohort, computed from the latest green
-# round per id across CORRECTNESS_r01..r09) — 29+21 = 50.  After
-# CORRECTNESS_r10 every registered query is driver-proven.
+# round per id across CORRECTNESS_r01..r09) — 30+20 = 50.  After
+# CORRECTNESS_r10 every registered query except the post-rotation tail
+# is driver-proven.
 #
 # ROTATION IS MECHANIZED: `python tools/rotate_window.py` prints the
 # canonical tuple for the current scoring history, and
@@ -66,15 +68,14 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "c_levene_test", "c_ndcg_eval", "c_auc_roc", "c_kruskal_wallis",
     "c_cohens_kappa", "c_brier_logloss", "c_wilson_ci", "c_odds_ratio",
     "c_cross_corr_lag", "c_info_gain_split", "c_kfold_assign",
-    "c_bpe_pair_stats", "b_join_bloom",
-    # -- next-stalest (21): round-2 cohort (16) + oldest round-3 entries
+    "c_bpe_pair_stats", "b_join_bloom", "b_join_star_planned",
+    # -- next-stalest (20): round-2 cohort (16) + oldest round-3 entries
     "b_fn_array", "b_fn_cast", "b_fn_json", "b_fn_map",
     "b_fn_sanitize_ident", "b_fn_struct", "c_decontaminate",
     "c_dedup_cluster", "c_dedup_exact", "c_dedup_ngram", "c_knn_cosine",
     "c_mix_domains", "c_multimodal_col", "c_pack_sequences",
     "c_pii_redact", "c_profile",
     "b_agg_argminmax", "b_agg_bool", "b_agg_corr", "b_agg_median",
-    "b_agg_stats",
 )
 
 
