@@ -227,7 +227,7 @@ class Popeline:
         self,
         fact_table: str,
         dims: list[dict],
-        runtime_filter: bool | str = "auto",
+        runtime_filter: bool | str = False,
     ) -> dict:
         """Plan ``fact ⋈ dim₁ ⋈ … ⋈ dimₙ`` WITHOUT executing it —
         planner.plan_star_join over at-rest stats. ``dims``:
@@ -257,13 +257,14 @@ class Popeline:
         self,
         fact_table: str,
         dims: list[dict],
-        runtime_filter: bool | str = "auto",
+        runtime_filter: bool | str = False,
     ) -> DataFrame:
         """Join a fact table to N dimension tables with STATS-PLANNED
         leg order and per-leg strategy (operators/star.star_join over
         explain_star_join's plan): most-selective inner dims first so
         every later leg shuffles only the survivors, broadcast hints for
-        under-threshold dims, bloom prefilters for selective
+        under-threshold dims, and (``runtime_filter="auto"``, opt-in
+        like join_tables) bloom prefilters for selective
         non-broadcastable inner dims. The two moves BigQuery's optimizer
         applied to the reference's delegated multi-way joins
         (popelines/main.py:240), made explicit. Result is identical to

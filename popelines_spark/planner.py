@@ -122,7 +122,7 @@ _STAR_HOW = {"inner", "left", "leftouter"}
 def plan_star_join(
     fact_stats: dict | None,
     dims: list[dict],
-    runtime_filter: bool | str = "auto",
+    runtime_filter: bool | str = False,
     shuffle_partitions: int = 200,
 ) -> dict:
     """Order and strategize ``fact ⋈ dim₁ ⋈ … ⋈ dimₙ`` from at-rest stats.
@@ -149,6 +149,12 @@ def plan_star_join(
     under-threshold dims; ``runtime_filter="auto"`` adds the bloom
     prefilter for selective non-broadcastable INNER legs (never LEFT —
     the prefilter would drop unmatched fact rows a left join must keep).
+    OFF by default, same opt-in contract as ``join_tables``: the probe
+    costs O(fact rows) of pure-CPU xxhash64 per leg, which pays when the
+    exchange's network/disk volume is the constraint (measured at sf1.0:
+    one bloom leg cuts the first exchange 6.0M → 0.58M rows, both legs
+    → 0.23M — see BASELINE.md round-10 star-join evidence) and costs
+    when the shuffle is in-memory-local.
     """
     fact_cols = (fact_stats or {}).get("columns", {})
     legs: dict[str, dict] = {}

@@ -388,10 +388,13 @@ def b_join_star_planned(spark, sf_dir):
     optimizer applied to the reference's delegated multi-way joins
     (popelines/main.py:240). Reordering inner/left star legs cannot
     change the result, so the oracle is the plain user-order SQL join;
-    at the test SFs every dim broadcasts (no bloom legs fire) — the
-    SAME code picks bloom prefilters at non-broadcastable dim sizes
-    (tests/test_star_planner.py covers that regime from synthetic
-    stats)."""
+    at the test SFs every dim broadcasts. Bloom prefilters stay opt-in
+    (``runtime_filter="auto"``, the join_tables contract): measured at
+    sf1.0 they cut the first exchange 6.0M → 0.58M rows (one leg) /
+    0.23M (both) for O(fact rows) of probe CPU — a win when network is
+    the constraint, a cost locally (BASELINE.md round-10 star-join
+    evidence; tests/test_star_planner.py covers the bloom regime from
+    synthetic stats)."""
     from popelines_spark.operators.star import star_join
     from popelines_spark.planner import estimate_stats, plan_star_join
     from popelines_spark.queries._util import dsum

@@ -94,7 +94,8 @@ def test_right_full_legs_refused():
 def test_leg_strategies_match_plan_join():
     plan = plan_star_join(
         FACT,
-        [
+        runtime_filter="auto",
+        dims=[
             # broadcastable dim → broadcast, bloom short-circuited
             {"name": "bc", "on": "a",
              "stats": _stats(10, broadcast=True, key="a")},
@@ -110,6 +111,11 @@ def test_leg_strategies_match_plan_join():
     assert plan["legs"]["bl"]["broadcast"] is False
     assert plan["legs"]["bl"]["bloom_m_bits"] is not None
     assert plan["legs"]["lf"]["bloom_m_bits"] is None
+    # bloom is OPT-IN (join_tables contract): the default plan only orders
+    default = plan_star_join(
+        FACT, [{"name": "bl", "on": "b", "stats": _stats(10, key="b")}]
+    )
+    assert default["legs"]["bl"]["bloom_m_bits"] is None
 
 
 @given(
