@@ -104,6 +104,10 @@ BASELINE_SEC = {
     # round-10 addition: bloom-prefiltered star join (sessions
     # 1.68/1.28/1.58 — median of 3, min-of-2 per session, sf0.1).
     "b_join_bloom": 1.58,
+    # round-10 addition: stats-planned N-dim star join (sessions
+    # 2.19/2.25/2.30 — median of 3, min-of-2 per session, sf0.1; the
+    # timing includes the 4 one-row estimate_stats profiling collects).
+    "b_join_star_planned": 2.25,
 }
 
 #: Local regression gate: with SPARK_GRAFT_BENCH_STRICT=1, exit nonzero if
@@ -160,6 +164,7 @@ BENCH_QUERIES = [
     "s_join_interval_left",    # left-outer stream-stream interval join
     # round 10: shuffle-volume-cutting rewrite operator (VERDICT r9 #3)
     "b_join_bloom",            # bloom-prefiltered selective star join
+    "b_join_star_planned",     # stats-planned N-dim star join (leg order)
 ]
 
 
