@@ -51,6 +51,8 @@ def star_join(
     join with an explicit broadcast hint when planned. Legs the planner
     left alone go to Catalyst/AQE untouched.
     """
+    from popelines_spark.operators.skew import salted_join
+
     by_name = {d["name"]: d for d in dims}
     missing = [n for n in plan["order"] if n not in by_name]
     if missing:
@@ -64,6 +66,12 @@ def star_join(
             out = bloom_prefilter(
                 out, side, dim["on"], m_bits=leg["bloom_m_bits"]
             )
+        if leg.get("salt_buckets") is not None:
+            # same composition as join_tables: prefilter cut the volume,
+            # the salt spreads the surviving hot key's shuffle
+            out = salted_join(out, side, dim["on"],
+                              buckets=leg["salt_buckets"])
+            continue
         if leg.get("broadcast"):
             side = F.broadcast(side)
         out = out.join(side, dim["on"], dim.get("how", "inner"))

@@ -228,6 +228,7 @@ class Popeline:
         fact_table: str,
         dims: list[dict],
         runtime_filter: bool | str = False,
+        skew: bool | str = False,
     ) -> dict:
         """Plan ``fact ⋈ dim₁ ⋈ … ⋈ dimₙ`` WITHOUT executing it —
         planner.plan_star_join over at-rest stats. ``dims``:
@@ -248,6 +249,7 @@ class Popeline:
                 for d in dims
             ],
             runtime_filter=runtime_filter,
+            skew=skew,
             shuffle_partitions=int(
                 self.spark.conf.get("spark.sql.shuffle.partitions", "200")
             ),
@@ -258,6 +260,7 @@ class Popeline:
         fact_table: str,
         dims: list[dict],
         runtime_filter: bool | str = False,
+        skew: bool | str = False,
     ) -> DataFrame:
         """Join a fact table to N dimension tables with STATS-PLANNED
         leg order and per-leg strategy (operators/star.star_join over
@@ -273,7 +276,7 @@ class Popeline:
         from popelines_spark.operators.star import star_join as _star
 
         plan = self.explain_star_join(
-            fact_table, dims, runtime_filter=runtime_filter
+            fact_table, dims, runtime_filter=runtime_filter, skew=skew
         )
         self.log.info(
             "star_join(%s): %s", fact_table, "; ".join(plan["reasons"])
@@ -411,6 +414,23 @@ class Popeline:
 
     def table_stats(self, table_name: str) -> dict | None:
         return io.read_table_stats(self.spark, self.warehouse, table_name)
+
+    def suggest_shuffle_partitions(
+        self,
+        *table_names: str,
+        target_partition_bytes: int = 128 << 20,
+    ) -> dict:
+        """planner.plan_shuffle_partitions over the named tables'
+        at-rest stats: the ``spark.sql.shuffle.partitions`` value to set
+        BEFORE a join/agg whose exchange these tables feed (pre-AQE
+        upper bound — AQE coalesces oversized counts down; undersized
+        partitions spill, which AQE cannot undo). Costs N JSON reads."""
+        from popelines_spark.planner import plan_shuffle_partitions
+
+        return plan_shuffle_partitions(
+            *(self.table_stats(t) for t in table_names),
+            target_partition_bytes=target_partition_bytes,
+        )
 
     def bucketize_pair(
         self,

@@ -65,6 +65,15 @@ def plan_join(
         "salt_buckets": None,
         "reasons": [],
     }
+    for label, s in (("big", big_stats), ("small", small_stats)):
+        if s and s.get("stale"):
+            # stale stats still beat none (appends only grow a table, so
+            # NDV/size are lower bounds) — but the decision record must
+            # say so, or explain_join silently plans on old numbers
+            decision["reasons"].append(
+                f"warning: {label}-side stats are stale (appends since "
+                "ANALYZE) — re-run analyze_table"
+            )
     broadcastable = bool(small_stats and small_stats.get("suggest_broadcast"))
     if broadcastable:
         decision["broadcast"] = True
@@ -111,7 +120,11 @@ def plan_join(
         decision["reasons"].append(
             "forced salt overrides broadcast (salted_join path)"
         )
-    if not decision["reasons"]:
+    if not (
+        decision["broadcast"]
+        or decision["bloom_m_bits"] is not None
+        or decision["salt_buckets"] is not None
+    ):
         decision["reasons"].append("no rewrite: left to Catalyst/AQE")
     return decision
 
@@ -123,6 +136,7 @@ def plan_star_join(
     fact_stats: dict | None,
     dims: list[dict],
     runtime_filter: bool | str = False,
+    skew: bool | str = False,
     shuffle_partitions: int = 200,
 ) -> dict:
     """Order and strategize ``fact ⋈ dim₁ ⋈ … ⋈ dimₙ`` from at-rest stats.
@@ -155,6 +169,14 @@ def plan_star_join(
     one bloom leg cuts the first exchange 6.0M → 0.58M rows, both legs
     → 0.23M — see BASELINE.md round-10 star-join evidence) and costs
     when the shuffle is in-memory-local.
+
+    ``skew="auto"`` (also opt-in, INNER legs only — ``salted_join``
+    replicates the dim ×buckets, which a left leg would double-count)
+    salts a leg when the fact's ``keys[on]`` profile from
+    ``analyze_table(key_columns=[...])`` shows a hot key overflowing one
+    reducer's even share — the same ``plan_skew_salt`` gate as
+    ``join_tables``. Note ``estimate_stats`` does not build key
+    profiles; skew legs need at-rest ANALYZE stats.
     """
     fact_cols = (fact_stats or {}).get("columns", {})
     legs: dict[str, dict] = {}
@@ -196,6 +218,7 @@ def plan_star_join(
             on,
             how,
             runtime_filter=runtime_filter if is_inner else False,
+            skew=skew if is_inner else False,
             shuffle_partitions=shuffle_partitions,
         )
         leg["selectivity"] = sel
@@ -280,3 +303,45 @@ def estimate_stats(
             k: {"approx_ndv": int(row[f"__ndv_{k}"])} for k in keys
         },
     }
+
+
+def plan_shuffle_partitions(
+    *all_stats: dict | None,
+    target_partition_bytes: int = 128 << 20,
+    max_partitions: int = 100_000,
+) -> dict:
+    """Recommend ``spark.sql.shuffle.partitions`` for an exchange over
+    the given tables' at-rest stats — the "size your shuffle so
+    partitions fit in executor memory" knob, made a decision function.
+
+    The estimate: every listed table's decoded bytes
+    (``est_memory_bytes``) transit the exchange, so partitions =
+    ⌈total / target⌉, clamped to [1, ``max_partitions``]. 128 MiB
+    default keeps a partition comfortably under typical executor task
+    memory with room for the hash/sort structures on top. This is the
+    PRE-AQE upper bound: with AQE on (the engine default) oversizing is
+    self-correcting — ``coalescePartitions`` merges small outputs after
+    the map stage — while undersizing is not (a too-big partition spills
+    or OOMs and AQE can only split it for skew joins, not for aggs). So
+    the advisor deliberately errs high; set it BEFORE the job, e.g.
+    ``spark.conf.set("spark.sql.shuffle.partitions", plan["partitions"])``.
+
+    Tables with no stats contribute 0 bytes and flag the estimate as a
+    lower bound in ``reason``.
+    """
+    total = 0
+    unknown = 0
+    for s in all_stats:
+        if s and s.get("est_memory_bytes"):
+            total += int(s["est_memory_bytes"])
+        else:
+            unknown += 1
+    n = max(1, min(max_partitions, -(-total // target_partition_bytes)))
+    reason = (
+        f"{total / (1 << 20):.0f} MiB estimated through the exchange / "
+        f"{target_partition_bytes >> 20} MiB target = {n} partitions"
+        " (pre-AQE upper bound; AQE coalesces down)"
+    )
+    if unknown:
+        reason += f"; {unknown} input(s) had no stats — treat as a lower bound"
+    return {"partitions": n, "est_bytes": total, "reason": reason}

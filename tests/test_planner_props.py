@@ -113,3 +113,51 @@ def test_plan_layout_partitions_stay_in_band(ndvs, rows):
     assert len(placed) == len(set(placed))
     for c in placed:
         assert c in cols
+
+
+# --- plan_shuffle_partitions (round 10) --------------------------------
+
+from hypothesis import given as _given  # noqa: E402
+from popelines_spark.planner import plan_join, plan_shuffle_partitions  # noqa: E402
+
+
+@_given(
+    bytes_a=st.integers(0, 10**15),
+    bytes_b=st.integers(0, 10**15),
+    target=st.integers(1 << 20, 1 << 32),
+)
+def test_plan_shuffle_partitions_invariants(bytes_a, bytes_b, target):
+    p = plan_shuffle_partitions(
+        {"est_memory_bytes": bytes_a},
+        {"est_memory_bytes": bytes_b},
+        target_partition_bytes=target,
+    )
+    n, total = p["partitions"], p["est_bytes"]
+    assert total == bytes_a + bytes_b
+    assert 1 <= n <= 100_000
+    # enough partitions that each stays under target (unless clamped)
+    assert n * target >= total or n == 100_000
+    # never more than one partition of headroom (unless clamped to 1)
+    assert (n - 1) * target < total or n == 1
+
+
+@_given(lo=st.integers(0, 10**15), hi=st.integers(0, 10**15))
+def test_plan_shuffle_partitions_monotone(lo, hi):
+    lo, hi = sorted((lo, hi))
+    p_lo = plan_shuffle_partitions({"est_memory_bytes": lo})
+    p_hi = plan_shuffle_partitions({"est_memory_bytes": hi})
+    assert p_lo["partitions"] <= p_hi["partitions"]
+
+
+def test_plan_shuffle_partitions_missing_stats_flagged():
+    p = plan_shuffle_partitions({"est_memory_bytes": 1 << 30}, None)
+    assert p["partitions"] == 8
+    assert "lower bound" in p["reason"]
+
+
+def test_plan_join_flags_stale_stats():
+    stale = {"suggest_broadcast": True, "est_memory_bytes": 10,
+             "stale": True, "columns": {}}
+    d = plan_join({"columns": {}, "stale": True}, stale, "k")
+    assert d["broadcast"] is True  # stale stats still decide
+    assert sum("stale" in r for r in d["reasons"]) == 2

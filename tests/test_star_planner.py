@@ -276,3 +276,61 @@ def test_registered_query_planner_picks_expected_order(spark):
         ],
     )
     assert plan["order"] == ["part", "supplier", "orders"]
+
+
+def test_skew_auto_salts_inner_legs_only():
+    fact = dict(FACT)
+    fact["rows"] = 10**9
+    fact["keys"] = {
+        "a": {"max_key_rows": 5 * 10**8, "mean_key_rows": 10**6,
+              "skew_ratio": 500.0},
+        "c": {"max_key_rows": 5 * 10**8, "mean_key_rows": 10**6,
+              "skew_ratio": 500.0},
+    }
+    plan = plan_star_join(
+        fact,
+        [
+            {"name": "hot", "on": "a", "stats": _stats(500, key="a")},
+            {"name": "cold", "on": "b", "stats": _stats(500, key="b")},
+            {"name": "hotleft", "on": "c", "how": "left",
+             "stats": _stats(500, key="c")},
+        ],
+        skew="auto",
+        shuffle_partitions=32,
+    )
+    assert plan["legs"]["hot"]["salt_buckets"] is not None
+    assert plan["legs"]["cold"]["salt_buckets"] is None  # no keys profile
+    # a left leg never salts, however hot its key: salted_join replicates
+    # the dim ×buckets, which a left join would double-count
+    assert plan["legs"]["hotleft"]["salt_buckets"] is None
+    # default is off, like join_tables
+    off = plan_star_join(
+        fact, [{"name": "hot", "on": "a", "stats": _stats(500, key="a")}]
+    )
+    assert off["legs"]["hot"]["salt_buckets"] is None
+
+
+def test_star_join_executes_salted_leg(spark):
+    fact, part_d, supp_d = _frames(spark)
+    plan = {
+        "order": ["part", "supplier"],
+        "legs": {
+            "part": {"broadcast": False, "bloom_m_bits": None,
+                     "salt_buckets": 4, "how": "inner"},
+            "supplier": {"broadcast": True, "bloom_m_bits": None,
+                         "how": "inner"},
+        },
+        "reasons": [],
+    }
+    legs = [
+        {"name": "part", "df": part_d, "on": "pk"},
+        {"name": "supplier", "df": supp_d, "on": "sk"},
+    ]
+    got = star_join(fact, legs, plan)
+    want = fact.join(part_d, "pk").join(supp_d, "sk")
+    cols = sorted(want.columns)
+    assert sorted(got.columns) == cols
+    assert (
+        sorted(map(tuple, got.select(*cols).collect()))
+        == sorted(map(tuple, want.select(*cols).collect()))
+    )
