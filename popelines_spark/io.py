@@ -75,6 +75,7 @@ def write_table(
     ignore_unknown_values: bool = False,
     autodetect: bool = False,
     partition_by: list[str] | str | None = None,
+    update_stats: bool = False,
 ) -> str:
     """``write_to_bq`` semantics on parquet-by-path tables.
 
@@ -91,6 +92,12 @@ def write_table(
                    reference relies on implicitly); date-ranged reads then
                    prune at the directory listing
                    (operators/partitioned.py carries the layout rules).
+    update_stats → appends fold the batch into ``_stats.json`` in
+                   O(batch) via mergeable summaries
+                   (``update_stats_increment``) instead of marking the
+                   stats stale — BigQuery keeps table metadata current on
+                   every load; this is that behavior, opt-in because it
+                   costs one aggregation pass over the batch.
 
     Returns the table path. Parquet handles the at-rest schema union on read
     (mergeSchema) so appends never rewrite old files — same economics as
@@ -136,10 +143,27 @@ def write_table(
             "append" if append and exists else "overwrite"
         ).parquet(path)
     if append and exists:
-        # appended rows age the ANALYZE stats; mark rather than guess
-        # (overwrite needs no mark: mode("overwrite") clears the dir,
-        # _stats.json included)
-        _mark_stats_stale(spark, path)
+        # appended rows age the ANALYZE stats. update_stats=True folds
+        # the batch in via mergeable summaries (update_stats_increment,
+        # O(batch)); otherwise — or when the merge can't run (pre-sketch
+        # stats file) — mark stale rather than guess. (overwrite needs
+        # neither: mode("overwrite") clears the dir, _stats.json included)
+        merged = None
+        if update_stats:
+            try:
+                merged = update_stats_increment(
+                    spark, warehouse, table_name, df
+                )
+            except Exception:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "incremental stats update failed for %s "
+                    "(append succeeded); marking stale",
+                    table_name, exc_info=True,
+                )
+        if merged is None:
+            _mark_stats_stale(spark, path)
     return path
 
 
@@ -405,6 +429,14 @@ def analyze_table(
             F.min(c).cast("string").alias(f"__min_{c}"),
             F.max(c).cast("string").alias(f"__max_{c}"),
             F.approx_count_distinct(c).alias(f"__ndv_{c}"),
+            # a MERGEABLE NDV summary alongside the point estimate: the
+            # Datasketches HLL binary lets update_stats_increment fold an
+            # appended batch's sketch into this one in O(batch) instead of
+            # re-scanning the table (cast-to-string: the sketch type only
+            # ingests integral/string/binary; distinct values stay distinct)
+            F.base64(
+                F.hll_sketch_agg(F.col(c).cast("string"))
+            ).alias(f"__hll_{c}"),
         ]
     row = df.agg(*aggs).collect()[0].asDict()
 
@@ -439,6 +471,7 @@ def analyze_table(
                 "min": row[f"__min_{c}"],
                 "max": row[f"__max_{c}"],
                 "approx_ndv": row[f"__ndv_{c}"],
+                "ndv_sketch": row[f"__hll_{c}"],
             }
             for c in flat_cols
         },
@@ -496,6 +529,156 @@ def carry_stats_forward(
     expansion = 5
     threshold = int(stats.get("broadcast_threshold_bytes") or (10 << 20))
     stats = dict(stats)
+    stats["total_bytes"] = total_bytes
+    stats["est_memory_bytes"] = total_bytes * expansion
+    stats["suggest_broadcast"] = total_bytes * expansion <= threshold
+    _write_stats(fs, jvm, path, stats)
+    return stats
+
+
+def _merge_minmax(type_str: str, old: str | None, new: str | None):
+    """Typed min/max merge of two cast-to-string stat values.
+
+    ISO-formatted date/timestamp strings and booleans compare correctly
+    lexicographically; numerics must compare as numbers ("9" > "10"
+    lexicographically). Returns (min, max) as strings."""
+    vals = [v for v in (old, new) if v is not None]
+    if not vals:
+        return None, None
+    numeric = any(
+        t in type_str for t in ("int", "long", "float", "double", "decimal")
+    )
+    key = (lambda v: float(v)) if numeric else (lambda v: v)
+    return min(vals, key=key), max(vals, key=key)
+
+
+def update_stats_increment(
+    spark: SparkSession,
+    warehouse: str,
+    table_name: str,
+    appended: DataFrame,
+) -> dict | None:
+    """Fold an appended batch into the table's ANALYZE stats in
+    O(batch) — the incremental half of the stats lifecycle.
+
+    ``analyze_table`` is one full scan; appending a 1 GB batch to a
+    100 TB table must not cost a 100 TB re-scan to keep the planner
+    current. Every merged field has an exact or mergeable-summary
+    update rule:
+
+      - rows / per-column null counts: add;
+      - min / max: typed two-value merge (``_merge_minmax``);
+      - approx NDV: Datasketches HLL union — ``analyze_table`` stores
+        each column's sketch binary (``ndv_sketch``), the batch is
+        sketched with the same ``hll_sketch_agg``, and the union's
+        estimate replaces ``approx_ndv`` (error bounds identical to a
+        full-table sketch: HLL union is lossless);
+      - bytes / suggest_broadcast: re-derived from the filesystem
+        (exact, O(file listing));
+      - columns NEW to the table (add-only evolution): batch profile,
+        plus one null per pre-existing row;
+      - the ``keys`` skew profile CANNOT be merged (the same key may
+        span batches) — it is kept as a LOWER BOUND and flagged
+        ``keys_stale`` for the next full ANALYZE.
+
+    Returns the merged stats, or None when there is nothing to merge
+    into (no ``_stats.json``, or one written before sketches existed) —
+    callers fall back to ``_mark_stats_stale``.
+    """
+    from pyspark.sql import functions as F
+
+    stats = read_table_stats(spark, warehouse, table_name)
+    if not stats or not stats.get("columns"):
+        return None
+    if not any(
+        c.get("ndv_sketch") for c in stats["columns"].values()
+    ) and int(stats.get("rows") or 0) > 0:
+        return None  # pre-sketch stats file: cannot merge NDV — re-ANALYZE
+    flat_cols = [
+        f.name for f in appended.schema.fields
+        if not isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType))
+    ]
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in flat_cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+            F.base64(
+                F.hll_sketch_agg(F.col(c).cast("string"))
+            ).alias(f"__hll_{c}"),
+        ]
+    row = appended.agg(*aggs).collect()[0].asDict()
+    batch_rows = int(row["__rows"])
+
+    old_rows = int(stats.get("rows") or 0)
+    stats = dict(stats)
+    stats["rows"] = old_rows + batch_rows
+    cols = dict(stats["columns"])
+    # one tiny local frame unions ALL columns' sketches in one job
+    pairs = [
+        (c, (cols.get(c) or {}).get("ndv_sketch"), row[f"__hll_{c}"])
+        for c in flat_cols
+    ]
+    merged_sketch: dict[str, tuple[str | None, int]] = {}
+    if pairs:
+        pdf = spark.createDataFrame(
+            pairs, "col string, old_b64 string, new_b64 string"
+        )
+        u = F.when(
+            F.col("old_b64").isNull(), F.unbase64("new_b64")
+        ).when(
+            F.col("new_b64").isNull(), F.unbase64("old_b64")
+        ).otherwise(
+            F.hll_union(
+                F.unbase64("old_b64"), F.unbase64("new_b64"), True
+            )
+        )
+        for r in pdf.select(
+            "col",
+            F.base64(u).alias("sketch"),
+            F.coalesce(
+                F.hll_sketch_estimate(u), F.lit(0)
+            ).alias("ndv"),
+        ).collect():
+            merged_sketch[r["col"]] = (r["sketch"], int(r["ndv"]))
+    for c in flat_cols:
+        new_entry = {
+            "type": appended.schema[c].dataType.simpleString(),
+            "nulls": int(row[f"__nulls_{c}"]),
+            "min": row[f"__min_{c}"],
+            "max": row[f"__max_{c}"],
+        }
+        old_entry = cols.get(c)
+        if old_entry is None:
+            # add-only evolution: pre-existing rows read NULL for it
+            new_entry["nulls"] += old_rows
+        else:
+            new_entry["type"] = old_entry.get("type", new_entry["type"])
+            new_entry["nulls"] += int(old_entry.get("nulls") or 0)
+            lo, hi = _merge_minmax(
+                new_entry["type"], old_entry.get("min"), new_entry["min"]
+            )
+            _, hi2 = _merge_minmax(
+                new_entry["type"], old_entry.get("max"), new_entry["max"]
+            )
+            new_entry["min"], new_entry["max"] = lo, hi2
+        sketch, ndv = merged_sketch.get(c, (None, 0))
+        new_entry["ndv_sketch"] = sketch
+        new_entry["approx_ndv"] = ndv
+        cols[c] = new_entry
+    stats["columns"] = cols
+    stats.pop("stale", None)
+    stats["incremental_appends"] = int(
+        stats.get("incremental_appends") or 0
+    ) + 1
+    if stats.get("keys"):
+        stats["keys_stale"] = True  # skew profile is now a lower bound
+    path = table_path(warehouse, table_name)
+    fs, root, jvm = _hadoop_fs(spark, path)
+    total_bytes = int(fs.getContentSummary(root).getLength())
+    expansion = 5
+    threshold = int(stats.get("broadcast_threshold_bytes") or (10 << 20))
     stats["total_bytes"] = total_bytes
     stats["est_memory_bytes"] = total_bytes * expansion
     stats["suggest_broadcast"] = total_bytes * expansion <= threshold

@@ -62,12 +62,14 @@ class Popeline:
         ignore_unknown_values: bool = False,
         schema_autodetect: bool = False,
         partition_by: list[str] | str | None = None,
+        update_stats: bool = False,
     ) -> str:
         """popelines/main.py:100-155 — load NDJSON (or a DataFrame) into a
         table with append/truncate + add-only evolution. ``partition_by``
         opts into Hive-style directory partitioning (the engine-native
         analog of BigQuery's server-side partitioning; an extension, not a
-        reference parameter)."""
+        reference parameter). ``update_stats`` keeps ``_stats.json``
+        current across appends in O(batch) (io.update_stats_increment)."""
         if df is None:
             if file_name is None:
                 raise ValueError("need file_name or df")
@@ -80,6 +82,7 @@ class Popeline:
             ignore_unknown_values=ignore_unknown_values,
             autodetect=schema_autodetect,
             partition_by=partition_by,
+            update_stats=update_stats,
         )
 
     def write_to_store(self, dest_uri: str, file_name: str) -> None:

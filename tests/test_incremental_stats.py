@@ -1,0 +1,122 @@
+"""io.update_stats_increment — O(batch) stats maintenance across appends
+(round 10; the incremental half of the analyze → append lifecycle).
+
+Every merged field has an exact or mergeable-summary rule; these tests
+pin each rule against a full re-ANALYZE of the same table.
+"""
+
+import pytest
+
+from popelines_spark import io
+from popelines_spark.io import (
+    _merge_minmax,
+    analyze_table,
+    read_table_stats,
+    update_stats_increment,
+    write_table,
+)
+
+
+def _mk(spark, rows, schema="k int, v double, s string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_merge_minmax_numeric_vs_lexicographic():
+    # "9" > "10" lexicographically — the numeric path must not fall for it
+    assert _merge_minmax("bigint", "9", "10") == ("9", "10")
+    assert _merge_minmax("string", "9", "10") == ("10", "9")
+    assert _merge_minmax("double", "-2.5", "1.0") == ("-2.5", "1.0")
+    # ISO date/timestamp strings order correctly as strings
+    assert _merge_minmax("date", "2024-01-10", "2024-01-02") == (
+        "2024-01-02", "2024-01-10")
+    assert _merge_minmax("int", None, "3") == ("3", "3")
+    assert _merge_minmax("int", None, None) == (None, None)
+
+
+def test_increment_matches_full_analyze(spark, tmp_path):
+    wh = str(tmp_path)
+    base = _mk(spark, [(i, float(i) / 2, f"s{i % 7}") for i in range(9)])
+    write_table(base, wh, "t", append=False)
+    s0 = analyze_table(spark, wh, "t")
+    assert all(c["ndv_sketch"] for c in s0["columns"].values())
+
+    # batch crosses the lexicographic min/max trap (k: 9 -> 12) and adds
+    # new distincts + nulls
+    batch = _mk(spark, [(i, None, f"s{i % 11}") for i in range(9, 13)])
+    write_table(batch, wh, "t", append=True, update_stats=True)
+    inc = read_table_stats(spark, wh, "t")
+    assert "stale" not in inc
+    assert inc["incremental_appends"] == 1
+
+    full = analyze_table(spark, wh, "t")
+    assert inc["rows"] == full["rows"] == 13
+    for c in ("k", "v", "s"):
+        assert inc["columns"][c]["nulls"] == full["columns"][c]["nulls"], c
+        assert inc["columns"][c]["min"] == full["columns"][c]["min"], c
+        assert inc["columns"][c]["max"] == full["columns"][c]["max"], c
+        # HLL is exact at these cardinalities; allow the two estimators
+        # (sketch union vs approx_count_distinct) a whisker of slack
+        assert inc["columns"][c]["approx_ndv"] == pytest.approx(
+            full["columns"][c]["approx_ndv"], rel=0.05), c
+    assert inc["columns"]["k"]["max"] == "12"  # not "9"
+    # getContentSummary counts _stats.json itself, which grew between the
+    # two measurements — equal up to the metadata file's own size
+    assert abs(inc["total_bytes"] - full["total_bytes"]) < 2048
+    assert inc["suggest_broadcast"] == full["suggest_broadcast"]
+
+
+def test_increment_schema_evolution_adds_column(spark, tmp_path):
+    wh = str(tmp_path)
+    write_table(_mk(spark, [(1, 1.0, "a"), (2, 2.0, "b")]), wh, "t",
+                append=False)
+    analyze_table(spark, wh, "t")
+    batch = spark.createDataFrame(
+        [(3, 3.0, "c", "new")], "k int, v double, s string, extra string"
+    )
+    write_table(batch, wh, "t", append=True, update_stats=True)
+    st = read_table_stats(spark, wh, "t")
+    # pre-existing rows read NULL for the evolved column
+    assert st["columns"]["extra"]["nulls"] == 2
+    assert st["columns"]["extra"]["approx_ndv"] == 1
+    assert st["rows"] == 3
+
+
+def test_increment_flags_keys_profile_as_lower_bound(spark, tmp_path):
+    wh = str(tmp_path)
+    write_table(_mk(spark, [(1, 1.0, "a")] * 6 + [(2, 2.0, "b")]), wh, "t",
+                append=False)
+    analyze_table(spark, wh, "t", key_columns=["k"])
+    write_table(_mk(spark, [(1, 9.0, "z")] * 3), wh, "t", append=True,
+                update_stats=True)
+    st = read_table_stats(spark, wh, "t")
+    assert st["keys_stale"] is True
+    # the profile itself is kept — a lower bound still steers plan_skew_salt
+    assert st["keys"]["k"]["max_key_rows"] == 6
+    # a full re-ANALYZE refreshes it and clears the flag
+    st2 = analyze_table(spark, wh, "t")
+    assert st2["keys"]["k"]["max_key_rows"] == 9
+
+
+def test_plain_append_still_marks_stale(spark, tmp_path):
+    wh = str(tmp_path)
+    write_table(_mk(spark, [(1, 1.0, "a")]), wh, "t", append=False)
+    analyze_table(spark, wh, "t")
+    write_table(_mk(spark, [(2, 2.0, "b")]), wh, "t", append=True)
+    assert read_table_stats(spark, wh, "t")["stale"] is True
+
+
+def test_pre_sketch_stats_fall_back_to_stale(spark, tmp_path):
+    wh = str(tmp_path)
+    write_table(_mk(spark, [(1, 1.0, "a")]), wh, "t", append=False)
+    stats = analyze_table(spark, wh, "t")
+    for c in stats["columns"].values():
+        c.pop("ndv_sketch", None)  # simulate a pre-round-10 stats file
+    path = io.table_path(wh, "t")
+    fs, _, jvm = io._hadoop_fs(spark, path)
+    io._write_stats(fs, jvm, path, stats)
+    assert update_stats_increment(
+        spark, wh, "t", _mk(spark, [(2, 2.0, "b")])
+    ) is None
+    write_table(_mk(spark, [(2, 2.0, "b")]), wh, "t", append=True,
+                update_stats=True)
+    assert read_table_stats(spark, wh, "t")["stale"] is True
