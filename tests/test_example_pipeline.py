@@ -106,3 +106,20 @@ def test_statistical_quality_gate_example(spark):
     assert 0 < stats["building_p_two"] <= 1
     # deterministic end to end (the bootstrap CI included)
     assert weekly_review(spark, SF_DIR) == stats
+
+
+def test_cost_based_tuning_example(spark, scratch):
+    from cost_based_tuning import tune
+
+    stats = tune(spark, SF_DIR, scratch)
+    # the star order reproduces the selectivity ranking from stats alone
+    assert stats["star_order"] == ["dim_part", "dim_supp", "dim_ord"]
+    assert stats["two_way_broadcast"] is True  # tiny dim at sf0.001
+    assert stats["exchange_partitions"] >= 1
+    # the incremental append kept stats current without a re-scan
+    assert stats["rows_after"] == stats["rows_before"] + 500
+    assert stats["pk_ndv_after"] > stats["pk_ndv_before"]
+    assert stats["stats_stale_after_append"] is False
+    assert stats["keys_flagged_lower_bound"] is True
+    # the planned rewrites are semantically invisible
+    assert stats["planned_rows"] == stats["plain_rows"]
