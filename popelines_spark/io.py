@@ -417,7 +417,19 @@ def analyze_table(
     if key_columns is None:
         prev = read_table_stats(spark, warehouse, table_name)
         key_columns = list((prev or {}).get("keys") or {}) or None
-    df = read_table_evolved(spark, warehouse, table_name)
+    # a manifest (ACID) table must profile its LIVE tip, not the
+    # directory: copy-on-write DML leaves dead files on disk until GC,
+    # and a plain glob would double-count every rewritten row (lazy
+    # import: manifest.py imports this module)
+    from popelines_spark.manifest import is_manifest_table
+
+    manifest_layout = is_manifest_table(spark, warehouse, table_name)
+    if manifest_layout:
+        from popelines_spark.manifest import read_manifest_table
+
+        df = read_manifest_table(spark, warehouse, table_name)
+    else:
+        df = read_table_evolved(spark, warehouse, table_name)
     aggs = [F.count(F.lit(1)).alias("__rows")]
     flat_cols = [
         f.name for f in df.schema.fields
@@ -441,7 +453,12 @@ def analyze_table(
     row = df.agg(*aggs).collect()[0].asDict()
 
     fs, root, jvm = _hadoop_fs(spark, path)
-    total_bytes = fs.getContentSummary(root).getLength()
+    if manifest_layout:
+        from popelines_spark.manifest import live_file_bytes
+
+        total_bytes = live_file_bytes(spark, warehouse, table_name)
+    else:
+        total_bytes = fs.getContentSummary(root).getLength()
     # Broadcast limits are about IN-MEMORY size but total_bytes is on-disk
     # compressed parquet, which commonly expands 3-10× when decoded —
     # suggest_broadcast applies a conservative expansion factor so the flag
@@ -676,7 +693,12 @@ def update_stats_increment(
         stats["keys_stale"] = True  # skew profile is now a lower bound
     path = table_path(warehouse, table_name)
     fs, root, jvm = _hadoop_fs(spark, path)
-    total_bytes = int(fs.getContentSummary(root).getLength())
+    from popelines_spark.manifest import is_manifest_table, live_file_bytes
+
+    if is_manifest_table(spark, warehouse, table_name):
+        total_bytes = live_file_bytes(spark, warehouse, table_name)
+    else:
+        total_bytes = int(fs.getContentSummary(root).getLength())
     expansion = 5
     threshold = int(stats.get("broadcast_threshold_bytes") or (10 << 20))
     stats["total_bytes"] = total_bytes

@@ -164,6 +164,12 @@ def _commit_manifest(
     # visibility flip: one atomic object creation, manifest already durable
     fs.create(HPath(f"{vdir}/{_COMMIT}"), False).close()
     _release_reservation(fs, vroot, version, jvm)
+    # every manifest mutation (append / replace-DML / heal / streaming
+    # sink) lands here, so this is the one place to age the planner's
+    # ANALYZE stats — best-effort, same contract as write_table appends
+    from popelines_spark.io import _mark_stats_stale
+
+    _mark_stats_stale(spark, vroot.removesuffix("/versions"))
 
 
 def _list_parquet(fs, path, jvm) -> list[str]:
@@ -421,6 +427,34 @@ def append_manifest_table(
     )
     heal_manifest_table(spark, warehouse, table_name)
     return version
+
+
+def is_manifest_table(
+    spark: SparkSession, warehouse: str, table_name: str
+) -> bool:
+    """True when the table carries a committed manifest layout — the
+    signal io.analyze_table uses to profile LIVE rows/bytes instead of
+    globbing a directory that also holds dead (pre-GC) rewrite files."""
+    root, vroot, _ = _paths(warehouse, table_name)
+    fs, _, jvm = _hadoop_fs(spark, root)
+    return bool(_committed_manifest_versions(fs, vroot, jvm))
+
+
+def live_file_bytes(
+    spark: SparkSession, warehouse: str, table_name: str
+) -> int:
+    """Total on-disk bytes of the TIP manifest's member files only —
+    copy-on-write DML leaves replaced files on disk until GC, so a
+    directory content summary overstates the live table (and with it
+    every size-derived planner decision). O(#live files) metadata
+    calls, no data read."""
+    root, _, _ = _paths(warehouse, table_name)
+    fs, _, jvm = _hadoop_fs(spark, root)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    total = 0
+    for f in manifest_file_list(spark, warehouse, table_name):
+        total += int(fs.getFileStatus(HPath(f)).getLen())
+    return total
 
 
 def manifest_file_list(

@@ -120,3 +120,48 @@ def test_pre_sketch_stats_fall_back_to_stale(spark, tmp_path):
     write_table(_mk(spark, [(2, 2.0, "b")]), wh, "t", append=True,
                 update_stats=True)
     assert read_table_stats(spark, wh, "t")["stale"] is True
+
+
+def test_analyze_manifest_table_profiles_live_tip(spark, tmp_path):
+    """Copy-on-write DML leaves dead files on disk until GC: ANALYZE
+    must profile the manifest's live tip, not the directory glob (which
+    double-counts every rewritten row and overstates bytes)."""
+    from popelines_spark import manifest
+    from popelines_spark.manifest_dml import delete_manifest_rows
+
+    wh = str(tmp_path)
+    df = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    manifest.append_manifest_table(spark, wh, "m", df)
+    delete_manifest_rows(spark, wh, "m", "k < 50")
+
+    st = analyze_table(spark, wh, "m")
+    assert st["rows"] == 50  # live rows, not 100 dead+live (or 150 glob)
+    assert st["columns"]["k"]["min"] == "50"
+    # bytes = live files only; the dir still holds the v1 originals
+    fs, root, jvm = io._hadoop_fs(spark, io.table_path(wh, "m"))
+    dir_bytes = int(fs.getContentSummary(root).getLength())
+    assert st["total_bytes"] < dir_bytes
+    assert st["total_bytes"] == manifest.live_file_bytes(spark, wh, "m")
+
+
+def test_manifest_mutations_mark_stats_stale(spark, tmp_path):
+    """Every commit path (append / replace-DML) goes through
+    _commit_manifest, which ages the ANALYZE stats like write_table
+    appends do."""
+    from popelines_spark import manifest
+    from popelines_spark.manifest_dml import update_manifest_rows
+
+    wh = str(tmp_path)
+    manifest.append_manifest_table(
+        spark, wh, "m", spark.range(10).selectExpr("id AS k", "id AS v")
+    )
+    analyze_table(spark, wh, "m")
+    assert "stale" not in read_table_stats(spark, wh, "m")
+    manifest.append_manifest_table(
+        spark, wh, "m", spark.range(10, 12).selectExpr("id AS k", "id AS v")
+    )
+    assert read_table_stats(spark, wh, "m")["stale"] is True
+    st = analyze_table(spark, wh, "m")  # re-ANALYZE clears it
+    assert "stale" not in st and st["rows"] == 12
+    update_manifest_rows(spark, wh, "m", {"v": "99"}, "k = 0")
+    assert read_table_stats(spark, wh, "m")["stale"] is True
