@@ -130,6 +130,10 @@ def write_table(
                     "appends must match the live layout (overwrite to "
                     "change it)"
                 )
+    pre_files: set[str] | None = None
+    if update_stats and append and exists:
+        fs, root, jvm = _hadoop_fs(spark, path)
+        pre_files = set(_list_data_files(fs, root, jvm))
     if append and exists and not autodetect:
         live_schema = spark.read.parquet(path).schema
         if ignore_unknown_values:
@@ -146,14 +150,31 @@ def write_table(
         # appended rows age the ANALYZE stats. update_stats=True folds
         # the batch in via mergeable summaries (update_stats_increment,
         # O(batch)); otherwise — or when the merge can't run (pre-sketch
-        # stats file) — mark stale rather than guess. (overwrite needs
-        # neither: mode("overwrite") clears the dir, _stats.json included)
+        # or already-stale stats file) — mark stale rather than guess.
+        # (overwrite needs neither: mode("overwrite") clears the dir,
+        # _stats.json included)
         merged = None
         if update_stats:
             try:
-                merged = update_stats_increment(
-                    spark, warehouse, table_name, df
+                # profile the FILES JUST WRITTEN, not the input frame: a
+                # nondeterministic lineage (limit, sample, rand) would
+                # re-execute differently here and record stats for rows
+                # that were never persisted. basePath recovers partition
+                # columns from the directory names.
+                fs, root, jvm = _hadoop_fs(spark, path)
+                new_files = sorted(
+                    set(_list_data_files(fs, root, jvm)) - (pre_files or set())
                 )
+                if new_files:
+                    written = spark.read.option("basePath", path).parquet(
+                        *new_files
+                    )
+                    merged = update_stats_increment(
+                        spark, warehouse, table_name, written
+                    )
+                else:
+                    # empty batch: nothing appended, stats still current
+                    merged = read_table_stats(spark, warehouse, table_name)
             except Exception:
                 import logging
 
@@ -165,6 +186,23 @@ def write_table(
         if merged is None:
             _mark_stats_stale(spark, path)
     return path
+
+
+def _list_data_files(fs, root, jvm) -> list[str]:
+    """Recursive listing of the data files under a table root (skips
+    metadata: dotfiles, _stats.json, _SUCCESS, manifest dirs' JSON)."""
+    out = []
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        name = p.getName()
+        if name.startswith(".") or name.startswith("_"):
+            continue
+        if not name.endswith(".parquet"):
+            continue
+        out.append(p.toString())
+    return out
 
 
 def _mark_stats_stale(spark: SparkSession, path: str) -> None:
@@ -235,6 +273,22 @@ def read_table_evolved(spark: SparkSession, warehouse: str, table_name: str) -> 
     return spark.read.option("mergeSchema", "true").parquet(
         table_path(warehouse, table_name)
     )
+
+
+def read_table_auto(spark: SparkSession, warehouse: str, table_name: str) -> DataFrame:
+    """Read a table by whatever layout it carries: the live tip of an
+    ACID manifest table (a plain glob would hit versions/ JSON and —
+    after copy-on-write DML, before GC — double-count rewritten rows),
+    else the evolved-parquet read. The read half of the layout detection
+    analyze_table uses; operator paths that accept either layout
+    (join_tables, star_join) route through this."""
+    from popelines_spark.manifest import is_manifest_table
+
+    if is_manifest_table(spark, warehouse, table_name):
+        from popelines_spark.manifest import read_manifest_table
+
+        return read_manifest_table(spark, warehouse, table_name)
+    return read_table_evolved(spark, warehouse, table_name)
 
 
 def _align_to(df: DataFrame, target: T.StructType) -> DataFrame:
@@ -607,6 +661,11 @@ def update_stats_increment(
     stats = read_table_stats(spark, warehouse, table_name)
     if not stats or not stats.get("columns"):
         return None
+    if stats.get("stale"):
+        # a previous append was never folded in — merging THIS batch and
+        # clearing the flag would claim freshness while silently missing
+        # that append's rows forever; only a full ANALYZE can recover
+        return None
     if not any(
         c.get("ndv_sketch") for c in stats["columns"].values()
     ) and int(stats.get("rows") or 0) > 0:
@@ -684,6 +743,14 @@ def update_stats_increment(
         new_entry["ndv_sketch"] = sketch
         new_entry["approx_ndv"] = ndv
         cols[c] = new_entry
+    for c, old_entry in cols.items():
+        # table columns ABSENT from the batch (autodetect append with a
+        # narrower frame): mergeSchema reads NULL for every appended row,
+        # so the null count grows; min/max/NDV are untouched by NULLs
+        if c not in {f.name for f in appended.schema.fields}:
+            e = dict(old_entry)
+            e["nulls"] = int(e.get("nulls") or 0) + batch_rows
+            cols[c] = e
     stats["columns"] = cols
     stats.pop("stale", None)
     stats["incremental_appends"] = int(

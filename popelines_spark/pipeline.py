@@ -185,8 +185,8 @@ class Popeline:
             "join_tables(%s, %s): %s",
             big_table, small_table, "; ".join(decision["reasons"]),
         )
-        big = io.read_table_evolved(self.spark, self.warehouse, big_table)
-        small = io.read_table_evolved(self.spark, self.warehouse, small_table)
+        big = io.read_table_auto(self.spark, self.warehouse, big_table)
+        small = io.read_table_auto(self.spark, self.warehouse, small_table)
         if decision["bloom_m_bits"] is not None:
             big = bloom_prefilter(
                 big, small, on, m_bits=decision["bloom_m_bits"]
@@ -284,11 +284,11 @@ class Popeline:
         self.log.info(
             "star_join(%s): %s", fact_table, "; ".join(plan["reasons"])
         )
-        fact = io.read_table_evolved(self.spark, self.warehouse, fact_table)
+        fact = io.read_table_auto(self.spark, self.warehouse, fact_table)
         legs = [
             {
                 "name": d["table"],
-                "df": io.read_table_evolved(
+                "df": io.read_table_auto(
                     self.spark, self.warehouse, d["table"]
                 ),
                 "on": d["on"],

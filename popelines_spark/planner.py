@@ -200,7 +200,15 @@ def plan_star_join(
         dim_ndv = (
             ((d.get("stats") or {}).get("columns", {}).get(on) or {})
         ).get("approx_ndv")
-        if is_inner and fact_ndv and dim_ndv:
+        # `is not None`, not truthiness: dim NDV 0 (empty / filtered-to-
+        # empty dim) is the MOST selective leg there is — a falsy check
+        # would misfile it as "no stats" and order it last
+        if (
+            is_inner
+            and fact_ndv is not None
+            and dim_ndv is not None
+            and int(fact_ndv) > 0
+        ):
             sel = min(1.0, int(dim_ndv) / int(fact_ndv))
             sel_why = (
                 f"≈{sel:.0%} of fact keys survive "
@@ -298,7 +306,9 @@ def estimate_stats(
     return {
         "rows": rows,
         "est_memory_bytes": est,
-        "suggest_broadcast": 0 < est <= broadcast_threshold_bytes,
+        # est == 0 (empty frame) IS broadcastable — an empty build side
+        # costs nothing to ship and short-circuits the join map-side
+        "suggest_broadcast": est <= broadcast_threshold_bytes,
         "columns": {
             k: {"approx_ndv": int(row[f"__ndv_{k}"])} for k in keys
         },

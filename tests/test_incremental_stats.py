@@ -165,3 +165,67 @@ def test_manifest_mutations_mark_stats_stale(spark, tmp_path):
     assert "stale" not in st and st["rows"] == 12
     update_manifest_rows(spark, wh, "m", {"v": "99"}, "k = 0")
     assert read_table_stats(spark, wh, "m")["stale"] is True
+
+
+def test_increment_refuses_stale_stats(spark, tmp_path):
+    """A plain append marked the stats stale; folding a LATER batch in
+    and clearing the flag would claim freshness while the earlier
+    append's rows are missing forever. The merge must refuse."""
+    wh = str(tmp_path)
+    write_table(_mk(spark, [(1, 1.0, "a")]), wh, "t", append=False)
+    analyze_table(spark, wh, "t")
+    write_table(_mk(spark, [(2, 2.0, "b")]), wh, "t", append=True)  # stale
+    write_table(_mk(spark, [(3, 3.0, "c")]), wh, "t", append=True,
+                update_stats=True)
+    st = read_table_stats(spark, wh, "t")
+    assert st["stale"] is True  # still stale, NOT silently "fresh"
+    assert st["rows"] == 1  # untouched ANALYZE numbers, not a partial merge
+
+
+def test_increment_counts_nulls_for_columns_absent_from_batch(spark, tmp_path):
+    """autodetect appends skip alignment, so the written files can lack
+    live columns; mergeSchema reads NULL for them — the null counts must
+    grow by the batch size."""
+    wh = str(tmp_path)
+    write_table(_mk(spark, [(1, 1.0, "a"), (2, 2.0, "b")]), wh, "t",
+                append=False)
+    analyze_table(spark, wh, "t")
+    narrow = spark.createDataFrame([(3,), (4,), (5,)], "k int")
+    write_table(narrow, wh, "t", append=True, autodetect=True,
+                update_stats=True)
+    st = read_table_stats(spark, wh, "t")
+    assert st["rows"] == 5
+    assert st["columns"]["v"]["nulls"] == 3
+    assert st["columns"]["s"]["nulls"] == 3
+    assert st["columns"]["v"]["max"] == "2.0"  # untouched by NULL rows
+    full = analyze_table(spark, wh, "t")
+    assert st["columns"]["v"]["nulls"] == full["columns"]["v"]["nulls"]
+
+
+def test_increment_profiles_written_files_not_lineage(spark, tmp_path):
+    """The profiled batch is read back from the files the write created
+    (basePath recovers partition columns); a nondeterministic input
+    lineage therefore cannot desynchronize stats from table contents."""
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path)
+    write_table(_mk(spark, [(1, 1.0, "a")]), wh, "t", append=False,
+                partition_by="s")
+    analyze_table(spark, wh, "t")
+    # a limit over a repartitioned frame — the classic unstable lineage
+    batch = (
+        _mk(spark, [(i, float(i), f"p{i % 3}") for i in range(2, 30)])
+        .repartition(4)
+        .limit(5)
+    )
+    write_table(batch, wh, "t", append=True, update_stats=True)
+    inc = read_table_stats(spark, wh, "t")
+    full = analyze_table(spark, wh, "t")
+    assert inc["rows"] == full["rows"] == 6
+    for c in ("k", "v", "s"):
+        assert inc["columns"][c]["min"] == full["columns"][c]["min"], c
+        assert inc["columns"][c]["max"] == full["columns"][c]["max"], c
+        assert inc["columns"][c]["nulls"] == full["columns"][c]["nulls"], c
+    # the partition column was recovered from directory names, not
+    # treated as absent-from-batch
+    assert inc["columns"]["s"]["nulls"] == 0

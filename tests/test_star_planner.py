@@ -334,3 +334,63 @@ def test_star_join_executes_salted_leg(spark):
         sorted(map(tuple, got.select(*cols).collect()))
         == sorted(map(tuple, want.select(*cols).collect()))
     )
+
+
+def test_empty_dim_is_most_selective_not_statless():
+    """NDV 0 (empty / filtered-to-empty dim) is the MOST selective leg;
+    a truthiness check would misfile it as no-stats and order it last."""
+    plan = plan_star_join(
+        FACT,
+        [
+            {"name": "wide", "on": "a", "stats": _stats(900, key="a")},
+            {"name": "empty", "on": "b", "stats": _stats(0, key="b")},
+        ],
+    )
+    assert plan["order"] == ["empty", "wide"]
+    assert plan["legs"]["empty"]["selectivity"] == 0.0
+
+
+def test_estimate_stats_empty_frame_broadcasts(spark):
+    from pyspark.sql import functions as F
+
+    from popelines_spark.tables import load
+
+    empty = load(spark, SF_DIR, "supplier").filter(F.lit(False)).select(
+        F.col("s_suppkey").alias("sk")
+    )
+    s = estimate_stats(empty, keys=["sk"])
+    assert s["rows"] == 0
+    assert s["suggest_broadcast"] is True  # empty build side ships free
+    assert s["columns"]["sk"]["approx_ndv"] == 0
+
+
+def test_popeline_star_join_reads_manifest_tables(spark, tmp_path):
+    """star_join/join_tables route through read_table_auto: a manifest
+    dim reads its live tip (post-DML), not the directory glob."""
+    from pyspark.sql import functions as F
+
+    from popelines_spark import io, manifest
+    from popelines_spark.manifest_dml import delete_manifest_rows
+    from popelines_spark.pipeline import Popeline
+    from popelines_spark.tables import load
+
+    wh = str(tmp_path)
+    p = Popeline(warehouse=wh, spark=spark)
+    fact = load(spark, SF_DIR, "lineitem").select(
+        F.col("l_suppkey").alias("sk"), "l_extendedprice"
+    )
+    io.write_table(fact, wh, "fact", append=False)
+    dim = load(spark, SF_DIR, "supplier").select(
+        F.col("s_suppkey").alias("sk"), "s_nationkey"
+    )
+    manifest.append_manifest_table(spark, wh, "dim", dim)
+    delete_manifest_rows(spark, wh, "dim", "s_nationkey >= 10")
+    p.analyze_table("fact")
+    p.analyze_table("dim")
+    got = p.star_join("fact", [{"table": "dim", "on": "sk"}])
+    want = fact.join(
+        dim.filter(F.col("s_nationkey") < 10), "sk"
+    )
+    assert got.count() == want.count()
+    two = p.join_tables("fact", "dim", on="sk")
+    assert two.count() == want.count()
