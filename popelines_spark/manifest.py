@@ -99,30 +99,80 @@ def _read_manifest(fs, vroot, version, jvm) -> dict:
     return json.loads(text)
 
 
+def _read_manifest_or_none(fs, vroot, version, jvm) -> dict | None:
+    """``_read_manifest`` that returns None when the version directory
+    vanished — the retract path of an orphaned replace-commit
+    (manifest_dml._replace_commit) deletes a version that a concurrent
+    reader may have just listed; every list-then-read site must treat
+    that as "re-resolve against a fresh listing", not an error."""
+    try:
+        return _read_manifest(fs, vroot, version, jvm)
+    except Exception as exc:  # py4j wraps java.io.FileNotFoundException
+        msg = str(exc)
+        if (
+            "FileNotFound" in msg
+            or "does not exist" in msg
+            or "No such file" in msg
+        ):
+            return None
+        raise
+
+
+def _claim_marker(fs, vroot, version, jvm) -> bool:
+    """Atomically create ``{version}.__reserved``; True iff WE created it.
+
+    Hadoop's LocalFileSystem implements ``create(path, overwrite=False)``
+    as exists-check-then-create — two racing claimants can BOTH succeed
+    and then write the same ``data/v{N}`` directory concurrently (their
+    FileOutputCommitter _temporary dirs clobber each other; caught by
+    tests/test_manifest_tables.py::test_mixed_append_dml_race_converges).
+    For file:// schemes, route through java.io.File.createNewFile —
+    POSIX O_CREAT|O_EXCL, genuinely atomic. Other schemes keep
+    fs.create(overwrite=False), which HDFS implements atomically
+    (object stores without conditional create need an external lock —
+    same caveat as every manifest-file table format)."""
+    path = f"{vroot}/{version}.__reserved"
+    local = path.removeprefix("file:")
+    if "://" not in local and ":" not in local.split("/", 1)[0]:
+        return bool(jvm.java.io.File(local).createNewFile())
+    HPath = jvm.org.apache.hadoop.fs.Path
+    try:
+        fs.create(HPath(path), False).close()
+        return True
+    except Exception as exc:
+        msg = str(exc)
+        if (
+            "FileAlreadyExists" not in msg
+            and "already exists" not in msg.lower()
+        ):
+            raise
+        return False
+
+
 def _reserve_version(fs, vroot, jvm) -> int:
     HPath = jvm.org.apache.hadoop.fs.Path
+    fs.mkdirs(HPath(vroot))
     existing = _committed_manifest_versions(fs, vroot, jvm)
     version = (existing[-1] + 1) if existing else 1
     attempts = 0
     while True:
-        reserved = HPath(f"{vroot}/{version}.__reserved")
-        try:
-            fs.mkdirs(HPath(vroot))
-            fs.create(reserved, False).close()
+        if _claim_marker(fs, vroot, version, jvm):
+            # the marker may have been RELEASED by a commit that is
+            # already visible (_commit_manifest creates _COMMITTED
+            # BEFORE releasing): a claim on a version ≤ the committed
+            # tip would overwrite committed data — recheck and move past
+            latest = _committed_manifest_versions(fs, vroot, jvm)
+            if latest and latest[-1] >= version:
+                _release_reservation(fs, vroot, version, jvm)
+                version = latest[-1] + 1
+                continue
             return version
-        except Exception as exc:
-            msg = str(exc)
-            if (
-                "FileAlreadyExists" not in msg
-                and "already exists" not in msg.lower()
-            ):
-                raise
-            attempts += 1
-            if attempts > 10_000:
-                raise RuntimeError(
-                    f"manifest reservation spinning under {vroot}"
-                ) from exc
-            version += 1
+        attempts += 1
+        if attempts > 10_000:
+            raise RuntimeError(
+                f"manifest reservation spinning under {vroot}"
+            )
+        version += 1
 
 
 def _release_reservation(fs, vroot, version, jvm) -> None:
@@ -210,21 +260,30 @@ def _find_batch_version(fs, vroot, versions, jvm, batch_id: str):
     authoritative. Only a pre-``batch_ids`` legacy tip falls back to the
     per-version field scan. (Replays of the SAME batch_id are sequential
     by the foreachBatch contract — never raced concurrently.)"""
-    if not versions:
-        return None
-    tip = versions[-1]
-    tipman = _read_manifest(fs, vroot, tip, jvm)
-    if "batch_ids" in tipman:
-        if batch_id not in tipman["batch_ids"]:
+    for _ in range(10):
+        if not versions:
             return None
-        for v in versions:  # report the ORIGINAL commit when retained
-            if _read_manifest(fs, vroot, v, jvm).get("batch_id") == batch_id:
+        tip = versions[-1]
+        tipman = _read_manifest_or_none(fs, vroot, tip, jvm)
+        if tipman is None:  # tip retracted under us: re-list, re-resolve
+            versions = _committed_manifest_versions(fs, vroot, jvm)
+            continue
+        if "batch_ids" in tipman:
+            if batch_id not in tipman["batch_ids"]:
+                return None
+            for v in versions:  # report the ORIGINAL commit when retained
+                m = _read_manifest_or_none(fs, vroot, v, jvm)
+                if m is not None and m.get("batch_id") == batch_id:
+                    return v
+            return tip
+        for v in versions:
+            m = _read_manifest_or_none(fs, vroot, v, jvm)
+            if m is not None and m.get("batch_id") == batch_id:
                 return v
-        return tip
-    for v in versions:
-        if _read_manifest(fs, vroot, v, jvm).get("batch_id") == batch_id:
-            return v
-    return None
+        return None
+    raise ConcurrentWriteError(
+        f"tip kept vanishing while resolving batch {batch_id!r}"
+    )
 
 
 def heal_manifest_table(
@@ -250,7 +309,14 @@ def heal_manifest_table(
         versions = _committed_manifest_versions(fs, vroot, jvm)
         if not versions:
             return healed
-        mans = {v: _read_manifest(fs, vroot, v, jvm) for v in versions}
+        mans = {}
+        for v in versions:
+            m = _read_manifest_or_none(fs, vroot, v, jvm)
+            if m is not None:
+                mans[v] = m
+        versions = [v for v in versions if v in mans]
+        if not versions:
+            continue  # everything listed got retracted: re-list
         tip = versions[-1]
         chain = _lineage(mans, versions, tip)
         tip_files = set(mans[tip]["files"])
@@ -373,9 +439,16 @@ def append_manifest_table(
     prev_ids: list[str] = []
     parent: int | None = None
     target_schema = df.schema
-    if versions:
+    man = None
+    while versions:
         parent = versions[-1]
-        man = _read_manifest(fs, vroot, parent, jvm)
+        man = _read_manifest_or_none(fs, vroot, parent, jvm)
+        if man is not None:
+            break
+        # parent retracted between listing and read: re-resolve the tip
+        versions = _committed_manifest_versions(fs, vroot, jvm)
+        parent = None
+    if man is not None:
         prev_files = man["files"]
         prev_stats = man.get("file_stats", {})
         prev_ids = man.get("batch_ids", [])
@@ -472,17 +545,40 @@ def manifest_file_list(
     never lose rows)."""
     root, vroot, _ = _paths(warehouse, table_name)
     fs, _, jvm = _hadoop_fs(spark, root)
-    versions = _committed_manifest_versions(fs, vroot, jvm)
-    if not versions:
-        raise FileNotFoundError(f"no committed manifest versions under {root}")
-    if version is None:
-        version = versions[-1]
-    elif version not in versions:
-        raise FileNotFoundError(
-            f"manifest version {version} of {table_name} not available"
-            f" (committed: {versions})"
+    pinned = version is not None
+    man = None
+    for _ in range(10):
+        versions = _committed_manifest_versions(fs, vroot, jvm)
+        if not versions:
+            raise FileNotFoundError(
+                f"no committed manifest versions under {root}"
+            )
+        if not pinned:
+            version = versions[-1]
+        elif version not in versions:
+            raise FileNotFoundError(
+                f"manifest version {version} of {table_name} not available"
+                f" (committed: {versions})"
+            )
+        man = _read_manifest_or_none(fs, vroot, version, jvm)
+        if man is not None:
+            break
+        if pinned:  # an explicitly pinned version was retracted: gone
+            raise FileNotFoundError(
+                f"manifest version {version} of {table_name} was retracted"
+            )
+        # the tip was retracted between listing and read: re-resolve
+    if man is None:
+        raise ConcurrentWriteError(
+            f"tip of {table_name} kept vanishing during file listing"
         )
-    man = _read_manifest(fs, vroot, version, jvm)
+    return _prune_files(man, prune)
+
+
+def _prune_files(man: dict, prune: list[tuple] | None) -> list[str]:
+    """Apply (col, lo, hi) recorded-range pruning to a manifest's file
+    list (files without stats for a column are always kept — pruning
+    may keep extra files, never lose rows)."""
     files = man["files"]
     if prune:
         stats = man.get("file_stats", {})
@@ -519,23 +615,37 @@ def read_manifest_table(
     apply the row-level predicate; pruning only shrinks the scan."""
     root, vroot, _ = _paths(warehouse, table_name)
     fs, _, jvm = _hadoop_fs(spark, root)
-    versions = _committed_manifest_versions(fs, vroot, jvm)
-    if not versions:
-        raise FileNotFoundError(f"no committed manifest versions under {root}")
-    if version is None:
-        version = versions[-1]
-    elif version not in versions:
-        raise FileNotFoundError(
-            f"manifest version {version} of {table_name} not available"
-            f" (committed: {versions})"
+    pinned = version is not None
+    man = None
+    for _ in range(10):
+        versions = _committed_manifest_versions(fs, vroot, jvm)
+        if not versions:
+            raise FileNotFoundError(
+                f"no committed manifest versions under {root}"
+            )
+        if not pinned:
+            version = versions[-1]
+        elif version not in versions:
+            raise FileNotFoundError(
+                f"manifest version {version} of {table_name} not available"
+                f" (committed: {versions})"
+            )
+        man = _read_manifest_or_none(fs, vroot, version, jvm)
+        if man is not None:
+            break
+        if pinned:
+            raise FileNotFoundError(
+                f"manifest version {version} of {table_name} was retracted"
+            )
+        # tip retracted between listing and read: re-resolve
+    if man is None:
+        raise ConcurrentWriteError(
+            f"tip of {table_name} kept vanishing during read"
         )
-    man = _read_manifest(fs, vroot, version, jvm)
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(man["schema"]))
-    files = manifest_file_list(
-        spark, warehouse, table_name, version=version, prune=prune
-    )
+    files = _prune_files(man, prune)
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*files)
@@ -600,10 +710,15 @@ def gc_manifest_table(
     keep = versions[len(drop):]
     retained: set[str] = set()
     for v in keep:
-        retained.update(_read_manifest(fs, vroot, v, jvm)["files"])
+        m = _read_manifest_or_none(fs, vroot, v, jvm)
+        if m is not None:
+            retained.update(m["files"])
     n_deleted = 0
     for v in drop:
-        old = _read_manifest(fs, vroot, v, jvm)["files"]
+        m = _read_manifest_or_none(fs, vroot, v, jvm)
+        if m is None:
+            continue  # retracted under us: nothing left to collect
+        old = m["files"]
         fs.delete(HPath(f"{vroot}/{v}"), True)
         for f in old:
             if f not in retained and fs.exists(HPath(f)):

@@ -46,6 +46,7 @@ from popelines_spark.manifest import (
     _list_parquet,
     _paths,
     _read_manifest,
+    _read_manifest_or_none,
     _release_reservation,
     _reserve_version,
     heal_manifest_table,
@@ -118,7 +119,11 @@ def _replace_commit(
                     f"no committed manifest versions under {root}"
                 )
             parent = versions[-1]
-            man = _read_manifest(fs, vroot, parent, jvm)
+            man = _read_manifest_or_none(fs, vroot, parent, jvm)
+            if man is None:
+                # our chosen parent was retracted between listing and
+                # read — same treatment as a moved tip: retry afresh
+                raise _Conflict(f"parent {parent} retracted under read")
             schema = StructType.fromJson(json.loads(man["schema"]))
             affected, rewritten, extra, schema_out = build(man, schema)
             ddir = f"{droot}/v{version}"

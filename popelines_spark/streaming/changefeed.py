@@ -91,7 +91,15 @@ class ManifestChangefeedReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         lo, hi = start["version"], end["version"]
         versions = _committed_versions(self.vroot)
-        mans = {v: _read_manifest(self.vroot, v) for v in versions}
+        # a racing replace-commit may retract a just-listed version
+        # (manifest_dml._replace_commit) — skip vanished manifests
+        mans = {}
+        for v in versions:
+            try:
+                mans[v] = _read_manifest(self.vroot, v)
+            except FileNotFoundError:
+                continue
+        versions = [v for v in versions if v in mans]
         data_cols = [f.name for f in self.schema.fields if f.name != _META_COL]
         parts = []
         for v in versions:

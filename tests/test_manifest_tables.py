@@ -268,3 +268,80 @@ def test_register_manifest_table_at_sql_surface(spark, scratch):
     assert p.query("SELECT count(*) AS n FROM msql")[0]["n"] == 15
     p.register_table("msql", manifest=True, version=1)
     assert p.query("SELECT count(*) AS n FROM msql")[0]["n"] == 10
+
+
+def test_mixed_append_dml_race_converges(spark, scratch):
+    """Four writers race: two appends (disjoint new key ranges) against
+    a DELETE and an UPDATE over ranges fully present BEFORE the race —
+    so the final state is interleaving-independent:
+
+      rows  = initial − deleted + both appends
+      k<50  gone, 50≤k<100 updated, appended ranges complete
+
+    Replace-commits may lose the optimistic race repeatedly
+    (ConcurrentWriteError after internal retries); the client-side loop
+    here is the documented recovery — what must NEVER happen is a lost
+    update, a double-applied DML, or a torn append."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from popelines_spark.manifest import ConcurrentWriteError
+    from popelines_spark.manifest_dml import (
+        delete_manifest_rows,
+        update_manifest_rows,
+    )
+
+    base = spark.range(100).selectExpr("id AS k", "CAST(1 AS LONG) AS v")
+    append_manifest_table(spark, scratch, "mr", base)
+
+    errs = []
+
+    def retrying(fn):
+        def run():
+            for _ in range(20):
+                try:
+                    fn()
+                    return
+                except ConcurrentWriteError:
+                    continue
+                except Exception as e:  # pragma: no cover
+                    errs.append(e)
+                    return
+            errs.append(RuntimeError("retries exhausted"))  # pragma: no cover
+        return run
+
+    def appender(lo):
+        df = spark.range(lo, lo + 100).selectExpr(
+            "id AS k", "CAST(2 AS LONG) AS v"
+        )
+        append_manifest_table(spark, scratch, "mr", df)
+
+    threads = [
+        threading.Thread(target=retrying(lambda: appender(1000))),
+        threading.Thread(target=retrying(lambda: appender(2000))),
+        threading.Thread(target=retrying(
+            lambda: delete_manifest_rows(spark, scratch, "mr", "k < 50"))),
+        threading.Thread(target=retrying(
+            lambda: update_manifest_rows(
+                spark, scratch, "mr", {"v": "-1"},
+                "k >= 50 AND k < 100"))),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+
+    final = read_manifest_table(spark, scratch, "mr")
+    assert final.count() == 100 - 50 + 200
+    assert final.filter(F.col("k") < 50).count() == 0
+    assert (
+        final.filter((F.col("k") >= 50) & (F.col("k") < 100))
+        .filter(F.col("v") != -1).count() == 0
+    )
+    for lo in (1000, 2000):
+        got = final.filter(
+            (F.col("k") >= lo) & (F.col("k") < lo + 100)
+        ).count()
+        assert got == 100, f"append at {lo} torn or lost: {got}"
