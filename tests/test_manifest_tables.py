@@ -345,3 +345,82 @@ def test_mixed_append_dml_race_converges(spark, scratch):
             (F.col("k") >= lo) & (F.col("k") < lo + 100)
         ).count()
         assert got == 100, f"append at {lo} torn or lost: {got}"
+
+
+def test_race_with_concurrent_gc_and_heal(spark, scratch):
+    """The retract-tolerant read paths under fire: GC (which heals, then
+    reads every retained manifest) runs CONCURRENTLY with the 4-writer
+    race. keep_versions is large, so retention never bites — what this
+    pins is the metadata protocol: GC reading a version the retract
+    path deletes mid-listing must skip it, never crash, and the final
+    state must still be the interleaving-independent one."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from popelines_spark.manifest import ConcurrentWriteError, gc_manifest_table
+    from popelines_spark.manifest_dml import (
+        delete_manifest_rows,
+        update_manifest_rows,
+    )
+
+    base = spark.range(100).selectExpr("id AS k", "CAST(1 AS LONG) AS v")
+    append_manifest_table(spark, scratch, "mg", base)
+
+    errs = []
+    stop = threading.Event()
+
+    def retrying(fn):
+        def run():
+            for _ in range(20):
+                try:
+                    fn()
+                    return
+                except ConcurrentWriteError:
+                    continue
+                except Exception as e:  # pragma: no cover
+                    errs.append(e)
+                    return
+            errs.append(RuntimeError("retries exhausted"))  # pragma: no cover
+        return run
+
+    def gc_loop():
+        try:
+            while not stop.is_set():
+                gc_manifest_table(spark, scratch, "mg", keep_versions=50)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def appender(lo):
+        df = spark.range(lo, lo + 100).selectExpr(
+            "id AS k", "CAST(2 AS LONG) AS v"
+        )
+        append_manifest_table(spark, scratch, "mg", df)
+
+    gc_t = threading.Thread(target=gc_loop)
+    writers = [
+        threading.Thread(target=retrying(lambda: appender(1000))),
+        threading.Thread(target=retrying(lambda: appender(2000))),
+        threading.Thread(target=retrying(
+            lambda: delete_manifest_rows(spark, scratch, "mg", "k < 50"))),
+        threading.Thread(target=retrying(
+            lambda: update_manifest_rows(
+                spark, scratch, "mg", {"v": "-1"},
+                "k >= 50 AND k < 100"))),
+    ]
+    gc_t.start()
+    for t in writers:
+        t.start()
+    for t in writers:
+        t.join()
+    stop.set()
+    gc_t.join()
+    assert not errs
+
+    final = read_manifest_table(spark, scratch, "mg")
+    assert final.count() == 250
+    assert final.filter(F.col("k") < 50).count() == 0
+    assert (
+        final.filter((F.col("k") >= 50) & (F.col("k") < 100))
+        .filter(F.col("v") != -1).count() == 0
+    )
