@@ -107,9 +107,12 @@ class Popeline:
         return incremental.chunk_date_range(start_datetime, end_datetime, chunk_size)
 
     def find_last_entry(self, table_name: str, date_column: str):
-        """popelines/main.py:225-234."""
+        """popelines/main.py:225-234. Layout-agnostic read: manifest
+        tables resolve to their live tip (a plain glob would fail on the
+        versions/ metadata), path tables read directly."""
         return incremental.max_watermark(
-            io.read_table(self.spark, self.warehouse, table_name), date_column
+            io.read_table_auto(self.spark, self.warehouse, table_name),
+            date_column,
         )
 
     # --- query -----------------------------------------------------------

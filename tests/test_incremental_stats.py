@@ -229,3 +229,23 @@ def test_increment_profiles_written_files_not_lineage(spark, tmp_path):
     # the partition column was recovered from directory names, not
     # treated as absent-from-batch
     assert inc["columns"]["s"]["nulls"] == 0
+
+
+def test_find_last_entry_reads_manifest_tip(spark, tmp_path):
+    """The incremental-extraction watermark works on manifest tables:
+    the read resolves the live tip, so a copy-on-write DELETE of the
+    latest rows moves the watermark back (a directory glob would either
+    fail or keep reporting the deleted maximum)."""
+    from popelines_spark import manifest
+    from popelines_spark.manifest_dml import delete_manifest_rows
+    from popelines_spark.pipeline import Popeline
+
+    wh = str(tmp_path)
+    p = Popeline(warehouse=wh, spark=spark)
+    manifest.append_manifest_table(
+        spark, wh, "m",
+        spark.range(10).selectExpr("id AS k", "CAST(id AS LONG) AS ts"),
+    )
+    assert p.find_last_entry("m", "ts") == 9
+    delete_manifest_rows(spark, wh, "m", "ts >= 5")
+    assert p.find_last_entry("m", "ts") == 4
