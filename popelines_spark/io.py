@@ -338,6 +338,23 @@ def _hadoop_fs(spark: SparkSession, uri: str):
     return p.getFileSystem(conf), p, jvm
 
 
+def _refuse_manifest_layout(
+    spark: SparkSession, warehouse: str, table_name: str,
+    op: str, alternative: str,
+) -> None:
+    """Path-layout maintenance must not touch a manifest table: its
+    files are version-addressed and immutable — an in-place rewrite
+    would orphan every committed manifest. Fail with the right tool's
+    name instead of a schema-inference error three stack frames later."""
+    from popelines_spark.manifest import is_manifest_table
+
+    if is_manifest_table(spark, warehouse, table_name):
+        raise ValueError(
+            f"{op}: {table_name!r} is a manifest (ACID) table; its files "
+            f"are version-addressed and immutable — use {alternative}"
+        )
+
+
 def compact_table(
     spark: SparkSession,
     warehouse: str,
@@ -371,6 +388,8 @@ def compact_table(
     doubly."""
     import math
 
+    _refuse_manifest_layout(spark, warehouse, table_name, "compact_table",
+                            "compact_manifest_table")
     path = table_path(warehouse, table_name)
     fs, root, jvm = _hadoop_fs(spark, path)
     HPath = jvm.org.apache.hadoop.fs.Path

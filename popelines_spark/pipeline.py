@@ -497,6 +497,10 @@ class Popeline:
         applied layout."""
         from popelines_spark.operators.partitioned import apply_layout
 
+        io._refuse_manifest_layout(
+            self.spark, self.warehouse, table_name,
+            "relayout_table", "compact_manifest_table (then re-ANALYZE)",
+        )
         layout = self.suggest_layout(table_name, filter_columns)
         if layout is None:
             return None

@@ -249,3 +249,20 @@ def test_find_last_entry_reads_manifest_tip(spark, tmp_path):
     assert p.find_last_entry("m", "ts") == 9
     delete_manifest_rows(spark, wh, "m", "ts >= 5")
     assert p.find_last_entry("m", "ts") == 4
+
+
+def test_path_maintenance_refuses_manifest_tables(spark, tmp_path):
+    """compact_table / relayout_table are path-layout tools; on a
+    manifest table they must fail with the right tool's name, not a
+    schema-inference error from globbing versions/ JSON."""
+    from popelines_spark import manifest
+    from popelines_spark.pipeline import Popeline
+
+    wh = str(tmp_path)
+    manifest.append_manifest_table(
+        spark, wh, "m", spark.range(5).selectExpr("id AS k")
+    )
+    with pytest.raises(ValueError, match="compact_manifest_table"):
+        io.compact_table(spark, wh, "m")
+    with pytest.raises(ValueError, match="compact_manifest_table"):
+        Popeline(warehouse=wh, spark=spark).relayout_table("m", ["k"])
