@@ -108,14 +108,29 @@ def _read_manifest_or_none(fs, vroot, version, jvm) -> dict | None:
     try:
         return _read_manifest(fs, vroot, version, jvm)
     except Exception as exc:  # py4j wraps java.io.FileNotFoundException
-        msg = str(exc)
-        if (
-            "FileNotFound" in msg
-            or "does not exist" in msg
-            or "No such file" in msg
-        ):
+        # match the exception CLASS name only: broader substrings like
+        # "does not exist" appear in unrelated py4j signature errors,
+        # which must surface, not read as a vanished manifest
+        if "FileNotFoundException" in str(exc):
             return None
         raise
+
+
+def _resolve_tip(fs, vroot, jvm, label: str) -> tuple[int, dict]:
+    """List committed versions and read the tip, re-resolving (≤10×)
+    when the tip vanishes between the listing and the read — the
+    orphaned-replace retract race every list-then-read site must
+    tolerate. Raises FileNotFoundError when no version is committed."""
+    for _ in range(10):
+        versions = _committed_manifest_versions(fs, vroot, jvm)
+        if not versions:
+            raise FileNotFoundError(
+                f"no committed manifest versions under {label}"
+            )
+        man = _read_manifest_or_none(fs, vroot, versions[-1], jvm)
+        if man is not None:
+            return versions[-1], man
+    raise ConcurrentWriteError(f"tip of {label} kept vanishing")
 
 
 def _claim_marker(fs, vroot, version, jvm) -> bool:
@@ -132,10 +147,13 @@ def _claim_marker(fs, vroot, version, jvm) -> bool:
     (object stores without conditional create need an external lock —
     same caveat as every manifest-file table format)."""
     path = f"{vroot}/{version}.__reserved"
-    local = path.removeprefix("file:")
-    if "://" not in local and ":" not in local.split("/", 1)[0]:
-        return bool(jvm.java.io.File(local).createNewFile())
     HPath = jvm.org.apache.hadoop.fs.Path
+    # decide by the FILESYSTEM's scheme, not the path string: a
+    # scheme-less path resolves against fs.defaultFS, which is only the
+    # local disk when the fs object itself is local
+    if fs.getUri().getScheme() == "file":
+        local = HPath(path).toUri().getPath()
+        return bool(jvm.java.io.File(local).createNewFile())
     try:
         fs.create(HPath(path), False).close()
         return True
@@ -427,78 +445,145 @@ def append_manifest_table(
         if seen is not None:
             return seen
     version = _reserve_version(fs, vroot, jvm)
-    # REBASE: everything about the parent is read after the reservation
-    versions = _committed_manifest_versions(fs, vroot, jvm)
-    if batch_id is not None:
-        seen = _find_batch_version(fs, vroot, versions, jvm, str(batch_id))
-        if seen is not None:
-            _release_reservation(fs, vroot, version, jvm)
-            return seen
     prev_files: list[str] = []
     prev_stats: dict = {}
     prev_ids: list[str] = []
     parent: int | None = None
     target_schema = df.schema
-    man = None
-    while versions:
-        parent = versions[-1]
-        man = _read_manifest_or_none(fs, vroot, parent, jvm)
-        if man is not None:
-            break
-        # parent retracted between listing and read: re-resolve the tip
+    HPath = jvm.org.apache.hadoop.fs.Path
+    try:
+        # REBASE: everything about the parent is read after the
+        # reservation (idempotency recheck included — its tip-churn
+        # retries must not leak the reservation on exhaustion)
         versions = _committed_manifest_versions(fs, vroot, jvm)
-        parent = None
-    if man is not None:
-        prev_files = man["files"]
-        prev_stats = man.get("file_stats", {})
-        prev_ids = man.get("batch_ids", [])
-        from pyspark.sql.types import StructType
+        if batch_id is not None:
+            seen = _find_batch_version(
+                fs, vroot, versions, jvm, str(batch_id)
+            )
+            if seen is not None:
+                _release_reservation(fs, vroot, version, jvm)
+                return seen
+        man = None
+        for _ in range(10):  # bounded, like every retract-resolve site
+            if not versions:
+                break
+            parent = versions[-1]
+            man = _read_manifest_or_none(fs, vroot, parent, jvm)
+            if man is not None:
+                break
+            # parent retracted between listing and read: re-resolve
+            versions = _committed_manifest_versions(fs, vroot, jvm)
+            parent = None
+        else:
+            raise ConcurrentWriteError(
+                f"tip of {table_name} kept vanishing during append rebase"
+            )
+        if man is not None:
+            prev_files = man["files"]
+            prev_stats = man.get("file_stats", {})
+            prev_ids = man.get("batch_ids", [])
+            from pyspark.sql.types import StructType
 
-        live = StructType.fromJson(json.loads(man["schema"]))
-        target_schema = merge_schemas(live, df.schema)
-        df = _align_to(df, target_schema)
-        target_schema = df.schema
-    ddir = f"{droot}/v{version}"
-    out = df.repartition(n_files) if n_files else df
-    batch_stats = None
-    if stats_cols:
-        from pyspark.sql import functions as F
+            live = StructType.fromJson(json.loads(man["schema"]))
+            target_schema = merge_schemas(live, df.schema)
+            df = _align_to(df, target_schema)
+            target_schema = df.schema
+        ddir = f"{droot}/v{version}"
+        out = df.repartition(n_files) if n_files else df
+        batch_stats = None
+        if stats_cols:
+            from pyspark.sql import functions as F
 
-        out = out.localCheckpoint(eager=True)  # stats + write: one compute
-        row = out.agg(
-            *[F.min(c).alias(f"__lo_{c}") for c in stats_cols],
-            *[F.max(c).alias(f"__hi_{c}") for c in stats_cols],
-        ).collect()[0]
-        def _j(v):
-            # JSON-safe stat values; non-primitives (timestamps, dates,
-            # decimals) become ISO-format strings, which compare
-            # lexicographically consistently — pass prune bounds in the
-            # same string form for those columns
-            return v if isinstance(v, (int, float, str, type(None))) else str(v)
+            out = out.localCheckpoint(eager=True)  # stats+write: one compute
+            row = out.agg(
+                *[F.min(c).alias(f"__lo_{c}") for c in stats_cols],
+                *[F.max(c).alias(f"__hi_{c}") for c in stats_cols],
+            ).collect()[0]
 
-        batch_stats = {
-            c: [_j(row[f"__lo_{c}"]), _j(row[f"__hi_{c}"])]
-            for c in stats_cols
-        }
-    out.write.mode("overwrite").parquet(ddir)
-    new_files = _list_parquet(fs, ddir, jvm)
-    # carry forward prior per-file stats; stamp this batch's files
-    file_stats = dict(prev_stats)
-    if batch_stats is not None:
-        for f in new_files:
-            file_stats[f] = batch_stats
-    batch_ids = set(prev_ids)
-    if batch_id is not None:
-        batch_ids.add(str(batch_id))
-    _commit_manifest(
-        spark, fs, vroot, version,
-        prev_files + new_files, json.dumps(target_schema.jsonValue()), jvm,
-        parent=parent, op="append",
-        batch_ids=sorted(batch_ids),
-        batch_id=None if batch_id is None else str(batch_id),
-        file_stats=file_stats,
-    )
-    heal_manifest_table(spark, warehouse, table_name)
+            def _j(v):
+                # JSON-safe stat values; non-primitives (timestamps,
+                # dates, decimals) become ISO-format strings, which
+                # compare lexicographically consistently — pass prune
+                # bounds in the same string form for those columns
+                return (
+                    v
+                    if isinstance(v, (int, float, str, type(None)))
+                    else str(v)
+                )
+
+            batch_stats = {
+                c: [_j(row[f"__lo_{c}"]), _j(row[f"__hi_{c}"])]
+                for c in stats_cols
+            }
+        out.write.mode("overwrite").parquet(ddir)
+        new_files = _list_parquet(fs, ddir, jvm)
+        for _ in range(10):
+            # parent-retraction validation: if our parent was retracted
+            # DURING the data write (orphaned-replace retract), its file
+            # list describes a superseded state — re-rebase the manifest
+            # arithmetic on the new tip (our own data files are
+            # parent-independent and stay as written)
+            if parent is None or fs.exists(
+                HPath(f"{vroot}/{parent}/{_COMMIT}")
+            ):
+                break
+            versions = _committed_manifest_versions(fs, vroot, jvm)
+            parent, man = None, None
+            if versions:
+                parent = versions[-1]
+                man = _read_manifest_or_none(fs, vroot, parent, jvm)
+                if man is None:
+                    parent = None
+                    continue
+            if man is not None:
+                prev_files = man["files"]
+                prev_stats = man.get("file_stats", {})
+                prev_ids = man.get("batch_ids", [])
+                from pyspark.sql.types import StructType
+
+                live = StructType.fromJson(json.loads(man["schema"]))
+                target_schema = merge_schemas(live, target_schema)
+            else:
+                prev_files, prev_stats, prev_ids = [], {}, []
+        else:
+            raise ConcurrentWriteError(
+                f"parent of {table_name} append kept retracting"
+            )
+        # carry forward prior per-file stats; stamp this batch's files
+        file_stats = dict(prev_stats)
+        if batch_stats is not None:
+            for f in new_files:
+                file_stats[f] = batch_stats
+        batch_ids = set(prev_ids)
+        if batch_id is not None:
+            batch_ids.add(str(batch_id))
+        _commit_manifest(
+            spark, fs, vroot, version,
+            prev_files + new_files,
+            json.dumps(target_schema.jsonValue()), jvm,
+            parent=parent, op="append",
+            batch_ids=sorted(batch_ids),
+            batch_id=None if batch_id is None else str(batch_id),
+            file_stats=file_stats,
+        )
+    except Exception:
+        # the reservation must not leak on ANY pre-commit failure
+        # (_find_batch_version churn, write failure, rebase exhaustion)
+        _release_reservation(fs, vroot, version, jvm)
+        raise
+    try:
+        heal_manifest_table(spark, warehouse, table_name)
+    except ConcurrentWriteError:
+        # a replace committed by ANOTHER writer is transiently orphaned
+        # (its owner retracts it momentarily); OUR append is durably
+        # committed — re-raising would make retry-driven callers append
+        # the same batch twice. The next writer/GC heals.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "post-append heal of %s deferred: transient orphan replace",
+            table_name,
+        )
     return version
 
 
@@ -545,34 +630,35 @@ def manifest_file_list(
     never lose rows)."""
     root, vroot, _ = _paths(warehouse, table_name)
     fs, _, jvm = _hadoop_fs(spark, root)
-    pinned = version is not None
-    man = None
-    for _ in range(10):
-        versions = _committed_manifest_versions(fs, vroot, jvm)
-        if not versions:
-            raise FileNotFoundError(
-                f"no committed manifest versions under {root}"
-            )
-        if not pinned:
-            version = versions[-1]
-        elif version not in versions:
-            raise FileNotFoundError(
-                f"manifest version {version} of {table_name} not available"
-                f" (committed: {versions})"
-            )
-        man = _read_manifest_or_none(fs, vroot, version, jvm)
-        if man is not None:
-            break
-        if pinned:  # an explicitly pinned version was retracted: gone
-            raise FileNotFoundError(
-                f"manifest version {version} of {table_name} was retracted"
-            )
-        # the tip was retracted between listing and read: re-resolve
-    if man is None:
-        raise ConcurrentWriteError(
-            f"tip of {table_name} kept vanishing during file listing"
-        )
+    _, man = _resolve_manifest(fs, vroot, jvm, root, table_name, version)
     return _prune_files(man, prune)
+
+
+def _resolve_manifest(
+    fs, vroot, jvm, root: str, table_name: str, version: int | None
+) -> tuple[int, dict]:
+    """Resolve (version, manifest): the tip when ``version`` is None
+    (retract-tolerant via _resolve_tip), else the pinned version —
+    which fails LOUDLY when missing or retracted (time travel to a
+    retracted version has no consistent answer)."""
+    if version is None:
+        return _resolve_tip(fs, vroot, jvm, f"{table_name} ({root})")
+    versions = _committed_manifest_versions(fs, vroot, jvm)
+    if not versions:
+        raise FileNotFoundError(
+            f"no committed manifest versions under {root}"
+        )
+    if version not in versions:
+        raise FileNotFoundError(
+            f"manifest version {version} of {table_name} not available"
+            f" (committed: {versions})"
+        )
+    man = _read_manifest_or_none(fs, vroot, version, jvm)
+    if man is None:
+        raise FileNotFoundError(
+            f"manifest version {version} of {table_name} was retracted"
+        )
+    return version, man
 
 
 def _prune_files(man: dict, prune: list[tuple] | None) -> list[str]:
@@ -615,33 +701,9 @@ def read_manifest_table(
     apply the row-level predicate; pruning only shrinks the scan."""
     root, vroot, _ = _paths(warehouse, table_name)
     fs, _, jvm = _hadoop_fs(spark, root)
-    pinned = version is not None
-    man = None
-    for _ in range(10):
-        versions = _committed_manifest_versions(fs, vroot, jvm)
-        if not versions:
-            raise FileNotFoundError(
-                f"no committed manifest versions under {root}"
-            )
-        if not pinned:
-            version = versions[-1]
-        elif version not in versions:
-            raise FileNotFoundError(
-                f"manifest version {version} of {table_name} not available"
-                f" (committed: {versions})"
-            )
-        man = _read_manifest_or_none(fs, vroot, version, jvm)
-        if man is not None:
-            break
-        if pinned:
-            raise FileNotFoundError(
-                f"manifest version {version} of {table_name} was retracted"
-            )
-        # tip retracted between listing and read: re-resolve
-    if man is None:
-        raise ConcurrentWriteError(
-            f"tip of {table_name} kept vanishing during read"
-        )
+    version, man = _resolve_manifest(
+        fs, vroot, jvm, root, table_name, version
+    )
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(man["schema"]))
@@ -666,24 +728,41 @@ def compact_manifest_table(
     root, vroot, droot = _paths(warehouse, table_name)
     fs, _, jvm = _hadoop_fs(spark, root)
     version = _reserve_version(fs, vroot, jvm)
-    # rebase: the compacted parent is chosen AFTER the reservation
-    versions = _committed_manifest_versions(fs, vroot, jvm)
-    if not versions:
+    try:
+        # rebase: the compacted parent is chosen AFTER the reservation,
+        # retract-tolerantly; the parent's file list is read ONCE and
+        # used for both the scan and the commit (no pinned re-read that
+        # a racing retraction could invalidate)
+        parent, man = _resolve_tip(fs, vroot, jvm, f"{table_name} ({root})")
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        files = man["files"]
+        current = (
+            spark.createDataFrame([], schema)
+            if not files
+            else spark.read.schema(schema).parquet(*files)
+        )
+        ddir = f"{droot}/v{version}"
+        current.repartition(n_files).write.mode("overwrite").parquet(ddir)
+        _commit_manifest(
+            spark, fs, vroot, version,
+            _list_parquet(fs, ddir, jvm), man["schema"], jvm,
+            parent=parent, op="compact",
+            batch_ids=man.get("batch_ids", []),
+        )
+    except Exception:
         _release_reservation(fs, vroot, version, jvm)
-        raise FileNotFoundError(f"no committed manifest versions under {root}")
-    parent = versions[-1]
-    man = _read_manifest(fs, vroot, parent, jvm)
-    current = read_manifest_table(spark, warehouse, table_name, version=parent)
-    schema_json = json.dumps(current.schema.jsonValue())
-    ddir = f"{droot}/v{version}"
-    current.repartition(n_files).write.mode("overwrite").parquet(ddir)
-    _commit_manifest(
-        spark, fs, vroot, version,
-        _list_parquet(fs, ddir, jvm), schema_json, jvm,
-        parent=parent, op="compact",
-        batch_ids=man.get("batch_ids", []),
-    )
-    heal_manifest_table(spark, warehouse, table_name)
+        raise
+    try:
+        heal_manifest_table(spark, warehouse, table_name)
+    except ConcurrentWriteError:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "post-compact heal of %s deferred: transient orphan replace",
+            table_name,
+        )
     return version
 
 

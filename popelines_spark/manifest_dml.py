@@ -174,10 +174,28 @@ def _replace_commit(
                 except Exception:
                     break
             if not on_tip:
+                # retract the ORPHANED commit's manifest — but keep its
+                # data files: an in-flight append that rebase-read this
+                # manifest as its parent may still commit a file list
+                # referencing them (deleting would tear that table);
+                # unreferenced rewrite files are orphan-file debris for
+                # maintenance, not a correctness hazard
                 fs.delete(HPath(f"{vroot}/{version}"), True)
-                fs.delete(HPath(ddir), True)
                 raise _Conflict(f"replace {version} superseded by tip {tip}")
-            heal_manifest_table(spark, warehouse, table_name)
+            try:
+                heal_manifest_table(spark, warehouse, table_name)
+            except ConcurrentWriteError:
+                # OUR replace is durably on the tip; a transiently
+                # orphaned replace from ANOTHER writer (its owner is
+                # about to retract it) must not convert this success
+                # into a caller-visible retry signal — the next
+                # writer/GC heals
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "post-replace heal of %s deferred: transient orphan",
+                    table_name,
+                )
             return version
         except _Conflict as exc:
             _release_reservation(fs, vroot, version, jvm)
@@ -218,12 +236,11 @@ def delete_manifest_rows(
         cond = F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
         candidates = man["files"]
         if prune:
-            from popelines_spark.manifest import manifest_file_list
+            from popelines_spark.manifest import _prune_files
 
-            candidates = manifest_file_list(
-                spark, warehouse, table_name,
-                version=man["version"], prune=prune,
-            )
+            # prune from the manifest ALREADY IN HAND: a pinned re-read
+            # races the retract path and costs extra listings per retry
+            candidates = _prune_files(man, prune)
         affected = _affected_files(spark, schema, candidates, cond)
         if not affected:
             raise _NoOp(man["version"])
@@ -264,12 +281,11 @@ def update_manifest_rows(
         cond = F.expr(predicate)
         candidates = man["files"]
         if prune:
-            from popelines_spark.manifest import manifest_file_list
+            from popelines_spark.manifest import _prune_files
 
-            candidates = manifest_file_list(
-                spark, warehouse, table_name,
-                version=man["version"], prune=prune,
-            )
+            # prune from the manifest ALREADY IN HAND: a pinned re-read
+            # races the retract path and costs extra listings per retry
+            candidates = _prune_files(man, prune)
         affected = _affected_files(spark, schema, candidates, cond)
         if not affected:
             raise _NoOp(man["version"])

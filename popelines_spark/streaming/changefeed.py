@@ -92,12 +92,22 @@ class ManifestChangefeedReader(DataSourceStreamReader):
         lo, hi = start["version"], end["version"]
         versions = _committed_versions(self.vroot)
         # a racing replace-commit may retract a just-listed version
-        # (manifest_dml._replace_commit) — skip vanished manifests
+        # (manifest_dml._replace_commit). OUTSIDE the batch window that
+        # is ignorable bookkeeping; INSIDE (lo, hi] it would silently
+        # drop rows the offset range promises — the module contract is
+        # byte-identical replay, so fail loudly instead.
         mans = {}
         for v in versions:
             try:
                 mans[v] = _read_manifest(self.vroot, v)
             except FileNotFoundError:
+                if lo < v <= hi:
+                    raise RuntimeError(
+                        f"manifest_changefeed: version {v} inside the "
+                        f"planned offset window ({lo}, {hi}] of table "
+                        f"{self.table} was retracted/GC'd — cannot "
+                        "replay the batch byte-identically"
+                    )
                 continue
         versions = [v for v in versions if v in mans]
         data_cols = [f.name for f in self.schema.fields if f.name != _META_COL]
