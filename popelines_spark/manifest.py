@@ -116,6 +116,36 @@ def _read_manifest_or_none(fs, vroot, version, jvm) -> dict | None:
         raise
 
 
+def _lineage_set(fs, vroot, jvm, start: int | None) -> set[int]:
+    """The parent chain from ``start`` (inclusive), tolerant of vanished
+    manifests (chain truncates there)."""
+    seen: set[int] = set()
+    v = start
+    while v is not None and v not in seen:
+        seen.add(v)
+        m = _read_manifest_or_none(fs, vroot, v, jvm)
+        if m is None:
+            break
+        v = m.get("parent")
+    return seen
+
+
+def _orphan_replaces(fs, vroot, jvm, tip: int | None) -> list[int]:
+    """Committed ``op=replace`` versions NOT on ``tip``'s lineage — DML
+    whose effect a commit parented on ``tip`` would silently drop.
+    Membership is by LINEAGE, never by version-number comparison: a
+    stale append can carry a HIGHER number than the replace it misses."""
+    lineage = _lineage_set(fs, vroot, jvm, tip)
+    out = []
+    for v in _committed_manifest_versions(fs, vroot, jvm):
+        if v in lineage:
+            continue
+        m = _read_manifest_or_none(fs, vroot, v, jvm)
+        if m is not None and m.get("op") == "replace":
+            out.append(v)
+    return out
+
+
 def _resolve_tip(fs, vroot, jvm, label: str) -> tuple[int, dict]:
     """List committed versions and read the tip, re-resolving (≤10×)
     when the tip vanishes between the listing and the read — the
@@ -518,19 +548,35 @@ def append_manifest_table(
         out.write.mode("overwrite").parquet(ddir)
         new_files = _list_parquet(fs, ddir, jvm)
         for _ in range(10):
-            # parent-retraction validation: if our parent was retracted
-            # DURING the data write (orphaned-replace retract), its file
-            # list describes a superseded state — re-rebase the manifest
-            # arithmetic on the new tip (our own data files are
-            # parent-independent and stay as written)
-            if parent is None or fs.exists(
+            # PRE-FLIP REBASE: commit parented on the CURRENT tip, not
+            # the one read before the (slow) data write. Two reasons:
+            # a retracted parent's file list describes superseded state,
+            # and — because the tip is the highest version NUMBER, not
+            # the latest commit — flipping a stale parent over a
+            # lower-numbered replace that committed meanwhile would
+            # silently orphan that DML (its owner's post-commit walk
+            # only catches commits visible at walk time). Our own data
+            # files are parent-independent and stay as written; append-
+            # over-append inversions in the residual window stay heal's
+            # job (file unions commute — row DML does not).
+            current = _committed_manifest_versions(fs, vroot, jvm)
+            cur_tip = current[-1] if current else None
+            parent_alive = parent is None or fs.exists(
                 HPath(f"{vroot}/{parent}/{_COMMIT}")
-            ):
+            )
+            if cur_tip == parent and parent_alive:
                 break
-            versions = _committed_manifest_versions(fs, vroot, jvm)
-            parent, man = None, None
-            if versions:
-                parent = versions[-1]
+            if parent_alive:
+                # tip moved past us — flipping a stale parent is SAFE
+                # over appends/compacts (heal unions file lists) but
+                # would silently orphan a replace's row-level DML:
+                # rebase only when a committed replace is MISSING from
+                # our parent's lineage (lineage membership, not version
+                # arithmetic — stale appends can outnumber the replace)
+                if not _orphan_replaces(fs, vroot, jvm, parent):
+                    break
+            parent, man = cur_tip, None
+            if parent is not None:
                 man = _read_manifest_or_none(fs, vroot, parent, jvm)
                 if man is None:
                     parent = None
@@ -547,25 +593,51 @@ def append_manifest_table(
                 prev_files, prev_stats, prev_ids = [], {}, []
         else:
             raise ConcurrentWriteError(
-                f"parent of {table_name} append kept retracting"
+                f"tip of {table_name} kept moving during append rebase"
             )
-        # carry forward prior per-file stats; stamp this batch's files
-        file_stats = dict(prev_stats)
-        if batch_stats is not None:
-            for f in new_files:
-                file_stats[f] = batch_stats
-        batch_ids = set(prev_ids)
-        if batch_id is not None:
-            batch_ids.add(str(batch_id))
-        _commit_manifest(
-            spark, fs, vroot, version,
-            prev_files + new_files,
-            json.dumps(target_schema.jsonValue()), jvm,
-            parent=parent, op="append",
-            batch_ids=sorted(batch_ids),
-            batch_id=None if batch_id is None else str(batch_id),
-            file_stats=file_stats,
-        )
+        for flip_attempt in range(10):
+            # carry forward prior per-file stats; stamp batch files
+            file_stats = dict(prev_stats)
+            if batch_stats is not None:
+                for f in new_files:
+                    file_stats[f] = batch_stats
+            batch_ids = set(prev_ids)
+            if batch_id is not None:
+                batch_ids.add(str(batch_id))
+            _commit_manifest(
+                spark, fs, vroot, version,
+                prev_files + new_files,
+                json.dumps(target_schema.jsonValue()), jvm,
+                parent=parent, op="append",
+                batch_ids=sorted(batch_ids),
+                batch_id=None if batch_id is None else str(batch_id),
+                file_stats=file_stats,
+            )
+            # POST-FLIP: a replace may have flipped in the window
+            # between our pre-flip rebase check and our commit — at ITS
+            # post-commit walk we were not yet visible, so it declared
+            # itself on-tip, and our commit now orphans its row-level
+            # DML (lineage check: version numbers do not order commits).
+            # Detect it, retract OURSELVES (data files stay — the
+            # re-commit references them), and re-commit rebased.
+            if not _orphan_replaces(fs, vroot, jvm, version):
+                break
+            fs.delete(HPath(f"{vroot}/{version}"), True)
+            version = _reserve_version(fs, vroot, jvm)
+            parent, man = _resolve_tip(
+                fs, vroot, jvm, f"{table_name} ({root})"
+            )
+            prev_files = man["files"]
+            prev_stats = man.get("file_stats", {})
+            prev_ids = man.get("batch_ids", [])
+            from pyspark.sql.types import StructType
+
+            live = StructType.fromJson(json.loads(man["schema"]))
+            target_schema = merge_schemas(live, target_schema)
+        else:
+            raise ConcurrentWriteError(
+                f"append on {table_name} kept colliding with replaces"
+            )
     except Exception:
         # the reservation must not leak on ANY pre-commit failure
         # (_find_batch_version churn, write failure, rebase exhaustion)
@@ -764,6 +836,67 @@ def compact_manifest_table(
             table_name,
         )
     return version
+
+
+def cleanup_orphan_files(
+    spark: SparkSession,
+    warehouse: str,
+    table_name: str,
+) -> int:
+    """Delete data files referenced by NO committed manifest — the
+    debris the orphaned-replace retract path deliberately leaves behind
+    (it keeps data files so an in-flight append parented on the
+    retracted manifest cannot commit a torn file list; see
+    manifest_dml._replace_commit). Returns the number of files removed.
+
+    Safety rules, both required:
+      - a file is removable only if NO committed manifest lists it
+        (union over every version, not just retained ones — this is the
+        orphan sweeper, gc_manifest_table owns retention);
+      - its ``data/v{N}`` directory must be non-live: N ≤ the committed
+        tip AND not currently reserved — an in-flight writer streams
+        into its reserved version's directory before committing.
+    """
+    root, vroot, droot = _paths(warehouse, table_name)
+    fs, _, jvm = _hadoop_fs(spark, root)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    versions = _committed_manifest_versions(fs, vroot, jvm)
+    if not versions:
+        return 0
+    tip = versions[-1]
+    referenced: set[str] = set()
+    for v in versions:
+        m = _read_manifest_or_none(fs, vroot, v, jvm)
+        if m is not None:
+            referenced.update(m["files"])
+    removed = 0
+    droot_path = HPath(droot)
+    if not fs.exists(droot_path):
+        return 0
+    for st in fs.listStatus(droot_path):
+        name = st.getPath().getName()
+        if not name.startswith("v"):
+            continue
+        try:
+            n = int(name[1:])
+        except ValueError:
+            continue
+        if n > tip:
+            continue  # possibly an in-flight writer past the tip
+        if fs.exists(HPath(f"{vroot}/{n}.__reserved")):
+            continue  # reserved: a writer is streaming into it
+        it = fs.listFiles(st.getPath(), True)
+        doomed = []
+        while it.hasNext():
+            f = it.next().getPath()
+            if f.getName().endswith(".parquet") and (
+                f.toString() not in referenced
+            ):
+                doomed.append(f)
+        for f in doomed:
+            fs.delete(f, False)
+            removed += 1
+    return removed
 
 
 def gc_manifest_table(

@@ -45,6 +45,7 @@ from popelines_spark.manifest import (
     _hadoop_fs,
     _list_parquet,
     _paths,
+    _orphan_replaces,
     _read_manifest,
     _read_manifest_or_none,
     _release_reservation,
@@ -182,6 +183,18 @@ def _replace_commit(
                 # maintenance, not a correctness hazard
                 fs.delete(HPath(f"{vroot}/{version}"), True)
                 raise _Conflict(f"replace {version} superseded by tip {tip}")
+            peers = _orphan_replaces(fs, vroot, jvm, version)
+            if peers:
+                # a RACING replace flipped inside our validate→commit
+                # window: both of us passed our own on-tip walks (tip is
+                # the highest NUMBER, which does not order commits), so
+                # whichever lineage wins, one DML's effect is dropped.
+                # Both sides retract and retry — fresh reservations
+                # serialize them.
+                fs.delete(HPath(f"{vroot}/{version}"), True)
+                raise _Conflict(
+                    f"replace {version} raced replaces {peers} off-lineage"
+                )
             try:
                 heal_manifest_table(spark, warehouse, table_name)
             except ConcurrentWriteError:
