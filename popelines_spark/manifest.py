@@ -116,34 +116,38 @@ def _read_manifest_or_none(fs, vroot, version, jvm) -> dict | None:
         raise
 
 
-def _lineage_set(fs, vroot, jvm, start: int | None) -> set[int]:
-    """The parent chain from ``start`` (inclusive), tolerant of vanished
-    manifests (chain truncates there)."""
-    seen: set[int] = set()
-    v = start
-    while v is not None and v not in seen:
-        seen.add(v)
-        m = _read_manifest_or_none(fs, vroot, v, jvm)
-        if m is None:
-            break
-        v = m.get("parent")
-    return seen
-
-
 def _orphan_replaces(fs, vroot, jvm, tip: int | None) -> list[int]:
     """Committed ``op=replace`` versions NOT on ``tip``'s lineage — DML
     whose effect a commit parented on ``tip`` would silently drop.
     Membership is by LINEAGE, never by version-number comparison: a
-    stale append can carry a HIGHER number than the replace it misses."""
-    lineage = _lineage_set(fs, vroot, jvm, tip)
-    out = []
-    for v in _committed_manifest_versions(fs, vroot, jvm):
-        if v in lineage:
-            continue
+    stale append can carry a HIGHER number than the replace it misses.
+
+    FAIL-OPEN on unknowable history: if the walk from ``tip`` hits a
+    DANGLING parent pointer (a retracted manifest some committed child
+    still references), the true lineage cannot be decided — returning a
+    false orphan there would brick every writer over a transient race,
+    so the caller proceeds and heal/GC report loudly instead."""
+    versions = _committed_manifest_versions(fs, vroot, jvm)
+    mans: dict[int, dict] = {}
+    for v in versions:
         m = _read_manifest_or_none(fs, vroot, v, jvm)
-        if m is not None and m.get("op") == "replace":
-            out.append(v)
-    return out
+        if m is not None:
+            mans[v] = m
+    versions = [v for v in versions if v in mans]
+    if tip is None or tip not in mans:
+        return []  # tip vanished under us: unknowable, fail open
+    chain: set[int] = set()
+    v: int | None = tip
+    while v is not None and v not in chain:
+        chain.add(v)
+        p = _parent_of(mans, versions, v)
+        if p is not None and p not in mans:
+            return []  # dangling parent: lineage unknowable, fail open
+        v = p
+    return [
+        v for v in versions
+        if v not in chain and mans[v].get("op") == "replace"
+    ]
 
 
 def _resolve_tip(fs, vroot, jvm, label: str) -> tuple[int, dict]:
@@ -592,9 +596,24 @@ def append_manifest_table(
             else:
                 prev_files, prev_stats, prev_ids = [], {}, []
         else:
-            raise ConcurrentWriteError(
-                f"tip of {table_name} kept moving during append rebase"
-            )
+            # attempts exhausted. A parent that resolved but carries a
+            # PERSISTENT off-lineage replace means that replace's owner
+            # is gone (transient orphans clear in one walk): block no
+            # further — flip, and let heal/GC report the orphan loudly.
+            if parent is not None and fs.exists(
+                HPath(f"{vroot}/{parent}/{_COMMIT}")
+            ):
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "append on %s proceeding past a persistent orphaned "
+                    "replace (abandoned owner?) — heal/GC will report it",
+                    table_name,
+                )
+            else:
+                raise ConcurrentWriteError(
+                    f"tip of {table_name} kept moving during append rebase"
+                )
         for flip_attempt in range(10):
             # carry forward prior per-file stats; stamp batch files
             file_stats = dict(prev_stats)
@@ -622,8 +641,37 @@ def append_manifest_table(
             # re-commit references them), and re-commit rebased.
             if not _orphan_replaces(fs, vroot, jvm, version):
                 break
-            fs.delete(HPath(f"{vroot}/{version}"), True)
+            # descendant guard: if a commit already built on ours
+            # (parent POINTER check — number order means nothing),
+            # retracting would dangle its parent — leave the orphan to
+            # its own owner's walk or to maintenance
+            has_child = False
+            for v in _committed_manifest_versions(fs, vroot, jvm):
+                if v == version:
+                    continue
+                m = _read_manifest_or_none(fs, vroot, v, jvm)
+                if m is not None and m.get("parent") == version:
+                    has_child = True
+                    break
+            if has_child:
+                break
+            if flip_attempt == 9:
+                # persistent across retries = abandoned owner; our
+                # commit is durable — stop retracting, report loudly
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "append on %s leaves a persistent orphaned replace "
+                    "in place (abandoned owner?) — heal/GC will report",
+                    table_name,
+                )
+                break
+            # reserve the NEW version BEFORE retracting the old one so
+            # the data files are never both unreferenced and unreserved
+            # (cleanup_orphan_files aborts while any claim marker lives)
+            old_version = version
             version = _reserve_version(fs, vroot, jvm)
+            fs.delete(HPath(f"{vroot}/{old_version}"), True)
             parent, man = _resolve_tip(
                 fs, vroot, jvm, f"{table_name} ({root})"
             )
@@ -634,10 +682,6 @@ def append_manifest_table(
 
             live = StructType.fromJson(json.loads(man["schema"]))
             target_schema = merge_schemas(live, target_schema)
-        else:
-            raise ConcurrentWriteError(
-                f"append on {table_name} kept colliding with replaces"
-            )
     except Exception:
         # the reservation must not leak on ANY pre-commit failure
         # (_find_batch_version churn, write failure, rebase exhaustion)
@@ -860,6 +904,13 @@ def cleanup_orphan_files(
     root, vroot, droot = _paths(warehouse, table_name)
     fs, _, jvm = _hadoop_fs(spark, root)
     HPath = jvm.org.apache.hadoop.fs.Path
+    # any live reservation = an in-flight writer that may be about to
+    # commit references to files this sweep would classify as orphans
+    # (e.g. an append parented on a just-retracted replace) — the only
+    # safe sweep is one with no writer in flight
+    for st in fs.listStatus(HPath(vroot)):
+        if st.getPath().getName().endswith(".__reserved"):
+            return 0
     versions = _committed_manifest_versions(fs, vroot, jvm)
     if not versions:
         return 0
