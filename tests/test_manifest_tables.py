@@ -467,3 +467,37 @@ def test_cleanup_orphan_files(spark, scratch):
     assert read_manifest_table(spark, scratch, "mo").count() == 10
     # idempotent
     assert cleanup_orphan_files(spark, scratch, "mo") == 0
+
+
+def test_orphan_replace_detection_rules(spark, scratch):
+    """_orphan_replaces: flags a committed replace missing from the tip
+    lineage; fails OPEN (returns nothing) when the walk hits a dangling
+    parent — blocking writers on unknowable history would turn a
+    transient race into a permanent outage."""
+    from popelines_spark import manifest as M
+    from popelines_spark.manifest_dml import delete_manifest_rows
+
+    append_manifest_table(spark, scratch, "md", _mk(spark, 5, "a"))   # v1
+    delete_manifest_rows(spark, scratch, "md", "n = 0")               # v2
+    append_manifest_table(spark, scratch, "md", _mk(spark, 5, "b"))   # v3
+    root, vroot, _ = M._paths(scratch, "md")
+    fs, _, jvm = M._hadoop_fs(spark, root)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    versions = M._committed_manifest_versions(fs, vroot, jvm)
+    tip = versions[-1]
+    # healthy chain: nothing is orphaned
+    assert M._orphan_replaces(fs, vroot, jvm, tip) == []
+    # fabricate a stale sibling that skipped the replace: parent = v1
+    bogus = tip + 10
+    man_tip = M._read_manifest(fs, vroot, tip, jvm)
+    M._commit_manifest(
+        spark, fs, vroot, bogus, man_tip["files"], man_tip["schema"],
+        jvm, parent=versions[0], op="append",
+    )
+    orphans = M._orphan_replaces(fs, vroot, jvm, bogus)
+    assert orphans == [v for v in versions
+                       if M._read_manifest(fs, vroot, v, jvm).get("op")
+                       == "replace"]
+    # dangling parent on the tip lineage: fail open
+    fs.delete(HPath(f"{vroot}/{versions[0]}"), True)  # v1 vanishes
+    assert M._orphan_replaces(fs, vroot, jvm, bogus) == []
