@@ -22,6 +22,7 @@ functions work on ``s3a://``/``gs://`` URIs.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -635,8 +636,11 @@ def _merge_minmax(type_str: str, old: str | None, new: str | None):
     vals = [v for v in (old, new) if v is not None]
     if not vals:
         return None, None
-    numeric = any(
-        t in type_str for t in ("int", "long", "float", "double", "decimal")
+    # anchored match, not substring: 'interval day to second' contains
+    # 'int' but its min/max strings are not float()-parseable
+    numeric = re.match(
+        r"(tinyint|smallint|integer|int|bigint|long|float|double|decimal)\b",
+        type_str.strip().lower(),
     )
     key = (lambda v: float(v)) if numeric else (lambda v: v)
     return min(vals, key=key), max(vals, key=key)

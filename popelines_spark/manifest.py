@@ -116,7 +116,9 @@ def _read_manifest_or_none(fs, vroot, version, jvm) -> dict | None:
         raise
 
 
-def _orphan_replaces(fs, vroot, jvm, tip: int | None) -> list[int]:
+def _orphan_replaces(
+    fs, vroot, jvm, tip: int | None, cache: dict[int, dict] | None = None
+) -> list[int]:
     """Committed ``op=replace`` versions NOT on ``tip``'s lineage — DML
     whose effect a commit parented on ``tip`` would silently drop.
     Membership is by LINEAGE, never by version-number comparison: a
@@ -126,13 +128,31 @@ def _orphan_replaces(fs, vroot, jvm, tip: int | None) -> list[int]:
     DANGLING parent pointer (a retracted manifest some committed child
     still references), the true lineage cannot be decided — returning a
     false orphan there would brick every writer over a transient race,
-    so the caller proceeds and heal/GC report loudly instead."""
+    so the caller proceeds and heal/GC report loudly instead.
+
+    ``cache`` (one per append, passed across that append's pre-flip and
+    post-flip retry loops) amortizes the manifest JSON reads: committed
+    manifests are immutable, so each version is read ONCE per append
+    instead of once per loop iteration (~20× on a contended commit — a
+    metadata read storm on long un-GC'd histories). Entries whose
+    version vanishes from the committed listing are evicted, so a
+    retract-then-reuse of the same number is re-read, never served
+    stale."""
     versions = _committed_manifest_versions(fs, vroot, jvm)
+    if cache is not None:
+        vset = set(versions)
+        for k in [k for k in cache if k not in vset]:
+            del cache[k]  # retracted: the number may be recommitted
     mans: dict[int, dict] = {}
     for v in versions:
+        if cache is not None and v in cache:
+            mans[v] = cache[v]
+            continue
         m = _read_manifest_or_none(fs, vroot, v, jvm)
         if m is not None:
             mans[v] = m
+            if cache is not None:
+                cache[v] = m
     versions = [v for v in versions if v in mans]
     if tip is None or tip not in mans:
         return []  # tip vanished under us: unknowable, fail open
@@ -396,11 +416,18 @@ def heal_manifest_table(
                 pf = set(mans[p]["files"])
                 contrib = [f for f in m["files"] if f not in pf]
             else:
-                raise ConcurrentWriteError(
-                    f"orphaned append {v} of {table_name}: its parent "
-                    f"manifest {p} was GC'd, so its contribution cannot "
-                    "be computed"
-                )
+                # DANGLING parent (retracted under a racing child, or
+                # GC'd): an append's own contribution is structurally
+                # the files under its own data/v{N} directory — exact
+                # for data-writing appends, and it cannot resurrect rows
+                # a replace deleted (the inherited part of the child's
+                # list, which may predate that replace, is excluded).
+                # A heal reconciliation commit (which references only
+                # OTHER versions' directories) computes empty here; its
+                # source appends are themselves committed manifests and
+                # are re-discovered directly.
+                own = f"/data/v{v}/"
+                contrib = [f for f in m["files"] if own in f]
             new = [f for f in contrib if f not in tip_files]
             if new:
                 missing.extend(new)
@@ -425,14 +452,20 @@ def heal_manifest_table(
         version = _reserve_version(fs, vroot, jvm)
         file_stats = dict(tipman.get("file_stats", {}))
         file_stats.update(stats_add)
-        _commit_manifest(
-            spark, fs, vroot, version,
-            list(tip_files) + missing,
-            json.dumps(schema.jsonValue()), jvm,
-            parent=tip, op="append",
-            batch_ids=sorted(set(tipman.get("batch_ids", [])) | ids_add),
-            file_stats=file_stats,
-        )
+        try:
+            _commit_manifest(
+                spark, fs, vroot, version,
+                list(tip_files) + missing,
+                json.dumps(schema.jsonValue()), jvm,
+                parent=tip, op="append",
+                batch_ids=sorted(set(tipman.get("batch_ids", [])) | ids_add),
+                file_stats=file_stats,
+            )
+        except BaseException:
+            # same discipline as append/compact: a reservation leaked on
+            # a failed commit would permanently stall cleanup_orphan_files
+            _release_reservation(fs, vroot, version, jvm)
+            raise
         healed += 1
     return healed
 
@@ -485,6 +518,9 @@ def append_manifest_table(
     parent: int | None = None
     target_schema = df.schema
     HPath = jvm.org.apache.hadoop.fs.Path
+    # one manifest-read cache for this append's whole rebase/flip cycle
+    # (committed manifests are immutable; see _orphan_replaces)
+    man_cache: dict[int, dict] = {}
     try:
         # REBASE: everything about the parent is read after the
         # reservation (idempotency recheck included — its tip-churn
@@ -577,7 +613,7 @@ def append_manifest_table(
                 # rebase only when a committed replace is MISSING from
                 # our parent's lineage (lineage membership, not version
                 # arithmetic — stale appends can outnumber the replace)
-                if not _orphan_replaces(fs, vroot, jvm, parent):
+                if not _orphan_replaces(fs, vroot, jvm, parent, man_cache):
                     break
             parent, man = cur_tip, None
             if parent is not None:
@@ -639,7 +675,7 @@ def append_manifest_table(
             # DML (lineage check: version numbers do not order commits).
             # Detect it, retract OURSELVES (data files stay — the
             # re-commit references them), and re-commit rebased.
-            if not _orphan_replaces(fs, vroot, jvm, version):
+            if not _orphan_replaces(fs, vroot, jvm, version, man_cache):
                 break
             # descendant guard: if a commit already built on ours
             # (parent POINTER check — number order means nothing),
@@ -672,6 +708,32 @@ def append_manifest_table(
             old_version = version
             version = _reserve_version(fs, vroot, jvm)
             fs.delete(HPath(f"{vroot}/{old_version}"), True)
+            # POST-DELETE CHILD RE-CHECK: a commit parented on
+            # old_version can land between the has_child scan above and
+            # the delete — leaving its parent pointer dangling, which
+            # makes heal raise persistently while any replace sits in
+            # the skipped history. Restore our manifest verbatim (the
+            # marker claim guards against the number having been
+            # re-reserved meanwhile) and stop retracting — same outcome
+            # as the has_child break above.
+            child_appeared = any(
+                (m2 := _read_manifest_or_none(fs, vroot, v2, jvm))
+                is not None and m2.get("parent") == old_version
+                for v2 in _committed_manifest_versions(fs, vroot, jvm)
+            )
+            if child_appeared and _claim_marker(fs, vroot, old_version, jvm):
+                _commit_manifest(
+                    spark, fs, vroot, old_version,
+                    prev_files + new_files,
+                    json.dumps(target_schema.jsonValue()), jvm,
+                    parent=parent, op="append",
+                    batch_ids=sorted(batch_ids),
+                    batch_id=None if batch_id is None else str(batch_id),
+                    file_stats=file_stats,
+                )
+                _release_reservation(fs, vroot, version, jvm)
+                version = old_version
+                break
             parent, man = _resolve_tip(
                 fs, vroot, jvm, f"{table_name} ({root})"
             )
@@ -886,6 +948,7 @@ def cleanup_orphan_files(
     spark: SparkSession,
     warehouse: str,
     table_name: str,
+    reservation_timeout_sec: float = 3600.0,
 ) -> int:
     """Delete data files referenced by NO committed manifest — the
     debris the orphaned-replace retract path deliberately leaves behind
@@ -900,17 +963,30 @@ def cleanup_orphan_files(
       - its ``data/v{N}`` directory must be non-live: N ≤ the committed
         tip AND not currently reserved — an in-flight writer streams
         into its reserved version's directory before committing.
-    """
+
+    A reservation marker older than ``reservation_timeout_sec`` is
+    treated as ABANDONED (a writer killed between reserve and release):
+    without an age cutoff, one crashed writer would disable orphan
+    cleanup for the table forever. Abandoned markers are ignored for the
+    writer-in-flight abort but their ``data/v{N}`` directory is still
+    skipped — presumed-dead is not proven-dead, and skipping one
+    directory costs nothing while deleting a live writer's in-flight
+    files would corrupt its commit."""
+    import time
+
     root, vroot, droot = _paths(warehouse, table_name)
     fs, _, jvm = _hadoop_fs(spark, root)
     HPath = jvm.org.apache.hadoop.fs.Path
     # any live reservation = an in-flight writer that may be about to
     # commit references to files this sweep would classify as orphans
     # (e.g. an append parented on a just-retracted replace) — the only
-    # safe sweep is one with no writer in flight
+    # safe sweep is one with no FRESH reservation in flight
+    now_ms = time.time() * 1000.0
     for st in fs.listStatus(HPath(vroot)):
         if st.getPath().getName().endswith(".__reserved"):
-            return 0
+            age_ms = now_ms - st.getModificationTime()
+            if age_ms < reservation_timeout_sec * 1000.0:
+                return 0
     versions = _committed_manifest_versions(fs, vroot, jvm)
     if not versions:
         return 0

@@ -134,13 +134,23 @@ class Popeline:
     def join_tables(
         self,
         big_table: str,
-        small_table: str,
-        on: str,
-        how: str = "inner",
+        small_table: str | list[str],
+        on: str | list[str],
+        how: str | list[str] = "inner",
         runtime_filter: bool | str = False,
         skew: bool | str = False,
     ) -> DataFrame:
         """Join two warehouse tables with STATS-DRIVEN physical strategy.
+
+        ``small_table`` may also be a LIST of dimension tables (with
+        ``on``/``how`` scalars applied to every leg, or parallel lists):
+        the call then routes through :meth:`star_join`, which composes
+        the full decision matrix automatically — leg ORDER
+        (most-selective inner dims first) and per-leg broadcast are
+        planned from at-rest stats alone (the two rewrites with no CPU
+        trade-off, always on), while bloom prefilters and skew salting
+        keep the same opt-in ``runtime_filter``/``skew`` contract as the
+        two-table form.
 
         The reference's engine (BigQuery) picks broadcast vs shuffled and
         applies runtime semi-join ("bloom") filters transparently to every
@@ -180,6 +190,27 @@ class Popeline:
         from popelines_spark.operators.bloom import bloom_prefilter
         from popelines_spark.operators.skew import salted_join
 
+        if isinstance(small_table, (list, tuple)):
+            ons = list(on) if isinstance(on, (list, tuple)) else (
+                [on] * len(small_table)
+            )
+            hows = list(how) if isinstance(how, (list, tuple)) else (
+                [how] * len(small_table)
+            )
+            if not (len(ons) == len(hows) == len(small_table)):
+                raise ValueError(
+                    "join_tables: on/how lists must match small_table's "
+                    f"length {len(small_table)}"
+                )
+            return self.star_join(
+                big_table,
+                [
+                    {"table": t, "on": o, "how": h}
+                    for t, o, h in zip(small_table, ons, hows)
+                ],
+                runtime_filter=runtime_filter,
+                skew=skew,
+            )
         decision = self.explain_join(
             big_table, small_table, on, how,
             runtime_filter=runtime_filter, skew=skew,
@@ -470,7 +501,10 @@ class Popeline:
             n_buckets = plan["n_buckets"]
         names = []
         for t in (left_table, right_table):
-            df = io.read_table_evolved(self.spark, self.warehouse, t)
+            # read_table_auto, not read_table_evolved: on a manifest
+            # (ACID) table a plain glob would hit versions/ JSON or
+            # double-count dead pre-GC copy-on-write files
+            df = io.read_table_auto(self.spark, self.warehouse, t)
             name = f"{io.normalize_table_name(t)}_by_{on}"
             write_bucketed(df, name, on, n_buckets)
             names.append(name)

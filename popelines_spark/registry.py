@@ -59,23 +59,59 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # impossible to miss).  (tools/parity.py still covers the full registry
 # every round at sf{0.001,0.01,0.1}.)
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # -- never driver-scored (29): round-8 staged batch + round-9 bloom
-    "b_manifest_sql", "b_manifest_delete", "b_manifest_update",
-    "b_manifest_upsert", "s_manifest_changefeed", "c_label_margin_fast",
-    "a_source_rest_paged", "c_anova_oneway", "c_cramers_v", "c_ab_cuped",
-    "c_seasonal_decompose", "c_rolling_corr", "c_groupwise_ols",
-    "c_calibration_bins", "c_sax_symbolize", "c_welch_ttest",
-    "c_levene_test", "c_ndcg_eval", "c_auc_roc", "c_kruskal_wallis",
-    "c_cohens_kappa", "c_brier_logloss", "c_wilson_ci", "c_odds_ratio",
-    "c_cross_corr_lag", "c_info_gain_split", "c_kfold_assign",
-    "c_bpe_pair_stats", "b_join_bloom", "b_join_star_planned",
-    # -- next-stalest (20): round-2 cohort (16) + oldest round-3 entries
-    "b_fn_array", "b_fn_cast", "b_fn_json", "b_fn_map",
-    "b_fn_sanitize_ident", "b_fn_struct", "c_decontaminate",
-    "c_dedup_cluster", "c_dedup_exact", "c_dedup_ngram", "c_knn_cosine",
-    "c_mix_domains", "c_multimodal_col", "c_pack_sequences",
-    "c_pii_redact", "c_profile",
-    "b_agg_argminmax", "b_agg_bool", "b_agg_corr", "b_agg_median",
+    # -- round-11 window: stalest-green cohort (r2/r5-era fn/set-ops/
+    # window/TPC-H ids whose latest driver proof is oldest), emitted
+    # verbatim by tools/rotate_window.py
+    "b_agg_stats",
+    "b_except",
+    "b_fn_bitwise",
+    "b_fn_date2",
+    "b_fn_math2",
+    "b_fn_string2",
+    "b_fn_try",
+    "b_intersect",
+    "b_join_asof_strict",
+    "b_merge_upsert",
+    "b_pivot",
+    "b_scan_csv",
+    "b_scan_orc",
+    "b_sink_partitioned",
+    "b_subquery_in",
+    "b_subquery_scalar",
+    "b_topk_per_group",
+    "b_union_all",
+    "b_union_distinct",
+    "b_union_evolve",
+    "b_unpivot",
+    "b_win_ntile_dist",
+    "b_win_range_frame",
+    "c_dedup_cluster_star",
+    "c_dedup_embedding",
+    "c_dedup_fuzzy",
+    "c_dedup_simhash",
+    "s_enrich",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "b_agg_approx_quantile",
+    "b_fn_hof",
+    "b_join_asof_forward",
+    "b_join_asof_tolerance",
+    "b_join_bucketed",
+    "b_join_salted",
 )
 
 

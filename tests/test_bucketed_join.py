@@ -250,3 +250,36 @@ def test_bucketize_pair_noop_when_broadcastable(spark, tmp_path):
     io.write_table(spark.range(10).select(F.col("id").alias("k")), str(tmp_path), "b1")
     p.analyze_table("a1"); p.analyze_table("b1")
     assert p.bucketize_pair("a1", "b1", on="k") is None
+
+
+def test_bucketize_pair_reads_manifest_tip(spark, tmp_path):
+    """bucketize_pair on a manifest (ACID) table must read the live tip
+    — a plain parquet glob would double-count dead pre-GC copy-on-write
+    files and trip over versions/ JSON."""
+    from popelines_spark import io
+    from popelines_spark.manifest import append_manifest_table
+    from popelines_spark.manifest_dml import delete_manifest_rows
+    from popelines_spark.pipeline import Popeline
+
+    p = Popeline(warehouse=str(tmp_path), spark=spark)
+    rows = spark.range(0, 1_000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("v")
+    )
+    append_manifest_table(spark, str(tmp_path), "ml", rows)
+    # copy-on-write DML: dead pre-GC files now sit beside live ones
+    delete_manifest_rows(spark, str(tmp_path), "ml", "v < 100")
+    io.write_table(
+        spark.range(0, 500).select(
+            (F.col("id") % 100).alias("k"), F.col("id").alias("rv")
+        ),
+        str(tmp_path), "mr",
+    )
+    names = p.bucketize_pair("ml", "mr", on="k", n_buckets=4)
+    assert names == ("ml_by_k", "mr_by_k")
+    try:
+        bucketed = spark.table("ml_by_k")
+        assert bucketed.count() == 900  # tip rows only, no double-count
+        assert bucketed.agg(F.min("v")).collect()[0][0] == 100
+    finally:
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")

@@ -266,3 +266,18 @@ def test_path_maintenance_refuses_manifest_tables(spark, tmp_path):
         io.compact_table(spark, wh, "m")
     with pytest.raises(ValueError, match="compact_manifest_table"):
         Popeline(warehouse=wh, spark=spark).relayout_table("m", ["k"])
+
+
+def test_merge_minmax_interval_is_not_numeric():
+    """'interval day to second' contains the substring 'int' but its
+    min/max strings are not float()-parseable — type detection must be
+    anchored, not substring containment."""
+    from popelines_spark.io import _merge_minmax
+
+    lo = "INTERVAL '1 00:00:00' DAY TO SECOND"
+    hi = "INTERVAL '2 00:00:00' DAY TO SECOND"
+    assert _merge_minmax("interval day to second", hi, lo) == (lo, hi)
+    # numerics still compare as numbers, not lexicographically
+    assert _merge_minmax("bigint", "9", "10") == ("9", "10")
+    assert _merge_minmax("INT", "9", "10") == ("9", "10")
+    assert _merge_minmax("decimal(10,2)", "9.5", "10.25") == ("9.5", "10.25")

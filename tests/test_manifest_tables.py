@@ -478,7 +478,7 @@ def test_orphan_replace_detection_rules(spark, scratch):
     from popelines_spark.manifest_dml import delete_manifest_rows
 
     append_manifest_table(spark, scratch, "md", _mk(spark, 5, "a"))   # v1
-    delete_manifest_rows(spark, scratch, "md", "n = 0")               # v2
+    delete_manifest_rows(spark, scratch, "md", "id = 0")               # v2
     append_manifest_table(spark, scratch, "md", _mk(spark, 5, "b"))   # v3
     root, vroot, _ = M._paths(scratch, "md")
     fs, _, jvm = M._hadoop_fs(spark, root)
@@ -501,3 +501,140 @@ def test_orphan_replace_detection_rules(spark, scratch):
     # dangling parent on the tip lineage: fail open
     fs.delete(HPath(f"{vroot}/{versions[0]}"), True)  # v1 vanishes
     assert M._orphan_replaces(fs, vroot, jvm, bogus) == []
+
+
+def test_cleanup_proceeds_past_abandoned_reservation(spark, scratch):
+    """A reservation marker older than ``reservation_timeout_sec`` is an
+    abandoned writer (killed between reserve and release): it must not
+    disable the orphan sweep forever, but its own data/v{N} directory is
+    still skipped — presumed-dead is not proven-dead."""
+    import os as _os
+
+    from popelines_spark.manifest import (
+        _hadoop_fs,
+        _paths,
+        cleanup_orphan_files,
+        manifest_file_list,
+    )
+
+    append_manifest_table(spark, scratch, "mab", _mk(spark, 5, "a"))
+    root, vroot, droot = _paths(scratch, "mab")
+    fs, _, jvm = _hadoop_fs(spark, root)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    spark.range(3).write.mode("overwrite").parquet(f"{droot}/v1/__orphan")
+    spark.range(3).write.mode("overwrite").parquet(f"{droot}/v2/inflight")
+    fs.create(HPath(f"{vroot}/2.__reserved"), True).close()
+    # fresh marker: abort wholesale, exactly as before
+    assert cleanup_orphan_files(spark, scratch, "mab") == 0
+    # age the marker past the cutoff: the abandoned writer no longer
+    # blocks the sweep of OTHER versions' debris
+    _os.utime(f"{vroot}/2.__reserved", (0, 0))
+    before = set(manifest_file_list(spark, scratch, "mab"))
+    removed = cleanup_orphan_files(spark, scratch, "mab")
+    assert removed > 0
+    assert set(manifest_file_list(spark, scratch, "mab")) == before
+    # the abandoned reservation's own directory was NOT touched
+    assert glob.glob(f"{droot}/v2/inflight/*.parquet")
+    assert read_manifest_table(spark, scratch, "mab").count() == 5
+
+
+def test_heal_releases_reservation_on_commit_failure(spark, scratch,
+                                                     monkeypatch):
+    """heal_manifest_table must not leak its version reservation when
+    the reconciliation commit fails — a leaked marker would stall
+    cleanup_orphan_files until the abandoned-marker timeout."""
+    import pytest
+
+    from popelines_spark import manifest as M
+
+    append_manifest_table(spark, scratch, "mhr", _mk(spark, 4, "a"))  # v1
+    append_manifest_table(spark, scratch, "mhr", _mk(spark, 4, "b"))  # v2
+    root, vroot, _ = M._paths(scratch, "mhr")
+    fs, _, jvm = M._hadoop_fs(spark, root)
+    # stale sibling tip v3 parented on v1: v2's contribution is orphaned,
+    # so heal must attempt a reconciliation commit
+    man1 = M._read_manifest(fs, vroot, 1, jvm)
+    M._commit_manifest(
+        spark, fs, vroot, 3, man1["files"], man1["schema"], jvm,
+        parent=1, op="append",
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("injected commit failure")
+
+    monkeypatch.setattr(M, "_commit_manifest", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        M.heal_manifest_table(spark, scratch, "mhr")
+    HPath = jvm.org.apache.hadoop.fs.Path
+    names = [st.getPath().getName() for st in fs.listStatus(HPath(vroot))]
+    assert not [n for n in names if n.endswith(".__reserved")]
+    monkeypatch.undo()
+    assert M.heal_manifest_table(spark, scratch, "mhr") == 1
+    # tip v3 carried v1's files (4 rows "a"); heal unioned v2's own
+    # contribution (4 rows "b") — shared files dedupe in the manifest
+    assert read_manifest_table(spark, scratch, "mhr").count() == 8
+
+
+def test_heal_tolerates_dangling_parent_append(spark, scratch):
+    """An orphaned append whose parent manifest vanished (retracted
+    under a racing child — the post-flip self-retract race — or GC'd)
+    heals by its own data/v{N} directory's files instead of raising
+    ConcurrentWriteError: an append's own contribution is structurally
+    the files it wrote into its own version directory."""
+    from popelines_spark import manifest as M
+
+    append_manifest_table(spark, scratch, "mdp", _mk(spark, 4, "a"))  # v1
+    append_manifest_table(spark, scratch, "mdp", _mk(spark, 4, "b"))  # v2
+    root, vroot, _ = M._paths(scratch, "mdp")
+    fs, _, jvm = M._hadoop_fs(spark, root)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    # sibling tip v3 parented on v1 (so v2 is off v3's lineage), then
+    # retract v1: v2's parent pointer now dangles
+    man1 = M._read_manifest(fs, vroot, 1, jvm)
+    M._commit_manifest(
+        spark, fs, vroot, 3, man1["files"], man1["schema"], jvm,
+        parent=1, op="append",
+    )
+    fs.delete(HPath(f"{vroot}/1"), True)
+    assert M.heal_manifest_table(spark, scratch, "mdp") == 1
+    got = read_manifest_table(spark, scratch, "mdp")
+    assert got.count() == 8
+    assert {r["tag"] for r in got.select("tag").distinct().collect()} == {
+        "a", "b"
+    }
+
+
+def test_orphan_replaces_cache_matches_uncached(spark, scratch):
+    """The per-append manifest cache returns the same verdicts as the
+    uncached walk and evicts versions that vanish from the committed
+    listing (a retracted number may be recommitted with new content)."""
+    from popelines_spark import manifest as M
+    from popelines_spark.manifest_dml import delete_manifest_rows
+
+    append_manifest_table(spark, scratch, "mc", _mk(spark, 5, "a"))   # v1
+    delete_manifest_rows(spark, scratch, "mc", "id = 0")              # v2
+    append_manifest_table(spark, scratch, "mc", _mk(spark, 5, "b"))   # v3
+    root, vroot, _ = M._paths(scratch, "mc")
+    fs, _, jvm = M._hadoop_fs(spark, root)
+    versions = M._committed_manifest_versions(fs, vroot, jvm)
+    tip = versions[-1]
+    # stale sibling that skipped the replace
+    bogus = tip + 10
+    man_tip = M._read_manifest(fs, vroot, tip, jvm)
+    M._commit_manifest(
+        spark, fs, vroot, bogus, man_tip["files"], man_tip["schema"],
+        jvm, parent=versions[0], op="append",
+    )
+    cache: dict = {}
+    first = M._orphan_replaces(fs, vroot, jvm, bogus, cache)
+    assert first == M._orphan_replaces(fs, vroot, jvm, bogus)
+    assert first and set(cache) == set(
+        M._committed_manifest_versions(fs, vroot, jvm)
+    )
+    # second cached call: same verdict, no re-read needed
+    assert M._orphan_replaces(fs, vroot, jvm, bogus, cache) == first
+    # retract the bogus sibling: the cache must evict it
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs.delete(HPath(f"{vroot}/{bogus}"), True)
+    assert M._orphan_replaces(fs, vroot, jvm, tip, cache) == []
+    assert bogus not in cache

@@ -394,3 +394,95 @@ def test_popeline_star_join_reads_manifest_tables(spark, tmp_path):
     assert got.count() == want.count()
     two = p.join_tables("fact", "dim", on="sk")
     assert two.count() == want.count()
+
+
+def test_join_tables_list_routes_three_dim_star(spark, tmp_path):
+    """The paved path (VERDICT r10 #4): join_tables with a LIST of dims
+    composes the full decision matrix automatically — leg order and
+    broadcast planned from at-rest stats alone — and (VERDICT r10 #6)
+    the planned ORDER is actually APPLIED: the analyzed plan must nest
+    the most selective dim innermost even though the user passed it
+    LAST. Fails if star_join stops consuming plan['order']."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from popelines_spark import io
+    from popelines_spark.pipeline import Popeline
+    from popelines_spark.tables import load
+
+    wh = str(tmp_path)
+    p = Popeline(warehouse=wh, spark=spark)
+    li = load(spark, SF_DIR, "lineitem")
+    fact = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("sk"),
+        "l_extendedprice",
+    )
+    io.write_table(fact, wh, "fact3", append=False)
+    # selectivity gradient (TPC-H dims otherwise join totally): orders
+    # keeps every fact key, part keeps ~half, supplier ~a fifth — the
+    # stats-only plan must therefore run supplier first, orders last
+    io.write_table(
+        load(spark, SF_DIR, "orders").select(
+            F.col("o_orderkey").alias("ok"), "o_orderstatus"
+        ),
+        wh, "d_orders",
+    )
+    io.write_table(
+        load(spark, SF_DIR, "part")
+        .filter(F.col("p_partkey") % 2 == 0)
+        .select(F.col("p_partkey").alias("pk"), "p_brand"),
+        wh, "d_part",
+    )
+    io.write_table(
+        load(spark, SF_DIR, "supplier")
+        .filter(F.col("s_suppkey") % 5 == 0)
+        .select(F.col("s_suppkey").alias("sk"), "s_acctbal"),
+        wh, "d_supp",
+    )
+    for t in ("fact3", "d_orders", "d_part", "d_supp"):
+        stats = p.analyze_table(t)
+        # tiny SF makes everything broadcastable; pin suppliers as the
+        # one broadcast dim so the plan exercises both strategies
+        if t != "d_supp":
+            stats["suggest_broadcast"] = False
+            (tmp_path / t / "_stats.json").write_text(json.dumps(stats))
+            (tmp_path / t / "._stats.json.crc").unlink(missing_ok=True)
+    # user order: least selective first (orders ~ every fact key keeps
+    # everything; supplier is the most selective non-trivial key)
+    plan = p.explain_star_join(
+        "fact3",
+        [
+            {"table": "d_orders", "on": "ok"},
+            {"table": "d_part", "on": "pk"},
+            {"table": "d_supp", "on": "sk"},
+        ],
+    )
+    assert plan["order"][0] == "d_supp"          # planned from stats alone
+    assert plan["legs"]["d_supp"]["broadcast"]
+    assert not plan["legs"]["d_orders"]["broadcast"]
+    got = p.join_tables(
+        "fact3", ["d_orders", "d_part", "d_supp"], on=["ok", "pk", "sk"]
+    )
+    # ORDER APPLIED: in the analyzed (pre-optimizer) plan tree the first
+    # joined leg sits deepest, printed before later legs' subtrees — so
+    # s_acctbal (planned first) must appear before p_brand, and p_brand
+    # before o_orderstatus, reversing the user's order
+    analyzed = got._jdf.queryExecution().analyzed().toString()
+    assert (
+        analyzed.index("s_acctbal")
+        < analyzed.index("p_brand")
+        < analyzed.index("o_orderstatus")
+    )
+    # result invariance vs the plain user-order join
+    want = (
+        fact.join(spark.read.parquet(f"{wh}/d_orders"), "ok")
+        .join(spark.read.parquet(f"{wh}/d_part"), "pk")
+        .join(spark.read.parquet(f"{wh}/d_supp"), "sk")
+    )
+    assert got.count() == want.count()
+    assert got.agg(F.sum("l_extendedprice")).collect()[0][0] == pytest.approx(
+        want.agg(F.sum("l_extendedprice")).collect()[0][0]
+    )
