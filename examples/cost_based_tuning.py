@@ -114,6 +114,13 @@ def tune(spark, sf_dir: str, out_dir: str) -> dict:
         .join(io.read_table_evolved(spark, out_dir, "dim_supp"), "sk")
         .join(io.read_table_evolved(spark, out_dir, "dim_part"), "pk")
     )
+    # -- the same star through the PAVED path: join_tables with a list
+    #    of dims routes through the planner automatically — leg order
+    #    and broadcast from stats alone, bloom/salt still opt-in
+    paved = p.join_tables(
+        "fact", ["dim_ord", "dim_supp", "dim_part"],
+        on=["ok", "sk", "pk"], how=["left", "inner", "inner"],
+    )
     return {
         "two_way_broadcast": two_way["broadcast"],
         "two_way_reasons": two_way["reasons"],
@@ -128,6 +135,7 @@ def tune(spark, sf_dir: str, out_dir: str) -> dict:
         "keys_flagged_lower_bound": after.get("keys_stale", False),
         "planned_rows": planned.count(),
         "plain_rows": plain.count(),
+        "paved_join_tables_rows": paved.count(),
     }
 
 
