@@ -638,3 +638,59 @@ def test_orphan_replaces_cache_matches_uncached(spark, scratch):
     fs.delete(HPath(f"{vroot}/{bogus}"), True)
     assert M._orphan_replaces(fs, vroot, jvm, tip, cache) == []
     assert bogus not in cache
+
+
+def test_post_flip_retract_restores_for_racing_child(spark, scratch,
+                                                     monkeypatch):
+    """The post-flip self-retract re-checks for a child parented on the
+    retracted version AFTER the delete and restores the manifest
+    verbatim — so a concurrent append that commits with parent=our
+    version between the has_child scan and our delete never ends up
+    with a dangling parent pointer."""
+    from popelines_spark import manifest as M
+
+    append_manifest_table(spark, scratch, "mrc", _mk(spark, 4, "a"))  # v1
+    root, vroot, _ = M._paths(scratch, "mrc")
+    fs, _, jvm = M._hadoop_fs(spark, root)
+
+    state = {"fired": False, "raced": False}
+    real_orphans = M._orphan_replaces
+
+    def fake_orphans(fs_, vroot_, jvm_, tip, cache=None):
+        # exactly one fabricated orphan verdict on OUR post-flip check,
+        # forcing one retract round; everything else is the real walk
+        if tip == 2 and not state["fired"]:
+            state["fired"] = True
+            return [99]
+        return real_orphans(fs_, vroot_, jvm_, tip, cache)
+
+    real_reserve = M._reserve_version
+
+    def reserve_and_race(fs_, vroot_, jvm_):
+        v = real_reserve(fs_, vroot_, jvm_)
+        if state["fired"] and not state["raced"]:
+            state["raced"] = True
+            # the racing child lands parented on v2 — after our
+            # has_child scan (clean), before our delete
+            man2 = M._read_manifest(fs_, vroot_, 2, jvm_)
+            M._commit_manifest(
+                spark, fs_, vroot_, v + 5, man2["files"], man2["schema"],
+                jvm_, parent=2, op="append",
+            )
+        return v
+
+    monkeypatch.setattr(M, "_orphan_replaces", fake_orphans)
+    monkeypatch.setattr(M, "_reserve_version", reserve_and_race)
+    v = append_manifest_table(spark, scratch, "mrc", _mk(spark, 4, "b"))
+    monkeypatch.undo()
+    assert v == 2  # restored under its original number, not re-committed
+    # the child's parent pointer resolves: manifest 2 is committed again
+    assert M._read_manifest_or_none(fs, vroot, 2, jvm) is not None
+    # no reservation leaked by the abandoned re-commit attempt
+    HPath = jvm.org.apache.hadoop.fs.Path
+    names = [st.getPath().getName() for st in fs.listStatus(HPath(vroot))]
+    assert not [n for n in names if n.endswith(".__reserved")]
+    # history is convergent — heal finds nothing to reconcile — and the
+    # tip (the racing child) reads both batches
+    assert M.heal_manifest_table(spark, scratch, "mrc") == 0
+    assert read_manifest_table(spark, scratch, "mrc").count() == 8
