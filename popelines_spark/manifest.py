@@ -164,9 +164,16 @@ def _orphan_replaces(
         if p is not None and p not in mans:
             return []  # dangling parent: lineage unknowable, fail open
         v = p
+    # a replace heal already REPLAYED into this lineage is satisfied,
+    # not orphaned — its marker id is carried forward by every commit
+    # (without this filter, every post-replay append would retract and
+    # rebase ten futile times against a permanently-off-chain manifest)
+    tip_ids = set(mans[tip].get("batch_ids", []))
     return [
         v for v in versions
-        if v not in chain and mans[v].get("op") == "replace"
+        if v not in chain
+        and mans[v].get("op") == "replace"
+        and f"__replayed_replace_{v}" not in tip_ids
     ]
 
 
@@ -366,14 +373,31 @@ def heal_manifest_table(
 ) -> int:
     """Reconcile commit-order inversions: every committed APPEND whose
     own contribution (its files minus its parent's) is missing from the
-    current tip gets re-appended in ONE reconciliation commit — manifest
-    surgery only, no data movement. Orphaned compacts are skipped
-    (redundant rewrites; GC reclaims their files). An orphaned REPLACE
-    raises :class:`ConcurrentWriteError` — row-level DML conflicts are
-    not auto-mergeable. Returns the number of reconciliation commits
-    made (0 = already convergent). Every writer calls this after its own
-    commit, and GC calls it before dropping manifests, so unhealed
-    orphans are never garbage-collected."""
+    current tip gets re-appended, and every committed REPLACE the tip
+    lineage skipped gets REPLAYED at file granularity — both folded into
+    ONE reconciliation commit; manifest surgery only, no data movement.
+    Orphaned compacts are skipped (redundant rewrites; GC reclaims their
+    files).
+
+    Replace replay: a replace manifest is ``parent.files − affected +
+    rewrites``, and data files are immutable, so whenever the tip still
+    holds EVERY affected file, removing them and adding the rewrites
+    applies exactly the DML's effect to exactly the rows it committed
+    against — concurrent appends' rows are untouched, the same
+    serialization the live protocol produces when the replace wins the
+    race. A synthetic ``__replayed_replace_{v}`` batch id (carried
+    forward like every id) makes the replay exactly-once per lineage.
+    When some affected file is GONE from the tip (another replace or a
+    compact on the tip lineage consumed it) the conflict is genuinely
+    row-level and :class:`ConcurrentWriteError` is raised — that is the
+    only remaining unmergeable state, down from "any orphaned replace"
+    (the N-writer stress showed near-simultaneous racing walks can leave
+    orphaned replaces that no writer's own retract catches).
+
+    Returns the number of reconciliation commits made (0 = already
+    convergent). Every writer calls this after its own commit, and GC
+    calls it before dropping manifests, so unhealed orphans are never
+    garbage-collected."""
     root, vroot, _ = _paths(warehouse, table_name)
     fs, _, jvm = _hadoop_fs(spark, root)
     healed = 0
@@ -391,74 +415,163 @@ def heal_manifest_table(
             continue  # everything listed got retracted: re-list
         tip = versions[-1]
         chain = _lineage(mans, versions, tip)
-        tip_files = set(mans[tip]["files"])
-        missing: list[str] = []
-        stats_add: dict = {}
+        tipman = mans[tip]
+        tip_ids = set(tipman.get("batch_ids", []))
+        working = set(tipman["files"])
+        file_stats = dict(tipman.get("file_stats", {}))
         ids_add: set[str] = set()
         schemas_add = []
-        for v in versions:
+        changed = False
+        def _apply_delta(v, m, adds, removes, own_ids):
+            """Fold one orphan's (adds, removes) file delta into the
+            working set, idempotently. Removal deltas are order- and
+            state-sensitive: applying one twice — or onto a lineage that
+            already consumed the files another way — would corrupt, so
+            an already-applied delta is a no-op and a partially
+            applicable one raises."""
+            nonlocal changed
+            adds = [f for f in adds if f not in working] if not removes \
+                else list(adds)
+            if removes:
+                if all(a in working for a in adds) and not (
+                    removes & working
+                ):
+                    return  # delta already applied on this lineage
+                if not removes <= working:
+                    raise ConcurrentWriteError(
+                        f"version {v} of {table_name} is an orphaned "
+                        f"commit whose removed files are no longer on "
+                        f"the tip ({tip}) — genuinely conflicting "
+                        "row-level changes; retry the DML"
+                    )
+                working.difference_update(removes)
+                for f in removes:
+                    file_stats.pop(f, None)
+            elif not adds:
+                return
+            working.update(adds)
+            fstats = m.get("file_stats", {})
+            for f in adds:
+                if f in fstats:
+                    file_stats[f] = fstats[f]
+            ids_add.update(own_ids)
+            schemas_add.append(m["schema"])
+            changed = True
+
+        for v in versions:  # ascending: a consistent serialization order
             if v in chain:
                 continue
             m = mans[v]
             op = m.get("op", "append")
             if op == "compact":
                 continue
+            p = _parent_of(mans, versions, v)
+            if op == "replace":
+                marker = f"__replayed_replace_{v}"
+                if marker in tip_ids or marker in ids_add:
+                    continue  # already replayed on this lineage
+                if p is None or p not in mans:
+                    raise ConcurrentWriteError(
+                        f"orphaned replace {v} of {table_name}: its "
+                        f"parent manifest {p} is gone, so its affected "
+                        "file set cannot be computed — retry the DML"
+                    )
+                pf = set(mans[p]["files"])
+                _apply_delta(
+                    v, m,
+                    [f for f in m["files"] if f not in pf],
+                    pf - set(m["files"]),
+                    {marker},
+                )
+                continue
             if op != "append":
                 raise ConcurrentWriteError(
                     f"version {v} of {table_name} is an orphaned {op!r} "
-                    f"commit (tip {tip} skipped it); row-level DML "
-                    "conflicts cannot be auto-merged — retry the DML"
+                    f"commit (tip {tip} skipped it) — unknown op, cannot "
+                    "reconcile"
                 )
-            p = _parent_of(mans, versions, v)
             if p is None:
-                contrib = list(m["files"])
+                _apply_delta(
+                    v, m, list(m["files"]), set(),
+                    set(m.get("batch_ids", [])),
+                )
             elif p in mans:
                 pf = set(mans[p]["files"])
-                contrib = [f for f in m["files"] if f not in pf]
+                # FULL delta, not a union: a heal reconciliation commit
+                # is op=append but may carry REMOVALS (replayed DML).
+                # Re-adding only its additions while importing its
+                # __replayed_replace markers would both duplicate the
+                # rewrite rows against the originals AND suppress the
+                # re-replay that could have fixed it (caught by the
+                # N-writer stress: +75 rows, exactly one partial-file
+                # DML-overlap). Own ids only — the ids it INTRODUCED —
+                # because its inherited ids describe ITS parent's
+                # lineage, whose files are not part of this delta.
+                _apply_delta(
+                    v, m,
+                    [f for f in m["files"] if f not in pf],
+                    pf - set(m["files"]),
+                    set(m.get("batch_ids", []))
+                    - set(mans[p].get("batch_ids", [])),
+                )
             else:
-                # DANGLING parent (retracted under a racing child, or
-                # GC'd): an append's own contribution is structurally
-                # the files under its own data/v{N} directory — exact
-                # for data-writing appends, and it cannot resurrect rows
-                # a replace deleted (the inherited part of the child's
-                # list, which may predate that replace, is excluded).
-                # A heal reconciliation commit (which references only
-                # OTHER versions' directories) computes empty here; its
-                # source appends are themselves committed manifests and
-                # are re-discovered directly.
-                own = f"/data/v{v}/"
-                contrib = [f for f in m["files"] if own in f]
-            new = [f for f in contrib if f not in tip_files]
-            if new:
-                missing.extend(new)
-                fstats = m.get("file_stats", {})
-                for f in new:
-                    if f in fstats:
-                        stats_add[f] = fstats[f]
-                ids_add |= set(m.get("batch_ids", []))
-                if m.get("batch_id"):
-                    ids_add.add(m["batch_id"])
-                schemas_add.append(m["schema"])
-        if not missing:
+                # DANGLING parent. An append's own contribution is
+                # structurally the files under its own data/v{N}
+                # directory — exact for data-writing appends, and it
+                # cannot resurrect rows a replace deleted (the inherited
+                # part of the child's list, which may predate that
+                # replace, is excluded). But WHICH dangling case decides
+                # whether re-adding is safe:
+                own_dir = f"/data/v{v}/"
+                own = [f for f in m["files"] if own_dir in f]
+                if all(f in working for f in own):
+                    # contribution already on the tip (the common state
+                    # after GC drops an already-reconciled orphan's
+                    # parent) — nothing to heal. Note a reconciliation
+                    # commit has NO own-dir files, so its delta
+                    # (including removals) is deliberately dropped here:
+                    # its imported appends are committed manifests that
+                    # are re-discovered directly, and its replays stay
+                    # un-marked so the replace replays again when safe.
+                    continue
+                if p >= versions[0]:
+                    # hole WITHIN the retained range = a parent retracted
+                    # under this racing child; no descendant compact can
+                    # already carry these rows (it would put v on the tip
+                    # lineage), so the own-dir files are the exact,
+                    # safe-to-add contribution. Own batch id only — the
+                    # inherited id set cannot be split without the parent
+                    own_ids = {m["batch_id"]} if m.get("batch_id") else set()
+                    _apply_delta(v, m, own, set(), own_ids)
+                else:
+                    # parent below the retention floor = GC'd history: a
+                    # GC'd compact on the tip lineage may ALREADY carry
+                    # these rows in rewritten files — re-adding would
+                    # silently duplicate them (caught by the N-writer
+                    # stress). Unknowable → fail loud, never corrupt.
+                    raise ConcurrentWriteError(
+                        f"orphaned append {v} of {table_name}: its parent "
+                        f"manifest {p} was GC'd and the tip is missing "
+                        "some of its files — cannot prove the rows are "
+                        "not already present in compacted form"
+                    )
+        if not changed:
             return healed
         from pyspark.sql.types import StructType
 
-        tipman = mans[tip]
         schema = StructType.fromJson(json.loads(tipman["schema"]))
         for sj in schemas_add:
             schema = merge_schemas(
                 schema, StructType.fromJson(json.loads(sj))
             )
         version = _reserve_version(fs, vroot, jvm)
-        file_stats = dict(tipman.get("file_stats", {}))
-        file_stats.update(stats_add)
         try:
             _commit_manifest(
                 spark, fs, vroot, version,
-                list(tip_files) + missing,
+                sorted(working),
                 json.dumps(schema.jsonValue()), jvm,
                 parent=tip, op="append",
-                batch_ids=sorted(set(tipman.get("batch_ids", [])) | ids_add),
+                batch_ids=sorted(tip_ids | ids_add),
                 file_stats=file_stats,
             )
         except BaseException:
@@ -896,42 +1009,137 @@ def compact_manifest_table(
     warehouse: str,
     table_name: str,
     n_files: int = 8,
+    max_retries: int = 3,
 ) -> int:
     """Rewrite the current version into ``n_files`` files and commit a
     manifest referencing ONLY the rewrite — readers of prior versions
     keep their file lists; nothing is deleted here (see gc). The commit
     records parent + carries every seen batch_id forward, so streaming
     replay detection survives compaction; appends racing the compact are
-    re-applied by the post-commit heal."""
+    re-applied by the post-commit heal.
+
+    Concurrency: a compact's payload is a SNAPSHOT of its parent's exact
+    contents, so — unlike appends, whose file unions commute — flipping
+    it over a tip that moved during the (slow) rewrite would drop every
+    commit that landed meanwhile, including replaces whose row-level DML
+    heal can never re-merge (the lost-update class the N-writer stress
+    caught: a compact racing two DMLs orphaned both). Hence the same
+    discipline as append_manifest_table: a PRE-FLIP rebase check (tip
+    still == our parent, else recompact from the new tip) and a
+    POST-FLIP orphan walk (a replace that flipped inside our
+    check→commit window retracts us; we retry). Compaction is pure
+    optimization, so contention resolution is simply: give way. Raises
+    :class:`ConcurrentWriteError` after ``max_retries`` lost races —
+    maintenance callers retry or skip."""
     root, vroot, droot = _paths(warehouse, table_name)
     fs, _, jvm = _hadoop_fs(spark, root)
-    version = _reserve_version(fs, vroot, jvm)
-    try:
-        # rebase: the compacted parent is chosen AFTER the reservation,
-        # retract-tolerantly; the parent's file list is read ONCE and
-        # used for both the scan and the commit (no pinned re-read that
-        # a racing retraction could invalidate)
-        parent, man = _resolve_tip(fs, vroot, jvm, f"{table_name} ({root})")
-        from pyspark.sql.types import StructType
+    HPath = jvm.org.apache.hadoop.fs.Path
+    for _ in range(max_retries):
+        version = _reserve_version(fs, vroot, jvm)
+        try:
+            # rebase: the compacted parent is chosen AFTER the
+            # reservation, retract-tolerantly; the parent's file list is
+            # read ONCE and used for both the scan and the commit (no
+            # pinned re-read that a racing retraction could invalidate)
+            parent, man = _resolve_tip(
+                fs, vroot, jvm, f"{table_name} ({root})"
+            )
+            from pyspark.sql.types import StructType
 
-        schema = StructType.fromJson(json.loads(man["schema"]))
-        files = man["files"]
-        current = (
-            spark.createDataFrame([], schema)
-            if not files
-            else spark.read.schema(schema).parquet(*files)
+            schema = StructType.fromJson(json.loads(man["schema"]))
+            files = man["files"]
+            current = (
+                spark.createDataFrame([], schema)
+                if not files
+                else spark.read.schema(schema).parquet(*files)
+            )
+            ddir = f"{droot}/v{version}"
+            try:
+                current.repartition(n_files).write.mode(
+                    "overwrite"
+                ).parquet(ddir)
+            except Exception as exc:
+                from popelines_spark.manifest_dml import (
+                    _is_missing_file_error,
+                )
+
+                if not _is_missing_file_error(exc):
+                    raise
+                # the pinned tip's files were GC'd mid-rewrite: give way
+                # and recompact from the current tip
+                _release_reservation(fs, vroot, version, jvm)
+                continue
+            # PRE-FLIP: the rewrite took real time; if the tip moved (or
+            # our parent was retracted) the snapshot is stale — committing
+            # it would orphan everything that landed since
+            now = _committed_manifest_versions(fs, vroot, jvm)
+            if (
+                not now
+                or now[-1] != parent
+                or not fs.exists(HPath(f"{vroot}/{parent}/{_COMMIT}"))
+            ):
+                _release_reservation(fs, vroot, version, jvm)
+                continue
+            _commit_manifest(
+                spark, fs, vroot, version,
+                _list_parquet(fs, ddir, jvm), man["schema"], jvm,
+                parent=parent, op="compact",
+                batch_ids=man.get("batch_ids", []),
+            )
+        except Exception:
+            _release_reservation(fs, vroot, version, jvm)
+            raise
+        # POST-FLIP: a replace may have flipped inside the check→commit
+        # window (tip = highest NUMBER, which does not order commits) —
+        # our compact now orphans its DML. Retract ourselves and retry;
+        # an orphaned COMPACT is harmless (heal skips it, the rewrite is
+        # redundant), so only the replace-orphaning direction matters.
+        if not _orphan_replaces(fs, vroot, jvm, version):
+            break
+        # descendant guard, same as append: retracting under a child
+        # that already built on us would dangle its parent pointer
+        has_child = False
+        for v in _committed_manifest_versions(fs, vroot, jvm):
+            if v == version:
+                continue
+            m = _read_manifest_or_none(fs, vroot, v, jvm)
+            if m is not None and m.get("parent") == version:
+                has_child = True
+                break
+        if has_child:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "compact on %s leaves an orphaned replace in place (a "
+                "child already built on the compact) — heal/GC will "
+                "report it",
+                table_name,
+            )
+            break
+        fs.delete(HPath(f"{vroot}/{version}"), True)
+        # post-delete child re-check, same as append's retract: a commit
+        # parented on us can land between the scan and the delete —
+        # restore verbatim (marker-claim guarded) so its parent pointer
+        # never dangles, and stop retracting
+        child_appeared = any(
+            (m2 := _read_manifest_or_none(fs, vroot, v2, jvm)) is not None
+            and m2.get("parent") == version
+            for v2 in _committed_manifest_versions(fs, vroot, jvm)
         )
-        ddir = f"{droot}/v{version}"
-        current.repartition(n_files).write.mode("overwrite").parquet(ddir)
-        _commit_manifest(
-            spark, fs, vroot, version,
-            _list_parquet(fs, ddir, jvm), man["schema"], jvm,
-            parent=parent, op="compact",
-            batch_ids=man.get("batch_ids", []),
+        if child_appeared and _claim_marker(fs, vroot, version, jvm):
+            _commit_manifest(
+                spark, fs, vroot, version,
+                _list_parquet(fs, f"{droot}/v{version}", jvm),
+                man["schema"], jvm,
+                parent=parent, op="compact",
+                batch_ids=man.get("batch_ids", []),
+            )
+            break
+    else:
+        raise ConcurrentWriteError(
+            f"compact on {table_name} lost {max_retries} races to "
+            "concurrent writers — retry in a quieter window"
         )
-    except Exception:
-        _release_reservation(fs, vroot, version, jvm)
-        raise
     try:
         heal_manifest_table(spark, warehouse, table_name)
     except ConcurrentWriteError:
@@ -1039,7 +1247,16 @@ def gc_manifest_table(
     are only deleted when no retained manifest lists them. Heals first,
     so an unreconciled orphan commit is folded into the tip before its
     manifest can be dropped — and batch_ids live in every descendant
-    manifest, so replay detection never regresses past GC."""
+    manifest, so replay detection never regresses past GC.
+
+    LINEAGE CLOSURE: a manifest referenced as PARENT by any kept
+    manifest is also kept (one level). Dropping it would leave a hole
+    inside the retained range — if the child is later orphaned by a
+    racing commit, heal could no longer compute its exact contribution
+    (child.files − parent.files) and would have to fail loud (the
+    N-writer stress hit exactly this: an append's parent GC'd between
+    the orphaning and the reconciliation). One manifest JSON per kept
+    child is the entire cost."""
     heal_manifest_table(spark, warehouse, table_name)
     root, vroot, droot = _paths(warehouse, table_name)
     fs, _, jvm = _hadoop_fs(spark, root)
@@ -1048,10 +1265,21 @@ def gc_manifest_table(
     drop = versions[:-keep_versions] if keep_versions else versions
     keep = versions[len(drop):]
     retained: set[str] = set()
+    parents_kept: set[int] = set()
     for v in keep:
         m = _read_manifest_or_none(fs, vroot, v, jvm)
         if m is not None:
             retained.update(m["files"])
+            p = m.get("parent")
+            if isinstance(p, int):
+                parents_kept.add(p)
+    if parents_kept:
+        spared = [v for v in drop if v in parents_kept]
+        drop = [v for v in drop if v not in parents_kept]
+        for v in spared:
+            m = _read_manifest_or_none(fs, vroot, v, jvm)
+            if m is not None:
+                retained.update(m["files"])
     n_deleted = 0
     for v in drop:
         m = _read_manifest_or_none(fs, vroot, v, jvm)

@@ -92,6 +92,22 @@ class _Conflict(Exception):
     pass
 
 
+def _is_missing_file_error(exc: Exception) -> bool:
+    """A scan that lost the race to GC (its pinned parent's files were
+    reclaimed mid-build) surfaces as a missing-path error from the
+    parquet reader. That is a CONCURRENCY event, not a caller error —
+    the standard lakehouse contract (Iceberg/Delta concurrent writers
+    re-validate and retry after a vacuum) — so callers map it to a
+    rebase-and-retry instead of failing the DML."""
+    s = str(exc)
+    return (
+        "PATH_NOT_FOUND" in s
+        or "FileNotFoundException" in s
+        or "FAILED_READ_FILE" in s
+        or "does not exist" in s
+    )
+
+
 def _replace_commit(
     spark: SparkSession,
     warehouse: str,
@@ -126,16 +142,27 @@ def _replace_commit(
                 # read — same treatment as a moved tip: retry afresh
                 raise _Conflict(f"parent {parent} retracted under read")
             schema = StructType.fromJson(json.loads(man["schema"]))
-            affected, rewritten, extra, schema_out = build(man, schema)
-            ddir = f"{droot}/v{version}"
-            new_files: list[str] = []
-            frames = [f for f in (rewritten, extra) if f is not None]
-            if frames:
-                out = frames[0]
-                for f in frames[1:]:
-                    out = out.unionByName(f, allowMissingColumns=True)
-                out.write.mode("overwrite").parquet(ddir)
-                new_files = _list_parquet(fs, ddir, jvm)
+            try:
+                affected, rewritten, extra, schema_out = build(man, schema)
+                ddir = f"{droot}/v{version}"
+                new_files: list[str] = []
+                frames = [f for f in (rewritten, extra) if f is not None]
+                if frames:
+                    out = frames[0]
+                    for f in frames[1:]:
+                        out = out.unionByName(f, allowMissingColumns=True)
+                    out.write.mode("overwrite").parquet(ddir)
+                    new_files = _list_parquet(fs, ddir, jvm)
+            except Exception as exc:
+                if isinstance(exc, (_Conflict, _NoOp)) or not (
+                    _is_missing_file_error(exc)
+                ):
+                    raise
+                # the pinned parent's files were GC'd mid-build: rebase
+                # onto the current tip and rebuild against live files
+                raise _Conflict(
+                    f"parent {parent} files reclaimed by GC mid-build"
+                ) from exc
             affected_set = set(affected)
             files = [f for f in man["files"] if f not in affected_set]
             files += new_files

@@ -51,7 +51,11 @@ def test_schema_evolution_applies_on_read(spark, scratch):
 def test_compaction_and_gc_respect_retention(spark, scratch):
     """Compact → new single-file-set version; GC beyond retention
     deletes exactly the data files no retained manifest references,
-    and the retained reader still answers."""
+    and the retained reader still answers. Lineage closure: a kept
+    manifest's PARENT survives one extra GC cycle (heal may still need
+    it to compute the child's contribution if a racing commit orphans
+    the child), so pre-compaction files are reclaimed on the NEXT cycle,
+    not the same one."""
     for i in range(3):
         append_manifest_table(
             spark, scratch, "mg", _mk(spark, 10, f"b{i}"), n_files=2
@@ -61,12 +65,20 @@ def test_compaction_and_gc_respect_retention(spark, scratch):
     dropped, deleted = gc_manifest_table(
         spark, scratch, "mg", keep_versions=1
     )
-    assert dropped == 3 and deleted > 0
-    # only the compacted version remains, fully readable
+    # v3 (the compact's parent) is spared by lineage closure; v1/v2 drop
+    assert dropped == 2 and deleted == 0
     assert read_manifest_table(spark, scratch, "mg").count() == 30
     assert (
         read_manifest_table(spark, scratch, "mg", version=vc).count() == 30
     )
+    # one more commit + cycle: the old parent leaves the closure and its
+    # pre-compaction files are reclaimed
+    append_manifest_table(spark, scratch, "mg", _mk(spark, 5, "b3"))
+    dropped2, deleted2 = gc_manifest_table(
+        spark, scratch, "mg", keep_versions=1
+    )
+    assert deleted2 > 0
+    assert read_manifest_table(spark, scratch, "mg").count() == 35
     # pre-compaction data dirs are gone
     assert glob.glob(f"{scratch}/mg/data/v1/*.parquet") == []
 
@@ -77,13 +89,17 @@ def test_gc_keeps_files_shared_with_retained_versions(spark, scratch):
     append_manifest_table(spark, scratch, "ms", _mk(spark, 10, "a"))
     append_manifest_table(spark, scratch, "ms", _mk(spark, 10, "b"))
     append_manifest_table(spark, scratch, "ms", _mk(spark, 10, "c"))
-    # drop v1, keep v2+v3 — v1's files are members of both survivors
+    append_manifest_table(spark, scratch, "ms", _mk(spark, 10, "d"))
+    # keep v3+v4; v2 spared (parent of kept v3, lineage closure); v1
+    # drops — its files survive because every retained manifest (append
+    # chain) still lists them
     dropped, deleted = gc_manifest_table(
         spark, scratch, "ms", keep_versions=2
     )
     assert dropped == 1 and deleted == 0
-    assert read_manifest_table(spark, scratch, "ms").count() == 30
+    assert read_manifest_table(spark, scratch, "ms").count() == 40
     assert read_manifest_table(spark, scratch, "ms", version=2).count() == 20
+    assert read_manifest_table(spark, scratch, "ms", version=3).count() == 30
 
 
 def test_concurrent_appends_serialize_to_distinct_versions(spark, scratch):
@@ -576,32 +592,69 @@ def test_heal_releases_reservation_on_commit_failure(spark, scratch,
 
 
 def test_heal_tolerates_dangling_parent_append(spark, scratch):
-    """An orphaned append whose parent manifest vanished (retracted
-    under a racing child — the post-flip self-retract race — or GC'd)
-    heals by its own data/v{N} directory's files instead of raising
-    ConcurrentWriteError: an append's own contribution is structurally
-    the files it wrote into its own version directory."""
+    """An orphaned append whose parent manifest was RETRACTED under it
+    (a hole WITHIN the retained version range — the post-flip
+    self-retract race) heals by its own data/v{N} directory's files.
+    A parent missing because it fell below the retention floor (GC'd)
+    still raises: a GC'd compact on the tip lineage may already carry
+    those rows in rewritten files, so re-adding could silently
+    duplicate them."""
+    import pytest
+
     from popelines_spark import manifest as M
 
     append_manifest_table(spark, scratch, "mdp", _mk(spark, 4, "a"))  # v1
     append_manifest_table(spark, scratch, "mdp", _mk(spark, 4, "b"))  # v2
+    append_manifest_table(spark, scratch, "mdp", _mk(spark, 4, "c"))  # v3
     root, vroot, _ = M._paths(scratch, "mdp")
     fs, _, jvm = M._hadoop_fs(spark, root)
     HPath = jvm.org.apache.hadoop.fs.Path
-    # sibling tip v3 parented on v1 (so v2 is off v3's lineage), then
-    # retract v1: v2's parent pointer now dangles
+    # sibling tip v4 parented on v1 (so v2, v3 are off v4's lineage),
+    # then retract v2: v3's parent pointer dangles INSIDE the retained
+    # range [1..4] — the retraction-race shape
     man1 = M._read_manifest(fs, vroot, 1, jvm)
     M._commit_manifest(
-        spark, fs, vroot, 3, man1["files"], man1["schema"], jvm,
+        spark, fs, vroot, 4, man1["files"], man1["schema"], jvm,
         parent=1, op="append",
     )
-    fs.delete(HPath(f"{vroot}/1"), True)
+    fs.delete(HPath(f"{vroot}/2"), True)
     assert M.heal_manifest_table(spark, scratch, "mdp") == 1
     got = read_manifest_table(spark, scratch, "mdp")
+    # v3's own contribution (c) recovered; the RETRACTED v2's content
+    # (b) is its owner's responsibility (restore/re-commit), not heal's
     assert got.count() == 8
     assert {r["tag"] for r in got.select("tag").distinct().collect()} == {
-        "a", "b"
+        "a", "c"
     }
+    # GC'd-floor shape: parent below the oldest retained version and the
+    # orphan's own files missing from the tip → loud, never a silent
+    # possible-duplicate
+    append_manifest_table(spark, scratch, "mgf", _mk(spark, 4, "a"))  # v1
+    append_manifest_table(spark, scratch, "mgf", _mk(spark, 4, "b"))  # v2
+    rootg, vrootg, _ = M._paths(scratch, "mgf")
+    fsg, _, jvmg = M._hadoop_fs(spark, rootg)
+    man2 = M._read_manifest(fsg, vrootg, 2, jvmg)
+    # stale sibling v3 parented on v1 whose own-dir files are NOT on the
+    # tip: fabricate by committing v3 with a file under data/v3
+    _mk(spark, 2, "x").write.mode("overwrite").parquet(
+        f"{scratch}/mgf/data/v3"
+    )
+    own = M._list_parquet(fsg, f"{scratch}/mgf/data/v3", jvmg)
+    M._commit_manifest(
+        spark, fsg, vrootg, 3,
+        M._read_manifest(fsg, vrootg, 1, jvmg)["files"] + own,
+        man2["schema"], jvmg, parent=1, op="append",
+    )
+    # tip v4 parented on v2 (skips v3), then v1 falls below the floor
+    M._commit_manifest(
+        spark, fsg, vrootg, 4, man2["files"], man2["schema"], jvmg,
+        parent=2, op="append",
+    )
+    HPathg = jvmg.org.apache.hadoop.fs.Path
+    fsg.delete(HPathg(f"{vrootg}/1"), True)
+    fsg.delete(HPathg(f"{vrootg}/2"), True)  # v3's parent 1 < floor (3)
+    with pytest.raises(M.ConcurrentWriteError, match="GC'd"):
+        M.heal_manifest_table(spark, scratch, "mgf")
 
 
 def test_orphan_replaces_cache_matches_uncached(spark, scratch):
@@ -694,3 +747,43 @@ def test_post_flip_retract_restores_for_racing_child(spark, scratch,
     # tip (the racing child) reads both batches
     assert M.heal_manifest_table(spark, scratch, "mrc") == 0
     assert read_manifest_table(spark, scratch, "mrc").count() == 8
+
+
+def test_heal_replays_orphaned_replace(spark, scratch):
+    """An orphaned replace whose affected files are all still on the tip
+    is REPLAYED by heal at file granularity (remove affected, add
+    rewrites) instead of raising — the permanent manual-intervention
+    state the N-writer stress exposed. The replay is exactly-once per
+    lineage via its __replayed_replace_{v} marker id, and a replayed
+    replace no longer counts as orphaned for writers."""
+    from popelines_spark import manifest as M
+    from popelines_spark.manifest_dml import delete_manifest_rows
+
+    append_manifest_table(spark, scratch, "mrp", _mk(spark, 5, "a"))  # v1
+    delete_manifest_rows(spark, scratch, "mrp", "id = 0")             # v2
+    root, vroot, _ = M._paths(scratch, "mrp")
+    fs, _, jvm = M._hadoop_fs(spark, root)
+    man1 = M._read_manifest(fs, vroot, 1, jvm)
+    # stale higher-numbered append parented on v1: becomes the tip and
+    # skips the replace (the near-simultaneous-walks race shape)
+    M._commit_manifest(
+        spark, fs, vroot, 5, man1["files"], man1["schema"], jvm,
+        parent=1, op="append",
+    )
+    assert M._orphan_replaces(fs, vroot, jvm, 5) == [2]
+    assert M.heal_manifest_table(spark, scratch, "mrp") == 1
+    got = read_manifest_table(spark, scratch, "mrp")
+    assert got.count() == 4                       # DML effect recovered
+    assert got.filter("id = 0").count() == 0
+    # convergent + exactly-once: second heal is a no-op, the replayed
+    # replace is no longer an orphan for writers, and the marker rides
+    # the tip's carried-forward batch ids
+    assert M.heal_manifest_table(spark, scratch, "mrp") == 0
+    versions = M._committed_manifest_versions(fs, vroot, jvm)
+    tip = versions[-1]
+    assert M._orphan_replaces(fs, vroot, jvm, tip) == []
+    tipman = M._read_manifest(fs, vroot, tip, jvm)
+    assert "__replayed_replace_2" in tipman["batch_ids"]
+    # appends after the replay proceed without retract churn
+    append_manifest_table(spark, scratch, "mrp", _mk(spark, 3, "c"))
+    assert read_manifest_table(spark, scratch, "mrp").count() == 7
