@@ -18,25 +18,33 @@ fix exactly that:
    data files referenced by NO retained manifest (never by membership
    in a "latest" directory — a file can serve many versions).
 
-Concurrency contract (optimistic, Iceberg-style):
+Concurrency contract (linearized commits, Iceberg-style):
  - the create-no-overwrite reservation serializes version IDS — each
-   writer owns a unique ``versions/{N}`` it alone writes;
- - every writer REBASES after winning its reservation: the parent
-   manifest (file list, schema, stats, batch ids) is re-read after the
-   reservation, shrinking the lost-update window to
-   [post-reservation read, commit];
+   writer owns a unique ``versions/{N}`` it alone writes its data under;
+ - the COMMIT itself happens under a short per-table lock
+   (:func:`_with_commit_lock`) that refuses any flip whose parent is
+   not the live tip or whose number is below it
+   (:class:`StaleParentError` → the writer rebases, re-reserving a
+   higher number if needed, and retries). Committed history is
+   therefore LINEAR BY CONSTRUCTION and number order equals commit
+   order — the atomic-swap contract of Iceberg/Delta, on a bare
+   filesystem. Appends rebase cheaply (manifest JSON re-read; their
+   data files are parent-independent); replace/compact payloads are
+   snapshots of their parent, so a lost race retries the whole
+   operation against the new tip (:class:`ConcurrentWriteError` at the
+   DML surface after bounded retries);
  - every manifest records its ``parent`` version and ``op``
-   (append/compact/replace), so commit-order inversions between
-   in-flight writers are DETECTABLE from lineage;
- - after committing, every writer runs :func:`heal_manifest_table`:
-   any committed APPEND whose contribution is missing from the tip
-   lineage is re-appended in a reconciliation commit (pure manifest
-   surgery — data files are never rewritten), so racing appends
-   converge to a tip containing both batches. Orphaned COMPACT commits
-   are redundant rewrites and are skipped (GC reclaims them); an
-   orphaned REPLACE (row-level DML) cannot be auto-merged and raises
-   :class:`ConcurrentWriteError` — the DML entry points catch it and
-   retry the whole operation against the new tip (OCC retry loop).
+   (append/compact/replace); :func:`heal_manifest_table` remains as the
+   REPAIR layer for crash debris and legacy divergent histories
+   (pre-linearization states fabricated in tests, partial writer
+   crashes): it re-appends orphaned append contributions, REPLAYS
+   orphaned replaces at file granularity when the tip still holds every
+   affected file (exactly-once via ``__replayed_replace_{v}`` marker
+   ids), and fails loud on genuinely conflicting row-level divergence.
+   An earlier design allowed divergent commits and relied on heal to
+   merge them; the N-writer stress (tools/stress_manifest.py) showed
+   non-commutative histories are not always mergeable, which is exactly
+   why real lakehouse formats linearize at the commit point.
 
 Exactly-once streaming: every append may carry a ``batch_id``; the set
 of all batch ids ever committed is carried forward in EVERY manifest
@@ -52,6 +60,7 @@ the same Hadoop FS calls that run against s3a:// and gs://.
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -194,8 +203,8 @@ def _resolve_tip(fs, vroot, jvm, label: str) -> tuple[int, dict]:
     raise ConcurrentWriteError(f"tip of {label} kept vanishing")
 
 
-def _claim_marker(fs, vroot, version, jvm) -> bool:
-    """Atomically create ``{version}.__reserved``; True iff WE created it.
+def _claim_path(fs, path: str, jvm) -> bool:
+    """Atomically create ``path``; True iff WE created it.
 
     Hadoop's LocalFileSystem implements ``create(path, overwrite=False)``
     as exists-check-then-create — two racing claimants can BOTH succeed
@@ -207,7 +216,6 @@ def _claim_marker(fs, vroot, version, jvm) -> bool:
     fs.create(overwrite=False), which HDFS implements atomically
     (object stores without conditional create need an external lock —
     same caveat as every manifest-file table format)."""
-    path = f"{vroot}/{version}.__reserved"
     HPath = jvm.org.apache.hadoop.fs.Path
     # decide by the FILESYSTEM's scheme, not the path string: a
     # scheme-less path resolves against fs.defaultFS, which is only the
@@ -226,6 +234,60 @@ def _claim_marker(fs, vroot, version, jvm) -> bool:
         ):
             raise
         return False
+
+
+def _claim_marker(fs, vroot, version, jvm) -> bool:
+    """Atomically claim ``{version}.__reserved`` (see _claim_path)."""
+    return _claim_path(fs, f"{vroot}/{version}.__reserved", jvm)
+
+
+class StaleParentError(RuntimeError):
+    """A linearized commit found the tip moved past its chosen parent —
+    the caller must rebase (re-read the tip) and retry the flip."""
+
+
+def _with_commit_lock(fs, vroot, jvm, fn, timeout_sec=120.0,
+                      stale_sec=300.0):
+    """Run ``fn()`` holding the table's COMMIT LOCK — the linearization
+    point of the whole protocol. Version-number reservations serialize
+    NUMBERS, not commits: two writers could still flip manifests whose
+    parents were both the old tip, creating divergent committed
+    histories that only commute for appends (the N-writer stress showed
+    DML/compact divergence needs genuinely unmergeable repairs). Holding
+    one short lock around [re-read tip → write manifest → flip marker]
+    makes every commit's parent the TRUE latest commit — Iceberg's
+    atomic-swap contract — so new histories are linear by construction
+    and heal demotes to crash-debris repair.
+
+    The lock is an atomically-created file; held for ~2 metadata IO ops.
+    A holder that died is broken after ``stale_sec`` (same presumed-dead
+    contract as reservation markers)."""
+    import random
+    import time
+
+    HPath = jvm.org.apache.hadoop.fs.Path
+    lock = f"{vroot}/.__commit_lock"
+    deadline = time.time() + timeout_sec
+    while True:
+        if _claim_path(fs, lock, jvm):
+            try:
+                return fn()
+            finally:
+                fs.delete(HPath(lock), False)
+        try:
+            st = fs.getFileStatus(HPath(lock))
+            age = time.time() * 1000.0 - st.getModificationTime()
+            if age > stale_sec * 1000.0:
+                fs.delete(HPath(lock), False)  # break a dead holder's lock
+                continue
+        except Exception:
+            continue  # lock vanished between claim and stat: retry
+        if time.time() > deadline:
+            raise ConcurrentWriteError(
+                f"commit lock under {vroot} not acquired in "
+                f"{timeout_sec}s"
+            )
+        time.sleep(0.002 + random.random() * 0.01)
 
 
 def _reserve_version(fs, vroot, jvm) -> int:
@@ -266,7 +328,53 @@ def _commit_manifest(
     batch_ids: list[str] | None = None,
     batch_id: str | None = None,
     file_stats: dict | None = None,
+    enforce_linear: bool = True,
 ) -> None:
+    """Write + flip one manifest version. With ``enforce_linear`` (the
+    default) the flip happens under the table's commit lock and is
+    REFUSED (:class:`StaleParentError`) unless ``parent`` is the current
+    tip — every caller rebases and retries, so committed history is
+    linear by construction. ``enforce_linear=False`` exists only for
+    history REPAIR (the retract-restore paths, which reconstruct a
+    deleted manifest verbatim for a child that raced in) and for tests
+    that fabricate divergent legacy histories to exercise heal."""
+    if os.environ.get("POPELINES_MANIFEST_TRACE"):
+        import threading
+
+        print(
+            f"TRACE commit v={version} op={op} parent={parent} "
+            f"nfiles={len(set(files))} bid={batch_id} "
+            f"thr={threading.get_ident() % 1000}",
+            flush=True,
+        )
+    if enforce_linear:
+        def _flip():
+            tips = _committed_manifest_versions(fs, vroot, jvm)
+            tip = tips[-1] if tips else None
+            if tip != parent:
+                raise StaleParentError(
+                    f"commit {version}: parent {parent} is not the tip "
+                    f"({tip}) — rebase and retry"
+                )
+            if tip is not None and version <= tip:
+                # number order must equal commit order: the whole
+                # protocol (and every reader) resolves the tip as the
+                # HIGHEST committed number, so a lower-numbered late
+                # commit would be invisible — burn the number, take a
+                # fresh one above the tip
+                raise StaleParentError(
+                    f"commit {version}: a higher version ({tip}) already "
+                    "committed — re-reserve above it"
+                )
+            _commit_manifest(
+                spark, fs, vroot, version, files, schema_json, jvm,
+                parent=parent, op=op, batch_ids=batch_ids,
+                batch_id=batch_id, file_stats=file_stats,
+                enforce_linear=False,
+            )
+
+        _with_commit_lock(fs, vroot, jvm, _flip)
+        return
     HPath = jvm.org.apache.hadoop.fs.Path
     vdir = f"{vroot}/{version}"
     fs.mkdirs(HPath(vdir))
@@ -418,6 +526,20 @@ def heal_manifest_table(
         tipman = mans[tip]
         tip_ids = set(tipman.get("batch_ids", []))
         working = set(tipman["files"])
+        # files DELIBERATELY removed on the tip lineage (replace commits
+        # and replayed reconciliations): an orphan whose files intersect
+        # this set must NOT re-add them — when the chain walk breaks at
+        # a dangling link, even the ROOT manifest classifies as orphaned,
+        # and unioning its full list back resurrected rows both DMLs had
+        # removed (N-writer stress: +325 duplicate keys, the exact
+        # original∩rewrite overlap, with the delete undone)
+        removed_on_chain: set[str] = set()
+        for cv in chain:
+            cp = _parent_of(mans, versions, cv)
+            if cp in mans:
+                removed_on_chain |= set(mans[cp]["files"]) - set(
+                    mans[cv]["files"]
+                )
         file_stats = dict(tipman.get("file_stats", {}))
         ids_add: set[str] = set()
         schemas_add = []
@@ -430,12 +552,29 @@ def heal_manifest_table(
             an already-applied delta is a no-op and a partially
             applicable one raises."""
             nonlocal changed
+
+            def _register_ids():
+                # even when the FILE delta is already applied, its ids
+                # must reach the lineage: a missing batch id lets a
+                # client retry re-append the same batch as new files
+                # (duplicate rows), and a missing replay marker makes
+                # downstream checks re-litigate a replay that already
+                # ran (false conflicts)
+                nonlocal changed
+                new = own_ids - tip_ids - ids_add
+                if new:
+                    ids_add.update(new)
+                    changed = True
+
+            # never resurrect a file the tip lineage deliberately removed
+            adds = [f for f in adds if f not in removed_on_chain]
             adds = [f for f in adds if f not in working] if not removes \
                 else list(adds)
             if removes:
                 if all(a in working for a in adds) and not (
                     removes & working
                 ):
+                    _register_ids()
                     return  # delta already applied on this lineage
                 if not removes <= working:
                     raise ConcurrentWriteError(
@@ -448,6 +587,7 @@ def heal_manifest_table(
                 for f in removes:
                     file_stats.pop(f, None)
             elif not adds:
+                _register_ids()
                 return
             working.update(adds)
             fstats = m.get("file_stats", {})
@@ -507,12 +647,38 @@ def heal_manifest_table(
                 # DML-overlap). Own ids only — the ids it INTRODUCED —
                 # because its inherited ids describe ITS parent's
                 # lineage, whose files are not part of this delta.
+                own_ids = set(m.get("batch_ids", [])) - set(
+                    mans[p].get("batch_ids", [])
+                )
+                on_lineage = tip_ids | ids_add
+                if own_ids and own_ids <= on_lineage:
+                    # every id this orphan introduced already reached
+                    # this lineage through other commits (batch ids =
+                    # the batches landed, possibly as retry-written
+                    # copies with DIFFERENT files — re-adding the
+                    # originals would duplicate the batch; markers = the
+                    # replays ran), so its delta is semantically applied
+                    # even when the FILES have since been rewritten
+                    continue
+                removes = pf - set(m["files"])
+                own_markers = {
+                    i for i in own_ids
+                    if i.startswith("__replayed_replace_")
+                }
+                if removes and own_markers and own_markers <= on_lineage:
+                    # all of its REMOVAL content (replays) already ran on
+                    # this lineage; its remaining add-only pieces belong
+                    # to source append manifests that this same loop
+                    # re-discovers directly — applying the stale file
+                    # delta here would raise a false conflict on the
+                    # partial overlap (stranded-reconciliation shape
+                    # from the N-writer stress)
+                    continue
                 _apply_delta(
                     v, m,
                     [f for f in m["files"] if f not in pf],
-                    pf - set(m["files"]),
-                    set(m.get("batch_ids", []))
-                    - set(mans[p].get("batch_ids", [])),
+                    removes,
+                    own_ids,
                 )
             else:
                 # DANGLING parent. An append's own contribution is
@@ -542,6 +708,8 @@ def heal_manifest_table(
                     # safe-to-add contribution. Own batch id only — the
                     # inherited id set cannot be split without the parent
                     own_ids = {m["batch_id"]} if m.get("batch_id") else set()
+                    if own_ids and own_ids <= (tip_ids | ids_add):
+                        continue  # the batch already landed here
                     _apply_delta(v, m, own, set(), own_ids)
                 else:
                     # parent below the retention floor = GC'd history: a
@@ -574,6 +742,12 @@ def heal_manifest_table(
                 batch_ids=sorted(tip_ids | ids_add),
                 file_stats=file_stats,
             )
+        except StaleParentError:
+            # a writer committed while this round computed: its commit
+            # (linear) subsumes the tip we reconciled against — re-list
+            # and reconcile against the new tip next round
+            _release_reservation(fs, vroot, version, jvm)
+            continue
         except BaseException:
             # same discipline as append/compact: a reservation leaked on
             # a failed commit would permanently stall cleanup_orphan_files
@@ -631,9 +805,6 @@ def append_manifest_table(
     parent: int | None = None
     target_schema = df.schema
     HPath = jvm.org.apache.hadoop.fs.Path
-    # one manifest-read cache for this append's whole rebase/flip cycle
-    # (committed manifests are immutable; see _orphan_replaces)
-    man_cache: dict[int, dict] = {}
     try:
         # REBASE: everything about the parent is read after the
         # reservation (idempotency recheck included — its tip-churn
@@ -700,71 +871,15 @@ def append_manifest_table(
             }
         out.write.mode("overwrite").parquet(ddir)
         new_files = _list_parquet(fs, ddir, jvm)
-        for _ in range(10):
-            # PRE-FLIP REBASE: commit parented on the CURRENT tip, not
-            # the one read before the (slow) data write. Two reasons:
-            # a retracted parent's file list describes superseded state,
-            # and — because the tip is the highest version NUMBER, not
-            # the latest commit — flipping a stale parent over a
-            # lower-numbered replace that committed meanwhile would
-            # silently orphan that DML (its owner's post-commit walk
-            # only catches commits visible at walk time). Our own data
-            # files are parent-independent and stay as written; append-
-            # over-append inversions in the residual window stay heal's
-            # job (file unions commute — row DML does not).
-            current = _committed_manifest_versions(fs, vroot, jvm)
-            cur_tip = current[-1] if current else None
-            parent_alive = parent is None or fs.exists(
-                HPath(f"{vroot}/{parent}/{_COMMIT}")
-            )
-            if cur_tip == parent and parent_alive:
-                break
-            if parent_alive:
-                # tip moved past us — flipping a stale parent is SAFE
-                # over appends/compacts (heal unions file lists) but
-                # would silently orphan a replace's row-level DML:
-                # rebase only when a committed replace is MISSING from
-                # our parent's lineage (lineage membership, not version
-                # arithmetic — stale appends can outnumber the replace)
-                if not _orphan_replaces(fs, vroot, jvm, parent, man_cache):
-                    break
-            parent, man = cur_tip, None
-            if parent is not None:
-                man = _read_manifest_or_none(fs, vroot, parent, jvm)
-                if man is None:
-                    parent = None
-                    continue
-            if man is not None:
-                prev_files = man["files"]
-                prev_stats = man.get("file_stats", {})
-                prev_ids = man.get("batch_ids", [])
-                from pyspark.sql.types import StructType
-
-                live = StructType.fromJson(json.loads(man["schema"]))
-                target_schema = merge_schemas(live, target_schema)
-            else:
-                prev_files, prev_stats, prev_ids = [], {}, []
-        else:
-            # attempts exhausted. A parent that resolved but carries a
-            # PERSISTENT off-lineage replace means that replace's owner
-            # is gone (transient orphans clear in one walk): block no
-            # further — flip, and let heal/GC report the orphan loudly.
-            if parent is not None and fs.exists(
-                HPath(f"{vroot}/{parent}/{_COMMIT}")
-            ):
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "append on %s proceeding past a persistent orphaned "
-                    "replace (abandoned owner?) — heal/GC will report it",
-                    table_name,
-                )
-            else:
-                raise ConcurrentWriteError(
-                    f"tip of {table_name} kept moving during append rebase"
-                )
-        for flip_attempt in range(10):
-            # carry forward prior per-file stats; stamp batch files
+        # LINEARIZED FLIP: the commit lock inside _commit_manifest
+        # refuses any parent that is not the live tip, so committed
+        # history is linear by construction — no stale flip can orphan a
+        # concurrent replace's DML, which removes the whole pre-flip
+        # rebase walk / post-flip self-retract / restore machinery this
+        # loop used to carry (the N-writer stress showed their divergent
+        # histories were not always mergeable). Our data files are
+        # parent-independent: a rebase re-reads only manifest JSON.
+        for _ in range(60):
             file_stats = dict(prev_stats)
             if batch_stats is not None:
                 for f in new_files:
@@ -772,71 +887,9 @@ def append_manifest_table(
             batch_ids = set(prev_ids)
             if batch_id is not None:
                 batch_ids.add(str(batch_id))
-            _commit_manifest(
-                spark, fs, vroot, version,
-                prev_files + new_files,
-                json.dumps(target_schema.jsonValue()), jvm,
-                parent=parent, op="append",
-                batch_ids=sorted(batch_ids),
-                batch_id=None if batch_id is None else str(batch_id),
-                file_stats=file_stats,
-            )
-            # POST-FLIP: a replace may have flipped in the window
-            # between our pre-flip rebase check and our commit — at ITS
-            # post-commit walk we were not yet visible, so it declared
-            # itself on-tip, and our commit now orphans its row-level
-            # DML (lineage check: version numbers do not order commits).
-            # Detect it, retract OURSELVES (data files stay — the
-            # re-commit references them), and re-commit rebased.
-            if not _orphan_replaces(fs, vroot, jvm, version, man_cache):
-                break
-            # descendant guard: if a commit already built on ours
-            # (parent POINTER check — number order means nothing),
-            # retracting would dangle its parent — leave the orphan to
-            # its own owner's walk or to maintenance
-            has_child = False
-            for v in _committed_manifest_versions(fs, vroot, jvm):
-                if v == version:
-                    continue
-                m = _read_manifest_or_none(fs, vroot, v, jvm)
-                if m is not None and m.get("parent") == version:
-                    has_child = True
-                    break
-            if has_child:
-                break
-            if flip_attempt == 9:
-                # persistent across retries = abandoned owner; our
-                # commit is durable — stop retracting, report loudly
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "append on %s leaves a persistent orphaned replace "
-                    "in place (abandoned owner?) — heal/GC will report",
-                    table_name,
-                )
-                break
-            # reserve the NEW version BEFORE retracting the old one so
-            # the data files are never both unreferenced and unreserved
-            # (cleanup_orphan_files aborts while any claim marker lives)
-            old_version = version
-            version = _reserve_version(fs, vroot, jvm)
-            fs.delete(HPath(f"{vroot}/{old_version}"), True)
-            # POST-DELETE CHILD RE-CHECK: a commit parented on
-            # old_version can land between the has_child scan above and
-            # the delete — leaving its parent pointer dangling, which
-            # makes heal raise persistently while any replace sits in
-            # the skipped history. Restore our manifest verbatim (the
-            # marker claim guards against the number having been
-            # re-reserved meanwhile) and stop retracting — same outcome
-            # as the has_child break above.
-            child_appeared = any(
-                (m2 := _read_manifest_or_none(fs, vroot, v2, jvm))
-                is not None and m2.get("parent") == old_version
-                for v2 in _committed_manifest_versions(fs, vroot, jvm)
-            )
-            if child_appeared and _claim_marker(fs, vroot, old_version, jvm):
+            try:
                 _commit_manifest(
-                    spark, fs, vroot, old_version,
+                    spark, fs, vroot, version,
                     prev_files + new_files,
                     json.dumps(target_schema.jsonValue()), jvm,
                     parent=parent, op="append",
@@ -844,19 +897,48 @@ def append_manifest_table(
                     batch_id=None if batch_id is None else str(batch_id),
                     file_stats=file_stats,
                 )
-                _release_reservation(fs, vroot, version, jvm)
-                version = old_version
                 break
-            parent, man = _resolve_tip(
-                fs, vroot, jvm, f"{table_name} ({root})"
-            )
-            prev_files = man["files"]
-            prev_stats = man.get("file_stats", {})
-            prev_ids = man.get("batch_ids", [])
-            from pyspark.sql.types import StructType
+            except StaleParentError:
+                # another writer committed first: rebase onto the new
+                # tip (idempotency recheck included — it may have been a
+                # replay of OUR batch id from a competing client)
+                versions = _committed_manifest_versions(fs, vroot, jvm)
+                if versions and version <= versions[-1]:
+                    # our number is now BELOW the tip: number order must
+                    # equal commit order, so burn it and take a fresh
+                    # one (the data stays in its original dir — the
+                    # manifest references files by path, not by number)
+                    _release_reservation(fs, vroot, version, jvm)
+                    version = _reserve_version(fs, vroot, jvm)
+                    versions = _committed_manifest_versions(fs, vroot, jvm)
+                if batch_id is not None:
+                    seen = _find_batch_version(
+                        fs, vroot, versions, jvm, str(batch_id)
+                    )
+                    if seen is not None:
+                        _release_reservation(fs, vroot, version, jvm)
+                        return seen
+                parent, man = None, None
+                if versions:
+                    parent = versions[-1]
+                    man = _read_manifest_or_none(fs, vroot, parent, jvm)
+                    if man is None:
+                        parent = None  # tip retracted under us: re-list
+                        continue
+                if man is not None:
+                    prev_files = man["files"]
+                    prev_stats = man.get("file_stats", {})
+                    prev_ids = man.get("batch_ids", [])
+                    from pyspark.sql.types import StructType
 
-            live = StructType.fromJson(json.loads(man["schema"]))
-            target_schema = merge_schemas(live, target_schema)
+                    live = StructType.fromJson(json.loads(man["schema"]))
+                    target_schema = merge_schemas(live, target_schema)
+                else:
+                    prev_files, prev_stats, prev_ids = [], {}, []
+        else:
+            raise ConcurrentWriteError(
+                f"tip of {table_name} kept moving during append rebase"
+            )
     except Exception:
         # the reservation must not leak on ANY pre-commit failure
         # (_find_batch_version churn, write failure, rebase exhaustion)
@@ -1023,17 +1105,15 @@ def compact_manifest_table(
     it over a tip that moved during the (slow) rewrite would drop every
     commit that landed meanwhile, including replaces whose row-level DML
     heal can never re-merge (the lost-update class the N-writer stress
-    caught: a compact racing two DMLs orphaned both). Hence the same
-    discipline as append_manifest_table: a PRE-FLIP rebase check (tip
-    still == our parent, else recompact from the new tip) and a
-    POST-FLIP orphan walk (a replace that flipped inside our
-    check→commit window retracts us; we retry). Compaction is pure
-    optimization, so contention resolution is simply: give way. Raises
+    caught: a compact racing two DMLs orphaned both). The linearized
+    commit (:class:`StaleParentError` from the lock) refuses exactly
+    that flip; a lost race means the rewrite targeted superseded state,
+    so the whole compact retries from the new tip. Compaction is pure
+    optimization: contention resolution is simply give way. Raises
     :class:`ConcurrentWriteError` after ``max_retries`` lost races —
     maintenance callers retry or skip."""
     root, vroot, droot = _paths(warehouse, table_name)
     fs, _, jvm = _hadoop_fs(spark, root)
-    HPath = jvm.org.apache.hadoop.fs.Path
     for _ in range(max_retries):
         version = _reserve_version(fs, vroot, jvm)
         try:
@@ -1069,72 +1149,22 @@ def compact_manifest_table(
                 # and recompact from the current tip
                 _release_reservation(fs, vroot, version, jvm)
                 continue
-            # PRE-FLIP: the rewrite took real time; if the tip moved (or
-            # our parent was retracted) the snapshot is stale — committing
-            # it would orphan everything that landed since
-            now = _committed_manifest_versions(fs, vroot, jvm)
-            if (
-                not now
-                or now[-1] != parent
-                or not fs.exists(HPath(f"{vroot}/{parent}/{_COMMIT}"))
-            ):
+            try:
+                _commit_manifest(
+                    spark, fs, vroot, version,
+                    _list_parquet(fs, ddir, jvm), man["schema"], jvm,
+                    parent=parent, op="compact",
+                    batch_ids=man.get("batch_ids", []),
+                )
+            except StaleParentError:
+                # a commit landed during the rewrite: the snapshot is of
+                # superseded state — recompact from the new tip
                 _release_reservation(fs, vroot, version, jvm)
                 continue
-            _commit_manifest(
-                spark, fs, vroot, version,
-                _list_parquet(fs, ddir, jvm), man["schema"], jvm,
-                parent=parent, op="compact",
-                batch_ids=man.get("batch_ids", []),
-            )
         except Exception:
             _release_reservation(fs, vroot, version, jvm)
             raise
-        # POST-FLIP: a replace may have flipped inside the check→commit
-        # window (tip = highest NUMBER, which does not order commits) —
-        # our compact now orphans its DML. Retract ourselves and retry;
-        # an orphaned COMPACT is harmless (heal skips it, the rewrite is
-        # redundant), so only the replace-orphaning direction matters.
-        if not _orphan_replaces(fs, vroot, jvm, version):
-            break
-        # descendant guard, same as append: retracting under a child
-        # that already built on us would dangle its parent pointer
-        has_child = False
-        for v in _committed_manifest_versions(fs, vroot, jvm):
-            if v == version:
-                continue
-            m = _read_manifest_or_none(fs, vroot, v, jvm)
-            if m is not None and m.get("parent") == version:
-                has_child = True
-                break
-        if has_child:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "compact on %s leaves an orphaned replace in place (a "
-                "child already built on the compact) — heal/GC will "
-                "report it",
-                table_name,
-            )
-            break
-        fs.delete(HPath(f"{vroot}/{version}"), True)
-        # post-delete child re-check, same as append's retract: a commit
-        # parented on us can land between the scan and the delete —
-        # restore verbatim (marker-claim guarded) so its parent pointer
-        # never dangles, and stop retracting
-        child_appeared = any(
-            (m2 := _read_manifest_or_none(fs, vroot, v2, jvm)) is not None
-            and m2.get("parent") == version
-            for v2 in _committed_manifest_versions(fs, vroot, jvm)
-        )
-        if child_appeared and _claim_marker(fs, vroot, version, jvm):
-            _commit_manifest(
-                spark, fs, vroot, version,
-                _list_parquet(fs, f"{droot}/v{version}", jvm),
-                man["schema"], jvm,
-                parent=parent, op="compact",
-                batch_ids=man.get("batch_ids", []),
-            )
-            break
+        break
     else:
         raise ConcurrentWriteError(
             f"compact on {table_name} lost {max_retries} races to "
@@ -1179,22 +1209,41 @@ def cleanup_orphan_files(
     writer-in-flight abort but their ``data/v{N}`` directory is still
     skipped — presumed-dead is not proven-dead, and skipping one
     directory costs nothing while deleting a live writer's in-flight
-    files would corrupt its commit."""
+    files would corrupt its commit.
+
+    The writer-in-flight fence runs TWICE — before and after building
+    the referenced set — and the committed version SET must be identical
+    across the build. A one-shot check goes stale mid-sweep: the traced
+    N-writer failure had a retracting append delete its old manifest
+    (files momentarily referenced by nothing) between the single marker
+    check and the sweep, and cleanup deleted data files the re-commit
+    then referenced. Any writer activity in the window leaves evidence —
+    a fresh marker (reserve always precedes retract) or a version-set
+    change — so the double fence catches it and the sweep aborts to the
+    next cycle. Files younger than ``reservation_timeout_sec`` are also
+    never deleted (vacuum retention): an unreferenced-looking young file
+    may be an in-flight writer's just-written batch."""
     import time
 
     root, vroot, droot = _paths(warehouse, table_name)
     fs, _, jvm = _hadoop_fs(spark, root)
     HPath = jvm.org.apache.hadoop.fs.Path
+
+    def _fresh_reservation() -> bool:
+        now_ms = time.time() * 1000.0
+        for st in fs.listStatus(HPath(vroot)):
+            if st.getPath().getName().endswith(".__reserved"):
+                age_ms = now_ms - st.getModificationTime()
+                if age_ms < reservation_timeout_sec * 1000.0:
+                    return True
+        return False
+
     # any live reservation = an in-flight writer that may be about to
     # commit references to files this sweep would classify as orphans
     # (e.g. an append parented on a just-retracted replace) — the only
     # safe sweep is one with no FRESH reservation in flight
-    now_ms = time.time() * 1000.0
-    for st in fs.listStatus(HPath(vroot)):
-        if st.getPath().getName().endswith(".__reserved"):
-            age_ms = now_ms - st.getModificationTime()
-            if age_ms < reservation_timeout_sec * 1000.0:
-                return 0
+    if _fresh_reservation():
+        return 0
     versions = _committed_manifest_versions(fs, vroot, jvm)
     if not versions:
         return 0
@@ -1202,8 +1251,16 @@ def cleanup_orphan_files(
     referenced: set[str] = set()
     for v in versions:
         m = _read_manifest_or_none(fs, vroot, v, jvm)
-        if m is not None:
-            referenced.update(m["files"])
+        if m is None:
+            return 0  # retracted under the build: writer active, abort
+        referenced.update(m["files"])
+    # second fence: a writer that started, retracted, or committed while
+    # the referenced set was building leaves a marker or changes the set
+    if _fresh_reservation():
+        return 0
+    if _committed_manifest_versions(fs, vroot, jvm) != versions:
+        return 0
+    cutoff_ms = time.time() * 1000.0 - reservation_timeout_sec * 1000.0
     removed = 0
     droot_path = HPath(droot)
     if not fs.exists(droot_path):
@@ -1223,9 +1280,15 @@ def cleanup_orphan_files(
         it = fs.listFiles(st.getPath(), True)
         doomed = []
         while it.hasNext():
-            f = it.next().getPath()
-            if f.getName().endswith(".parquet") and (
-                f.toString() not in referenced
+            fst = it.next()
+            f = fst.getPath()
+            if (
+                f.getName().endswith(".parquet")
+                and f.toString() not in referenced
+                # vacuum retention: never touch young files — an
+                # unreferenced-LOOKING young file may be a batch an
+                # in-flight writer just wrote and is about to commit
+                and fst.getModificationTime() < cutoff_ms
             ):
                 doomed.append(f)
         for f in doomed:
@@ -1239,6 +1302,7 @@ def gc_manifest_table(
     warehouse: str,
     table_name: str,
     keep_versions: int = 2,
+    min_file_age_sec: float = 3600.0,
 ) -> tuple[int, int]:
     """Drop manifests beyond the ``keep_versions`` most recent, then
     delete data files referenced by NO retained manifest. Returns
@@ -1280,6 +1344,9 @@ def gc_manifest_table(
             m = _read_manifest_or_none(fs, vroot, v, jvm)
             if m is not None:
                 retained.update(m["files"])
+    import time
+
+    cutoff_ms = time.time() * 1000.0 - min_file_age_sec * 1000.0
     n_deleted = 0
     for v in drop:
         m = _read_manifest_or_none(fs, vroot, v, jvm)
@@ -1289,6 +1356,12 @@ def gc_manifest_table(
         fs.delete(HPath(f"{vroot}/{v}"), True)
         for f in old:
             if f not in retained and fs.exists(HPath(f)):
+                # vacuum retention, same rule as cleanup_orphan_files:
+                # a young file may be mid-commit in a racing writer's
+                # stale-parented file list — skip it this cycle
+                if fs.getFileStatus(HPath(f)).getModificationTime() \
+                        >= cutoff_ms:
+                    continue
                 fs.delete(HPath(f), False)
                 n_deleted += 1
     return len(drop), n_deleted

@@ -19,11 +19,11 @@ matching rows (``input_file_name()``). At 100 TB a date-scoped DELETE
 touches only the files whose recorded ranges overlap the date — O(hit),
 not O(table).
 
-Concurrency: replace commits validate their parent right before the
-manifest flip and RETRACT + RETRY on an optimistic conflict (a replace
-that lost the race is useless — it rewrote files of a superseded tip).
-Appends racing a replace are never lost: the heal pass re-appends their
-contribution on top of the replace (see manifest.py's contract).
+Concurrency: the manifest flip is LINEARIZED (manifest.py's commit
+lock) — a replace whose parent is no longer the tip is refused at the
+flip and the whole DML retries against the new tip (a lost-race rewrite
+is useless: it rewrote files of a superseded state). Appends racing a
+replace are never lost: their flip rebases the same way.
 
 Reference basis: the reference reaches DELETE/UPDATE/MERGE through
 BigQuery DML via bq_query (popelines/main.py:236-243); this is that DML
@@ -40,13 +40,12 @@ from pyspark.sql import functions as F
 
 from popelines_spark.manifest import (
     ConcurrentWriteError,
+    StaleParentError,
     _commit_manifest,
     _committed_manifest_versions,
     _hadoop_fs,
     _list_parquet,
     _paths,
-    _orphan_replaces,
-    _read_manifest,
     _read_manifest_or_none,
     _release_reservation,
     _reserve_version,
@@ -171,57 +170,29 @@ def _replace_commit(
                 for f, s in man.get("file_stats", {}).items()
                 if f not in affected_set
             }
-            # validate the parent right before the flip: a racing commit
-            # since the rebase read means our rewrite targeted a stale tip
+            # cheap early check before taking the commit lock: a racing
+            # commit since the rebase read means our rewrite targeted a
+            # stale tip (the lock would refuse it anyway — this just
+            # skips the lock round-trip for definitely-stale flips)
             now = _committed_manifest_versions(fs, vroot, jvm)
             if now and now[-1] != parent:
                 raise _Conflict(f"tip moved {parent} -> {now[-1]}")
-            _commit_manifest(
-                spark, fs, vroot, version, files,
-                json.dumps(schema_out.jsonValue()), jvm,
-                parent=parent, op="replace",
-                batch_ids=man.get("batch_ids", []),
-                file_stats=file_stats,
-            )
-            # post-commit: if a lower in-flight reservation committed
-            # after our validation, our replace may be orphaned — retract
-            # (nothing can have built on it: anything parented on us
-            # would put us in the tip lineage) and retry.
-            now = _committed_manifest_versions(fs, vroot, jvm)
-            tip = now[-1]
-            on_tip = False
-            v: int | None = tip
-            seen: set[int] = set()
-            while v is not None and v not in seen:
-                if v == version:
-                    on_tip = True
-                    break
-                seen.add(v)
-                try:
-                    v = _read_manifest(fs, vroot, v, jvm).get("parent")
-                except Exception:
-                    break
-            if not on_tip:
-                # retract the ORPHANED commit's manifest — but keep its
-                # data files: an in-flight append that rebase-read this
-                # manifest as its parent may still commit a file list
-                # referencing them (deleting would tear that table);
-                # unreferenced rewrite files are orphan-file debris for
-                # maintenance, not a correctness hazard
-                fs.delete(HPath(f"{vroot}/{version}"), True)
-                raise _Conflict(f"replace {version} superseded by tip {tip}")
-            peers = _orphan_replaces(fs, vroot, jvm, version)
-            if peers:
-                # a RACING replace flipped inside our validate→commit
-                # window: both of us passed our own on-tip walks (tip is
-                # the highest NUMBER, which does not order commits), so
-                # whichever lineage wins, one DML's effect is dropped.
-                # Both sides retract and retry — fresh reservations
-                # serialize them.
-                fs.delete(HPath(f"{vroot}/{version}"), True)
-                raise _Conflict(
-                    f"replace {version} raced replaces {peers} off-lineage"
+            try:
+                _commit_manifest(
+                    spark, fs, vroot, version, files,
+                    json.dumps(schema_out.jsonValue()), jvm,
+                    parent=parent, op="replace",
+                    batch_ids=man.get("batch_ids", []),
+                    file_stats=file_stats,
                 )
+            except StaleParentError as exc:
+                # the linearized flip refused a stale parent: the
+                # rewrite targeted superseded state — retry the whole
+                # DML against the new tip. (This closed the
+                # near-simultaneous-walk race where two replaces flipped
+                # parented on the same manifest and neither's own
+                # post-commit walk saw the other.)
+                raise _Conflict(str(exc)) from exc
             try:
                 heal_manifest_table(spark, warehouse, table_name)
             except ConcurrentWriteError:
@@ -240,6 +211,15 @@ def _replace_commit(
         except _Conflict as exc:
             _release_reservation(fs, vroot, version, jvm)
             last = exc
+            # heal before retrying: a stranded off-lineage replace (a
+            # racing walk that saw neither peer) makes every later
+            # replace's peers-check fire forever — replaying/marking it
+            # here breaks the livelock the N-writer stress hit (DMLs
+            # exhausting 100 client retries)
+            try:
+                heal_manifest_table(spark, warehouse, table_name)
+            except (ConcurrentWriteError, FileNotFoundError):
+                pass
             continue
         except Exception:
             _release_reservation(fs, vroot, version, jvm)

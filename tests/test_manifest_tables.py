@@ -63,7 +63,7 @@ def test_compaction_and_gc_respect_retention(spark, scratch):
     vc = compact_manifest_table(spark, scratch, "mg", n_files=1)
     assert read_manifest_table(spark, scratch, "mg").count() == 30
     dropped, deleted = gc_manifest_table(
-        spark, scratch, "mg", keep_versions=1
+        spark, scratch, "mg", keep_versions=1, min_file_age_sec=0
     )
     # v3 (the compact's parent) is spared by lineage closure; v1/v2 drop
     assert dropped == 2 and deleted == 0
@@ -75,7 +75,7 @@ def test_compaction_and_gc_respect_retention(spark, scratch):
     # pre-compaction files are reclaimed
     append_manifest_table(spark, scratch, "mg", _mk(spark, 5, "b3"))
     dropped2, deleted2 = gc_manifest_table(
-        spark, scratch, "mg", keep_versions=1
+        spark, scratch, "mg", keep_versions=1, min_file_age_sec=0
     )
     assert deleted2 > 0
     assert read_manifest_table(spark, scratch, "mg").count() == 35
@@ -94,7 +94,7 @@ def test_gc_keeps_files_shared_with_retained_versions(spark, scratch):
     # drops — its files survive because every retained manifest (append
     # chain) still lists them
     dropped, deleted = gc_manifest_table(
-        spark, scratch, "ms", keep_versions=2
+        spark, scratch, "ms", keep_versions=2, min_file_age_sec=0
     )
     assert dropped == 1 and deleted == 0
     assert read_manifest_table(spark, scratch, "ms").count() == 40
@@ -159,6 +159,7 @@ def test_heal_reconciles_out_of_order_commits(spark, scratch):
         spark, fs, vroot, vA,
         base_man["files"] + a_files, base_man["schema"], jvm,
         parent=1, op="append", batch_ids=["slow-batch"],
+        enforce_linear=False,
     )
     healed = M.heal_manifest_table(spark, scratch, "mh")
     assert healed == 1
@@ -181,7 +182,8 @@ def test_batch_id_replay_detection_survives_compact_and_gc(spark, scratch):
     append_manifest_table(spark, scratch, "mb", _mk(spark, 10, "a"), batch_id=0)
     append_manifest_table(spark, scratch, "mb", _mk(spark, 10, "b"), batch_id=1)
     compact_manifest_table(spark, scratch, "mb", n_files=1)
-    gc_manifest_table(spark, scratch, "mb", keep_versions=1)
+    gc_manifest_table(spark, scratch, "mb", keep_versions=1,
+                      min_file_age_sec=0)
     # replay of batch 0 after its manifest is gone: still a no-op
     v = append_manifest_table(
         spark, scratch, "mb", _mk(spark, 10, "a"), batch_id=0
@@ -468,6 +470,10 @@ def test_cleanup_orphan_files(spark, scratch):
     # version's dir, and a whole never-committed version dir
     spark.range(3).write.mode("overwrite").parquet(f"{droot}/v1/__orphan")
     spark.range(3).write.mode("overwrite").parquet(f"{droot}/v2/also_orphan")
+    # age the debris past the vacuum-retention floor (young unreferenced
+    # files are presumed in-flight and never touched)
+    for f in glob.glob(f"{droot}/v*/*orphan/*.parquet"):
+        os.utime(f, (0, 0))
     # a reserved (in-flight) dir must be skipped even when unreferenced
     fs.create(HPath(f"{vroot}/2.__reserved"), True).close()
     before = set(manifest_file_list(spark, scratch, "mo"))
@@ -477,6 +483,10 @@ def test_cleanup_orphan_files(spark, scratch):
     fs.delete(HPath(f"{vroot}/2.__reserved"), False)
     removed = cleanup_orphan_files(spark, scratch, "mo")
     assert removed > 0
+    # young unreferenced files survive the sweep (vacuum retention)
+    spark.range(3).write.mode("overwrite").parquet(f"{droot}/v1/__young")
+    assert cleanup_orphan_files(spark, scratch, "mo") == 0
+    assert glob.glob(f"{droot}/v1/__young/*.parquet")
     # every referenced file is still there and the table reads clean
     after = set(manifest_file_list(spark, scratch, "mo"))
     assert after == before
@@ -508,7 +518,7 @@ def test_orphan_replace_detection_rules(spark, scratch):
     man_tip = M._read_manifest(fs, vroot, tip, jvm)
     M._commit_manifest(
         spark, fs, vroot, bogus, man_tip["files"], man_tip["schema"],
-        jvm, parent=versions[0], op="append",
+        jvm, parent=versions[0], op="append", enforce_linear=False,
     )
     orphans = M._orphan_replaces(fs, vroot, jvm, bogus)
     assert orphans == [v for v in versions
@@ -539,6 +549,8 @@ def test_cleanup_proceeds_past_abandoned_reservation(spark, scratch):
     HPath = jvm.org.apache.hadoop.fs.Path
     spark.range(3).write.mode("overwrite").parquet(f"{droot}/v1/__orphan")
     spark.range(3).write.mode("overwrite").parquet(f"{droot}/v2/inflight")
+    for f in glob.glob(f"{droot}/v*/*/*.parquet"):
+        _os.utime(f, (0, 0))  # past the vacuum-retention floor
     fs.create(HPath(f"{vroot}/2.__reserved"), True).close()
     # fresh marker: abort wholesale, exactly as before
     assert cleanup_orphan_files(spark, scratch, "mab") == 0
@@ -572,7 +584,7 @@ def test_heal_releases_reservation_on_commit_failure(spark, scratch,
     man1 = M._read_manifest(fs, vroot, 1, jvm)
     M._commit_manifest(
         spark, fs, vroot, 3, man1["files"], man1["schema"], jvm,
-        parent=1, op="append",
+        parent=1, op="append", enforce_linear=False,
     )
 
     def boom(*a, **k):
@@ -615,7 +627,7 @@ def test_heal_tolerates_dangling_parent_append(spark, scratch):
     man1 = M._read_manifest(fs, vroot, 1, jvm)
     M._commit_manifest(
         spark, fs, vroot, 4, man1["files"], man1["schema"], jvm,
-        parent=1, op="append",
+        parent=1, op="append", enforce_linear=False,
     )
     fs.delete(HPath(f"{vroot}/2"), True)
     assert M.heal_manifest_table(spark, scratch, "mdp") == 1
@@ -643,12 +655,12 @@ def test_heal_tolerates_dangling_parent_append(spark, scratch):
     M._commit_manifest(
         spark, fsg, vrootg, 3,
         M._read_manifest(fsg, vrootg, 1, jvmg)["files"] + own,
-        man2["schema"], jvmg, parent=1, op="append",
+        man2["schema"], jvmg, parent=1, op="append", enforce_linear=False,
     )
     # tip v4 parented on v2 (skips v3), then v1 falls below the floor
     M._commit_manifest(
         spark, fsg, vrootg, 4, man2["files"], man2["schema"], jvmg,
-        parent=2, op="append",
+        parent=2, op="append", enforce_linear=False,
     )
     HPathg = jvmg.org.apache.hadoop.fs.Path
     fsg.delete(HPathg(f"{vrootg}/1"), True)
@@ -676,7 +688,7 @@ def test_orphan_replaces_cache_matches_uncached(spark, scratch):
     man_tip = M._read_manifest(fs, vroot, tip, jvm)
     M._commit_manifest(
         spark, fs, vroot, bogus, man_tip["files"], man_tip["schema"],
-        jvm, parent=versions[0], op="append",
+        jvm, parent=versions[0], op="append", enforce_linear=False,
     )
     cache: dict = {}
     first = M._orphan_replaces(fs, vroot, jvm, bogus, cache)
@@ -693,60 +705,56 @@ def test_orphan_replaces_cache_matches_uncached(spark, scratch):
     assert bogus not in cache
 
 
-def test_post_flip_retract_restores_for_racing_child(spark, scratch,
-                                                     monkeypatch):
-    """The post-flip self-retract re-checks for a child parented on the
-    retracted version AFTER the delete and restores the manifest
-    verbatim — so a concurrent append that commits with parent=our
-    version between the has_child scan and our delete never ends up
-    with a dangling parent pointer."""
+def test_commits_are_linearized(spark, scratch):
+    """The commit lock refuses any flip whose parent is not the live
+    tip (StaleParentError -> rebase and retry), so COMMITTED history is
+    linear by construction: under a many-writer race, every committed
+    manifest's parent pointer is exactly the previous committed version
+    in lineage order, no divergence, no orphans, nothing for heal to
+    reconcile. This replaces the retract/restore machinery the old
+    optimistic flip needed (divergent histories were not always
+    mergeable — see the N-writer stress in tools/stress_manifest.py)."""
+    import threading
+
     from popelines_spark import manifest as M
 
-    append_manifest_table(spark, scratch, "mrc", _mk(spark, 4, "a"))  # v1
-    root, vroot, _ = M._paths(scratch, "mrc")
+    append_manifest_table(spark, scratch, "mlin", _mk(spark, 4, "base"))
+    errs = []
+
+    def run(tag):
+        try:
+            for r in range(3):
+                append_manifest_table(
+                    spark, scratch, "mlin", _mk(spark, 4, f"{tag}{r}"),
+                    batch_id=f"{tag}{r}",
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=run, args=(t,)) for t in ("x", "y", "z")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    root, vroot, _ = M._paths(scratch, "mlin")
     fs, _, jvm = M._hadoop_fs(spark, root)
-
-    state = {"fired": False, "raced": False}
-    real_orphans = M._orphan_replaces
-
-    def fake_orphans(fs_, vroot_, jvm_, tip, cache=None):
-        # exactly one fabricated orphan verdict on OUR post-flip check,
-        # forcing one retract round; everything else is the real walk
-        if tip == 2 and not state["fired"]:
-            state["fired"] = True
-            return [99]
-        return real_orphans(fs_, vroot_, jvm_, tip, cache)
-
-    real_reserve = M._reserve_version
-
-    def reserve_and_race(fs_, vroot_, jvm_):
-        v = real_reserve(fs_, vroot_, jvm_)
-        if state["fired"] and not state["raced"]:
-            state["raced"] = True
-            # the racing child lands parented on v2 — after our
-            # has_child scan (clean), before our delete
-            man2 = M._read_manifest(fs_, vroot_, 2, jvm_)
-            M._commit_manifest(
-                spark, fs_, vroot_, v + 5, man2["files"], man2["schema"],
-                jvm_, parent=2, op="append",
-            )
-        return v
-
-    monkeypatch.setattr(M, "_orphan_replaces", fake_orphans)
-    monkeypatch.setattr(M, "_reserve_version", reserve_and_race)
-    v = append_manifest_table(spark, scratch, "mrc", _mk(spark, 4, "b"))
-    monkeypatch.undo()
-    assert v == 2  # restored under its original number, not re-committed
-    # the child's parent pointer resolves: manifest 2 is committed again
-    assert M._read_manifest_or_none(fs, vroot, 2, jvm) is not None
-    # no reservation leaked by the abandoned re-commit attempt
-    HPath = jvm.org.apache.hadoop.fs.Path
-    names = [st.getPath().getName() for st in fs.listStatus(HPath(vroot))]
-    assert not [n for n in names if n.endswith(".__reserved")]
-    # history is convergent — heal finds nothing to reconcile — and the
-    # tip (the racing child) reads both batches
-    assert M.heal_manifest_table(spark, scratch, "mrc") == 0
-    assert read_manifest_table(spark, scratch, "mrc").count() == 8
+    versions = M._committed_manifest_versions(fs, vroot, jvm)
+    mans = {v: M._read_manifest(fs, vroot, v, jvm) for v in versions}
+    # strict linearity: each commit's parent is its predecessor
+    for prev, cur in zip(versions, versions[1:]):
+        assert mans[cur].get("parent") == prev, (
+            f"divergence: v{cur} parented on {mans[cur].get('parent')}, "
+            f"expected {prev}"
+        )
+    assert M.heal_manifest_table(spark, scratch, "mlin") == 0
+    final = read_manifest_table(spark, scratch, "mlin")
+    assert final.count() == 4 + 9 * 4
+    # every batch id landed exactly once
+    tip_ids = set(mans[versions[-1]]["batch_ids"])
+    assert {f"{t}{r}" for t in "xyz" for r in range(3)} <= tip_ids
 
 
 def test_heal_replays_orphaned_replace(spark, scratch):
@@ -768,7 +776,7 @@ def test_heal_replays_orphaned_replace(spark, scratch):
     # skips the replace (the near-simultaneous-walks race shape)
     M._commit_manifest(
         spark, fs, vroot, 5, man1["files"], man1["schema"], jvm,
-        parent=1, op="append",
+        parent=1, op="append", enforce_linear=False,
     )
     assert M._orphan_replaces(fs, vroot, jvm, 5) == [2]
     assert M.heal_manifest_table(spark, scratch, "mrp") == 1
