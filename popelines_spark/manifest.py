@@ -261,12 +261,28 @@ def _with_commit_lock(fs, vroot, jvm, fn, timeout_sec=120.0,
 
     The lock is an atomically-created file; held for ~2 metadata IO ops.
     A holder that died is broken after ``stale_sec`` (same presumed-dead
-    contract as reservation markers)."""
+    contract as reservation markers). Breaking is itself serialized
+    under an atomically-claimed BREAK file and the staleness re-checked
+    under that claim — otherwise a waiter that statted a stale lock
+    could delete a FRESH lock created in the gap (dead holder's file
+    swept by another breaker, new claimant in) and let two writers into
+    the critical section. The residual window (lock re-statted stale,
+    then released-and-reclaimed before the delete lands) needs a
+    presumed-dead holder to resurrect inside a two-metadata-op gap —
+    the same epsilon every mtime-based lease carries on a store without
+    compare-and-delete."""
     import random
     import time
 
     HPath = jvm.org.apache.hadoop.fs.Path
     lock = f"{vroot}/.__commit_lock"
+    breaker = f"{vroot}/.__commit_lock_break"
+
+    def _stale(path) -> bool:
+        st = fs.getFileStatus(HPath(path))
+        return time.time() * 1000.0 - st.getModificationTime() \
+            > stale_sec * 1000.0
+
     deadline = time.time() + timeout_sec
     while True:
         if _claim_path(fs, lock, jvm):
@@ -275,10 +291,19 @@ def _with_commit_lock(fs, vroot, jvm, fn, timeout_sec=120.0,
             finally:
                 fs.delete(HPath(lock), False)
         try:
-            st = fs.getFileStatus(HPath(lock))
-            age = time.time() * 1000.0 - st.getModificationTime()
-            if age > stale_sec * 1000.0:
-                fs.delete(HPath(lock), False)  # break a dead holder's lock
+            if _stale(lock):
+                if _claim_path(fs, breaker, jvm):
+                    try:
+                        if _stale(lock):  # re-check under the break claim
+                            fs.delete(HPath(lock), False)
+                    except Exception:
+                        pass  # lock vanished: nothing left to break
+                    finally:
+                        fs.delete(HPath(breaker), False)
+                elif _stale(breaker):
+                    # a breaker that died between claim and release would
+                    # block every future takeover — same lease rule
+                    fs.delete(HPath(breaker), False)
                 continue
         except Exception:
             continue  # lock vanished between claim and stat: retry

@@ -1,0 +1,140 @@
+"""Stale-holder takeover of the manifest COMMIT LOCK
+(popelines_spark/manifest.py::_with_commit_lock).
+
+The lock linearizes manifest commits; a holder that died must not wedge
+the table forever, but a waiter must never break a FRESH lock. These
+tests pin the lease rules end-to-end on the local ``file://`` scheme —
+the same Hadoop FileSystem calls an object store would see.
+"""
+
+import os
+import time
+
+import pytest
+
+from popelines_spark.io import _hadoop_fs
+from popelines_spark.manifest import (
+    ConcurrentWriteError,
+    _with_commit_lock,
+    append_manifest_table,
+    read_manifest_table,
+)
+
+
+def _vroot(scratch, name):
+    return f"{scratch}/{name}/versions"
+
+
+def _touch(path, age_sec=0.0):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    open(path, "w").close()
+    if age_sec:
+        past = time.time() - age_sec
+        os.utime(path, (past, past))
+
+
+def test_dead_holders_lock_is_broken_and_commit_proceeds(spark, scratch):
+    """A lock file older than stale_sec is presumed dead: the waiter
+    breaks it and the commit goes through (no operator intervention)."""
+    append_manifest_table(
+        spark, scratch, "t", spark.range(3).selectExpr("id")
+    )
+    vroot = _vroot(scratch, "t")
+    _touch(f"{vroot}/.__commit_lock", age_sec=3600)
+    append_manifest_table(
+        spark, scratch, "t", spark.range(3).selectExpr("id as id")
+    )
+    assert read_manifest_table(spark, scratch, "t").count() == 6
+    assert not os.path.exists(f"{vroot}/.__commit_lock")
+    assert not os.path.exists(f"{vroot}/.__commit_lock_break")
+
+
+def test_fresh_lock_is_never_broken(spark, scratch):
+    """A live holder's lock (mtime inside stale_sec) blocks waiters to
+    their timeout and SURVIVES: waiters time out, they don't steal."""
+    vroot = _vroot(scratch, "lk")
+    _touch(f"{vroot}/.__commit_lock")  # fresh == held by a live writer
+    fs, _, jvm = _hadoop_fs(spark, vroot)
+    with pytest.raises(ConcurrentWriteError):
+        _with_commit_lock(
+            fs, vroot, jvm, lambda: None, timeout_sec=0.3, stale_sec=300.0
+        )
+    assert os.path.exists(f"{vroot}/.__commit_lock")
+
+
+def test_break_recheck_spares_a_lock_renewed_under_the_break_claim(
+    spark, scratch
+):
+    """The takeover re-checks staleness UNDER the break claim: a lock
+    whose mtime became fresh between the first stat and the claim (the
+    stale file was swept and a new claimant locked) is left alone."""
+    vroot = _vroot(scratch, "rk")
+    lock = f"{vroot}/.__commit_lock"
+    _touch(lock, age_sec=3600)
+    fs, _, jvm = _hadoop_fs(spark, vroot)
+    seen = []
+
+    orig = fs.getFileStatus
+
+    class _FS:
+        """First stat of the LOCK reports it stale; before the re-check
+        runs, a new claimant 'renews' the file — simulating the race."""
+
+        def __getattr__(self, item):
+            return getattr(fs, item)
+
+        def getFileStatus(self, p):
+            st = orig(p)
+            if p.getName() == ".__commit_lock":
+                seen.append(1)
+                if len(seen) == 2:  # the under-claim re-check
+                    os.utime(lock, None)  # freshened by the new holder
+                    st = orig(p)
+            return st
+
+    with pytest.raises(ConcurrentWriteError):
+        _with_commit_lock(
+            _FS(), vroot, jvm, lambda: None, timeout_sec=0.5,
+            stale_sec=300.0,
+        )
+    assert os.path.exists(lock), "re-check must spare the renewed lock"
+
+
+def test_abandoned_break_claim_is_itself_swept(spark, scratch):
+    """A breaker that died between claiming .__commit_lock_break and
+    releasing it must not wedge takeover forever: an over-age break
+    file is removed and the next waiter completes the takeover."""
+    append_manifest_table(
+        spark, scratch, "bk", spark.range(2).selectExpr("id")
+    )
+    vroot = _vroot(scratch, "bk")
+    _touch(f"{vroot}/.__commit_lock", age_sec=3600)
+    _touch(f"{vroot}/.__commit_lock_break", age_sec=3600)
+    append_manifest_table(
+        spark, scratch, "bk", spark.range(2).selectExpr("id")
+    )
+    assert read_manifest_table(spark, scratch, "bk").count() == 4
+    assert not os.path.exists(f"{vroot}/.__commit_lock_break")
+
+
+def test_torn_commit_is_invisible_and_lock_released(spark, scratch):
+    """A writer that died AFTER writing manifest.json but BEFORE the
+    _COMMITTED flip left a torn version: readers never see it, and the
+    lock it held (stale by now) doesn't block the next writer."""
+    append_manifest_table(
+        spark, scratch, "tv", spark.range(5).selectExpr("id")
+    )
+    vroot = _vroot(scratch, "tv")
+    # fabricate the crash debris: version dir + manifest, no _COMMITTED
+    os.makedirs(f"{vroot}/2", exist_ok=True)
+    with open(f"{vroot}/2/manifest.json", "w") as f:
+        f.write('{"version": 2, "files": [], "schema": "", "parent": 1,'
+                ' "op": "append"}')
+    _touch(f"{vroot}/2.__reserved", age_sec=7200)
+    _touch(f"{vroot}/.__commit_lock", age_sec=7200)
+    assert read_manifest_table(spark, scratch, "tv").count() == 5
+    # next writer takes over; its commit must land ABOVE the torn number
+    append_manifest_table(
+        spark, scratch, "tv", spark.range(4).selectExpr("id")
+    )
+    assert read_manifest_table(spark, scratch, "tv").count() == 9
