@@ -203,6 +203,19 @@ def _resolve_tip(fs, vroot, jvm, label: str) -> tuple[int, dict]:
     raise ConcurrentWriteError(f"tip of {label} kept vanishing")
 
 
+def _crash_point(name: str) -> None:
+    """Fault injection for crash-recovery tests
+    (tests/test_crash_recovery.py): when the environment names this
+    point, die the way a SIGKILL'd / OOM-killed writer dies —
+    ``os._exit``, no Python finally blocks, no JVM shutdown hooks — so
+    the debris on disk (reservation markers, orphan data dirs, torn
+    manifests, a held commit lock) is EXACTLY what the real code
+    produces up to that instant, not a hand-fabricated approximation.
+    Production cost: one dict lookup against an unset variable."""
+    if os.environ.get("POPELINES_MANIFEST_CRASH_POINT") == name:
+        os._exit(42)
+
+
 def _claim_path(fs, path: str, jvm) -> bool:
     """Atomically create ``path``; True iff WE created it.
 
@@ -423,8 +436,10 @@ def _commit_manifest(
         out.write(body)
     finally:
         out.close()
+    _crash_point("after_manifest_write")  # torn: manifest, no _COMMITTED
     # visibility flip: one atomic object creation, manifest already durable
     fs.create(HPath(f"{vdir}/{_COMMIT}"), False).close()
+    _crash_point("after_flip")  # committed, reservation+lock leaked
     _release_reservation(fs, vroot, version, jvm)
     # every manifest mutation (append / replace-DML / heal / streaming
     # sink) lands here, so this is the one place to age the planner's
@@ -824,6 +839,7 @@ def append_manifest_table(
         if seen is not None:
             return seen
     version = _reserve_version(fs, vroot, jvm)
+    _crash_point("after_reserve")  # debris: a bare __reserved marker
     prev_files: list[str] = []
     prev_stats: dict = {}
     prev_ids: list[str] = []
@@ -895,6 +911,7 @@ def append_manifest_table(
                 for c in stats_cols
             }
         out.write.mode("overwrite").parquet(ddir)
+        _crash_point("after_data_write")  # debris: orphan data dir + marker
         new_files = _list_parquet(fs, ddir, jvm)
         # LINEARIZED FLIP: the commit lock inside _commit_manifest
         # refuses any parent that is not the live tip, so committed

@@ -1,0 +1,151 @@
+"""Crash recovery on REAL debris: a writer killed (``os._exit``, no
+Python cleanup, no JVM shutdown hooks) at each fault point of the
+manifest append path (manifest.py::_crash_point) leaves exactly the
+on-disk state a SIGKILL / OOM-kill would — and the protocol provably
+survives it: readers never see torn state, the table stays writable
+(after the documented lease windows), and maintenance honors its
+safety rules over the debris.
+
+Each test spawns a SUBPROCESS writer so the death is a process death,
+not a caught exception — fabricated-debris tests (test_commit_lock,
+test_manifest_tables) pin the same rules, these pin that the real code
+path produces the debris those tests fabricate.
+"""
+
+import os
+import subprocess
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from popelines_spark.manifest import (
+    append_manifest_table,
+    cleanup_orphan_files,
+    heal_manifest_table,
+    read_manifest_table,
+)
+
+CHILD = """
+import os, sys
+from popelines_spark.session import get_spark
+from popelines_spark.manifest import append_manifest_table
+wh = sys.argv[1]
+spark = get_spark(app_name="crash_child", cpus=2, shuffle_partitions=2)
+spark.sparkContext.setLogLevel("ERROR")
+append_manifest_table(
+    spark, wh, "t",
+    spark.range(20).selectExpr("id", "'crash' AS tag"),
+)
+os._exit(7)  # reaching here means the crash point never fired
+"""
+
+
+def _base(spark, scratch, n=10):
+    append_manifest_table(
+        spark, scratch, "t",
+        spark.range(n).selectExpr("id", "'base' AS tag"),
+    )
+
+
+def _crash_append(scratch, point):
+    env = dict(os.environ, POPELINES_MANIFEST_CRASH_POINT=point)
+    p = subprocess.run(
+        [sys.executable, "-c", CHILD, scratch],
+        env=env, capture_output=True, timeout=600,
+    )
+    assert p.returncode == 42, (
+        point, p.returncode, p.stderr.decode()[-2000:],
+    )
+
+
+def _age(path, sec=7200):
+    past = time.time() - sec
+    os.utime(path, (past, past))
+
+
+def _vroot(scratch):
+    return f"{scratch}/t/versions"
+
+
+def test_crash_after_reserve(spark, scratch):
+    """Death right after winning a version number: the bare marker must
+    not block reads or later writers (they reserve past it)."""
+    _base(spark, scratch)
+    _crash_append(scratch, "after_reserve")
+    assert os.path.exists(f"{_vroot(scratch)}/2.__reserved")
+    got = read_manifest_table(spark, scratch, "t")
+    assert got.count() == 10 and got.where("tag = 'crash'").count() == 0
+    append_manifest_table(
+        spark, scratch, "t", spark.range(5).selectExpr("id", "'after' AS tag")
+    )
+    assert read_manifest_table(spark, scratch, "t").count() == 15
+
+
+def test_crash_after_data_write(spark, scratch):
+    """Death after the batch's parquet landed but before any commit:
+    the orphan data dir is invisible, and cleanup honors its documented
+    safety rule — an ABANDONED reservation's own dir is skipped
+    (presumed-dead is not proven-dead), so the sweep removes nothing."""
+    _base(spark, scratch)
+    _crash_append(scratch, "after_data_write")
+    assert os.path.isdir(f"{scratch}/t/data/v2")
+    got = read_manifest_table(spark, scratch, "t")
+    assert got.count() == 10 and got.where("tag = 'crash'").count() == 0
+    _age(f"{_vroot(scratch)}/2.__reserved")
+    assert cleanup_orphan_files(
+        spark, scratch, "t", reservation_timeout_sec=3600
+    ) == 0
+    assert os.path.isdir(f"{scratch}/t/data/v2")  # skipped, not swept
+    append_manifest_table(
+        spark, scratch, "t", spark.range(5).selectExpr("id", "'after' AS tag")
+    )
+    assert read_manifest_table(spark, scratch, "t").count() == 15
+
+
+def test_crash_after_manifest_write_holding_the_lock(spark, scratch):
+    """Death INSIDE the commit lock, manifest written, _COMMITTED not:
+    the torn version is invisible, heal does not resurrect it, and the
+    leaked lock is taken over once stale — the full takeover path
+    exercised on genuine crash debris."""
+    _base(spark, scratch)
+    _crash_append(scratch, "after_manifest_write")
+    vroot = _vroot(scratch)
+    assert os.path.exists(f"{vroot}/2/manifest.json")
+    assert not os.path.exists(f"{vroot}/2/_COMMITTED")
+    assert os.path.exists(f"{vroot}/.__commit_lock")
+    got = read_manifest_table(spark, scratch, "t")
+    assert got.count() == 10 and got.where("tag = 'crash'").count() == 0
+    assert heal_manifest_table(spark, scratch, "t") == 0
+    got = read_manifest_table(spark, scratch, "t")
+    assert got.where("tag = 'crash'").count() == 0, "torn rows resurrected"
+    _age(f"{vroot}/.__commit_lock")
+    _age(f"{vroot}/2.__reserved")
+    append_manifest_table(
+        spark, scratch, "t", spark.range(5).selectExpr("id", "'after' AS tag")
+    )
+    got = read_manifest_table(spark, scratch, "t")
+    assert got.count() == 15
+    assert got.where("tag = 'crash'").count() == 0
+    assert not os.path.exists(f"{vroot}/.__commit_lock")
+
+
+def test_crash_after_flip(spark, scratch):
+    """Death after _COMMITTED landed but before releasing reservation
+    and lock: the commit IS durable (the client just never heard), and
+    both leaked lease files age out without operator surgery."""
+    _base(spark, scratch)
+    _crash_append(scratch, "after_flip")
+    vroot = _vroot(scratch)
+    got = read_manifest_table(spark, scratch, "t")
+    assert got.count() == 30 and got.where("tag = 'crash'").count() == 20
+    _age(f"{vroot}/.__commit_lock")
+    _age(f"{vroot}/2.__reserved")
+    append_manifest_table(
+        spark, scratch, "t", spark.range(5).selectExpr("id", "'after' AS tag")
+    )
+    got = read_manifest_table(spark, scratch, "t")
+    assert got.count() == 35
+    assert {r["tag"] for r in got.select("tag").distinct().collect()} == {
+        "base", "crash", "after",
+    }
