@@ -1229,6 +1229,7 @@ def cleanup_orphan_files(
     warehouse: str,
     table_name: str,
     reservation_timeout_sec: float = 3600.0,
+    abandoned_reclaim_sec: float | None = None,
 ) -> int:
     """Delete data files referenced by NO committed manifest — the
     debris the orphaned-replace retract path deliberately leaves behind
@@ -1252,6 +1253,20 @@ def cleanup_orphan_files(
     skipped — presumed-dead is not proven-dead, and skipping one
     directory costs nothing while deleting a live writer's in-flight
     files would corrupt its commit.
+
+    ``abandoned_reclaim_sec`` (opt-in; pick a proven-dead horizon, e.g.
+    7 days — far beyond any legitimate write duration) closes the leak
+    that rule leaves: a crashed writer's marker otherwise pins its
+    partial ``data/v{N}`` write forever. A marker older than the horizon
+    is reclaimed — its dir's unreferenced over-age files deleted, then
+    the marker itself (marker LAST: while it exists no writer can claim
+    that number, so the file deletes cannot race a fresh write into the
+    dir). Two guards: a marker whose number IS committed (a writer died
+    after the flip, before releasing) loses only the marker — its files
+    are live; a not-committed number ABOVE the tip whose dir holds
+    referenced files (a heal replay adopted them) keeps its marker as
+    the reuse guard, since deleting it would let a new claimant
+    parquet-overwrite referenced data.
 
     The writer-in-flight fence runs TWICE — before and after building
     the referenced set — and the committed version SET must be identical
@@ -1336,6 +1351,40 @@ def cleanup_orphan_files(
         for f in doomed:
             fs.delete(f, False)
             removed += 1
+    if abandoned_reclaim_sec is not None:
+        reclaim_ms = time.time() * 1000.0 - abandoned_reclaim_sec * 1000.0
+        committed = set(versions)
+        for st in fs.listStatus(HPath(vroot)):
+            mname = st.getPath().getName()
+            if not mname.endswith(".__reserved"):
+                continue
+            if st.getModificationTime() >= reclaim_ms:
+                continue  # abandoned, but not yet PROVEN dead
+            try:
+                n = int(mname[: -len(".__reserved")])
+            except ValueError:
+                continue
+            ddir = HPath(f"{droot}/v{n}")
+            if n not in committed and fs.exists(ddir):
+                it = fs.listFiles(ddir, True)
+                doomed, refs_in_dir = [], False
+                while it.hasNext():
+                    fst = it.next()
+                    f = fst.getPath()
+                    if not f.getName().endswith(".parquet"):
+                        continue
+                    if f.toString() in referenced:
+                        refs_in_dir = True
+                    elif fst.getModificationTime() < cutoff_ms:
+                        doomed.append(f)
+                if n > tip and refs_in_dir:
+                    continue  # marker stays: it is the number-reuse guard
+                for f in doomed:
+                    fs.delete(f, False)
+                    removed += 1
+            # marker LAST: while it exists no writer can claim n, so the
+            # deletes above cannot race a fresh write into data/v{n}
+            fs.delete(st.getPath(), False)
     return removed
 
 

@@ -97,6 +97,20 @@ def test_crash_after_data_write(spark, scratch):
         spark, scratch, "t", reservation_timeout_sec=3600
     ) == 0
     assert os.path.isdir(f"{scratch}/t/data/v2")  # skipped, not swept
+    # ... until the PROVEN-dead horizon: with abandoned_reclaim_sec the
+    # partial write is reclaimed — files first, marker last
+    import glob
+
+    for f in glob.glob(f"{scratch}/t/data/v2/**/*.parquet", recursive=True):
+        _age(f)
+    assert cleanup_orphan_files(
+        spark, scratch, "t",
+        reservation_timeout_sec=3600, abandoned_reclaim_sec=3600,
+    ) >= 1
+    assert not glob.glob(f"{scratch}/t/data/v2/**/*.parquet", recursive=True)
+    assert not os.path.exists(f"{_vroot(scratch)}/2.__reserved")
+    got = read_manifest_table(spark, scratch, "t")
+    assert got.count() == 10 and got.where("tag = 'crash'").count() == 0
     append_manifest_table(
         spark, scratch, "t", spark.range(5).selectExpr("id", "'after' AS tag")
     )
@@ -130,6 +144,47 @@ def test_crash_after_manifest_write_holding_the_lock(spark, scratch):
     assert not os.path.exists(f"{vroot}/.__commit_lock")
 
 
+def test_reclaim_keeps_marker_guarding_referenced_dir_above_tip(
+    spark, scratch
+):
+    """The reclaim's reuse guard: a not-committed number ABOVE the tip
+    whose dir holds files a committed manifest references (heal-replay
+    adoption debris) keeps its marker — deleting it would let a new
+    claimant parquet-overwrite live data."""
+    import glob
+    import json
+    import shutil
+
+    from popelines_spark.manifest import _commit_manifest
+    from popelines_spark.io import _hadoop_fs
+
+    _base(spark, scratch)
+    vroot = _vroot(scratch)
+    man1 = json.load(open(f"{vroot}/1/manifest.json"))
+    src = glob.glob(f"{scratch}/t/data/v1/*.parquet")[0]
+    os.makedirs(f"{scratch}/t/data/v9", exist_ok=True)
+    adopted = f"{scratch}/t/data/v9/adopted.parquet"
+    shutil.copy(src, adopted)
+    fs, root, jvm = _hadoop_fs(spark, f"{scratch}/t")
+    adopted_uri = f"file:{adopted}"
+    _commit_manifest(
+        spark, fs, vroot, 2,
+        man1["files"] + [adopted_uri], man1["schema"], jvm,
+        parent=1, op="append",
+    )
+    open(f"{vroot}/9.__reserved", "w").close()
+    _age(f"{vroot}/9.__reserved")
+    _age(adopted)
+    before = read_manifest_table(spark, scratch, "t").count()
+    cleanup_orphan_files(
+        spark, scratch, "t",
+        reservation_timeout_sec=3600, abandoned_reclaim_sec=3600,
+    )
+    assert os.path.exists(f"{vroot}/9.__reserved"), "reuse guard removed"
+    assert os.path.exists(adopted)
+    assert read_manifest_table(spark, scratch, "t").count() == before
+
+
 def test_crash_after_flip(spark, scratch):
     """Death after _COMMITTED landed but before releasing reservation
     and lock: the commit IS durable (the client just never heard), and
@@ -141,6 +196,14 @@ def test_crash_after_flip(spark, scratch):
     assert got.count() == 30 and got.where("tag = 'crash'").count() == 20
     _age(f"{vroot}/.__commit_lock")
     _age(f"{vroot}/2.__reserved")
+    # reclaim removes only the lease marker — version 2 is COMMITTED, so
+    # its files are live and must survive untouched
+    assert cleanup_orphan_files(
+        spark, scratch, "t",
+        reservation_timeout_sec=3600, abandoned_reclaim_sec=3600,
+    ) == 0
+    assert not os.path.exists(f"{vroot}/2.__reserved")
+    assert read_manifest_table(spark, scratch, "t").count() == 30
     append_manifest_table(
         spark, scratch, "t", spark.range(5).selectExpr("id", "'after' AS tag")
     )
