@@ -43,6 +43,7 @@ from popelines_spark.manifest import (
     StaleParentError,
     _commit_manifest,
     _committed_manifest_versions,
+    _crash_point,
     _hadoop_fs,
     _list_parquet,
     _paths,
@@ -151,6 +152,8 @@ def _replace_commit(
                     for f in frames[1:]:
                         out = out.unionByName(f, allowMissingColumns=True)
                     out.write.mode("overwrite").parquet(ddir)
+                    # debris: survivor rewrite on disk, commit never ran
+                    _crash_point("after_rewrite_write")
                     new_files = _list_parquet(fs, ddir, jvm)
             except Exception as exc:
                 if isinstance(exc, (_Conflict, _NoOp)) or not (

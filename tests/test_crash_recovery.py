@@ -30,13 +30,17 @@ CHILD = """
 import os, sys
 from popelines_spark.session import get_spark
 from popelines_spark.manifest import append_manifest_table
-wh = sys.argv[1]
+from popelines_spark.manifest_dml import delete_manifest_rows
+wh, op = sys.argv[1], sys.argv[2]
 spark = get_spark(app_name="crash_child", cpus=2, shuffle_partitions=2)
 spark.sparkContext.setLogLevel("ERROR")
-append_manifest_table(
-    spark, wh, "t",
-    spark.range(20).selectExpr("id", "'crash' AS tag"),
-)
+if op == "append":
+    append_manifest_table(
+        spark, wh, "t",
+        spark.range(20).selectExpr("id", "'crash' AS tag"),
+    )
+else:
+    delete_manifest_rows(spark, wh, "t", "id >= 5")
 os._exit(7)  # reaching here means the crash point never fired
 """
 
@@ -48,10 +52,10 @@ def _base(spark, scratch, n=10):
     )
 
 
-def _crash_append(scratch, point):
+def _crash_append(scratch, point, op="append"):
     env = dict(os.environ, POPELINES_MANIFEST_CRASH_POINT=point)
     p = subprocess.run(
-        [sys.executable, "-c", CHILD, scratch],
+        [sys.executable, "-c", CHILD, scratch, op],
         env=env, capture_output=True, timeout=600,
     )
     assert p.returncode == 42, (
@@ -142,6 +146,52 @@ def test_crash_after_manifest_write_holding_the_lock(spark, scratch):
     assert got.count() == 15
     assert got.where("tag = 'crash'").count() == 0
     assert not os.path.exists(f"{vroot}/.__commit_lock")
+
+
+def test_crash_delete_after_rewrite_write(spark, scratch):
+    """A DELETE's writer dies after the survivor rewrite landed but
+    before the commit: the DELETE never happened (all rows intact), the
+    rewrite is invisible debris, a re-issued DELETE succeeds, and the
+    proven-dead horizon reclaims the orphan rewrite."""
+    import glob
+
+    from popelines_spark.manifest_dml import delete_manifest_rows
+
+    _base(spark, scratch)
+    _crash_append(scratch, "after_rewrite_write", op="delete")
+    got = read_manifest_table(spark, scratch, "t")
+    assert got.count() == 10, "crashed DELETE partially applied"
+    assert os.path.isdir(f"{scratch}/t/data/v2")  # orphan rewrite
+    _age(f"{_vroot(scratch)}/2.__reserved")
+    delete_manifest_rows(spark, scratch, "t", "id >= 5")
+    got = read_manifest_table(spark, scratch, "t")
+    assert got.count() == 5
+    assert got.agg(F.max("id")).collect()[0][0] == 4
+    for f in glob.glob(f"{scratch}/t/data/v2/**/*.parquet", recursive=True):
+        _age(f)
+    cleanup_orphan_files(
+        spark, scratch, "t",
+        reservation_timeout_sec=3600, abandoned_reclaim_sec=3600,
+    )
+    assert not glob.glob(f"{scratch}/t/data/v2/**/*.parquet", recursive=True)
+    assert read_manifest_table(spark, scratch, "t").count() == 5
+
+
+def test_crash_delete_after_flip(spark, scratch):
+    """A DELETE's writer dies right after the commit marker landed: the
+    DELETE is durable (exactly-once — a cautious client re-issuing it
+    matches zero rows and no-ops), leases age out as usual."""
+    _base(spark, scratch)
+    _crash_append(scratch, "after_flip", op="delete")
+    vroot = _vroot(scratch)
+    got = read_manifest_table(spark, scratch, "t")
+    assert got.count() == 5 and got.agg(F.max("id")).collect()[0][0] == 4
+    _age(f"{vroot}/.__commit_lock")
+    _age(f"{vroot}/2.__reserved")
+    append_manifest_table(
+        spark, scratch, "t", spark.range(3).selectExpr("id", "'after' AS tag")
+    )
+    assert read_manifest_table(spark, scratch, "t").count() == 8
 
 
 def test_reclaim_keeps_marker_guarding_referenced_dir_above_tip(
