@@ -235,6 +235,71 @@ def test_reclaim_keeps_marker_guarding_referenced_dir_above_tip(
     assert read_manifest_table(spark, scratch, "t").count() == before
 
 
+STREAM_CHILD = """
+import os, sys
+from popelines_spark.session import get_spark
+from popelines_spark.streaming.manifest_sink import write_stream_to_manifest
+wh, src, ckpt = sys.argv[1], sys.argv[2], sys.argv[3]
+spark = get_spark(app_name="crash_stream", cpus=2, shuffle_partitions=2)
+spark.sparkContext.setLogLevel("ERROR")
+stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+q = write_stream_to_manifest(stream, wh, "t", ckpt)
+q.awaitTermination()
+os._exit(7)  # reaching here means the crash point never fired
+"""
+
+
+def test_streaming_sink_survives_crash_between_commit_and_checkpoint(
+    spark, scratch, tmp_path
+):
+    """The REAL at-least-once window: the sink's writer dies after the
+    manifest commit flipped but before foreachBatch returned, so the
+    streaming checkpoint never recorded batch 0. The restarted query
+    genuinely replays it — and the batch_id short-circuit turns the
+    replay into a no-op WITHOUT even needing the crashed writer's
+    leaked commit lock to age out (the idempotency check runs before
+    any reservation). Exactly one committed version, zero duplicates."""
+    src = str(tmp_path / "src")
+    spark.range(40).selectExpr("id", "'s' AS tag").coalesce(1) \
+        .write.parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+    env = dict(os.environ, POPELINES_MANIFEST_CRASH_POINT="after_flip")
+    p = subprocess.run(
+        [sys.executable, "-c", STREAM_CHILD, scratch, src, ckpt],
+        env=env, capture_output=True, timeout=600,
+    )
+    assert p.returncode == 42, (p.returncode, p.stderr.decode()[-2000:])
+    vroot = _vroot(scratch)
+    # the commit is durable; the lock + reservation leaked with the crash
+    assert read_manifest_table(spark, scratch, "t").count() == 40
+    assert os.path.exists(f"{vroot}/.__commit_lock")
+    # the streaming commit log must NOT have batch 0 (offsets are logged
+    # before the batch runs, commits only after foreachBatch returns) —
+    # this is what FORCES the restart to replay, not skip
+    assert os.path.exists(f"{ckpt}/offsets/0")
+    assert not os.path.exists(f"{ckpt}/commits/0")
+    # restart over the same checkpoint WITHOUT touching the leaked lease
+    from popelines_spark.streaming.manifest_sink import (
+        write_stream_to_manifest,
+    )
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = write_stream_to_manifest(stream, scratch, "t", ckpt)
+    q.awaitTermination()
+    got = read_manifest_table(spark, scratch, "t")
+    assert got.count() == 40, "replayed micro-batch duplicated"
+    committed = [
+        d for d in os.listdir(vroot)
+        if d.isdigit() and os.path.exists(f"{vroot}/{d}/_COMMITTED")
+    ]
+    assert committed == ["1"], committed
+    assert os.path.exists(f"{vroot}/.__commit_lock"), (
+        "replay should short-circuit before ever taking the lock"
+    )
+
+
 def test_crash_after_flip(spark, scratch):
     """Death after _COMMITTED landed but before releasing reservation
     and lock: the commit IS durable (the client just never heard), and
