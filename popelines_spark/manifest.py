@@ -94,6 +94,38 @@ def _committed_manifest_versions(fs, vroot, jvm) -> list[int]:
     return sorted(out)
 
 
+def _expand_stats(doc: dict) -> dict:
+    """Inflate the interned at-rest stats encoding back to the in-memory
+    contract every consumer uses (``file_stats: {file: {col: [lo,hi]}}``).
+
+    At rest: ``stats_pool`` stores each DISTINCT stat dict once (appends
+    stamp the same batch-level range onto every file of the batch) and
+    ``stats_idx`` is a pool-index array POSITIONALLY aligned with
+    ``files`` (null = no stats) — so the stats term costs
+    O(distinct stats) + one small int per file, instead of repeating
+    both the stat dict and the ~110-char file path per file
+    (222 MB → 78 MB at the 800k-file / 100-TB design point;
+    tools/bench_manifest_meta.py). The expanded dicts ALIAS the pool
+    entries, so re-committing carried stats re-interns by object
+    identity at O(files) dict lookups. A residual ``file_stats`` dict
+    (legacy per-file manifests, or stats for a path outside ``files``)
+    passes through / merges unchanged — pruning stays exact on old
+    manifests."""
+    pool = doc.pop("stats_pool", None)
+    idx = doc.pop("stats_idx", None)
+    if idx is not None:
+        fstats = dict(doc.get("file_stats") or {})
+        for f, i in zip(doc.get("files", []), idx):
+            if i is not None:
+                fstats[f] = pool[i]
+        doc["file_stats"] = fstats
+    elif pool is not None:
+        doc["file_stats"] = {
+            f: pool[i] for f, i in doc.get("file_stats", {}).items()
+        }
+    return doc
+
+
 def _read_manifest(fs, vroot, version, jvm) -> dict:
     HPath = jvm.org.apache.hadoop.fs.Path
     stream = fs.open(HPath(f"{vroot}/{version}/manifest.json"))
@@ -105,7 +137,7 @@ def _read_manifest(fs, vroot, version, jvm) -> dict:
         )
     finally:
         stream.close()
-    return json.loads(text)
+    return _expand_stats(json.loads(text))
 
 
 def _read_manifest_or_none(fs, vroot, version, jvm) -> dict | None:
@@ -429,7 +461,40 @@ def _commit_manifest(
     if batch_id is not None:
         doc["batch_id"] = batch_id  # legacy per-version field, kept
     if file_stats:
-        doc["file_stats"] = file_stats
+        # intern identical stat dicts and reference them POSITIONALLY
+        # (see _expand_stats): batch-level ranges repeat per file and
+        # the file path is already in doc["files"], so the at-rest
+        # stats term is O(distinct stats) + one small int per file.
+        # Identity first (carried stats alias their pool entries),
+        # content key as the dedupe of last resort.
+        pool: list = []
+        by_id: dict[int, int] = {}
+        by_key: dict[str, int] = {}
+
+        def _intern(st) -> int:
+            i = by_id.get(id(st))
+            if i is None:
+                k = json.dumps(st, sort_keys=True)
+                i = by_key.get(k)
+                if i is None:
+                    i = len(pool)
+                    pool.append(st)
+                    by_key[k] = i
+                by_id[id(st)] = i
+            return i
+
+        listed = doc["files"]
+        doc["stats_idx"] = [
+            None if (st := file_stats.get(f)) is None else _intern(st)
+            for f in listed
+        ]
+        doc["stats_pool"] = pool
+        # stats for a path outside the file list (never produced by the
+        # shipped writers; tolerated from fabricated/legacy histories)
+        listed_set = set(listed)
+        extra = {f: s for f, s in file_stats.items() if f not in listed_set}
+        if extra:
+            doc["file_stats"] = extra
     body = json.dumps(doc).encode("utf-8")
     out = fs.create(HPath(f"{vdir}/manifest.json"), True)
     try:

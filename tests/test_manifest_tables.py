@@ -230,6 +230,56 @@ def test_streaming_sink_exactly_once_across_replay(spark, scratch, tmp_path):
     assert v == 1
 
 
+def test_stats_are_interned_at_rest_and_roundtrip_exactly(spark, scratch):
+    """At rest the manifest stores each distinct stat dict ONCE
+    (``stats_pool``) with file → index references — appends stamp one
+    batch-level range onto every file of the batch, so per-file storage
+    would make the stats term O(files × stats) at scale. The in-memory
+    contract (``file_stats: {file: {col: [lo, hi]}}``) is unchanged:
+    reads expand the pool, pruning and DML behave identically."""
+    import json as _json
+
+    from popelines_spark.manifest import manifest_file_list
+
+    for lo in (0, 100, 200):
+        append_manifest_table(
+            spark, scratch, "mi",
+            spark.range(lo, lo + 50).select(
+                F.col("id"), F.lit(f"b{lo}").alias("tag")
+            ),
+            n_files=3, stats_cols=["id"],
+        )
+    raw = _json.load(open(f"{scratch}/mi/versions/3/manifest.json"))
+    assert len(raw["stats_pool"]) == 3, "one pooled entry per batch"
+    assert len(raw["stats_idx"]) == len(raw["files"]) == 9
+    assert all(isinstance(i, int) for i in raw["stats_idx"])
+    assert "file_stats" not in raw, "no duplicated path keys at rest"
+    # expanded read prunes exactly as the per-file encoding did
+    assert len(manifest_file_list(
+        spark, scratch, "mi", prune=[("id", 120, 130)]
+    )) == 3
+    assert manifest_file_list(
+        spark, scratch, "mi", prune=[("id", 900, 950)]
+    ) == []
+    # a DML rewrite carries the surviving references through re-commit:
+    # the matching batch's stats still prune, and the DML's stat-less
+    # rewrite file is conservatively kept (exactly the pre-pool rule)
+    from popelines_spark.manifest_dml import delete_manifest_rows
+
+    before = set(manifest_file_list(
+        spark, scratch, "mi", prune=[("id", 120, 130)]
+    ))
+    delete_manifest_rows(spark, scratch, "mi", "id >= 200")
+    assert read_manifest_table(spark, scratch, "mi").count() == 100
+    after = set(manifest_file_list(
+        spark, scratch, "mi", prune=[("id", 120, 130)]
+    ))
+    assert before <= after
+    assert all("/data/v4/" in f for f in after - before), (
+        "only the stat-less DML rewrite may be added"
+    )
+
+
 def test_stats_pruning_skips_disjoint_batches(spark, scratch):
     """Three appends with disjoint id ranges + stats_cols: a range
     predicate plans only the matching batch's files — and the pruned
