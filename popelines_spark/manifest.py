@@ -70,6 +70,109 @@ from popelines_spark.schemas import merge_schemas
 _COMMIT = "_COMMITTED"
 _LEGACY = object()  # sentinel: manifest predates parent tracking
 
+#: Above this many live files the manifest's file list is split into
+#: content-addressed SEGMENT objects (versions/_segments/<sha>.json)
+#: shared structurally across versions — the Iceberg manifest-list idea.
+#: A commit then writes O(batch) new segments + a list of references,
+#: not the whole O(live files) list (80 MB per commit at the 800k-file /
+#: 100-TB point; tools/bench_manifest_meta.py). Boundaries are
+#: CONTENT-DEFINED (a path ends a segment when its crc32 % target == 0),
+#: so inserting a batch into the sorted list disturbs only the
+#: neighboring segments, never re-chunks the table. Below the threshold
+#: the list stays inline — small tables pay nothing. Overridable via
+#: the POPELINES_SEGMENT_THRESHOLD env var (tests/stress force low
+#: values to exercise the path).
+_SEGMENT_THRESHOLD = 4096
+_SEGMENT_TARGET = 2048  # expected paths per segment
+_SEGMENT_CACHE: dict[str, list] = {}  # immutable content-addressed chunks
+_SEGMENT_CACHE_MAX = 256
+
+
+def _segment_threshold() -> int:
+    return int(
+        os.environ.get("POPELINES_SEGMENT_THRESHOLD", _SEGMENT_THRESHOLD)
+    )
+
+
+def _segment_cache_put(sha: str, chunk: list) -> None:
+    _SEGMENT_CACHE[sha] = chunk
+    while len(_SEGMENT_CACHE) > _SEGMENT_CACHE_MAX:
+        _SEGMENT_CACHE.pop(next(iter(_SEGMENT_CACHE)))
+
+
+def _write_segments(fs, vroot, listed: list[str], jvm) -> list[str]:
+    """Chunk the sorted file list at content-defined boundaries and
+    persist each chunk once under its content hash. Reused chunks are
+    not rewritten, but their mtime IS refreshed — the same vacuum-lease
+    rule data files follow, so the GC segment sweep (age floor) can
+    never delete a chunk an in-flight commit is about to reference."""
+    import hashlib
+    import time
+    import zlib
+
+    HPath = jvm.org.apache.hadoop.fs.Path
+    target = int(
+        os.environ.get("POPELINES_SEGMENT_TARGET", _SEGMENT_TARGET)
+    )
+    chunks: list[list[str]] = []
+    cur: list[str] = []
+    for p in listed:
+        cur.append(p)
+        if zlib.crc32(p.encode()) % target == 0:
+            chunks.append(cur)
+            cur = []
+    if cur:
+        chunks.append(cur)
+    seg_root = f"{vroot}/_segments"
+    fs.mkdirs(HPath(seg_root))
+    refs: list[str] = []
+    now_ms = int(time.time() * 1000)
+    for chunk in chunks:
+        body = json.dumps(chunk).encode("utf-8")
+        sha = hashlib.sha256(body).hexdigest()[:32]
+        refs.append(sha)
+        path = HPath(f"{seg_root}/{sha}.json")
+        if fs.exists(path):
+            try:
+                fs.setTimes(path, now_ms, -1)  # refresh the vacuum lease
+            except Exception:
+                pass
+        else:
+            out = fs.create(path, True)  # same name ⇒ same bytes
+            try:
+                out.write(body)
+            finally:
+                out.close()
+        _segment_cache_put(sha, chunk)
+    return refs
+
+
+def _expand_files(fs, vroot, doc: dict, jvm) -> dict:
+    """Inflate segment references back to the in-memory ``files`` list
+    every consumer uses. ``files_segments`` stays in the doc so GC can
+    compute live segment references without re-deriving chunk hashes.
+    Inline manifests pass through untouched."""
+    segs = doc.get("files_segments")
+    if segs is None:
+        return doc
+    HPath = jvm.org.apache.hadoop.fs.Path
+    files: list[str] = []
+    for sha in segs:
+        chunk = _SEGMENT_CACHE.get(sha)
+        if chunk is None:
+            stream = fs.open(HPath(f"{vroot}/_segments/{sha}.json"))
+            try:
+                text = jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
+            chunk = json.loads(text)
+            _segment_cache_put(sha, chunk)
+        files.extend(chunk)
+    doc["files"] = files
+    return doc
+
 
 class ConcurrentWriteError(RuntimeError):
     """A replace-type commit (row-level DML) lost an optimistic race and
@@ -113,6 +216,9 @@ def _expand_stats(doc: dict) -> dict:
     manifests."""
     pool = doc.pop("stats_pool", None)
     idx = doc.pop("stats_idx", None)
+    rle = doc.pop("stats_idx_rle", None)
+    if rle is not None:
+        idx = [i for i, n in rle for _ in range(n)]
     if idx is not None:
         fstats = dict(doc.get("file_stats") or {})
         for f, i in zip(doc.get("files", []), idx):
@@ -137,7 +243,9 @@ def _read_manifest(fs, vroot, version, jvm) -> dict:
         )
     finally:
         stream.close()
-    return _expand_stats(json.loads(text))
+    return _expand_stats(
+        _expand_files(fs, vroot, json.loads(text), jvm)
+    )
 
 
 def _read_manifest_or_none(fs, vroot, version, jvm) -> dict | None:
@@ -448,11 +556,11 @@ def _commit_manifest(
     HPath = jvm.org.apache.hadoop.fs.Path
     vdir = f"{vroot}/{version}"
     fs.mkdirs(HPath(vdir))
+    # set-dedupe: reconciliation unions may hand the same immutable
+    # file twice; a duplicate path would double-read its rows
+    listed = sorted(set(files))
     doc = {
         "version": version,
-        # set-dedupe: reconciliation unions may hand the same immutable
-        # file twice; a duplicate path would double-read its rows
-        "files": sorted(set(files)),
         "schema": schema_json,
         "parent": parent,
         "op": op,
@@ -460,10 +568,15 @@ def _commit_manifest(
     }
     if batch_id is not None:
         doc["batch_id"] = batch_id  # legacy per-version field, kept
+    if len(listed) >= _segment_threshold():
+        doc["files_segments"] = _write_segments(fs, vroot, listed, jvm)
+    else:
+        doc["files"] = listed
     if file_stats:
         # intern identical stat dicts and reference them POSITIONALLY
         # (see _expand_stats): batch-level ranges repeat per file and
-        # the file path is already in doc["files"], so the at-rest
+        # the file path is already in the (possibly segmented) file
+        # list, so the at-rest
         # stats term is O(distinct stats) + one small int per file.
         # Identity first (carried stats alias their pool entries),
         # content key as the dedupe of last resort.
@@ -483,11 +596,24 @@ def _commit_manifest(
                 by_id[id(st)] = i
             return i
 
-        listed = doc["files"]
-        doc["stats_idx"] = [
+        idx = [
             None if (st := file_stats.get(f)) is None else _intern(st)
             for f in listed
         ]
+        # the index array is runs of the same value (every file of a
+        # batch shares one range dict, and a batch's files are near-
+        # contiguous in path order), so RLE collapses the one remaining
+        # O(files) stats term to O(runs) ≈ O(batches)
+        rle: list[list] = []
+        for i in idx:
+            if rle and rle[-1][0] == i:
+                rle[-1][1] += 1
+            else:
+                rle.append([i, 1])
+        if 2 * len(rle) < len(idx):
+            doc["stats_idx_rle"] = rle
+        else:
+            doc["stats_idx"] = idx
         doc["stats_pool"] = pool
         # stats for a path outside the file list (never produced by the
         # shipped writers; tolerated from fabricated/legacy histories)
@@ -1485,11 +1611,13 @@ def gc_manifest_table(
     drop = versions[:-keep_versions] if keep_versions else versions
     keep = versions[len(drop):]
     retained: set[str] = set()
+    live_segments: set[str] = set()
     parents_kept: set[int] = set()
     for v in keep:
         m = _read_manifest_or_none(fs, vroot, v, jvm)
         if m is not None:
             retained.update(m["files"])
+            live_segments.update(m.get("files_segments") or [])
             p = m.get("parent")
             if isinstance(p, int):
                 parents_kept.add(p)
@@ -1500,6 +1628,7 @@ def gc_manifest_table(
             m = _read_manifest_or_none(fs, vroot, v, jvm)
             if m is not None:
                 retained.update(m["files"])
+                live_segments.update(m.get("files_segments") or [])
     import time
 
     cutoff_ms = time.time() * 1000.0 - min_file_age_sec * 1000.0
@@ -1520,4 +1649,21 @@ def gc_manifest_table(
                     continue
                 fs.delete(HPath(f), False)
                 n_deleted += 1
+    # segment sweep: a content-addressed chunk referenced by NO retained
+    # manifest is reclaimable once past the vacuum age floor (a chunk a
+    # racing commit is about to reference is always young — reuse
+    # refreshes mtime, see _write_segments)
+    seg_root = f"{vroot}/_segments"
+    if fs.exists(HPath(seg_root)):
+        for st in fs.listStatus(HPath(seg_root)):
+            nm = st.getPath().getName()
+            if not nm.endswith(".json"):
+                continue
+            sha = nm[: -len(".json")]
+            if sha in live_segments:
+                continue
+            if st.getModificationTime() >= cutoff_ms:
+                continue
+            fs.delete(st.getPath(), False)
+            _SEGMENT_CACHE.pop(sha, None)
     return len(drop), n_deleted

@@ -56,7 +56,18 @@ def _committed_versions(vroot: str) -> list[int]:
 
 def _read_manifest(vroot: str, version: int) -> dict:
     with open(f"{vroot}/{version}/manifest.json") as f:
-        return json.load(f)
+        doc = json.load(f)
+    segs = doc.get("files_segments")
+    if segs is not None:
+        # inflate segmented file lists (manifest._write_segments) — this
+        # reader runs inside the Python DataSource worker, plain local
+        # IO by design, so it expands without the Hadoop FS funnel
+        files: list = []
+        for sha in segs:
+            with open(f"{vroot}/_segments/{sha}.json") as sf:
+                files.extend(json.load(sf))
+        doc["files"] = files
+    return doc
 
 
 def _local(p: str) -> str:

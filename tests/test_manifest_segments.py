@@ -1,0 +1,138 @@
+"""Segmented manifest file lists (manifest.py::_write_segments /
+_expand_files): above a threshold the file list is split into
+content-addressed chunks shared structurally across versions, so a
+commit writes O(batch) metadata instead of rewriting the whole
+O(live files) list. The in-memory ``files`` contract is unchanged —
+every consumer (read, prune, DML, heal, GC, changefeed) sees the
+expanded list.
+
+Tests force tiny thresholds via the documented env overrides.
+"""
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from popelines_spark.manifest import (
+    append_manifest_table,
+    compact_manifest_table,
+    gc_manifest_table,
+    heal_manifest_table,
+    manifest_file_list,
+    read_manifest_table,
+)
+from popelines_spark.manifest_dml import delete_manifest_rows
+
+
+@pytest.fixture
+def tiny_segments(monkeypatch):
+    monkeypatch.setenv("POPELINES_SEGMENT_THRESHOLD", "5")
+    monkeypatch.setenv("POPELINES_SEGMENT_TARGET", "4")
+
+
+def _append(spark, scratch, lo, n=40, n_files=4, **kw):
+    return append_manifest_table(
+        spark, scratch, "t",
+        spark.range(lo, lo + n).select(
+            F.col("id"), F.lit(f"b{lo}").alias("tag")
+        ),
+        n_files=n_files, **kw,
+    )
+
+
+def _raw(scratch, v):
+    return json.load(open(f"{scratch}/t/versions/{v}/manifest.json"))
+
+
+def test_segmented_at_rest_inline_below_threshold(
+    spark, scratch, tiny_segments
+):
+    _append(spark, scratch, 0)  # 4 files < threshold 5: stays inline
+    _append(spark, scratch, 100)  # 8 files: segments
+    r1, r2 = _raw(scratch, 1), _raw(scratch, 2)
+    assert "files" in r1 and "files_segments" not in r1
+    assert "files_segments" in r2 and "files" not in r2
+    segs = glob.glob(f"{scratch}/t/versions/_segments/*.json")
+    assert len(segs) >= 1
+    got = read_manifest_table(spark, scratch, "t")
+    assert got.count() == 80
+    assert read_manifest_table(spark, scratch, "t", version=1).count() == 40
+
+
+def test_commit_reuses_parents_segments(spark, scratch, tiny_segments):
+    """Structural sharing: appending a batch to a segmented table
+    carries most of the parent's chunks by reference — only the
+    insertion neighborhood changes (content-defined boundaries)."""
+    _append(spark, scratch, 0, n_files=12)
+    _append(spark, scratch, 100, n_files=4)
+    _append(spark, scratch, 200, n_files=4)
+    s2, s3 = _raw(scratch, 2)["files_segments"], \
+        _raw(scratch, 3)["files_segments"]
+    shared = set(s2) & set(s3)
+    assert shared, "no structural sharing between consecutive commits"
+    # the batch added 4 paths; with target 4 that is ~1-2 new chunks
+    # plus the disturbed insertion neighbor — not a full rewrite
+    assert len(set(s3) - set(s2)) < len(s3)
+    assert read_manifest_table(spark, scratch, "t").count() == 120
+
+
+def test_stats_prune_on_segmented_manifest(spark, scratch, tiny_segments):
+    for lo in (0, 1000, 2000):
+        _append(spark, scratch, lo, n=50, n_files=3, stats_cols=["id"])
+    raw = _raw(scratch, 3)
+    assert "files_segments" in raw
+    idx = (
+        [i for i, n in raw["stats_idx_rle"] for _ in range(n)]
+        if "stats_idx_rle" in raw else raw["stats_idx"]
+    )
+    assert len(idx) == 9
+    assert len(manifest_file_list(
+        spark, scratch, "t", prune=[("id", 1010, 1020)]
+    )) == 3
+    assert manifest_file_list(
+        spark, scratch, "t", prune=[("id", 9000, 9999)]
+    ) == []
+
+
+def test_dml_heal_compact_gc_on_segmented_table(
+    spark, scratch, tiny_segments
+):
+    for lo in (0, 100, 200):
+        _append(spark, scratch, lo)
+    delete_manifest_rows(spark, scratch, "t", "id >= 200")
+    got = read_manifest_table(spark, scratch, "t")
+    assert got.count() == 80 and got.agg(F.max("id")).collect()[0][0] == 139
+    assert heal_manifest_table(spark, scratch, "t") == 0
+    compact_manifest_table(spark, scratch, "t", n_files=2)
+    assert read_manifest_table(spark, scratch, "t").count() == 80
+    before = set(glob.glob(f"{scratch}/t/versions/_segments/*.json"))
+    dropped, deleted = gc_manifest_table(
+        spark, scratch, "t", keep_versions=1, min_file_age_sec=0
+    )
+    after = set(glob.glob(f"{scratch}/t/versions/_segments/*.json"))
+    assert dropped >= 1 and deleted >= 1
+    assert after < before, "cold segments not swept"
+    # the survivor still reads through its (possibly segmented) tip
+    assert read_manifest_table(spark, scratch, "t").count() == 80
+
+
+def test_changefeed_reads_segmented_manifests(
+    spark, scratch, tiny_segments, tmp_path
+):
+    from popelines_spark.streaming.changefeed import read_changefeed
+
+    _append(spark, scratch, 0)
+    _append(spark, scratch, 100)
+    feed = read_changefeed(spark, scratch, "t")
+    q = (
+        feed.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 80

@@ -251,8 +251,20 @@ def test_stats_are_interned_at_rest_and_roundtrip_exactly(spark, scratch):
         )
     raw = _json.load(open(f"{scratch}/mi/versions/3/manifest.json"))
     assert len(raw["stats_pool"]) == 3, "one pooled entry per batch"
-    assert len(raw["stats_idx"]) == len(raw["files"]) == 9
-    assert all(isinstance(i, int) for i in raw["stats_idx"])
+    # the aligned file list may itself be inline or segmented
+    # (POPELINES_SEGMENT_THRESHOLD) — stats interning composes with both
+    n_listed = (
+        len(raw["files"]) if "files" in raw
+        else len(manifest_file_list(spark, scratch, "mi"))
+    )
+    # the aligned index itself is RLE'd when runs dominate (they do:
+    # one range dict per batch) — accept either at-rest spelling
+    if "stats_idx_rle" in raw:
+        idx = [i for i, n in raw["stats_idx_rle"] for _ in range(n)]
+    else:
+        idx = raw["stats_idx"]
+    assert len(idx) == n_listed == 9
+    assert all(isinstance(i, int) for i in idx)
     assert "file_stats" not in raw, "no duplicated path keys at rest"
     # expanded read prunes exactly as the per-file encoding did
     assert len(manifest_file_list(

@@ -49,7 +49,7 @@ def fabricate(n: int, stats: str) -> dict:
              "ts": ["2026-01-01T00:00:00", "2026-01-01T23:59:59"]}
             for b in range(max(1, n // 200))
         ]
-        doc["stats_idx"] = [i // 200 for i in range(n)]
+        doc["stats_idx_rle"] = [[b, 200] for b in range(max(1, n // 200))]
     return doc
 
 
@@ -78,6 +78,45 @@ def main() -> int:
             assert len(parsed["files"]) == n
             print(f"{n:>10} {stats:>8} {len(body):>12,}"
                   f" {t1 - t0:>11.3f}s {t2 - t1:>9.3f}s")
+    # --- structural sharing: bytes actually WRITTEN per commit --------
+    # chunk the parent's sorted list and the parent+batch list with the
+    # shipped content-defined boundary; a commit writes only the chunks
+    # whose hash the parent did not already persist, plus the manifest
+    # doc (segment refs + stats pool/idx).
+    import hashlib
+    import zlib
+
+    def chunks(paths, target=2048):
+        out, cur = [], []
+        for p in paths:
+            cur.append(p)
+            if zlib.crc32(p.encode()) % target == 0:
+                out.append(cur)
+                cur = []
+        if cur:
+            out.append(cur)
+        return {
+            hashlib.sha256(json.dumps(c).encode()).hexdigest()[:32]:
+            len(json.dumps(c).encode())
+            for c in out
+        }
+
+    n = 800_000
+    parent = sorted(fabricate(n, "none")["files"])
+    batch = sorted(
+        f"file:/warehouse/t/data/v9999/part-{i:05d}-x-c000.snappy.parquet"
+        for i in range(200)
+    )
+    child = sorted(parent + batch)
+    pc, cc = chunks(parent), chunks(child)
+    new = {h: b for h, b in cc.items() if h not in pc}
+    refs_bytes = len(json.dumps(list(cc)).encode())
+    print(f"\nsharing at N={n:,}, batch=200 new files:")
+    print(f"  parent chunks {len(pc):,}; child chunks {len(cc):,}; "
+          f"reused {len(cc) - len(new):,}; NEW chunks {len(new)}")
+    print(f"  bytes written per commit: {sum(new.values()):,} (new chunks)"
+          f" + {refs_bytes:,} (manifest refs) "
+          f"vs {sum(pc.values()):,} inline rewrite")
     return 0
 
 
