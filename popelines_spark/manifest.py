@@ -138,11 +138,20 @@ def _write_segments(fs, vroot, listed: list[str], jvm) -> list[str]:
             except Exception:
                 pass
         else:
-            out = fs.create(path, True)  # same name ⇒ same bytes
+            # write-then-rename: a racing writer of the SAME chunk (same
+            # name ⇒ same bytes) must never expose a torn in-place write
+            # to a concurrent reader. Rename is atomic; if the dest
+            # appeared meanwhile the rename fails and the temp is junk.
+            import uuid
+
+            tmp = HPath(f"{seg_root}/.{sha}.{uuid.uuid4().hex[:8]}.tmp")
+            out = fs.create(tmp, True)
             try:
                 out.write(body)
             finally:
                 out.close()
+            if not fs.rename(tmp, path):
+                fs.delete(tmp, False)
         _segment_cache_put(sha, chunk)
     return refs
 
@@ -1657,6 +1666,12 @@ def gc_manifest_table(
     if fs.exists(HPath(seg_root)):
         for st in fs.listStatus(HPath(seg_root)):
             nm = st.getPath().getName()
+            if nm.endswith(".tmp"):
+                # debris of a lost same-chunk rename race or a crashed
+                # writer: junk by construction once past the age floor
+                if st.getModificationTime() < cutoff_ms:
+                    fs.delete(st.getPath(), False)
+                continue
             if not nm.endswith(".json"):
                 continue
             sha = nm[: -len(".json")]
