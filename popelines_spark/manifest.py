@@ -85,7 +85,20 @@ _LEGACY = object()  # sentinel: manifest predates parent tracking
 _SEGMENT_THRESHOLD = 4096
 _SEGMENT_TARGET = 2048  # expected paths per segment
 _SEGMENT_CACHE: dict[str, list] = {}  # immutable content-addressed chunks
-_SEGMENT_CACHE_MAX = 256
+#: must exceed the design-point working set (~390 chunks at 800k files /
+#: 2048 target) or a sequential tip expansion would evict every entry
+#: before its next use; LRU via pop-and-reinsert on hit
+_SEGMENT_CACHE_MAX = 1024
+
+
+class SegmentLossError(RuntimeError):
+    """A committed manifest references a segment chunk that no longer
+    exists. This is METADATA CORRUPTION (a vacuum-lease violation or
+    external deletion), not a transient race — it must surface loudly.
+    It deliberately does NOT read as "version retracted": treating it
+    as retraction would let gc_manifest_table silently skip the
+    version's contribution to the retained set and delete data files a
+    committed, retained version still references."""
 
 
 def _segment_threshold() -> int:
@@ -132,16 +145,21 @@ def _write_segments(fs, vroot, listed: list[str], jvm) -> list[str]:
         sha = hashlib.sha256(body).hexdigest()[:32]
         refs.append(sha)
         path = HPath(f"{seg_root}/{sha}.json")
+        refreshed = False
         if fs.exists(path):
             try:
                 fs.setTimes(path, now_ms, -1)  # refresh the vacuum lease
+                refreshed = fs.exists(path)  # vanished under the refresh?
             except Exception:
-                pass
-        else:
+                refreshed = False  # deleted between exists and setTimes
+        if not refreshed:
             # write-then-rename: a racing writer of the SAME chunk (same
             # name ⇒ same bytes) must never expose a torn in-place write
-            # to a concurrent reader. Rename is atomic; if the dest
-            # appeared meanwhile the rename fails and the temp is junk.
+            # to a concurrent reader. Rename is atomic; a failed rename
+            # is trusted ONLY if the destination verifiably exists
+            # (Hadoop rename returns false for more reasons than
+            # dest-exists) — a commit must never reference a chunk that
+            # was not durably materialized.
             import uuid
 
             tmp = HPath(f"{seg_root}/.{sha}.{uuid.uuid4().hex[:8]}.tmp")
@@ -152,6 +170,11 @@ def _write_segments(fs, vroot, listed: list[str], jvm) -> list[str]:
                 out.close()
             if not fs.rename(tmp, path):
                 fs.delete(tmp, False)
+                if not fs.exists(path):
+                    raise IOError(
+                        f"segment chunk {sha} could not be materialized "
+                        f"under {seg_root} (rename failed, dest absent)"
+                    )
         _segment_cache_put(sha, chunk)
     return refs
 
@@ -169,7 +192,16 @@ def _expand_files(fs, vroot, doc: dict, jvm) -> dict:
     for sha in segs:
         chunk = _SEGMENT_CACHE.get(sha)
         if chunk is None:
-            stream = fs.open(HPath(f"{vroot}/_segments/{sha}.json"))
+            try:
+                stream = fs.open(HPath(f"{vroot}/_segments/{sha}.json"))
+            except Exception as exc:
+                if "FileNotFoundException" in str(exc):
+                    raise SegmentLossError(
+                        f"manifest v{doc.get('version')} under {vroot} "
+                        f"references missing segment chunk {sha} — "
+                        "metadata corruption, not a retracted version"
+                    ) from exc
+                raise
             try:
                 text = jvm.org.apache.commons.io.IOUtils.toString(
                     stream, "UTF-8"
@@ -178,6 +210,10 @@ def _expand_files(fs, vroot, doc: dict, jvm) -> dict:
                 stream.close()
             chunk = json.loads(text)
             _segment_cache_put(sha, chunk)
+        else:
+            # LRU: a hit must not be evicted as if it were cold
+            _SEGMENT_CACHE.pop(sha, None)
+            _SEGMENT_CACHE[sha] = chunk
         files.extend(chunk)
     doc["files"] = files
     return doc
@@ -235,9 +271,12 @@ def _expand_stats(doc: dict) -> dict:
                 fstats[f] = pool[i]
         doc["file_stats"] = fstats
     elif pool is not None:
-        doc["file_stats"] = {
-            f: pool[i] for f, i in doc.get("file_stats", {}).items()
-        }
+        # a pool with no index array is not a format any writer ever
+        # shipped — refuse to guess rather than mis-read stats
+        raise ValueError(
+            f"manifest v{doc.get('version')} carries stats_pool without "
+            "stats_idx/stats_idx_rle — unknown stats encoding"
+        )
     return doc
 
 
@@ -265,6 +304,11 @@ def _read_manifest_or_none(fs, vroot, version, jvm) -> dict | None:
     that as "re-resolve against a fresh listing", not an error."""
     try:
         return _read_manifest(fs, vroot, version, jvm)
+    except SegmentLossError:
+        # a COMMITTED manifest whose segment chunk is gone is metadata
+        # corruption, not a retracted version — mapping it to None would
+        # let GC treat the version as absent and delete its data files
+        raise
     except Exception as exc:  # py4j wraps java.io.FileNotFoundException
         # match the exception CLASS name only: broader substrings like
         # "does not exist" appear in unrelated py4j signature errors,
@@ -516,6 +560,7 @@ def _commit_manifest(
     batch_id: str | None = None,
     file_stats: dict | None = None,
     enforce_linear: bool = True,
+    _precomputed_segments: tuple[list[str], list[str]] | None = None,
 ) -> None:
     """Write + flip one manifest version. With ``enforce_linear`` (the
     default) the flip happens under the table's commit lock and is
@@ -535,6 +580,17 @@ def _commit_manifest(
             flush=True,
         )
     if enforce_linear:
+        # segment materialization happens BEFORE the lock: chunks are
+        # content-addressed and parent-independent, so writing them
+        # early is always safe (at worst they become over-age debris
+        # for the GC sweep), and it keeps the lock hold at its
+        # documented ~2 metadata ops instead of O(chunks) RPCs — a
+        # long-held lock risks a stale-break mid-commit.
+        pre_listed = sorted(set(files))
+        pre = None
+        if len(pre_listed) >= _segment_threshold():
+            pre = (pre_listed, _write_segments(fs, vroot, pre_listed, jvm))
+
         def _flip():
             tips = _committed_manifest_versions(fs, vroot, jvm)
             tip = tips[-1] if tips else None
@@ -558,6 +614,7 @@ def _commit_manifest(
                 parent=parent, op=op, batch_ids=batch_ids,
                 batch_id=batch_id, file_stats=file_stats,
                 enforce_linear=False,
+                _precomputed_segments=pre,
             )
 
         _with_commit_lock(fs, vroot, jvm, _flip)
@@ -577,7 +634,10 @@ def _commit_manifest(
     }
     if batch_id is not None:
         doc["batch_id"] = batch_id  # legacy per-version field, kept
-    if len(listed) >= _segment_threshold():
+    if _precomputed_segments is not None \
+            and _precomputed_segments[0] == listed:
+        doc["files_segments"] = _precomputed_segments[1]
+    elif len(listed) >= _segment_threshold():
         doc["files_segments"] = _write_segments(fs, vroot, listed, jvm)
     else:
         doc["files"] = listed
@@ -1661,9 +1721,29 @@ def gc_manifest_table(
     # segment sweep: a content-addressed chunk referenced by NO retained
     # manifest is reclaimable once past the vacuum age floor (a chunk a
     # racing commit is about to reference is always young — reuse
-    # refreshes mtime, see _write_segments)
+    # refreshes mtime, see _write_segments). Two extra guards for the
+    # window mtime cannot cover: (a) any FRESH reservation = a writer
+    # is between reserve and commit and may be re-adopting a cold chunk
+    # whose content resurfaced (and on object stores setTimes is a
+    # no-op, so its "refresh" left no trace) — abort the sweep, same
+    # fence cleanup_orphan_files runs; (b) each doomed chunk is
+    # re-statted immediately before its delete so a refresh that landed
+    # after the listing is honored.
     seg_root = f"{vroot}/_segments"
     if fs.exists(HPath(seg_root)):
+        import time as _time
+
+        def _fresh_reservation() -> bool:
+            now = _time.time() * 1000.0
+            for rst in fs.listStatus(HPath(vroot)):
+                if rst.getPath().getName().endswith(".__reserved") and \
+                        now - rst.getModificationTime() \
+                        < min_file_age_sec * 1000.0:
+                    return True
+            return False
+
+        if _fresh_reservation():
+            return len(drop), n_deleted
         for st in fs.listStatus(HPath(seg_root)):
             nm = st.getPath().getName()
             if nm.endswith(".tmp"):
@@ -1679,6 +1759,12 @@ def gc_manifest_table(
                 continue
             if st.getModificationTime() >= cutoff_ms:
                 continue
+            try:  # re-stat: honor a lease refresh newer than the listing
+                if fs.getFileStatus(st.getPath()).getModificationTime() \
+                        >= cutoff_ms:
+                    continue
+            except Exception:
+                continue  # already gone
             fs.delete(st.getPath(), False)
             _SEGMENT_CACHE.pop(sha, None)
     return len(drop), n_deleted

@@ -119,6 +119,49 @@ def test_dml_heal_compact_gc_on_segmented_table(
     assert read_manifest_table(spark, scratch, "t").count() == 80
 
 
+def test_missing_segment_is_loud_corruption_not_retraction(
+    spark, scratch, tiny_segments
+):
+    """A committed manifest whose chunk vanished must raise
+    SegmentLossError — NOT read as 'version retracted', which would let
+    GC silently drop the version's contribution and delete data files a
+    retained version still references."""
+    import popelines_spark.manifest as M
+
+    _append(spark, scratch, 0)
+    _append(spark, scratch, 100)
+    assert "files_segments" in _raw(scratch, 2)
+    # kill one chunk of the TIP and purge the in-process cache
+    victim = glob.glob(f"{scratch}/t/versions/_segments/*.json")[0]
+    os.remove(victim)
+    M._SEGMENT_CACHE.clear()
+    with pytest.raises(M.SegmentLossError):
+        read_manifest_table(spark, scratch, "t").count()
+    with pytest.raises(M.SegmentLossError):
+        gc_manifest_table(spark, scratch, "t", keep_versions=1,
+                          min_file_age_sec=0)
+    # no data files were deleted by the refused GC
+    assert len(glob.glob(f"{scratch}/t/data/v*/*.parquet")) == 8
+
+
+def test_gc_segment_sweep_fences_on_fresh_reservation(
+    spark, scratch, tiny_segments
+):
+    """A fresh reservation marker = a writer between reserve and commit
+    (possibly re-adopting a cold chunk): the segment sweep must abort,
+    exactly like cleanup_orphan_files' fence."""
+    for lo in (0, 100, 200):
+        _append(spark, scratch, lo)
+    compact_manifest_table(spark, scratch, "t", n_files=2)
+    open(f"{scratch}/t/versions/99.__reserved", "w").close()  # fresh
+    before = set(glob.glob(f"{scratch}/t/versions/_segments/*.json"))
+    gc_manifest_table(spark, scratch, "t", keep_versions=1,
+                      min_file_age_sec=3600)
+    after = set(glob.glob(f"{scratch}/t/versions/_segments/*.json"))
+    assert before == after, "sweep ran through the writer fence"
+    os.remove(f"{scratch}/t/versions/99.__reserved")
+
+
 def test_changefeed_reads_segmented_manifests(
     spark, scratch, tiny_segments, tmp_path
 ):
