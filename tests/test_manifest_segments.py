@@ -119,6 +119,28 @@ def test_dml_heal_compact_gc_on_segmented_table(
     assert read_manifest_table(spark, scratch, "t").count() == 80
 
 
+def test_segments_materialize_outside_the_commit_lock(
+    spark, scratch, tiny_segments, monkeypatch
+):
+    """The lock's contract is ~2 metadata ops; chunk uploads are
+    content-addressed and parent-independent, so they must run BEFORE
+    lock acquisition (a long hold risks a stale-break mid-commit)."""
+    import popelines_spark.manifest as M
+
+    calls = []
+    orig = M._write_segments
+
+    def spy(fs, vroot, listed, jvm):
+        calls.append(os.path.exists(f"{vroot}/.__commit_lock"))
+        return orig(fs, vroot, listed, jvm)
+
+    monkeypatch.setattr(M, "_write_segments", spy)
+    _append(spark, scratch, 0)
+    _append(spark, scratch, 100)
+    assert calls, "segmentation never engaged"
+    assert not any(calls), "segments written while the lock was held"
+
+
 def test_missing_segment_is_loud_corruption_not_retraction(
     spark, scratch, tiny_segments
 ):
