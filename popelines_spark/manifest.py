@@ -318,43 +318,29 @@ def _read_manifest_or_none(fs, vroot, version, jvm) -> dict | None:
         raise
 
 
-def _orphan_replaces(
-    fs, vroot, jvm, tip: int | None, cache: dict[int, dict] | None = None
-) -> list[int]:
+def _orphan_replaces(fs, vroot, jvm, tip: int | None) -> list[int]:
     """Committed ``op=replace`` versions NOT on ``tip``'s lineage — DML
     whose effect a commit parented on ``tip`` would silently drop.
     Membership is by LINEAGE, never by version-number comparison: a
     stale append can carry a HIGHER number than the replace it misses.
 
+    DIAGNOSTIC ONLY since the linearization (round 11): the pre-flip /
+    post-flip walks that consulted it were deleted along with the
+    divergence they policed, so new histories cannot produce what it
+    detects. It remains as the classification oracle the heal tests pin
+    legacy/crash histories against.
+
     FAIL-OPEN on unknowable history: if the walk from ``tip`` hits a
     DANGLING parent pointer (a retracted manifest some committed child
     still references), the true lineage cannot be decided — returning a
-    false orphan there would brick every writer over a transient race,
-    so the caller proceeds and heal/GC report loudly instead.
-
-    ``cache`` (one per append, passed across that append's pre-flip and
-    post-flip retry loops) amortizes the manifest JSON reads: committed
-    manifests are immutable, so each version is read ONCE per append
-    instead of once per loop iteration (~20× on a contended commit — a
-    metadata read storm on long un-GC'd histories). Entries whose
-    version vanishes from the committed listing are evicted, so a
-    retract-then-reuse of the same number is re-read, never served
-    stale."""
+    false orphan there would brick a caller over a transient race, so
+    heal/GC report loudly instead."""
     versions = _committed_manifest_versions(fs, vroot, jvm)
-    if cache is not None:
-        vset = set(versions)
-        for k in [k for k in cache if k not in vset]:
-            del cache[k]  # retracted: the number may be recommitted
     mans: dict[int, dict] = {}
     for v in versions:
-        if cache is not None and v in cache:
-            mans[v] = cache[v]
-            continue
         m = _read_manifest_or_none(fs, vroot, v, jvm)
         if m is not None:
             mans[v] = m
-            if cache is not None:
-                cache[v] = m
     versions = [v for v in versions if v in mans]
     if tip is None or tip not in mans:
         return []  # tip vanished under us: unknowable, fail open
@@ -510,9 +496,12 @@ def _with_commit_lock(fs, vroot, jvm, fn, timeout_sec=120.0,
                     # a breaker that died between claim and release would
                     # block every future takeover — same lease rule
                     fs.delete(HPath(breaker), False)
-                continue
         except Exception:
-            continue  # lock vanished between claim and stat: retry
+            pass  # lock vanished between claim and stat: retry
+        # every path falls through to the deadline check + backoff —
+        # a `continue` here would let a persistently-failing stat (or a
+        # repeated stale-break) bypass the timeout contract and hot-spin
+        # the filesystem (review r11)
         if time.time() > deadline:
             raise ConcurrentWriteError(
                 f"commit lock under {vroot} not acquired in "
@@ -560,6 +549,7 @@ def _commit_manifest(
     batch_id: str | None = None,
     file_stats: dict | None = None,
     enforce_linear: bool = True,
+    own_dir: str | None = None,
     _precomputed_segments: tuple[list[str], list[str]] | None = None,
 ) -> None:
     """Write + flip one manifest version. With ``enforce_linear`` (the
@@ -613,7 +603,7 @@ def _commit_manifest(
                 spark, fs, vroot, version, files, schema_json, jvm,
                 parent=parent, op=op, batch_ids=batch_ids,
                 batch_id=batch_id, file_stats=file_stats,
-                enforce_linear=False,
+                enforce_linear=False, own_dir=own_dir,
                 _precomputed_segments=pre,
             )
 
@@ -634,6 +624,12 @@ def _commit_manifest(
     }
     if batch_id is not None:
         doc["batch_id"] = batch_id  # legacy per-version field, kept
+    if own_dir is not None:
+        # the append's own data directory MARKER ("/data/v{M}/"): after
+        # a burned-number rebase the commit's version number N no longer
+        # matches its data dir M, and heal's dangling-parent branch must
+        # not infer an empty contribution from /data/vN/ (review r11)
+        doc["own_dir"] = own_dir
     if _precomputed_segments is not None \
             and _precomputed_segments[0] == listed:
         doc["files_segments"] = _precomputed_segments[1]
@@ -988,7 +984,13 @@ def heal_manifest_table(
                 # part of the child's list, which may predate that
                 # replace, is excluded). But WHICH dangling case decides
                 # whether re-adding is safe:
-                own_dir = f"/data/v{v}/"
+                # prefer the RECORDED marker: a burned-number rebase
+                # commits version N with data under data/vM, and
+                # inferring from /data/vN/ would read an empty
+                # contribution as "already on the tip" and silently
+                # drop the batch (review r11); the positional fallback
+                # covers pre-marker manifests
+                own_dir = m.get("own_dir") or f"/data/v{v}/"
                 own = [f for f in m["files"] if own_dir in f]
                 if all(f in working for f in own):
                     # contribution already on the tip (the common state
@@ -1144,6 +1146,10 @@ def append_manifest_table(
             df = _align_to(df, target_schema)
             target_schema = df.schema
         ddir = f"{droot}/v{version}"
+        # the data dir is pinned to the ORIGINAL reserved number: a
+        # burned-number rebase re-commits under a fresh version WITHOUT
+        # rewriting data, so the commit records this marker for heal
+        own_marker = f"/data/v{version}/"
         out = df.repartition(n_files) if n_files else df
         batch_stats = None
         if stats_cols:
@@ -1198,6 +1204,7 @@ def append_manifest_table(
                     batch_ids=sorted(batch_ids),
                     batch_id=None if batch_id is None else str(batch_id),
                     file_stats=file_stats,
+                    own_dir=own_marker,
                 )
                 break
             except StaleParentError:
@@ -1225,7 +1232,13 @@ def append_manifest_table(
                     parent = versions[-1]
                     man = _read_manifest_or_none(fs, vroot, parent, jvm)
                     if man is None:
-                        parent = None  # tip retracted under us: re-list
+                        # tip retracted under us: reset the rebase state
+                        # BEFORE retrying — carrying the superseded
+                        # tip's prev_files into a parent=None commit
+                        # would resurrect a retracted/emptied table's
+                        # whole file list (review r11)
+                        parent = None
+                        prev_files, prev_stats, prev_ids = [], {}, []
                         continue
                 if man is not None:
                     prev_files = man["files"]

@@ -100,11 +100,17 @@ def _is_missing_file_error(exc: Exception) -> bool:
     re-validate and retry after a vacuum) — so callers map it to a
     rebase-and-retry instead of failing the DML."""
     s = str(exc)
+    # match only the specific phrasings Spark's readers use for a
+    # vanished input path — the bare substring "does not exist" also
+    # appears in py4j "Method ... does not exist" signature errors and
+    # catalog "Table or view ... does not exist" errors, which are
+    # deterministic bugs that must SURFACE, not be retried as races
+    # (same rule as manifest._read_manifest_or_none)
     return (
         "PATH_NOT_FOUND" in s
         or "FileNotFoundException" in s
         or "FAILED_READ_FILE" in s
-        or "does not exist" in s
+        or "Path does not exist" in s
     )
 
 
@@ -127,6 +133,7 @@ def _replace_commit(
     fs, _, jvm = _hadoop_fs(spark, root)
     HPath = jvm.org.apache.hadoop.fs.Path
     last: Exception | None = None
+    healed_once = False
     for _ in range(max_retries):
         version = _reserve_version(fs, vroot, jvm)
         try:
@@ -214,15 +221,19 @@ def _replace_commit(
         except _Conflict as exc:
             _release_reservation(fs, vroot, version, jvm)
             last = exc
-            # heal before retrying: a stranded off-lineage replace (a
-            # racing walk that saw neither peer) makes every later
-            # replace's peers-check fire forever — replaying/marking it
-            # here breaks the livelock the N-writer stress hit (DMLs
-            # exhausting 100 client retries)
-            try:
-                heal_manifest_table(spark, warehouse, table_name)
-            except (ConcurrentWriteError, FileNotFoundError):
-                pass
+            # heal once, on the FIRST conflict only: under linearized
+            # commits a refused flip leaves nothing of OURS to repair —
+            # the heal exists for pre-linearization/crash debris that
+            # may be blocking the table, and that either heals on the
+            # first pass or needs the loud post-retry failure. Healing
+            # on every conflict paid an O(all manifests) scan per lost
+            # race for a removed failure mode (review r11).
+            if not healed_once:
+                healed_once = True
+                try:
+                    heal_manifest_table(spark, warehouse, table_name)
+                except (ConcurrentWriteError, FileNotFoundError):
+                    pass
             continue
         except Exception:
             _release_reservation(fs, vroot, version, jvm)

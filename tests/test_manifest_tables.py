@@ -731,40 +731,41 @@ def test_heal_tolerates_dangling_parent_append(spark, scratch):
         M.heal_manifest_table(spark, scratch, "mgf")
 
 
-def test_orphan_replaces_cache_matches_uncached(spark, scratch):
-    """The per-append manifest cache returns the same verdicts as the
-    uncached walk and evicts versions that vanish from the committed
-    listing (a retracted number may be recommitted with new content)."""
+def test_heal_uses_recorded_own_dir_for_burned_number_appends(
+    spark, scratch
+):
+    """A contended append can BURN its reserved number M and commit as
+    version N while its data stays under data/vM (the data dir is never
+    rewritten). If such a commit is later orphaned with a dangling
+    parent, heal must use the manifest's RECORDED own_dir marker —
+    inferring from /data/vN/ reads an empty contribution as 'already on
+    the tip' and silently drops the batch."""
     from popelines_spark import manifest as M
-    from popelines_spark.manifest_dml import delete_manifest_rows
 
-    append_manifest_table(spark, scratch, "mc", _mk(spark, 5, "a"))   # v1
-    delete_manifest_rows(spark, scratch, "mc", "id = 0")              # v2
-    append_manifest_table(spark, scratch, "mc", _mk(spark, 5, "b"))   # v3
-    root, vroot, _ = M._paths(scratch, "mc")
+    append_manifest_table(spark, scratch, "mb", _mk(spark, 5, "a"))   # v1
+    append_manifest_table(spark, scratch, "mb", _mk(spark, 5, "b"))   # v2
+    root, vroot, droot = M._paths(scratch, "mb")
     fs, _, jvm = M._hadoop_fs(spark, root)
-    versions = M._committed_manifest_versions(fs, vroot, jvm)
-    tip = versions[-1]
-    # stale sibling that skipped the replace
-    bogus = tip + 10
-    man_tip = M._read_manifest(fs, vroot, tip, jvm)
+    # the burned append's data landed under data/v3 ...
+    _mk(spark, 5, "burn").write.mode("overwrite").parquet(f"{droot}/v3")
+    files3 = M._list_parquet(fs, f"{droot}/v3", jvm)
+    man2 = M._read_manifest(fs, vroot, 2, jvm)
+    # ... but it committed as v5, parented on a now-dangling v4
     M._commit_manifest(
-        spark, fs, vroot, bogus, man_tip["files"], man_tip["schema"],
-        jvm, parent=versions[0], op="append", enforce_linear=False,
+        spark, fs, vroot, 5, man2["files"] + files3, man2["schema"], jvm,
+        parent=4, op="append", batch_ids=["burn"], batch_id="burn",
+        own_dir="/data/v3/", enforce_linear=False,
     )
-    cache: dict = {}
-    first = M._orphan_replaces(fs, vroot, jvm, bogus, cache)
-    assert first == M._orphan_replaces(fs, vroot, jvm, bogus)
-    assert first and set(cache) == set(
-        M._committed_manifest_versions(fs, vroot, jvm)
+    # a racing sibling then took the tip, skipping v5 entirely
+    M._commit_manifest(
+        spark, fs, vroot, 6, man2["files"], man2["schema"], jvm,
+        parent=2, op="append", enforce_linear=False,
     )
-    # second cached call: same verdict, no re-read needed
-    assert M._orphan_replaces(fs, vroot, jvm, bogus, cache) == first
-    # retract the bogus sibling: the cache must evict it
-    HPath = jvm.org.apache.hadoop.fs.Path
-    fs.delete(HPath(f"{vroot}/{bogus}"), True)
-    assert M._orphan_replaces(fs, vroot, jvm, tip, cache) == []
-    assert bogus not in cache
+    assert M.heal_manifest_table(spark, scratch, "mb") == 1
+    got = read_manifest_table(spark, scratch, "mb")
+    assert got.count() == 15, "burned-number append's batch dropped"
+    assert got.where("tag = 'burn'").count() == 5
+    assert M.heal_manifest_table(spark, scratch, "mb") == 0  # convergent
 
 
 def test_commits_are_linearized(spark, scratch):
