@@ -438,8 +438,8 @@ class StaleParentError(RuntimeError):
     the caller must rebase (re-read the tip) and retry the flip."""
 
 
-def _with_commit_lock(fs, vroot, jvm, fn, timeout_sec=120.0,
-                      stale_sec=300.0):
+def _with_commit_lock(fs, vroot, jvm, fn, timeout_sec=None,
+                      stale_sec=None):
     """Run ``fn()`` holding the table's COMMIT LOCK — the linearization
     point of the whole protocol. Version-number reservations serialize
     NUMBERS, not commits: two writers could still flip manifests whose
@@ -466,6 +466,17 @@ def _with_commit_lock(fs, vroot, jvm, fn, timeout_sec=120.0,
     import random
     import time
 
+    # env knobs exist for crash/chaos drills that need short leases to
+    # exercise takeover in wall-clock-bounded runs; production defaults
+    # (120 s acquire, 300 s presumed-dead) apply when unset
+    if timeout_sec is None:
+        timeout_sec = float(
+            os.environ.get("POPELINES_LOCK_TIMEOUT_SEC", 120.0)
+        )
+    if stale_sec is None:
+        stale_sec = float(
+            os.environ.get("POPELINES_LOCK_STALE_SEC", 300.0)
+        )
     HPath = jvm.org.apache.hadoop.fs.Path
     lock = f"{vroot}/.__commit_lock"
     breaker = f"{vroot}/.__commit_lock_break"
