@@ -113,20 +113,16 @@ def _segment_cache_put(sha: str, chunk: list) -> None:
         _SEGMENT_CACHE.pop(next(iter(_SEGMENT_CACHE)))
 
 
-def _write_segments(fs, vroot, listed: list[str], jvm) -> list[str]:
-    """Chunk the sorted file list at content-defined boundaries and
-    persist each chunk once under its content hash. Reused chunks are
-    not rewritten, but their mtime IS refreshed — the same vacuum-lease
-    rule data files follow, so the GC segment sweep (age floor) can
-    never delete a chunk an in-flight commit is about to reference."""
-    import hashlib
-    import time
+def _chunk_paths(listed: list[str], target: int) -> list[list[str]]:
+    """Content-defined chunking of an ordered path list: a path ENDS a
+    chunk when its crc32 % target == 0, giving expected chunk size
+    ``target``. Because the boundary decision depends only on each
+    item, inserting a contiguous run of paths disturbs only the chunk
+    containing the insertion point (re-syncing at the next surviving
+    boundary) — the invariant structural sharing rests on, pinned by
+    tests/test_segment_properties.py."""
     import zlib
 
-    HPath = jvm.org.apache.hadoop.fs.Path
-    target = int(
-        os.environ.get("POPELINES_SEGMENT_TARGET", _SEGMENT_TARGET)
-    )
     chunks: list[list[str]] = []
     cur: list[str] = []
     for p in listed:
@@ -136,6 +132,23 @@ def _write_segments(fs, vroot, listed: list[str], jvm) -> list[str]:
             cur = []
     if cur:
         chunks.append(cur)
+    return chunks
+
+
+def _write_segments(fs, vroot, listed: list[str], jvm) -> list[str]:
+    """Chunk the sorted file list at content-defined boundaries and
+    persist each chunk once under its content hash. Reused chunks are
+    not rewritten, but their mtime IS refreshed — the same vacuum-lease
+    rule data files follow, so the GC segment sweep (age floor) can
+    never delete a chunk an in-flight commit is about to reference."""
+    import hashlib
+    import time
+
+    HPath = jvm.org.apache.hadoop.fs.Path
+    target = int(
+        os.environ.get("POPELINES_SEGMENT_TARGET", _SEGMENT_TARGET)
+    )
+    chunks = _chunk_paths(listed, target)
     seg_root = f"{vroot}/_segments"
     fs.mkdirs(HPath(seg_root))
     refs: list[str] = []
