@@ -136,7 +136,13 @@ def write_table(
         fs, root, jvm = _hadoop_fs(spark, path)
         pre_files = set(_list_data_files(fs, root, jvm))
     if append and exists and not autodetect:
-        live_schema = spark.read.parquet(path).schema
+        # mergeSchema: without it the live schema reflects ONE sampled
+        # footer — on an evolved table that may predate a column, and
+        # ignore_unknown_values would then silently drop that column
+        # from the batch (review r11)
+        live_schema = spark.read.option(
+            "mergeSchema", "true"
+        ).parquet(path).schema
         if ignore_unknown_values:
             keep = [f.name for f in df.schema.fields if f.name in live_schema.names]
             df = df.select(*keep)
@@ -289,7 +295,32 @@ def read_table_auto(spark: SparkSession, warehouse: str, table_name: str) -> Dat
         from popelines_spark.manifest import read_manifest_table
 
         return read_manifest_table(spark, warehouse, table_name)
+    if is_snapshot_table(spark, warehouse, table_name):
+        # Spark hides _-prefixed dirs from listing, so a root read of
+        # the snapshot layout sees NO data at all ("Unable to infer
+        # schema") — route to the committed tip (review r11)
+        return read_table_snapshot(spark, warehouse, table_name)
     return read_table_evolved(spark, warehouse, table_name)
+
+
+def is_snapshot_table(
+    spark: SparkSession, warehouse: str, table_name: str
+) -> bool:
+    """True when the table carries the versioned snapshot layout
+    (``_versions/v*/_COMMITTED``) this module writes."""
+    path = f"{table_path(warehouse, table_name)}/{_VERSIONS_DIR}"
+    fs, root, jvm = _hadoop_fs(spark, path)
+    if not fs.exists(root):
+        return False
+    for st in fs.listStatus(root):
+        n = st.getPath().getName()
+        if n.startswith("v") and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{path}/{n}/{_COMMIT_MARKER}"
+            )
+        ):
+            return True
+    return False
 
 
 def _align_to(df: DataFrame, target: T.StructType) -> DataFrame:
@@ -320,7 +351,13 @@ def _align_to(df: DataFrame, target: T.StructType) -> DataFrame:
 
 
 def _path_exists(spark: SparkSession, path: str) -> bool:
-    if "://" not in path or path.startswith("file:"):
+    """Existence through the SAME resolution the writes use. A
+    scheme-less path resolves against ``fs.defaultFS`` (_hadoop_fs), so
+    checking the driver's local disk for it would report an existing
+    HDFS/object-store table as absent — and write_table would then run
+    the caller's append as mode("overwrite"), destroying the table
+    (review r11). Only an explicit ``file:`` scheme may shortcut."""
+    if path.startswith("file:"):
         return os.path.exists(path.removeprefix("file:"))
     fs, p, _ = _hadoop_fs(spark, path)
     return fs.exists(p)
@@ -417,17 +454,32 @@ def compact_table(
         # directory-partitioned table: compaction must PRESERVE the
         # pruning layout (a flat rewrite would silently destroy it) —
         # hash on the partition columns so each value lands in one task
-        # → one file per partition directory
-        df.repartition(*pcols).write.partitionBy(*pcols).parquet(
-            staging.toString()
+        # → few files per partition directory. maxRecordsPerFile caps
+        # the size a skewed partition value can force through that one
+        # task: without it a 200 GB day becomes ONE 200 GB file, the
+        # opposite of the target_file_bytes hygiene goal (review r11)
+        rows_before = (stats_before or {}).get("rows") or 0
+        per_file = (
+            max(1, int(rows_before * target_file_bytes / max(total, 1)))
+            if rows_before else 0
         )
+        w = df.repartition(*pcols).write.partitionBy(*pcols)
+        if per_file:
+            w = w.option("maxRecordsPerFile", per_file)
+        w.parquet(staging.toString())
     else:
         df.repartition(n_out).write.parquet(staging.toString())
     fs.delete(backup, True)
     if not fs.rename(root, backup):
         raise IOError(f"compact_table: rename {root} -> {backup} failed")
     if not fs.rename(staging, root):
-        fs.rename(backup, root)  # roll the live table back
+        if not fs.rename(backup, root):  # roll the live table back
+            raise IOError(
+                f"compact_table: rename {staging} -> {root} failed AND "
+                f"the rollback {backup} -> {root} also failed — the "
+                f"table's data is intact at {backup}; restore it by "
+                "renaming that directory back before reading"
+            )
         raise IOError(f"compact_table: rename {staging} -> {root} failed")
     fs.delete(backup, True)
     after, _ = _parquet_files(root)
@@ -502,6 +554,8 @@ def analyze_table(
         from popelines_spark.manifest import read_manifest_table
 
         df = read_manifest_table(spark, warehouse, table_name)
+    elif is_snapshot_table(spark, warehouse, table_name):
+        df = read_table_snapshot(spark, warehouse, table_name)
     else:
         df = read_table_evolved(spark, warehouse, table_name)
     aggs = [F.count(F.lit(1)).alias("__rows")]
@@ -679,6 +733,49 @@ def update_stats_increment(
     into (no ``_stats.json``, or one written before sketches existed) —
     callers fall back to ``_mark_stats_stale``.
     """
+    from pyspark.sql import functions as F
+
+    # the read-fold-write below is not atomic: two concurrent appends
+    # both folding would last-write-win, permanently undercounting one
+    # batch while the file claims freshness. Serialize via an atomic
+    # lock claim; the LOSER marks the stats stale (the honest signal —
+    # a later full ANALYZE recovers) instead of racing (review r11).
+    path = table_path(warehouse, table_name)
+    fs, _root, jvm = _hadoop_fs(spark, path)
+    from popelines_spark.manifest import _claim_path
+
+    lock = f"{path}/_stats.json.__lock"
+    HPath = jvm.org.apache.hadoop.fs.Path
+    claimed = _claim_path(fs, lock, jvm)
+    if not claimed:
+        # a holder that died must not leave stats PERMANENTLY stale
+        # (every future fold would lose the claim and re-mark stale,
+        # even after a fresh ANALYZE) — break an over-age lock, same
+        # presumed-dead lease as every marker in this repo
+        import time as _time
+
+        try:
+            st = fs.getFileStatus(HPath(lock))
+            if _time.time() * 1000.0 - st.getModificationTime() > 600_000:
+                fs.delete(HPath(lock), False)
+                claimed = _claim_path(fs, lock, jvm)
+        except Exception:
+            claimed = _claim_path(fs, lock, jvm)  # vanished: retry once
+    if not claimed:
+        _mark_stats_stale(spark, path)
+        return None
+    try:
+        return _update_stats_locked(spark, warehouse, table_name, appended)
+    finally:
+        fs.delete(HPath(lock), False)
+
+
+def _update_stats_locked(
+    spark: SparkSession,
+    warehouse: str,
+    table_name: str,
+    appended: DataFrame,
+) -> dict | None:
     from pyspark.sql import functions as F
 
     stats = read_table_stats(spark, warehouse, table_name)
@@ -861,6 +958,16 @@ def snapshot_version_path(warehouse: str, table_name: str, version: int) -> str:
     )
 
 
+class ConcurrentSnapshotWriteError(RuntimeError):
+    """A snapshot-layout compaction lost the race to an intervening
+    append: its rewrite of the pre-append tip was retracted and the
+    caller must retry against the new tip. (The manifest layout
+    handles this transparently via linearized commits — concurrent
+    writers belong there; this error keeps the simpler snapshot
+    layout's single-writer contract honest instead of silently
+    dropping the appended rows.)"""
+
+
 def write_table_snapshot(
     spark: SparkSession,
     warehouse: str,
@@ -872,7 +979,12 @@ def write_table_snapshot(
     version id. Concurrent writers are serialized by an atomic
     create-no-overwrite reservation file (loser retries on the next id),
     so two compactions racing produce two distinct versions, never a
-    corrupt mix."""
+    corrupt mix. CAVEAT (same as manifest._claim_path): the reservation
+    is atomic on POSIX and HDFS; object stores without conditional
+    create (plain s3a://) implement create(overwrite=False) as
+    exists-check-then-PUT, so racing writers there need an external
+    lock — or the manifest layout, whose commit lock carries the same
+    documented object-store caveat in one place."""
     fs, root, jvm = _hadoop_fs(spark, table_path(warehouse, table_name))
     HPath = jvm.org.apache.hadoop.fs.Path
     existing = _committed_versions(fs, root, jvm)
@@ -944,10 +1056,11 @@ def append_table_snapshot(
     merged = _align_to(current, target).unionByName(
         _align_to(df, target), allowMissingColumns=True
     )
-    # materialize before writing: the union reads the version dir the
-    # reservation loop is about to extend (safe either way — new version
-    # is a NEW dir — but localCheckpoint keeps the plan from re-listing)
-    merged = merged.localCheckpoint(eager=True)
+    # NO materialization: the union reads the current version dir while
+    # the write targets a NEW dir, so streaming the plan straight into
+    # the writer is safe — the localCheckpoint this used to do cached
+    # O(table) unreplicated blocks per append (an executor loss failed
+    # the whole job) to save only a directory re-listing (review r11)
     return write_table_snapshot(
         spark, warehouse, table_name, merged, n_files=n_files
     )
@@ -1027,8 +1140,28 @@ def compact_table_snapshot(
     new_v = write_table_snapshot(
         spark, warehouse, table_name, df, n_files=n_out
     )
-    # GC: everything older than the keep_versions most recent committed
+    # REBASE CHECK: the reservation serializes version NUMBERS, not
+    # content lineage — if an append committed between our tip read and
+    # our commit, the compacted version (a rewrite of the PRE-append
+    # tip) is now latest and the appended rows would vanish from the
+    # live view, then be lost for good at the next GC (review r11).
+    # Detect the intervening commit, retract our own version, and raise
+    # for the caller to retry against the new tip.
     HPath = jvm.org.apache.hadoop.fs.Path
+    committed = _committed_versions(fs, root, jvm)
+    intervening = [v for v in committed if versions[-1] < v < new_v]
+    if intervening:
+        fs.delete(
+            HPath(snapshot_version_path(warehouse, table_name, new_v)),
+            True,
+        )
+        raise ConcurrentSnapshotWriteError(
+            f"compact_table_snapshot of {table_name}: version(s) "
+            f"{intervening} committed while compacting v{versions[-1]} — "
+            f"the compacted v{new_v} was retracted; retry to compact "
+            "the new tip"
+        )
+    # GC: everything older than the keep_versions most recent committed
     committed = _committed_versions(fs, root, jvm)
     for v in committed[:-keep_versions] if keep_versions else committed[:-1]:
         fs.delete(

@@ -198,3 +198,83 @@ def test_analyze_table_stats_roundtrip(spark, scratch):
     # absent stats -> None
     io.write_table(df, scratch, "stats_u", append=False)
     assert io.read_table_stats(spark, scratch, "stats_u") is None
+
+
+def test_read_table_auto_handles_snapshot_layout(spark, scratch):
+    """Spark hides _-prefixed dirs, so a root read of the snapshot
+    layout sees nothing — read_table_auto must route to the committed
+    tip instead of crashing (review r11)."""
+    df = _df(spark, [(1, "a"), (2, "b")], "id long, s string")
+    pio.write_table_snapshot(spark, scratch, "snap", df)
+    assert pio.is_snapshot_table(spark, scratch, "snap")
+    assert pio.read_table_auto(spark, scratch, "snap").count() == 2
+    # analyze_table profiles the tip through the same detection
+    st = pio.analyze_table(spark, scratch, "snap")
+    assert st["rows"] == 2
+
+
+def test_compact_snapshot_retracts_when_append_raced(spark, scratch,
+                                                     monkeypatch):
+    """An append committing between the compaction's tip read and its
+    commit must NOT be shadowed by the compacted pre-append rewrite:
+    the compaction retracts its own version and raises (review r11)."""
+    df = _df(spark, [(1, "a"), (2, "b")], "id long, s string")
+    pio.write_table_snapshot(spark, scratch, "cr", df)
+    real = pio.write_table_snapshot
+    hit = []
+
+    def racy(spark_, wh, name, frame, n_files=None):
+        if not hit:  # the racing append sneaks in before OUR commit
+            hit.append(1)
+            real(spark_, wh, name,
+                 _df(spark_, [(3, "c")], "id long, s string")
+                 .unionByName(pio.read_table_snapshot(spark_, wh, name)))
+        return real(spark_, wh, name, frame, n_files=n_files)
+
+    monkeypatch.setattr(pio, "write_table_snapshot", racy)
+    with pytest.raises(pio.ConcurrentSnapshotWriteError):
+        pio.compact_table_snapshot(spark, scratch, "cr")
+    # the appended row survives at the tip; the torn compact is gone
+    assert pio.read_table_snapshot(spark, scratch, "cr").count() == 3
+
+
+def test_stats_fold_loser_marks_stale_not_races(spark, scratch):
+    """A concurrent fold (fresh lock held) must not read-modify-write
+    over the holder: the loser marks stats stale and bows out."""
+    df = _df(spark, [(1, "a"), (2, "b")], "id long, s string")
+    pio.write_table(df, scratch, "st", append=False)
+    pio.analyze_table(spark, scratch, "st")
+    lock = f"{pio.table_path(scratch, 'st')}/_stats.json.__lock"
+    open(lock, "w").close()  # fresh: a live holder
+    out = pio.update_stats_increment(
+        spark, scratch, "st", _df(spark, [(3, "c")], "id long, s string")
+    )
+    assert out is None
+    assert pio.read_table_stats(spark, scratch, "st").get("stale") is True
+    os.remove(lock)
+    # an over-age lock (dead holder) is broken and the fold proceeds
+    pio.analyze_table(spark, scratch, "st")
+    open(lock, "w").close()
+    import time as _t
+
+    past = _t.time() - 3600
+    os.utime(lock, (past, past))
+    out2 = pio.update_stats_increment(
+        spark, scratch, "st", _df(spark, [(3, "c")], "id long, s string")
+    )
+    assert out2 is not None and out2["rows"] == 3
+    assert not os.path.exists(lock)
+
+
+def test_append_evolved_column_survives_ignore_unknown(spark, scratch):
+    """The live schema for append evolution must be the MERGED schema:
+    a one-footer sample can predate an evolved column, and
+    ignore_unknown_values would then silently drop it (review r11)."""
+    pio.write_table(_df(spark, [(1, "a")], "id long, s string"),
+                    scratch, "ev2", append=False)
+    pio.write_table(_df(spark, [(2, "b", 9)], "id long, s string, x long"),
+                    scratch, "ev2", append=True)
+    pio.write_table(_df(spark, [(3, "c", 7)], "id long, s string, x long"),
+                    scratch, "ev2", append=True, ignore_unknown_values=True)
+    got = pio.read_table_evolved(spark, scratch, "ev2")
+    assert got.where("id = 3").select("x").collect()[0][0] == 7
