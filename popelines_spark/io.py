@@ -323,25 +323,71 @@ def is_snapshot_table(
     return False
 
 
+def _align_expr(col, src: T.DataType, dst: T.DataType):
+    """Align one expression to a target type BY NAME, recursively.
+
+    A bare ``cast`` between struct types is POSITIONAL and
+    field-count-strict: a batch whose struct misses a subfield crashed
+    the append, and a struct carrying the same subfields in a different
+    order silently swapped values between fields — persisted corruption
+    (review r11). Structs therefore rebuild field-by-name (missing
+    subfields → typed NULL, extra source subfields kept — same add-only
+    evolution as the top level), arrays align their element type through
+    ``transform``, maps their value type through ``transform_values``;
+    primitives keep the legacy live-type cast (ADVICE r1 — un-cast
+    conflicting primitives write parquet files that disagree on the
+    column type, failing far from the write; mirrors BigQuery's
+    load-time coercion, popelines/main.py:121-139)."""
+    if src == dst:
+        return col
+    if isinstance(src, T.StructType) and isinstance(dst, T.StructType):
+        have = {f.name: f.dataType for f in src.fields}
+        parts = []
+        for f in dst.fields:
+            if f.name in have:
+                parts.append(
+                    _align_expr(
+                        col.getField(f.name), have[f.name], f.dataType
+                    ).alias(f.name)
+                )
+            else:
+                parts.append(F.lit(None).cast(f.dataType).alias(f.name))
+        dst_names = {f.name for f in dst.fields}
+        for f in src.fields:
+            if f.name not in dst_names:
+                parts.append(col.getField(f.name).alias(f.name))
+        # a NULL struct row must stay NULL, not become a struct of NULLs
+        return F.when(col.isNotNull(), F.struct(*parts))
+    if isinstance(src, T.ArrayType) and isinstance(dst, T.ArrayType):
+        return F.transform(
+            col, lambda x: _align_expr(x, src.elementType, dst.elementType)
+        )
+    if isinstance(src, T.MapType) and isinstance(dst, T.MapType):
+        out = col
+        if src.keyType != dst.keyType:
+            out = F.transform_keys(
+                out, lambda k, v: k.cast(dst.keyType)
+            )
+        if src.valueType != dst.valueType:
+            out = F.transform_values(
+                out, lambda k, v: _align_expr(v, src.valueType, dst.valueType)
+            )
+        return out
+    return col.cast(dst)
+
+
 def _align_to(df: DataFrame, target: T.StructType) -> DataFrame:
     """Project df to the target schema: missing fields → NULL, extra fields
-    kept (they evolve the table); nested structs aligned recursively."""
+    kept (they evolve the table); nested structs aligned recursively BY
+    NAME (see _align_expr)."""
     cols = []
     have = {f.name for f in df.schema.fields}
     for f in target.fields:
         if f.name in have:
             src = df.schema[f.name].dataType
-            c = F.col(f.name)
-            if src != f.dataType:
-                # Conflicting primitives cast to the live table's type too
-                # (ADVICE r1): appending them un-cast writes parquet files
-                # that disagree on the column type, and the failure only
-                # surfaces later in read_table_evolved's mergeSchema —
-                # far from the write that caused it. Mirrors BigQuery's
-                # load-time coercion/rejection in the reference
-                # (popelines/main.py:121-139).
-                c = c.cast(f.dataType)
-            cols.append(c.alias(f.name))
+            cols.append(
+                _align_expr(F.col(f.name), src, f.dataType).alias(f.name)
+            )
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     for f in df.schema.fields:

@@ -278,3 +278,62 @@ def test_append_evolved_column_survives_ignore_unknown(spark, scratch):
                     scratch, "ev2", append=True, ignore_unknown_values=True)
     got = pio.read_table_evolved(spark, scratch, "ev2")
     assert got.where("id = 3").select("x").collect()[0][0] == 7
+
+
+def test_align_nested_struct_by_name_not_position(spark, scratch):
+    """Struct alignment is BY NAME: reordered subfields must not swap
+    values, a missing subfield NULL-fills instead of crashing, and a
+    NULL struct row stays NULL (review r11)."""
+    pio.write_table(
+        spark.createDataFrame(
+            [(1, {"a": "A1", "b": "B1"})],
+            "id long, meta struct<a string, b string>",
+        ),
+        scratch, "nst", append=False,
+    )
+    # batch 1: same subfields, swapped declaration order
+    pio.write_table(
+        spark.createDataFrame(
+            [(2, {"b": "B2", "a": "A2"})],
+            "id long, meta struct<b string, a string>",
+        ),
+        scratch, "nst", append=True,
+    )
+    # batch 2: missing subfield b + a NULL struct row
+    pio.write_table(
+        spark.createDataFrame(
+            [(3, {"a": "A3"}), (4, None)],
+            "id long, meta struct<a string>",
+        ),
+        scratch, "nst", append=True,
+    )
+    got = {
+        r["id"]: (r["meta"]["a"] if r["meta"] else None,
+                  r["meta"]["b"] if r["meta"] else None)
+        for r in pio.read_table_evolved(spark, scratch, "nst").collect()
+    }
+    assert got == {1: ("A1", "B1"), 2: ("A2", "B2"),
+                   3: ("A3", None), 4: (None, None)}
+
+
+def test_align_array_of_struct_elements(spark, scratch):
+    """Array element structs align recursively too."""
+    pio.write_table(
+        spark.createDataFrame(
+            [(1, [{"x": 1, "y": 2}])],
+            "id long, pts array<struct<x long, y long>>",
+        ),
+        scratch, "ast", append=False,
+    )
+    pio.write_table(
+        spark.createDataFrame(
+            [(2, [{"y": 20, "x": 10}])],
+            "id long, pts array<struct<y long, x long>>",
+        ),
+        scratch, "ast", append=True,
+    )
+    got = {
+        r["id"]: [(e["x"], e["y"]) for e in r["pts"]]
+        for r in pio.read_table_evolved(spark, scratch, "ast").collect()
+    }
+    assert got == {1: [(1, 2)], 2: [(10, 20)]}
