@@ -34,15 +34,20 @@ def chunk_date_range(
 def date_series(
     spark: SparkSession, start: str, end: str, step_days: int = 1
 ) -> DataFrame:
-    """Distributed date sequence: one row per chunk start (b_fn_date_seq)."""
+    """Distributed date sequence: one row per chunk start (b_fn_date_seq).
+    An empty range (end < start) yields zero rows, matching the driver
+    twin chunk_date_range — F.sequence would otherwise throw at
+    execution on the distributed path only (review r11)."""
+    seq = F.sequence(
+        F.to_date(F.lit(start)),
+        F.to_date(F.lit(end)),
+        F.expr(f"interval {int(step_days)} days"),
+    )
+    guarded = F.when(
+        F.to_date(F.lit(end)) >= F.to_date(F.lit(start)), seq
+    ).otherwise(F.array().cast("array<date>"))
     return spark.range(1).select(
-        F.explode(
-            F.sequence(
-                F.to_date(F.lit(start)),
-                F.to_date(F.lit(end)),
-                F.expr(f"interval {int(step_days)} days"),
-            )
-        ).alias("chunk_start")
+        F.explode(guarded).alias("chunk_start")
     )
 
 
@@ -59,14 +64,35 @@ def incremental_append(
     ts_column: str,
 ) -> int:
     """Append only rows newer than the live table's watermark; returns the
-    number of appended rows (counted from the plan, not collect of data)."""
-    from popelines_spark.io import _path_exists, read_table, table_path, write_table
+    number of appended rows.
+
+    SINGLE WRITER PER TABLE: the watermark-read → filter → append
+    sequence is not serialized, so two concurrent callers would both
+    read watermark W and append the same rows twice — route concurrent
+    incremental feeds through the manifest layout's idempotent
+    ``batch_id`` appends instead (review r11).
+
+    The filtered batch is materialized ONCE (localCheckpoint) before
+    counting: count-then-write re-executed the whole lineage — double
+    REST fetches for API sources, and a count that need not match the
+    rows actually persisted under nondeterministic lineages (the
+    re-execution hazard io.write_table documents). The increment is
+    O(batch) by definition, so the materialization is too."""
+    from popelines_spark.io import (
+        _path_exists, read_table_auto, table_path, write_table,
+    )
 
     spark = new_data.sparkSession
     if _path_exists(spark, table_path(warehouse, table_name)):
-        wm = max_watermark(read_table(spark, warehouse, table_name), ts_column)
+        # layout-aware read: an evolved table's single-footer sample can
+        # predate ts_column, and snapshot/manifest layouts don't read at
+        # the root at all (review r11)
+        wm = max_watermark(
+            read_table_auto(spark, warehouse, table_name), ts_column
+        )
         if wm is not None:
             new_data = new_data.filter(F.col(ts_column) > F.lit(wm))
+    new_data = new_data.localCheckpoint(eager=True)
     n = new_data.count()
     if n:
         write_table(new_data, warehouse, table_name, append=True)

@@ -55,13 +55,31 @@ def rename_fields(df: DataFrame, callback: Callable[[str], str]) -> DataFrame:
 
     Note: a plain same-shape struct cast would be enough for rename-only
     callbacks, but breaks when a nested field is dropped (struct casts are
-    positional and require equal field counts) — hence the rebuild."""
+    positional and require equal field counts) — hence the rebuild.
+
+    Source names are BACKTICK-QUOTED: this function exists to sanitize
+    messy keys, and an unquoted ``F.col("a.b")`` parses as a struct
+    PATH — silently renaming the wrong data when a struct ``a`` with
+    field ``b`` also exists (review r11). Colliding NEW names fail
+    fast (COLUMN_ALREADY_EXISTS surfaces at the parquet write
+    otherwise, far from the cause — same rationale as rename_schema's
+    guard, VERDICT r1 #4)."""
     cols = []
+    seen: dict[str, str] = {}
     for f in df.schema.fields:
         new_name = callback(f.name)
         if not new_name:
             continue
-        cols.append(_rebuild(F.col(f.name), f.dataType, callback).alias(new_name))
+        if new_name in seen:
+            raise ValueError(
+                f"rename_fields: {f.name!r} and {seen[new_name]!r} both "
+                f"rename to {new_name!r}"
+            )
+        seen[new_name] = f.name
+        quoted = "`" + f.name.replace("`", "``") + "`"
+        cols.append(
+            _rebuild(F.col(quoted), f.dataType, callback).alias(new_name)
+        )
     return df.select(*cols)
 
 
@@ -101,8 +119,19 @@ def flatten_all(df: DataFrame, outer: bool = True, max_depth: int = 8) -> DataFr
             return df
         for name in structs:
             fields = df.schema[name].dataType.fields
+            others = [c for c in df.columns if c != name]
+            clash = {f"{name}_{f.name}" for f in fields} & set(others)
+            if clash:
+                # splatting would produce duplicate column names — an
+                # AMBIGUOUS_REFERENCE crash one iteration later, or a
+                # frame that fails only at the parquet write (review
+                # r11); fail at the cause
+                raise ValueError(
+                    f"flatten: struct {name!r} expands to column(s) "
+                    f"{sorted(clash)} that already exist"
+                )
             df = df.select(
-                *[c for c in df.columns if c != name],
+                *others,
                 *[
                     F.col(f"{name}.{f.name}").alias(f"{name}_{f.name}")
                     for f in fields

@@ -68,12 +68,16 @@ def merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
         out.append(
             T.StructField(f.name, _merge_type(f.dataType, nf.dataType), True)
             if nf is not None
-            else f
+            # one-sided fields must relax nullability TOO: rows from the
+            # side that lacks the field read NULL for it, so a merged
+            # schema claiming nullable=False would be a false contract
+            # for any schema-driven consumer (review r11)
+            else T.StructField(f.name, f.dataType, True)
         )
     old_names = {f.name for f in old.fields}
     for f in new.fields:
         if f.name not in old_names:
-            out.append(f)
+            out.append(T.StructField(f.name, f.dataType, True))
     return T.StructType(out)
 
 
@@ -83,6 +87,15 @@ def _merge_type(old: T.DataType, new: T.DataType) -> T.DataType:
     if isinstance(old, T.ArrayType) and isinstance(new, T.ArrayType):
         return T.ArrayType(
             _merge_type(old.elementType, new.elementType), old.containsNull
+        )
+    if isinstance(old, T.MapType) and isinstance(new, T.MapType):
+        # struct fields inside map VALUES evolve add-only like everywhere
+        # else (_rename_type and io._align_expr already recurse here —
+        # skipping the merge silently dropped new subfields, review r11)
+        return T.MapType(
+            old.keyType,
+            _merge_type(old.valueType, new.valueType),
+            old.valueContainsNull,
         )
     return old  # old type wins (popelines/main.py:87)
 

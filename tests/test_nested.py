@@ -82,3 +82,41 @@ def test_roundtrip_write_read_preserves_schema(spark, scratch):
     back = spark.read.parquet(f"{scratch}/nested")
     assert back.schema == df.schema
     assert back.count() == 3
+
+
+def test_rename_fields_dotted_column_is_not_a_struct_path(spark):
+    """A top-level column literally named 'a.b' must be renamed from its
+    OWN data — unquoted F.col('a.b') reads the struct path a.b instead
+    (review r11, confirmed corruption repro)."""
+    from popelines_spark.nested import rename_fields
+    from popelines_spark.schemas import sanitize_identifier
+
+    df = spark.createDataFrame(
+        [(1, {"b": 99})], "`a.b` long, a struct<b long>"
+    )
+    out = rename_fields(df, sanitize_identifier)
+    row = out.collect()[0]
+    assert row["a_b"] == 1, "renamed column read the struct path's data"
+
+
+def test_rename_fields_collision_fails_fast(spark):
+    from popelines_spark.nested import rename_fields
+    from popelines_spark.schemas import sanitize_identifier
+
+    df = spark.createDataFrame([(1, 2)], "`x y` long, x_y long")
+    import pytest
+
+    with pytest.raises(ValueError, match="both"):
+        rename_fields(df, sanitize_identifier)
+
+
+def test_flatten_all_collision_fails_at_cause(spark):
+    from popelines_spark.nested import flatten_all
+
+    df = spark.createDataFrame(
+        [({"b": 1}, 9)], "a struct<b long>, a_b long"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="already exist"):
+        flatten_all(df)
