@@ -59,59 +59,59 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # impossible to miss).  (tools/parity.py still covers the full registry
 # every round at sf{0.001,0.01,0.1}.)
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # -- round-11 window: stalest-green cohort (r2/r5-era fn/set-ops/
-    # window/TPC-H ids whose latest driver proof is oldest), emitted
-    # verbatim by tools/rotate_window.py
-    "b_agg_stats",
-    "b_except",
-    "b_fn_bitwise",
-    "b_fn_date2",
-    "b_fn_math2",
-    "b_fn_string2",
-    "b_fn_try",
-    "b_intersect",
-    "b_join_asof_strict",
-    "b_merge_upsert",
-    "b_pivot",
-    "b_scan_csv",
-    "b_scan_orc",
-    "b_sink_partitioned",
-    "b_subquery_in",
-    "b_subquery_scalar",
-    "b_topk_per_group",
-    "b_union_all",
-    "b_union_distinct",
-    "b_union_evolve",
-    "b_unpivot",
-    "b_win_ntile_dist",
-    "b_win_range_frame",
-    "c_dedup_cluster_star",
-    "c_dedup_embedding",
-    "c_dedup_fuzzy",
-    "c_dedup_simhash",
-    "s_enrich",
-    "tpch_q10",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q22",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "b_agg_approx_quantile",
-    "b_fn_hof",
-    "b_join_asof_forward",
-    "b_join_asof_tolerance",
-    "b_join_bucketed",
-    "b_join_salted",
+    # -- round-12 window: never-scored ids first (none remain), then the
+    # stalest driver-green cohort (r5/r7-era sketch/ext-analytics/
+    # streaming/TPC-H ids), emitted verbatim by tools/rotate_window.py
+    "b_sketch_bloom",
+    "b_sketch_cms",
+    "b_sketch_hll_merge",
+    "c_ab_test",
+    "c_anomaly_zscore",
+    "c_bm25",
+    "c_class_centroids",
+    "c_dedup_incremental",
+    "c_dq_checks",
+    "c_drift_psi",
+    "c_event_transitions",
+    "c_funnel",
+    "c_fuzzy_match",
+    "c_html_strip",
+    "c_knn_ivf",
+    "c_knn_lsh",
+    "c_lang_confusion",
+    "c_multimodal_audio",
+    "c_multimodal_decode",
+    "c_ngram_topk",
+    "c_quality_deciles",
+    "c_retention_cohort",
+    "c_rollup_multi",
+    "c_sample_per_group",
+    "c_sessionize",
+    "c_split_holdout",
+    "c_stickiness",
+    "c_tfidf_topk",
+    "c_time_to_convert",
+    "c_unigram_xent",
+    "c_zorder_key",
+    "s_custom_state",
+    "s_dedup_stream",
+    "s_incremental_max",
+    "s_join_interval",
+    "s_session",
+    "s_tumbling",
+    "s_watermark_late",
+    "tpch_q1",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "a_chunk_dates",
+    "a_copy_replace_keys",
+    "a_fix_values",
+    "a_load_evolve",
+    "a_source_rest",
+    "b_agg_collect",
 )
 
 
