@@ -41,81 +41,52 @@ if REPO not in sys.path:
 #: per-round gate compares against; ratios are emitted next to each timing
 #: so a drift surfaces at build time, not judge time (VERDICT r2 #8).
 BASELINE_SEC = {
-    "flagship_star_revenue": 3.00,
-    "b_agg_group": 1.14,
-    "b_topk_per_group": 0.74,
-    "b_join_asof": 0.71,
-    "c_dedup_exact": 0.74,
-    "c_dedup_fuzzy": 7.08,
-    "c_dedup_ngram": 9.19,
-    "c_knn_cosine": 1.51,
-    "c_knn_lsh": 4.36,
-    "c_knn_ivf": 6.42,
-    "c_text_stats": 0.25,
-    "s_tumbling": 1.18,  # r10 re-record (was 2.24)
-    # round-4 additions, RE-recorded round 5 (VERDICT r4 #8): median of
-    # 3 independent sessions, min-of-2 per session, sf0.1, this machine.
-    # Per-session spread is in BASELINE.md §Round 5.
-    "c_funnel": 1.06,
-    "c_rollup_multi": 0.56,
-    "c_tfidf_topk": 1.21,
-    "c_bm25": 0.89,
-    # ROUND-10 RE-RECORD (every entry tagged "r10 re-record"): the
-    # replay harness now drains
-    # stateful queries at 8 shuffle partitions instead of the session's
-    # 32 (streaming/runner.py STREAM_SHUFFLE_PARTITIONS — one state-store
-    # task per partition per micro-batch was pure scheduling overhead at
-    # replay state sizes). Median of 3 full bench.py sessions, min-of-2
-    # per session, sf0.1, this machine (sessions in BASELINE.md §R10).
-    # Old values kept inline as comments for the audit trail.
-    # round-5 additions, RE-recorded round 6 (VERDICT r5 #10): median of
-    # 3 full bench.py sessions, min-of-2 per session, sf0.1, this machine
-    # (per-session values in BASELINE.md §Round 6 baselines).
+    # ROUND-12 FULL RE-RECORD (VERDICT r11 'missing' #3): after r11's
+    # across-the-board wins the old table was stale-generous — c_knn_ivf
+    # sat at 0.25x, so a 3x regression would still pass the 2x gate.
+    # Method unchanged: median of 3 full bench.py sessions, min-of-2 per
+    # session, sf0.1, this machine, calibration inflation 1.02/1.17/1.11
+    # (per-session values in BASELINE.md SS Round 12 baselines; the
+    # r5-r11 history lives in git and in BASELINE.md's earlier tables).
+    "flagship_star_revenue": 2.26,
+    "b_agg_group": 0.81,
+    "b_topk_per_group": 0.42,
+    "b_join_asof": 0.56,
+    "c_dedup_exact": 0.45,
+    "c_dedup_fuzzy": 3.93,
+    "c_dedup_ngram": 4.94,
+    "c_knn_cosine": 0.98,
+    "c_knn_lsh": 1.25,
+    "c_knn_ivf": 1.55,
+    "c_text_stats": 0.24,
+    "s_tumbling": 0.99,
+    "c_funnel": 0.86,
+    "c_rollup_multi": 0.45,
+    "c_tfidf_topk": 0.96,
+    "c_bm25": 0.69,
     "c_skew_sessionize": 0.61,
-    "c_pagerank_nations": 3.68,
-    "c_containment": 1.53,
-    "c_pit_join": 1.12,
-    # 1.85 ≥ the r5 1.79: the degree-then-id orientation adds two keyed
-    # joins against the per-node degree table — the price of the
-    # id-permutation-invariant O(m^1.5) wedge bound (BASELINE.md §R6).
-    "c_triangle_count": 1.85,
-    # round-6 streaming additions (VERDICT r5 #7), same 3-session method;
-    # timing covers the full micro-batch replay of the stateful operator.
-    "s_cdc_latest": 1.4,  # r10 re-record (was 1.40)
-    "s_topk_windowed": 1.52,  # r10 re-record (was 1.57)
-    "s_rate_alert": 1.08,  # r10 re-record (was 1.21)
-    # round-7 streaming additions (VERDICT r6 #7): the remaining stateful
-    # entries, same 3-session/min-of-2 method; state-store peaks in
-    # BASELINE.md §Round 7.
-    "s_session": 1.49,  # r10 re-record (was 2.55)
-    "s_watermark_late": 2.46,  # r10 re-record (was 5.62)
-    "s_dedup_stream": 0.79,  # r10 re-record (was 1.56)
-    "s_incremental_max": 0.69,  # r10 re-record (was 0.83)
-    "s_sliding": 1.02,  # r10 re-record (was 1.40)
-    "s_custom_state": 1.81,
-    "s_join_interval": 3.38,  # r10 re-record (was 5.73)
-    # round-7 statistics additions, same 3-session/min-of-2 method on the
-    # noop-write path bench uses (sessions: heavy_hitters 1.14/1.14/1.07,
-    # bootstrap 2.11/2.20/2.21 — after the integer-cent rewrite that cut
-    # the decimal-accumulator fan-out cost 3.5×, BASELINE.md §R7 batch 4).
-    "c_heavy_hitters": 1.14,
-    "c_bootstrap_ci": 2.20,
-    # round-8 additions (VERDICT r7 #7): the round-7 heavyweights, same
-    # 3-session/min-of-2 method (sessions in BASELINE.md §Round 8):
-    # c_label_margin 4.80/4.61/4.89, fastpath 1.46/1.44/1.51,
-    # c_permutation_test 2.27/2.27/2.35, s_join_interval_left
-    # 10.40/8.24/9.54.
-    "c_label_margin": 4.80,
-    "c_label_margin_fastpath": 1.46,
-    "c_permutation_test": 2.27,
-    "s_join_interval_left": 6.01,  # r10 re-record (was 9.54)
-    # round-10 addition: bloom-prefiltered star join (sessions
-    # 1.68/1.28/1.58 — median of 3, min-of-2 per session, sf0.1).
-    "b_join_bloom": 1.58,
-    # round-10 addition: stats-planned N-dim star join (sessions
-    # 2.19/2.25/2.30 — median of 3, min-of-2 per session, sf0.1; the
-    # timing includes the 4 one-row estimate_stats profiling collects).
-    "b_join_star_planned": 2.25,
+    "c_pagerank_nations": 3.87,
+    "c_containment": 1.69,
+    "c_pit_join": 1.15,
+    "c_triangle_count": 2.06,
+    "c_heavy_hitters": 0.75,
+    "c_bootstrap_ci": 1.78,
+    "s_cdc_latest": 1.15,
+    "s_topk_windowed": 1.36,
+    "s_rate_alert": 0.92,
+    "s_session": 1.40,
+    "s_watermark_late": 2.31,
+    "s_dedup_stream": 0.74,
+    "s_incremental_max": 0.63,
+    "s_sliding": 0.94,
+    "s_custom_state": 1.75,
+    "s_join_interval": 3.13,
+    "c_label_margin": 4.17,
+    "c_label_margin_fastpath": 1.41,
+    "c_permutation_test": 1.99,
+    "s_join_interval_left": 4.79,
+    "b_join_bloom": 1.19,
+    "b_join_star_planned": 1.55,
 }
 
 #: Local regression gate: with SPARK_GRAFT_BENCH_STRICT=1, exit nonzero if
@@ -308,11 +279,15 @@ def main() -> None:
         for name, t in timings.items()
         if name in BASELINE_SEC and sf == 0.1
     }
-    # Per-run raw detail goes on its OWN earlier line (and to a sidecar file):
-    # round 5's single giant line overflowed the driver's stderr-tail capture
-    # and BENCH_r05.json recorded "parsed": null.  The driver parses the LAST
-    # stdout line, so the compact summary must be final and small.
-    detail = {"queries_run1": run1, "queries_run2": run2}
+    # Per-run raw detail (and the FULL ratios map) goes on its OWN earlier
+    # line and to a sidecar file: round 5's single giant line overflowed the
+    # driver's 2000-char stdout-tail capture and BENCH_r05.json recorded
+    # "parsed": null — and round 11 repeated the failure when the calibration
+    # block pushed the summary line back over the limit.  The driver parses
+    # the LAST stdout line, so the final line carries the full per-query
+    # timings (driver contract) but only the WORST-5 ratios, and self-trims
+    # until it fits with margin.
+    detail = {"queries_run1": run1, "queries_run2": run2, "ratios": ratios}
     print(json.dumps({"detail": detail}))
     try:
         with open(os.path.join(REPO, "bench_detail.json"), "w") as f:
@@ -320,19 +295,32 @@ def main() -> None:
     except OSError:
         pass
     sys.stdout.flush()
-    print(
-        json.dumps(
+
+    def summary_line(n_ratios: int, calib: dict) -> str:
+        worst = dict(
+            sorted(ratios.items(), key=lambda kv: kv[1], reverse=True)[:n_ratios]
+        )
+        return json.dumps(
             {
                 "metric": "headline_query_wall_clock_total",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "ratios_vs_baseline": ratios,
-                "calibration": calibration,
+                "ratios_worst": worst,
+                "calibration": calib,
             }
         )
-    )
+
+    # Degradation ladder: fewer ratios, then calibration shrunk to its one
+    # actionable number.  1900 leaves 100 chars of margin under the driver's
+    # 2000-char tail in case a stray stderr fragment merges into the capture.
+    line = summary_line(5, calibration)
+    if len(line) > 1900:
+        line = summary_line(3, calibration)
+    if len(line) > 1900:
+        line = summary_line(0, {"inflation": calibration["inflation"]})
+    print(line)
     sys.stdout.flush()
     if calibration["inflation"] >= 1.5:
         print(
