@@ -79,11 +79,27 @@ def incremental_append(
     re-execution hazard io.write_table documents). The increment is
     O(batch) by definition, so the materialization is too."""
     from popelines_spark.io import (
-        _path_exists, read_table_auto, table_path, write_table,
+        _path_exists,
+        append_table_snapshot,
+        is_snapshot_table,
+        read_table_auto,
+        table_path,
+        write_table,
     )
+    from popelines_spark.manifest import append_manifest_table, is_manifest_table
 
     spark = new_data.sparkSession
-    if _path_exists(spark, table_path(warehouse, table_name)):
+    # Detect the layout ONCE and use it for BOTH the read and the write:
+    # reading layout-aware but appending to the table ROOT left the new
+    # parquet invisible to every manifest/snapshot reader, so the
+    # watermark never advanced and each run re-appended the same rows as
+    # unreachable debris — a silent duplication loop (review r12).
+    layout = "path"
+    if is_manifest_table(spark, warehouse, table_name):
+        layout = "manifest"
+    elif is_snapshot_table(spark, warehouse, table_name):
+        layout = "snapshot"
+    if layout != "path" or _path_exists(spark, table_path(warehouse, table_name)):
         # layout-aware read: an evolved table's single-footer sample can
         # predate ts_column, and snapshot/manifest layouts don't read at
         # the root at all (review r11)
@@ -95,5 +111,10 @@ def incremental_append(
     new_data = new_data.localCheckpoint(eager=True)
     n = new_data.count()
     if n:
-        write_table(new_data, warehouse, table_name, append=True)
+        if layout == "manifest":
+            append_manifest_table(spark, warehouse, table_name, new_data)
+        elif layout == "snapshot":
+            append_table_snapshot(spark, warehouse, table_name, new_data)
+        else:
+            write_table(new_data, warehouse, table_name, append=True)
     return n

@@ -78,6 +78,46 @@ class TestIncremental:
         assert n == 1
         assert read_table(spark, scratch, "t").count() == 3
 
+    def test_incremental_append_routes_to_manifest_layout(self, spark, scratch):
+        """Review r12: a layout-aware read + root write silently looped —
+        appended rows were invisible to the manifest reader so the
+        watermark never advanced. The write must route by layout too."""
+        from popelines_spark.manifest import (
+            append_manifest_table, read_manifest_table,
+        )
+
+        base = spark.createDataFrame(
+            [(1, dt.datetime(2020, 1, 1)), (2, dt.datetime(2020, 1, 5))],
+            "id long, ts timestamp",
+        )
+        append_manifest_table(spark, scratch, "mt", base)
+        newer = spark.createDataFrame(
+            [(2, dt.datetime(2020, 1, 5)), (3, dt.datetime(2020, 1, 9))],
+            "id long, ts timestamp",
+        )
+        assert incremental_append(newer, scratch, "mt", ts_column="ts") == 1
+        # visible through the manifest reader → watermark advanced →
+        # the SAME batch re-run appends nothing (the r12 loop is closed)
+        assert read_manifest_table(spark, scratch, "mt").count() == 3
+        assert incremental_append(newer, scratch, "mt", ts_column="ts") == 0
+        assert read_manifest_table(spark, scratch, "mt").count() == 3
+
+    def test_incremental_append_routes_to_snapshot_layout(self, spark, scratch):
+        from popelines_spark.io import read_table_snapshot, write_table_snapshot
+
+        base = spark.createDataFrame(
+            [(1, dt.datetime(2020, 1, 1)), (2, dt.datetime(2020, 1, 5))],
+            "id long, ts timestamp",
+        )
+        write_table_snapshot(spark, scratch, "st", base)
+        newer = spark.createDataFrame(
+            [(3, dt.datetime(2020, 1, 9))], "id long, ts timestamp"
+        )
+        assert incremental_append(newer, scratch, "st", ts_column="ts") == 1
+        assert read_table_snapshot(spark, scratch, "st").count() == 3
+        assert incremental_append(newer, scratch, "st", ts_column="ts") == 0
+        assert read_table_snapshot(spark, scratch, "st").count() == 3
+
 
 def test_composite_pipeline_end_to_end(spark, scratch):
     """README.md:26-58 shape: messy JSON → sanitize → write → evolve-append
