@@ -365,8 +365,34 @@ def _align_expr(col, src: T.DataType, dst: T.DataType):
     if isinstance(src, T.MapType) and isinstance(dst, T.MapType):
         out = col
         if src.keyType != dst.keyType:
-            out = F.transform_keys(
-                out, lambda k, v: k.cast(dst.keyType)
+            # A lossy key cast ('1' and '01' both → int 1, or a
+            # non-castable key → NULL) used to surface as Spark's bare
+            # duplicate-map-key/null-key error at write execution, far
+            # from the cause (review r12). Validate first and raise a
+            # message that names the align step and the type pair.
+            # try_cast: under ANSI (Spark 4 default) a plain cast throws
+            # CAST_INVALID_INPUT before this validation could run; the
+            # NULL it yields instead is exactly what the exists() probe
+            # detects. The committed transform_keys below keeps the
+            # strict cast — it only evaluates after validation passed.
+            casted = F.transform(
+                F.map_keys(col), lambda k: k.try_cast(dst.keyType)
+            )
+            ok = col.isNull() | (
+                (F.size(F.array_distinct(casted)) == F.size(F.map_keys(col)))
+                & ~F.exists(casted, lambda k: k.isNull())
+            )
+            msg = (
+                "schema alignment: casting map keys from "
+                f"{src.keyType.simpleString()} to "
+                f"{dst.keyType.simpleString()} collided or produced NULL "
+                "keys for some row — the batch's key values do not "
+                "survive the live table's key type; fix the batch or "
+                "re-create the table with the wider key type"
+            )
+            out = F.when(
+                F.assert_true(ok, F.lit(msg)).isNull(),
+                F.transform_keys(out, lambda k, v: k.cast(dst.keyType)),
             )
         if src.valueType != dst.valueType:
             out = F.transform_values(
@@ -781,6 +807,23 @@ def update_stats_increment(
     """
     from pyspark.sql import functions as F
 
+    # Advisory pre-checks WITHOUT the lock: when the stats file is
+    # absent / stale / pre-sketch there is nothing to fold, so don't pay
+    # the batch aggregation at all. (A stats file appearing between this
+    # read and the locked re-read just means one stale-mark — honest and
+    # recoverable by the next full ANALYZE.)
+    pre = read_table_stats(spark, warehouse, table_name)
+    if not _stats_mergeable(pre):
+        return None
+    # The O(batch) profile aggregation runs BEFORE the lock is claimed:
+    # holding `_stats.json.__lock` across a Spark job meant a fold
+    # outliving the 600 s breaker horizon got its live lock broken — a
+    # second writer entered (last-write-wins undercount) and the original
+    # holder's finally then deleted the SECOND writer's lock, cascading
+    # (review r12). Pre-computed, the hold is ~2 metadata ops + one
+    # O(columns) local-frame job.
+    profile = _profile_batch(appended)
+
     # the read-fold-write below is not atomic: two concurrent appends
     # both folding would last-write-win, permanently undercounting one
     # batch while the file claims freshness. Serialize via an atomic
@@ -810,32 +853,52 @@ def update_stats_increment(
     if not claimed:
         _mark_stats_stale(spark, path)
         return None
+    # identity of OUR claim: a breaker that (wrongly) broke a live lock
+    # recreates the file with a later mtime — the verified delete below
+    # then leaves the successor's lock alone instead of cascading
     try:
-        return _update_stats_locked(spark, warehouse, table_name, appended)
+        own_mtime = fs.getFileStatus(HPath(lock)).getModificationTime()
+    except Exception:
+        own_mtime = None
+    try:
+        return _update_stats_locked(
+            spark, warehouse, table_name, appended, profile
+        )
     finally:
-        fs.delete(HPath(lock), False)
+        try:
+            st = fs.getFileStatus(HPath(lock))
+            if own_mtime is None or st.getModificationTime() == own_mtime:
+                fs.delete(HPath(lock), False)
+        except Exception:
+            pass  # lock already gone — nothing to release
 
 
-def _update_stats_locked(
-    spark: SparkSession,
-    warehouse: str,
-    table_name: str,
-    appended: DataFrame,
-) -> dict | None:
-    from pyspark.sql import functions as F
+def _stats_mergeable(stats: dict | None) -> bool:
+    """True when an incremental fold into ``stats`` is sound: the file
+    exists, no prior fold was lost (``stale``), and NDV sketches are
+    present to union into (pre-sketch files need a full re-ANALYZE).
 
-    stats = read_table_stats(spark, warehouse, table_name)
+    A ``stale`` flag means a previous append was never folded in —
+    merging a new batch and clearing the flag would claim freshness
+    while silently missing that append's rows forever."""
     if not stats or not stats.get("columns"):
-        return None
+        return False
     if stats.get("stale"):
-        # a previous append was never folded in — merging THIS batch and
-        # clearing the flag would claim freshness while silently missing
-        # that append's rows forever; only a full ANALYZE can recover
-        return None
+        return False
     if not any(
         c.get("ndv_sketch") for c in stats["columns"].values()
     ) and int(stats.get("rows") or 0) > 0:
-        return None  # pre-sketch stats file: cannot merge NDV — re-ANALYZE
+        return False
+    return True
+
+
+def _profile_batch(appended: DataFrame) -> dict:
+    """One O(batch) aggregation over the appended frame: row count and
+    per-flat-column nulls / min / max / HLL sketch. Independent of the
+    table's stats file, so callers run it BEFORE claiming the stats
+    lock (review r12)."""
+    from pyspark.sql import functions as F
+
     flat_cols = [
         f.name for f in appended.schema.fields
         if not isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType))
@@ -851,6 +914,24 @@ def _update_stats_locked(
             ).alias(f"__hll_{c}"),
         ]
     row = appended.agg(*aggs).collect()[0].asDict()
+    return {"row": row, "flat_cols": flat_cols}
+
+
+def _update_stats_locked(
+    spark: SparkSession,
+    warehouse: str,
+    table_name: str,
+    appended: DataFrame,
+    profile: dict,
+) -> dict | None:
+    from pyspark.sql import functions as F
+
+    # authoritative re-read under the lock (the caller's pre-check read
+    # was advisory — another writer may have folded since)
+    stats = read_table_stats(spark, warehouse, table_name)
+    if not _stats_mergeable(stats):
+        return None
+    row, flat_cols = profile["row"], profile["flat_cols"]
     batch_rows = int(row["__rows"])
 
     old_rows = int(stats.get("rows") or 0)
@@ -995,6 +1076,37 @@ def _committed_versions(fs, root, jvm) -> list[int]:
             continue
         if fs.exists(HPath(st.getPath(), _COMMIT_MARKER)):
             out.append(n)
+    return sorted(out)
+
+
+#: A snapshot writer holds its .__reserved marker only for the duration
+#: of one O(batch) parquet write; anything older than this is crash
+#: debris, not an in-flight commit (compaction's rebase check ignores it
+#: so a dead writer can't livelock compaction forever).
+_STALE_RESERVATION_SEC = 900
+
+
+def _reserved_versions(fs, root, jvm) -> list[tuple[int, float]]:
+    """Outstanding ``v*.__reserved`` markers under the versions dir as
+    ``(version, age_seconds)`` pairs — the in-flight half of the commit
+    state that :func:`_committed_versions` can't see."""
+    import time
+
+    HPath = jvm.org.apache.hadoop.fs.Path
+    vroot = HPath(root.toString() + "/" + _VERSIONS_DIR)
+    if not fs.exists(vroot):
+        return []
+    now_ms = time.time() * 1000
+    out = []
+    for st in fs.listStatus(vroot):
+        name = st.getPath().getName()
+        if not name.endswith(".__reserved") or not name.startswith("v"):
+            continue
+        try:
+            n = int(name[1:].split(".", 1)[0])
+        except ValueError:
+            continue
+        out.append((n, max(0.0, (now_ms - st.getModificationTime()) / 1000)))
     return sorted(out)
 
 
@@ -1193,9 +1305,26 @@ def compact_table_snapshot(
     # live view, then be lost for good at the next GC (review r11).
     # Detect the intervening commit, retract our own version, and raise
     # for the caller to retry against the new tip.
+    #
+    # The committed-versions listing alone was TOCTOU-incomplete (review
+    # r12): an append that RESERVED a lower number before our commit but
+    # flips its _COMMITTED marker after our listing went undetected. A
+    # writer deletes its .__reserved only AFTER the _COMMITTED flip, so
+    # scanning reservations FIRST and committed versions SECOND leaves no
+    # blind window: a racer is visible in at least one of the two scans.
+    # Reservations older than _STALE_RESERVATION_SEC are crash debris
+    # (snapshot writes hold a reservation only for the O(batch) write)
+    # and are ignored so a dead writer can't livelock every compaction.
     HPath = jvm.org.apache.hadoop.fs.Path
+    in_flight = [
+        v
+        for v, age in _reserved_versions(fs, root, jvm)
+        if versions[-1] < v < new_v and age < _STALE_RESERVATION_SEC
+    ]
     committed = _committed_versions(fs, root, jvm)
-    intervening = [v for v in committed if versions[-1] < v < new_v]
+    intervening = sorted(
+        set(v for v in committed if versions[-1] < v < new_v) | set(in_flight)
+    )
     if intervening:
         fs.delete(
             HPath(snapshot_version_path(warehouse, table_name, new_v)),
@@ -1203,9 +1332,9 @@ def compact_table_snapshot(
         )
         raise ConcurrentSnapshotWriteError(
             f"compact_table_snapshot of {table_name}: version(s) "
-            f"{intervening} committed while compacting v{versions[-1]} — "
-            f"the compacted v{new_v} was retracted; retry to compact "
-            "the new tip"
+            f"{intervening} committed or reserved in-flight while "
+            f"compacting v{versions[-1]} — the compacted v{new_v} was "
+            "retracted; retry to compact the new tip"
         )
     # GC: everything older than the keep_versions most recent committed
     committed = _committed_versions(fs, root, jvm)

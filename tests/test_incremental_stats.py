@@ -281,3 +281,71 @@ def test_merge_minmax_interval_is_not_numeric():
     assert _merge_minmax("bigint", "9", "10") == ("9", "10")
     assert _merge_minmax("INT", "9", "10") == ("9", "10")
     assert _merge_minmax("decimal(10,2)", "9.5", "10.25") == ("9.5", "10.25")
+
+
+def test_lock_release_is_identity_verified(spark, tmp_path, monkeypatch):
+    """Review r12: the holder's finally-delete must not remove a lock a
+    breaker recreated mid-hold — else a third writer enters while the
+    second still folds, cascading last-write-wins undercounts. Simulate
+    the breaker by swapping the lock file during the locked section and
+    assert the successor's lock survives the holder's release."""
+    import os
+    import time
+
+    wh = str(tmp_path)
+    base = _mk(spark, [(i, float(i), f"s{i}") for i in range(5)])
+    write_table(base, wh, "t", append=False)
+    analyze_table(spark, wh, "t")
+
+    lock = os.path.join(wh, "t", "_stats.json.__lock")
+    real = io._update_stats_locked
+
+    def swap_then_fold(*a, **kw):
+        out = real(*a, **kw)
+        # breaker fires: deletes the holder's lock, claims its own
+        os.remove(lock)
+        open(lock, "w").close()
+        # mtime resolution guard: make the successor's mtime distinct
+        t = time.time() + 2
+        os.utime(lock, (t, t))
+        return out
+
+    monkeypatch.setattr(io, "_update_stats_locked", swap_then_fold)
+    batch = _mk(spark, [(9, 9.0, "x")])
+    assert update_stats_increment(spark, wh, "t", batch) is not None
+    # the successor's lock must still be there after the holder released
+    assert os.path.exists(lock)
+    os.remove(lock)
+
+
+def test_batch_profile_runs_before_lock_claim(spark, tmp_path, monkeypatch):
+    """The O(batch) aggregation must happen BEFORE the lock claim so the
+    hold is metadata-op-scale (review r12). Pin the ordering: by the
+    time _claim_path is first called for the stats lock, _profile_batch
+    has already run."""
+    from popelines_spark import manifest as m
+
+    wh = str(tmp_path)
+    base = _mk(spark, [(i, float(i), f"s{i}") for i in range(5)])
+    write_table(base, wh, "t", append=False)
+    analyze_table(spark, wh, "t")
+
+    order = []
+    real_profile = io._profile_batch
+    real_claim = m._claim_path
+
+    def profile_spy(df):
+        order.append("profile")
+        return real_profile(df)
+
+    def claim_spy(fs, path, jvm):
+        if path.endswith("_stats.json.__lock"):
+            order.append("claim")
+        return real_claim(fs, path, jvm)
+
+    monkeypatch.setattr(io, "_profile_batch", profile_spy)
+    monkeypatch.setattr(m, "_claim_path", claim_spy)
+    batch = _mk(spark, [(9, 9.0, "x")])
+    assert update_stats_increment(spark, wh, "t", batch) is not None
+    assert order and order[0] == "profile"
+    assert "claim" in order and order.index("profile") < order.index("claim")

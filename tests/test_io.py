@@ -337,3 +337,29 @@ def test_align_array_of_struct_elements(spark, scratch):
         for r in pio.read_table_evolved(spark, scratch, "ast").collect()
     }
     assert got == {1: [(1, 2)], 2: [(10, 20)]}
+
+
+def test_map_key_cast_lossy_raises_descriptive(spark, scratch):
+    """Review r12: a lossy map-KEY cast ('1' and '01' both → int 1, or a
+    non-numeric key → NULL) must fail with a message naming the align
+    step and the type pair — not Spark's bare duplicate-map-key error at
+    write time. A lossless key cast still appends fine."""
+    live = spark.createDataFrame([(1, {1: 10})], "id long, m map<int,long>")
+    pio.write_table(live, scratch, "mk", append=False)
+    good = spark.createDataFrame(
+        [(2, {"7": 70})], "id long, m map<string,long>"
+    )
+    pio.write_table(good, scratch, "mk", append=True)
+    assert pio.read_table_evolved(spark, scratch, "mk").count() == 2
+
+    bad = spark.createDataFrame(
+        [(3, {"1": 1, "01": 2})], "id long, m map<string,long>"
+    )
+    with pytest.raises(Exception, match="casting map keys"):
+        pio.write_table(bad, scratch, "mk", append=True)
+
+    nullkey = spark.createDataFrame(
+        [(4, {"not-a-number": 5})], "id long, m map<string,long>"
+    )
+    with pytest.raises(Exception, match="casting map keys"):
+        pio.write_table(nullkey, scratch, "mk", append=True)

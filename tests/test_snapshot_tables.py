@@ -143,3 +143,45 @@ def test_append_snapshot_evolves_and_preserves_history(spark, scratch):
     # pinned history unchanged
     old = read_table_snapshot(spark, scratch, "ap", version=v1)
     assert old.count() == 4 and "extra" not in old.columns
+
+
+def test_compaction_detects_in_flight_reservation(spark, scratch):
+    """Review r12 TOCTOU close: an append that RESERVED a lower version
+    before the compaction committed — but hasn't flipped _COMMITTED yet —
+    must still retract the compaction (the committed-versions listing
+    alone misses it)."""
+    import pytest
+
+    from popelines_spark.io import ConcurrentSnapshotWriteError
+
+    wh = f"{scratch}/wh"
+    write_table_snapshot(spark, wh, "t", _mk(spark, 100, "a"), n_files=4)
+    # simulate the racer: reservation for v2 exists, commit not yet flipped
+    vdir = os.path.dirname(snapshot_version_path(wh, "t", 2))
+    open(os.path.join(vdir, "v00000002.__reserved"), "w").close()
+    with pytest.raises(ConcurrentSnapshotWriteError):
+        compact_table_snapshot(spark, wh, "t", target_file_bytes=1 << 30)
+    # the compacted version was retracted: tip is still v1, rows intact
+    df = read_table_snapshot(spark, wh, "t")
+    assert df.count() == 100
+    assert not os.path.exists(snapshot_version_path(wh, "t", 3))
+
+
+def test_compaction_ignores_stale_crash_debris_reservation(spark, scratch):
+    """A .__reserved marker older than the staleness horizon is a dead
+    writer, not an in-flight commit — compaction must proceed (else one
+    crash livelocks every future compaction)."""
+    wh = f"{scratch}/wh"
+    write_table_snapshot(spark, wh, "t", _mk(spark, 100, "a"), n_files=4)
+    vdir = os.path.dirname(snapshot_version_path(wh, "t", 2))
+    marker = os.path.join(vdir, "v00000002.__reserved")
+    open(marker, "w").close()
+    old = 3_600  # 1h ago — well past _STALE_RESERVATION_SEC
+    import time
+
+    os.utime(marker, (time.time() - old, time.time() - old))
+    before, after = compact_table_snapshot(
+        spark, wh, "t", target_file_bytes=1 << 30
+    )
+    assert (before, after) == (4, 1)
+    assert read_table_snapshot(spark, wh, "t").count() == 100
