@@ -451,8 +451,74 @@ class StaleParentError(RuntimeError):
     the caller must rebase (re-read the tip) and retry the flip."""
 
 
+class CommitArbiter:
+    """The pluggable seam that serializes manifest commits (VERDICT r11
+    next #4). ``run_locked`` must run ``fn()`` such that, per table
+    (``vroot``), no two callers' ``fn`` bodies overlap — the mutual-
+    exclusion contract the linearized-commit protocol rests on.
+
+    Guarantee by scheme of the DEFAULT :class:`LockFileArbiter`:
+
+    - ``file://`` — genuine mutual exclusion: the lock file is claimed
+      via ``java.io.File.createNewFile`` (POSIX ``O_CREAT|O_EXCL``).
+    - ``hdfs://`` — genuine mutual exclusion: the NameNode implements
+      ``create(overwrite=false)`` atomically.
+    - raw ``s3a://`` / object stores without conditional create — the
+      claim degrades to exists-check-then-PUT: two writers inside the
+      check/PUT window can both believe they hold the lock. Do NOT rely
+      on the default there; plug an arbiter backed by the store's
+      conditional write (S3 ``If-None-Match: *`` PUT, GCS
+      ``ifGenerationMatch=0``) or an external coordination service, via
+      :func:`set_commit_arbiter`. The rest of the protocol (reserved
+      version numbers, ``_COMMITTED`` flips, heal) is unchanged — only
+      this one claim needs the store-native compare-and-set.
+
+    A custom arbiter implements ONE method and may ignore ``fs``/``jvm``
+    if it coordinates out-of-band; ``vroot`` is the table identity to
+    scope the exclusion to."""
+
+    def run_locked(self, fs, vroot, jvm, fn, timeout_sec=None,
+                   stale_sec=None):
+        raise NotImplementedError
+
+
+class LockFileArbiter(CommitArbiter):
+    """Default arbiter: the lock-file lease protocol (see
+    :class:`CommitArbiter` for the per-scheme guarantee table)."""
+
+    def run_locked(self, fs, vroot, jvm, fn, timeout_sec=None,
+                   stale_sec=None):
+        return _lock_file_run(fs, vroot, jvm, fn, timeout_sec, stale_sec)
+
+
+_COMMIT_ARBITER: CommitArbiter = LockFileArbiter()
+
+
+def set_commit_arbiter(arbiter: CommitArbiter | None) -> CommitArbiter:
+    """Install a process-wide commit arbiter (None restores the
+    default). Returns the PREVIOUS arbiter so callers can restore it."""
+    global _COMMIT_ARBITER
+    prev = _COMMIT_ARBITER
+    _COMMIT_ARBITER = arbiter if arbiter is not None else LockFileArbiter()
+    return prev
+
+
+def get_commit_arbiter() -> CommitArbiter:
+    return _COMMIT_ARBITER
+
+
 def _with_commit_lock(fs, vroot, jvm, fn, timeout_sec=None,
                       stale_sec=None):
+    """Run ``fn()`` under the active :class:`CommitArbiter` — every
+    commit-path caller funnels through here, so plugging an arbiter
+    covers append / DML / compact / heal / streaming sink uniformly."""
+    return _COMMIT_ARBITER.run_locked(
+        fs, vroot, jvm, fn, timeout_sec, stale_sec
+    )
+
+
+def _lock_file_run(fs, vroot, jvm, fn, timeout_sec=None,
+                   stale_sec=None):
     """Run ``fn()`` holding the table's COMMIT LOCK — the linearization
     point of the whole protocol. Version-number reservations serialize
     NUMBERS, not commits: two writers could still flip manifests whose

@@ -138,3 +138,76 @@ def test_torn_commit_is_invisible_and_lock_released(spark, scratch):
         spark, scratch, "tv", spark.range(4).selectExpr("id")
     )
     assert read_manifest_table(spark, scratch, "tv").count() == 9
+
+
+def test_commit_arbiter_seam_is_used_by_every_commit_path(spark, scratch):
+    """Round 12 (VERDICT r11 next #4): _with_commit_lock delegates to
+    the process-wide CommitArbiter, so plugging one covers append / DML
+    / compact / heal uniformly. A recording arbiter wrapping the default
+    must see every commit, and set_commit_arbiter(None) must restore the
+    default."""
+    from popelines_spark.manifest import (
+        LockFileArbiter,
+        compact_manifest_table,
+        get_commit_arbiter,
+        set_commit_arbiter,
+    )
+
+    class Recording(LockFileArbiter):
+        def __init__(self):
+            self.calls = []
+
+        def run_locked(self, fs, vroot, jvm, fn, timeout_sec=None,
+                       stale_sec=None):
+            self.calls.append(vroot)
+            return super().run_locked(
+                fs, vroot, jvm, fn, timeout_sec, stale_sec
+            )
+
+    rec = Recording()
+    prev = set_commit_arbiter(rec)
+    try:
+        append_manifest_table(
+            spark, scratch, "arb", spark.range(5).selectExpr("id")
+        )
+        n_after_append = len(rec.calls)
+        assert n_after_append >= 1
+        append_manifest_table(
+            spark, scratch, "arb", spark.range(5, 9).selectExpr("id")
+        )
+        assert len(rec.calls) > n_after_append
+        compact_manifest_table(spark, scratch, "arb")
+        assert len(rec.calls) > n_after_append + 1
+        assert all("arb/versions" in v for v in rec.calls)
+        assert read_manifest_table(spark, scratch, "arb").count() == 9
+    finally:
+        set_commit_arbiter(prev)
+    assert isinstance(get_commit_arbiter(), LockFileArbiter)
+    # restored default still commits — and no longer records
+    n_restored = len(rec.calls)
+    append_manifest_table(
+        spark, scratch, "arb", spark.range(9, 10).selectExpr("id")
+    )
+    assert len(rec.calls) == n_restored
+    assert read_manifest_table(spark, scratch, "arb").count() == 10
+
+
+def test_commit_arbiter_mutual_exclusion_contract(spark, scratch):
+    """A (deliberately broken) arbiter that runs fn() WITHOUT exclusion
+    still works for a single writer — the seam adds no hidden coupling
+    beyond mutual exclusion itself."""
+    from popelines_spark.manifest import CommitArbiter, set_commit_arbiter
+
+    class NoLock(CommitArbiter):
+        def run_locked(self, fs, vroot, jvm, fn, timeout_sec=None,
+                       stale_sec=None):
+            return fn()
+
+    prev = set_commit_arbiter(NoLock())
+    try:
+        append_manifest_table(
+            spark, scratch, "nolock", spark.range(4).selectExpr("id")
+        )
+        assert read_manifest_table(spark, scratch, "nolock").count() == 4
+    finally:
+        set_commit_arbiter(prev)
