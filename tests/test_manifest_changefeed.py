@@ -94,3 +94,45 @@ def test_changefeed_start_version_skips_history(spark, scratch, tmp_path):
     )
     rows = got.collect()
     assert len(rows) == 5 and {r["tag"] for r in rows} == {"b"}
+
+
+def test_changefeed_replays_across_compact_gc_boundary_segmented(
+    spark, scratch, tmp_path, monkeypatch
+):
+    """Round 12 (VERDICT r11 next #7): a checkpointed feed resumed
+    AFTER a compact + GC cycle, with manifest segmentation forced on,
+    must see exactly the committed row deltas — the compaction emits
+    nothing, the GC'd history doesn't break planning (the spared-parent
+    lineage closure keeps the compact's parent manifest), and the
+    post-boundary append's contribution is computed through segment
+    expansion on both the driver (planning) and the DataSource worker
+    (changefeed._read_manifest)."""
+    from popelines_spark.manifest import gc_manifest_table
+
+    monkeypatch.setenv("POPELINES_SEGMENT_THRESHOLD", "1")
+    monkeypatch.setenv("POPELINES_SEGMENT_TARGET", "2")
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    append_manifest_table(spark, scratch, "cfg", _mk(spark, 0, 10, "a"))
+    append_manifest_table(spark, scratch, "cfg", _mk(spark, 10, 5, "b"))
+    got = _drain(spark, read_changefeed(spark, scratch, "cfg"), ckpt, out)
+    assert got.count() == 15
+
+    # the boundary: compact (v3), append (v4), GC everything older than
+    # the last two versions with a zero age floor — v1/v2 manifests drop
+    # and their now-unreferenced segment chunks are swept
+    compact_manifest_table(spark, scratch, "cfg", n_files=1)
+    append_manifest_table(spark, scratch, "cfg", _mk(spark, 15, 7, "c"))
+    dropped, _files = gc_manifest_table(
+        spark, scratch, "cfg", keep_versions=2, min_file_age_sec=0.0
+    )
+    assert dropped >= 1
+
+    got2 = _drain(spark, read_changefeed(spark, scratch, "cfg"), ckpt, out)
+    rows = got2.collect()
+    # exactly the append's 7 new rows crossed the boundary: no dups, no
+    # compaction rows, nothing lost
+    assert len(rows) == 22
+    assert len({r["id"] for r in rows}) == 22
+    assert sum(1 for r in rows if r["_change_version"] == 4) == 7
+    assert {r["tag"] for r in rows if r["_change_version"] == 4} == {"c"}
+    assert not any(r["_change_version"] == 3 for r in rows)

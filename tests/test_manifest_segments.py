@@ -201,3 +201,110 @@ def test_changefeed_reads_segmented_manifests(
     )
     q.awaitTermination()
     assert spark.read.parquet(str(tmp_path / "out")).count() == 80
+
+
+def test_chunk_reuse_rematerializes_vanished_or_unrefreshable_chunks(
+    spark, scratch, tiny_segments
+):
+    """ADVICE r11 pass-1 pin (was prose-only): chunk reuse must fall
+    back to a fresh write when the chunk VANISHED since the parent
+    commit, and when the vacuum-lease refresh (setTimes) fails — a
+    commit must never reference a chunk that is not durably on disk."""
+    from popelines_spark.io import _hadoop_fs
+    from popelines_spark.manifest import _write_segments
+
+    _append(spark, scratch, 0)
+    vroot = f"{scratch}/t/versions"
+    fs, _, jvm = _hadoop_fs(spark, vroot)
+    listed = sorted(
+        f"{scratch}/t/data/v1/{os.path.basename(p)}"
+        for p in glob.glob(f"{scratch}/t/data/v1/*.parquet")
+    )
+    refs = _write_segments(fs, vroot, listed, jvm)
+    chunk_files = [f"{vroot}/_segments/{sha}.json" for sha in refs]
+    assert all(os.path.exists(c) for c in chunk_files)
+
+    # 1) chunk vanished (GC'd between commits): reuse must rewrite it
+    os.remove(chunk_files[0])
+    refs2 = _write_segments(fs, vroot, listed, jvm)
+    assert refs2 == refs
+    assert all(os.path.exists(c) for c in chunk_files)
+
+    # 2) lease refresh fails (object stores where setTimes is a no-op /
+    # raises): reuse must still leave a durable chunk behind
+    class NoSetTimesFS:
+        def __init__(self, real):
+            self._real = real
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+        def setTimes(self, *a):
+            raise RuntimeError("setTimes unsupported on this store")
+
+    refs3 = _write_segments(NoSetTimesFS(fs), vroot, listed, jvm)
+    assert refs3 == refs
+    assert all(os.path.exists(c) for c in chunk_files)
+
+
+def test_gc_sweep_restats_chunk_before_delete(spark, scratch, tiny_segments, monkeypatch):
+    """ADVICE r11 pass-1 pin (was prose-only): a lease refresh landing
+    AFTER the GC's directory listing must be honored — the sweep
+    re-stats each doomed chunk immediately before deleting. Simulated
+    by an fs shim whose listStatus reports every segment chunk as
+    epoch-old while the files on disk are fresh: without the re-stat
+    the sweep would delete unreferenced-but-fresh chunks."""
+    from popelines_spark import manifest as m
+
+    _append(spark, scratch, 0)
+    _append(spark, scratch, 40)
+    compact_manifest_table(spark, scratch, "t", n_files=2)
+    seg_dir = f"{scratch}/t/versions/_segments"
+    before = set(os.listdir(seg_dir))
+
+    class ColdListingFS:
+        def __init__(self, real):
+            self._real = real
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+        def listStatus(self, path):
+            sts = list(self._real.listStatus(path))
+            if "_segments" not in path.toString():
+                return sts
+
+            class ColdStatus:
+                def __init__(self, st):
+                    self._st = st
+
+                def getPath(self):
+                    return self._st.getPath()
+
+                def getModificationTime(self):
+                    return 0  # listed as epoch-old
+
+                def __getattr__(self, name):
+                    return getattr(self._st, name)
+
+            return [
+                ColdStatus(st)
+                if st.getPath().getName().endswith(".json")
+                else st
+                for st in sts
+            ]
+
+    real_hfs = m._hadoop_fs
+
+    def shimmed(spark_, path):
+        fs, root, jvm = real_hfs(spark_, path)
+        return ColdListingFS(fs), root, jvm
+
+    monkeypatch.setattr(m, "_hadoop_fs", shimmed)
+    # keep only the tip: older versions' unique chunks become
+    # unreferenced — but every chunk on disk is FRESH, so the re-stat
+    # must spare all of them despite the cold listing
+    gc_manifest_table(spark, scratch, "t", keep_versions=1,
+                      min_file_age_sec=3600.0)
+    assert set(os.listdir(seg_dir)) == before
+    assert read_manifest_table(spark, scratch, "t").count() == 80

@@ -19,6 +19,24 @@ no duplicate ids.
 
 Run: python tools/chaos_concurrent.py [writers=3] [batches=2]
 Evidence recorded in BASELINE.md §Round 11 (chaos drills).
+
+READERS MODE (round 12, VERDICT r11 next #5): N reader subprocesses
+race a GC loop AND a continuing append stream over a multi-thousand-
+version SEGMENTED history (POPELINES_SEGMENT_THRESHOLD forced to 1 so
+every manifest is segmented; low POPELINES_SEGMENT_TARGET so each
+manifest spans many chunks). Appends reuse most chunks each commit
+(content-defined boundaries), so the vacuum-lease refresh of reused
+chunks races the GC segment sweep continuously, while readers exercise
+the per-process chunk cache and the SegmentLossError surface. History
+is fabricated through the REAL metadata pipeline (_reserve_version →
+_commit_manifest under the commit lock, StaleParentError rebase) with
+pyarrow data files, so thousands of versions commit in minutes without
+thousands of Spark jobs. Invariants: every reader read is internally
+consistent (count == max(batch) * rows-per-batch — a manifest pins its
+file list, so a torn read shows as a count/batch mismatch) and NO
+reader ever sees SegmentLossError.
+
+Run: python tools/chaos_concurrent.py readers [n_readers=3] [versions=2000]
 """
 
 import os
@@ -55,6 +73,199 @@ POINTS = [
     "after_flip",
     "after_reserve",
 ]
+
+
+READER_CHILD = """
+import os, sys, time
+from pyspark.sql import functions as F
+from popelines_spark.session import get_spark
+from popelines_spark.manifest import SegmentLossError, read_manifest_table
+wh, rows, dur = sys.argv[1], int(sys.argv[2]), float(sys.argv[3])
+spark = get_spark(app_name="chaosreader%d" % os.getpid(), cpus=2,
+                  shuffle_partitions=2)
+spark.sparkContext.setLogLevel("ERROR")
+end = time.time() + dur
+reads = 0
+while time.time() < end:
+    try:
+        df = read_manifest_table(spark, wh, "t")
+        r = df.agg(F.count("*").alias("n"),
+                   F.max("batch").alias("mb")).collect()[0]
+    except SegmentLossError as exc:
+        print("SEGMENT_LOSS", exc, flush=True); os._exit(3)
+    except Exception as exc:
+        print("READ_FAIL", type(exc).__name__, exc, flush=True); os._exit(4)
+    n, mb = r["n"], r["mb"]
+    # a manifest pins its file list: whatever tip this read resolved,
+    # count must equal max-batch * rows — anything else is a torn read
+    if mb is None or n != mb * rows:
+        print("TORN_READ n=%s max_batch=%s" % (n, mb), flush=True)
+        os._exit(5)
+    reads += 1
+print("OK", reads, flush=True)
+os._exit(0)
+"""
+
+
+def _fast_append(spark, fs, jvm, wh: str, rows: int) -> None:
+    """One REAL manifest commit (reserve → rebase → linearized flip)
+    whose O(batch) data write is pyarrow instead of a Spark job — the
+    metadata pipeline under test is exercised verbatim, thousands of
+    times, in minutes."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from popelines_spark.manifest import (
+        StaleParentError,
+        _commit_manifest,
+        _committed_manifest_versions,
+        _paths,
+        _read_manifest_or_none,
+        _release_reservation,
+        _reserve_version,
+    )
+
+    root, vroot, droot = _paths(wh, "t")
+    version = _reserve_version(fs, vroot, jvm)
+    try:
+        for _ in range(60):
+            versions = _committed_manifest_versions(fs, vroot, jvm)
+            parent = versions[-1] if versions else None
+            prev_files: list[str] = []
+            schema_json = _json.dumps(
+                {
+                    "type": "struct",
+                    "fields": [
+                        {"name": "id", "type": "long",
+                         "nullable": True, "metadata": {}},
+                        {"name": "batch", "type": "long",
+                         "nullable": True, "metadata": {}},
+                    ],
+                }
+            )
+            if parent is not None:
+                man = _read_manifest_or_none(fs, vroot, parent, jvm)
+                if man is None:
+                    continue
+                prev_files = man["files"]
+                schema_json = man["schema"]
+            batch = len(prev_files) + 1  # one file per batch by design
+            ddir = f"{droot}/v{version}"
+            os.makedirs(ddir.replace("file:", ""), exist_ok=True)
+            fpath = f"{ddir}/part-00000.parquet"
+            pq.write_table(
+                pa.table(
+                    {
+                        "id": list(range((batch - 1) * rows, batch * rows)),
+                        "batch": [batch] * rows,
+                    }
+                ),
+                fpath.replace("file:", ""),
+            )
+            try:
+                _commit_manifest(
+                    spark, fs, vroot, version,
+                    prev_files + [fpath], schema_json, jvm,
+                    parent=parent, op="append",
+                    own_dir=f"/data/v{version}/",
+                )
+                return
+            except StaleParentError:
+                versions = _committed_manifest_versions(fs, vroot, jvm)
+                if versions and version <= versions[-1]:
+                    _release_reservation(fs, vroot, version, jvm)
+                    version = _reserve_version(fs, vroot, jvm)
+        raise RuntimeError("fast_append: tip kept moving")
+    except Exception:
+        _release_reservation(fs, vroot, version, jvm)
+        raise
+
+
+def readers_main() -> int:
+    n_readers = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    n_versions = int(sys.argv[3]) if len(sys.argv) > 3 else 2000
+    rows = 10
+    wh = tempfile.mkdtemp(prefix="chaos_readers_")
+    os.environ["POPELINES_SEGMENT_THRESHOLD"] = "1"
+    os.environ["POPELINES_SEGMENT_TARGET"] = "100"
+    t0 = time.time()
+
+    from popelines_spark.io import _hadoop_fs
+    from popelines_spark.manifest import _paths, gc_manifest_table
+    from popelines_spark.session import get_spark
+
+    spark = get_spark(app_name="chaos_readers", cpus=4, shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    root, vroot, _ = _paths(wh, "t")
+    fs, _, jvm = _hadoop_fs(spark, root)
+
+    # seed enough history that readers never find an empty table
+    for _ in range(50):
+        _fast_append(spark, fs, jvm, wh, rows)
+
+    # window scales with the requested history depth (appends run
+    # ~6-8/s against the GC loop's lock contention)
+    dur = max(90.0, n_versions / 6.0)
+    env = dict(
+        os.environ,
+        POPELINES_SEGMENT_THRESHOLD="1",
+        POPELINES_SEGMENT_TARGET="100",
+    )
+    readers = [
+        subprocess.Popen(
+            [sys.executable, "-c", READER_CHILD, wh, str(rows), str(dur)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        )
+        for _ in range(n_readers)
+    ]
+
+    stop = threading.Event()
+    gc_stats = {"cycles": 0, "dropped": 0}
+
+    def gc_loop() -> None:
+        while not stop.is_set():
+            # aggressive retention + tiny vacuum age floor: the sweep
+            # actually deletes cold chunks DURING the race, yet reused
+            # chunks are lease-refreshed at every commit — the exact
+            # contention surface under test
+            d, _f = gc_manifest_table(
+                spark, wh, "t", keep_versions=5, min_file_age_sec=2.0
+            )
+            gc_stats["cycles"] += 1
+            gc_stats["dropped"] += d
+            time.sleep(0.2)
+
+    gct = threading.Thread(target=gc_loop)
+    gct.start()
+
+    appended = 50
+    deadline = t0 + dur + 30
+    while appended < n_versions and time.time() < deadline:
+        _fast_append(spark, fs, jvm, wh, rows)
+        appended += 1
+    stop.set()
+    gct.join()
+
+    fails = []
+    for i, p in enumerate(readers):
+        out, _ = p.communicate(timeout=dur + 120)
+        tail = out.decode().strip().splitlines()[-1] if out else ""
+        if p.returncode != 0:
+            fails.append(f"reader {i} rc={p.returncode}: {tail}")
+        else:
+            print(f"reader {i}: {tail}")
+    ok = not fails
+    print(
+        f"{'PASS' if ok else 'FAIL'}: {n_readers} readers x {appended} "
+        f"segmented versions, {gc_stats['cycles']} GC cycles "
+        f"({gc_stats['dropped']} versions dropped), "
+        f"{time.time() - t0:.1f}s"
+    )
+    for f in fails:
+        print(" ", f)
+    return 0 if ok else 1
 
 
 def main() -> int:
@@ -138,4 +349,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "readers":
+        sys.exit(readers_main())
     sys.exit(main())
