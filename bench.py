@@ -313,13 +313,26 @@ def main() -> None:
         )
 
     # Degradation ladder: fewer ratios, then calibration shrunk to its one
-    # actionable number.  1900 leaves 100 chars of margin under the driver's
-    # 2000-char tail in case a stray stderr fragment merges into the capture.
+    # actionable number, then per-query precision cut to 1 decimal — and a
+    # LOUD warning if even that fails, never a silent recurrence of the
+    # r05/r11 unparseable-artifact bug.  1900 leaves 100 chars of margin
+    # under the driver's 2000-char tail in case a stray stderr fragment
+    # merges into the capture.
     line = summary_line(5, calibration)
     if len(line) > 1900:
         line = summary_line(3, calibration)
     if len(line) > 1900:
         line = summary_line(0, {"inflation": calibration["inflation"]})
+    if len(line) > 1900:
+        timings = {k: round(v, 1) for k, v in timings.items()}
+        line = summary_line(0, {"inflation": calibration["inflation"]})
+    if len(line) > 1900:
+        print(
+            f"WARNING: bench summary line is {len(line)} chars even at the "
+            "last degradation rung — the driver's 2000-char tail capture "
+            "will truncate it; shrink BENCH_QUERIES or the query names",
+            file=sys.stderr,
+        )
     print(line)
     sys.stdout.flush()
     if calibration["inflation"] >= 1.5:

@@ -82,30 +82,42 @@ def incremental_append(
         _path_exists,
         append_table_snapshot,
         is_snapshot_table,
-        read_table_auto,
+        read_table_evolved,
+        read_table_snapshot,
         table_path,
         write_table,
     )
-    from popelines_spark.manifest import append_manifest_table, is_manifest_table
+    from popelines_spark.manifest import (
+        append_manifest_table,
+        is_manifest_table,
+        read_manifest_table,
+    )
 
     spark = new_data.sparkSession
-    # Detect the layout ONCE and use it for BOTH the read and the write:
-    # reading layout-aware but appending to the table ROOT left the new
-    # parquet invisible to every manifest/snapshot reader, so the
-    # watermark never advanced and each run re-appended the same rows as
-    # unreachable debris — a silent duplication loop (review r12).
+    # Detect the layout ONCE and use the SAME verdict for both the read
+    # and the write — not read_table_auto, whose independent re-probe
+    # could diverge from ours if the first layout commit lands in the
+    # gap: reading the manifest tip while appending to the table ROOT
+    # left new parquet invisible to every layout reader, so the
+    # watermark never advanced and each run re-appended the same rows
+    # as unreachable debris — a silent duplication loop (review r12).
     layout = "path"
     if is_manifest_table(spark, warehouse, table_name):
         layout = "manifest"
     elif is_snapshot_table(spark, warehouse, table_name):
         layout = "snapshot"
-    if layout != "path" or _path_exists(spark, table_path(warehouse, table_name)):
-        # layout-aware read: an evolved table's single-footer sample can
-        # predate ts_column, and snapshot/manifest layouts don't read at
-        # the root at all (review r11)
-        wm = max_watermark(
-            read_table_auto(spark, warehouse, table_name), ts_column
-        )
+    if layout == "manifest":
+        live = read_manifest_table(spark, warehouse, table_name)
+    elif layout == "snapshot":
+        live = read_table_snapshot(spark, warehouse, table_name)
+    elif _path_exists(spark, table_path(warehouse, table_name)):
+        # evolved read: a single-footer sample can predate ts_column
+        # (review r11)
+        live = read_table_evolved(spark, warehouse, table_name)
+    else:
+        live = None
+    if live is not None:
+        wm = max_watermark(live, ts_column)
         if wm is not None:
             new_data = new_data.filter(F.col(ts_column) > F.lit(wm))
     new_data = new_data.localCheckpoint(eager=True)

@@ -323,6 +323,27 @@ def is_snapshot_table(
     return False
 
 
+#: integral widening order for the lossless-cast predicate
+#: (DataType.simpleString spellings)
+_INT_WIDTH = {"tinyint": 1, "smallint": 2, "int": 3, "bigint": 4}
+
+
+def _lossless_cast(src: T.DataType, dst: T.DataType) -> bool:
+    """True when ``cast(src → dst)`` is provably injective AND total —
+    no two distinct source values collide and none becomes NULL — so a
+    map-KEY cast needs no runtime validation. Conservative: anything
+    not on the allow-list (string sources, narrowing numerics, decimal,
+    temporal) answers False and keeps the per-row probe."""
+    s, d = src.simpleString(), dst.simpleString()
+    if s in _INT_WIDTH and d in _INT_WIDTH:
+        return _INT_WIDTH[s] <= _INT_WIDTH[d]
+    if d == "string" and (s in _INT_WIDTH or s == "boolean"):
+        return True  # integral/boolean → string is injective and total
+    if s == "float" and d == "double":
+        return True  # every float is exactly representable as double
+    return False
+
+
 def _align_expr(col, src: T.DataType, dst: T.DataType):
     """Align one expression to a target type BY NAME, recursively.
 
@@ -364,7 +385,15 @@ def _align_expr(col, src: T.DataType, dst: T.DataType):
         )
     if isinstance(src, T.MapType) and isinstance(dst, T.MapType):
         out = col
-        if src.keyType != dst.keyType:
+        if src.keyType != dst.keyType and _lossless_cast(
+            src.keyType, dst.keyType
+        ):
+            # statically injective and total (integral widening, →string
+            # from integral/boolean, float→double): no collision or NULL
+            # key is possible, so the per-row probe below is pure
+            # overhead — cast directly (review r12)
+            out = F.transform_keys(out, lambda k, v: k.cast(dst.keyType))
+        elif src.keyType != dst.keyType:
             # A lossy key cast ('1' and '01' both → int 1, or a
             # non-castable key → NULL) used to surface as Spark's bare
             # duplicate-map-key/null-key error at write execution, far
@@ -867,10 +896,18 @@ def update_stats_increment(
     finally:
         try:
             st = fs.getFileStatus(HPath(lock))
-            if own_mtime is None or st.getModificationTime() == own_mtime:
-                fs.delete(HPath(lock), False)
-        except Exception:
-            pass  # lock already gone — nothing to release
+        except Exception as exc:
+            # only ABSENCE means nothing to release; a transient stat
+            # failure must surface, not silently leak a held lock for
+            # the full breaker horizon (review r12)
+            if "FileNotFound" not in str(exc) \
+                    and "not exist" not in str(exc).lower():
+                raise
+            st = None
+        if st is not None and (
+            own_mtime is None or st.getModificationTime() == own_mtime
+        ):
+            fs.delete(HPath(lock), False)
 
 
 def _stats_mergeable(stats: dict | None) -> bool:
@@ -1080,10 +1117,22 @@ def _committed_versions(fs, root, jvm) -> list[int]:
 
 
 #: A snapshot writer holds its .__reserved marker only for the duration
-#: of one O(batch) parquet write; anything older than this is crash
-#: debris, not an in-flight commit (compaction's rebase check ignores it
-#: so a dead writer can't livelock compaction forever).
+#: of one O(batch) parquet write; anything older is PRESUMED dead.
+#: Compaction's rebase check BREAKS (deletes) such a marker before
+#: standing — and the commit flip re-checks its own marker
+#: (_flip_snapshot_commit), so a live-but-slow writer that outlived the
+#: horizon retracts and retries instead of committing rows a superseding
+#: rewrite never saw (review r12). Tune above the longest batch write.
 _STALE_RESERVATION_SEC = 900
+
+
+def _stale_reservation_sec() -> float:
+    return float(
+        os.environ.get(
+            "POPELINES_SNAPSHOT_RESERVATION_STALE_SEC",
+            _STALE_RESERVATION_SEC,
+        )
+    )
 
 
 def _reserved_versions(fs, root, jvm) -> list[tuple[int, float]]:
@@ -1154,6 +1203,16 @@ def write_table_snapshot(
         try:
             # atomic create(overwrite=False): exactly one writer wins id N
             fs.create(reserved, False).close()
+            # the marker is deleted AFTER a commit, so a claim won with a
+            # STALE committed listing can land on an already-committed id
+            # — recheck the tip under the claim and move past it, else
+            # mode("overwrite") below would destroy the committed dir
+            # (same recheck manifest._reserve_version does; review r12)
+            latest = _committed_versions(fs, root, jvm)
+            if latest and latest[-1] >= version:
+                fs.delete(reserved, False)
+                version = latest[-1] + 1
+                continue
             break
         except Exception as exc:
             # Only an already-reserved id means "another writer won —
@@ -1175,10 +1234,36 @@ def write_table_snapshot(
             version += 1
     out = df.repartition(n_files) if n_files else df
     out.write.mode("overwrite").parquet(vpath)
+    _flip_snapshot_commit(fs, vpath, reserved, jvm)
+    return version
+
+
+def _flip_snapshot_commit(fs, vpath: str, reserved, jvm) -> None:
+    """The snapshot commit's visibility flip, guarded by a reservation
+    LEASE CHECK: a compaction that presumed this writer dead (its
+    ``.__reserved`` aged past the staleness horizon) BREAKS the marker
+    before standing, so a writer whose marker is gone must NOT flip —
+    its base may already be superseded by a rewrite that never saw this
+    version, and flipping would strand these rows invisibly until GC
+    deletes them (review r12: the horizon alone silently lost a
+    live-but-slow append's batch). The written data dir is retracted
+    and the caller retries against the new tip. Residual window: the
+    exists-then-flip gap (~2 metadata ops) — the same epsilon every
+    mtime lease in this repo documents."""
+    HPath = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(reserved):
+        fs.delete(HPath(vpath), True)
+        raise ConcurrentSnapshotWriteError(
+            f"snapshot commit of {vpath}: the version reservation was "
+            "broken while writing (a compaction presumed this writer "
+            "dead after the staleness horizon) — the version was "
+            "retracted; retry against the new tip, or raise "
+            "POPELINES_SNAPSHOT_RESERVATION_STALE_SEC above the longest "
+            "batch write"
+        )
     # visibility flip: one atomic object creation
     fs.create(HPath(vpath + "/" + _COMMIT_MARKER), False).close()
     fs.delete(reserved, False)
-    return version
 
 
 def append_table_snapshot(
@@ -1312,15 +1397,30 @@ def compact_table_snapshot(
     # writer deletes its .__reserved only AFTER the _COMMITTED flip, so
     # scanning reservations FIRST and committed versions SECOND leaves no
     # blind window: a racer is visible in at least one of the two scans.
-    # Reservations older than _STALE_RESERVATION_SEC are crash debris
-    # (snapshot writes hold a reservation only for the O(batch) write)
-    # and are ignored so a dead writer can't livelock every compaction.
+    # Reservations older than the staleness horizon are PRESUMED-dead
+    # writers: BREAK the marker (delete it) before standing, so a
+    # live-but-slow holder that outlived the horizon finds its lease
+    # gone at flip time (_flip_snapshot_commit) and retracts instead of
+    # committing rows this compaction never saw — ignoring the marker
+    # silently lost that batch at the next GC (review r12). A dead
+    # writer's marker is crash debris either way; breaking it also
+    # stops it livelocking every future compaction.
     HPath = jvm.org.apache.hadoop.fs.Path
-    in_flight = [
-        v
-        for v, age in _reserved_versions(fs, root, jvm)
-        if versions[-1] < v < new_v and age < _STALE_RESERVATION_SEC
-    ]
+    stale_sec = _stale_reservation_sec()
+    in_flight = []
+    for v, age in _reserved_versions(fs, root, jvm):
+        if not (versions[-1] < v < new_v):
+            continue
+        if age < stale_sec:
+            in_flight.append(v)
+        else:
+            fs.delete(
+                HPath(
+                    snapshot_version_path(warehouse, table_name, v)
+                    + ".__reserved"
+                ),
+                False,
+            )
     committed = _committed_versions(fs, root, jvm)
     intervening = sorted(
         set(v for v in committed if versions[-1] < v < new_v) | set(in_flight)

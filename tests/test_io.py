@@ -363,3 +363,33 @@ def test_map_key_cast_lossy_raises_descriptive(spark, scratch):
     )
     with pytest.raises(Exception, match="casting map keys"):
         pio.write_table(nullkey, scratch, "mk", append=True)
+
+
+def test_lossless_key_casts_skip_probe_and_append_fine(spark, scratch):
+    """Review r12: statically injective+total key casts (int widening,
+    integral→string, float→double) bypass the per-row validation probe —
+    pin the predicate and that such appends still work end-to-end."""
+    from pyspark.sql import types as T
+
+    from popelines_spark.io import _lossless_cast
+
+    assert _lossless_cast(T.IntegerType(), T.LongType())
+    assert _lossless_cast(T.ByteType(), T.ShortType())
+    assert _lossless_cast(T.IntegerType(), T.StringType())
+    assert _lossless_cast(T.BooleanType(), T.StringType())
+    assert _lossless_cast(T.FloatType(), T.DoubleType())
+    # lossy or unprovable: keep the probe
+    assert not _lossless_cast(T.LongType(), T.IntegerType())
+    assert not _lossless_cast(T.StringType(), T.IntegerType())
+    assert not _lossless_cast(T.DoubleType(), T.FloatType())
+    assert not _lossless_cast(T.DoubleType(), T.StringType())
+
+    live = spark.createDataFrame([(1, {7: 70})], "id long, m map<long,long>")
+    pio.write_table(live, scratch, "mkl", append=False)
+    batch = spark.createDataFrame([(2, {8: 80})], "id long, m map<int,long>")
+    pio.write_table(batch, scratch, "mkl", append=True)
+    got = {
+        r["id"]: r["m"]
+        for r in pio.read_table_evolved(spark, scratch, "mkl").collect()
+    }
+    assert got == {1: {7: 70}, 2: {8: 80}}

@@ -185,3 +185,78 @@ def test_compaction_ignores_stale_crash_debris_reservation(spark, scratch):
     )
     assert (before, after) == (4, 1)
     assert read_table_snapshot(spark, wh, "t").count() == 100
+    # the presumed-dead marker was BROKEN, not just ignored: if its
+    # holder resurfaces, its flip guard finds the lease gone and
+    # retracts instead of committing blind (review r12)
+    assert not os.path.exists(marker)
+
+
+def test_flip_guard_retracts_when_reservation_was_broken(spark, scratch):
+    """Review r12: a writer whose .__reserved marker was BROKEN by a
+    compaction that presumed it dead must NOT flip _COMMITTED — its base
+    may be superseded; it retracts the written dir and raises for the
+    caller to retry. With the marker intact the flip proceeds."""
+    import pytest
+
+    from popelines_spark.io import (
+        ConcurrentSnapshotWriteError,
+        _flip_snapshot_commit,
+        _hadoop_fs,
+    )
+
+    wh = f"{scratch}/wh"
+    write_table_snapshot(spark, wh, "t", _mk(spark, 10, "a"))
+    fs, _, jvm = _hadoop_fs(spark, table_path(wh, "t"))
+    HPath = jvm.org.apache.hadoop.fs.Path
+
+    vpath = snapshot_version_path(wh, "t", 2)
+    os.makedirs(vpath)
+    open(f"{vpath}/part-00000.parquet", "wb").close()
+    # marker intact: flip succeeds and releases the reservation
+    reserved = HPath(vpath + ".__reserved")
+    fs.create(reserved, False).close()
+    _flip_snapshot_commit(fs, vpath, reserved, jvm)
+    assert os.path.exists(f"{vpath}/_COMMITTED")
+    assert not os.path.exists(vpath + ".__reserved")
+
+    # marker broken mid-write: flip must retract and raise
+    vpath3 = snapshot_version_path(wh, "t", 3)
+    os.makedirs(vpath3)
+    open(f"{vpath3}/part-00000.parquet", "wb").close()
+    reserved3 = HPath(vpath3 + ".__reserved")  # never created = broken
+    with pytest.raises(ConcurrentSnapshotWriteError, match="retracted"):
+        _flip_snapshot_commit(fs, vpath3, reserved3, jvm)
+    assert not os.path.exists(vpath3)
+    # the committed v2 (fabricated dir) is untouched by the retraction
+    assert os.path.exists(f"{vpath}/_COMMITTED")
+
+
+def test_reservation_recheck_moves_past_committed_versions(
+    spark, scratch, monkeypatch
+):
+    """Review r12: a writer whose committed-versions listing went stale
+    (another commit landed and released its reservation in the gap) must
+    NOT claim — and then mode('overwrite') — the already-committed id.
+    The claim rechecks the tip and moves past it."""
+    from popelines_spark import io as pio
+
+    wh = f"{scratch}/wh"
+    write_table_snapshot(spark, wh, "t", _mk(spark, 10, "a"))
+    write_table_snapshot(spark, wh, "t", _mk(spark, 20, "b"))
+
+    real = pio._committed_versions
+    calls = {"n": 0}
+
+    def stale_once(fs, root, jvm):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return [1]  # stale: v2 already committed but not yet seen
+        return real(fs, root, jvm)
+
+    monkeypatch.setattr(pio, "_committed_versions", stale_once)
+    v2_files = sorted(os.listdir(snapshot_version_path(wh, "t", 2)))
+    v = write_table_snapshot(spark, wh, "t", _mk(spark, 30, "c"))
+    assert v == 3  # not 2 — the recheck moved past the committed tip
+    assert sorted(os.listdir(snapshot_version_path(wh, "t", 2))) == v2_files
+    assert read_table_snapshot(spark, wh, "t", version=2).count() == 20
+    assert read_table_snapshot(spark, wh, "t", version=3).count() == 30
