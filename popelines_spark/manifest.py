@@ -640,6 +640,7 @@ def _commit_manifest(
     file_stats: dict | None = None,
     enforce_linear: bool = True,
     own_dir: str | None = None,
+    reconciliation: bool = False,
     _precomputed_segments: tuple[list[str], list[str]] | None = None,
 ) -> None:
     """Write + flip one manifest version. With ``enforce_linear`` (the
@@ -694,6 +695,7 @@ def _commit_manifest(
                 parent=parent, op=op, batch_ids=batch_ids,
                 batch_id=batch_id, file_stats=file_stats,
                 enforce_linear=False, own_dir=own_dir,
+                reconciliation=reconciliation,
                 _precomputed_segments=pre,
             )
 
@@ -714,6 +716,12 @@ def _commit_manifest(
     }
     if batch_id is not None:
         doc["batch_id"] = batch_id  # legacy per-version field, kept
+    if reconciliation:
+        # heal's reconciliation commits move METADATA only: every file
+        # they add vs their parent is a re-add from an already-committed
+        # orphan version, so the changefeed treats them like compaction
+        # (zero row contribution; review r12)
+        doc["reconciliation"] = True
     if own_dir is not None:
         # the append's own data directory MARKER ("/data/v{M}/"): after
         # a burned-number rebase the commit's version number N no longer
@@ -1133,6 +1141,12 @@ def heal_manifest_table(
                 parent=tip, op="append",
                 batch_ids=sorted(tip_ids | ids_add),
                 file_stats=file_stats,
+                # every file this commit ADDS vs its parent is a re-add
+                # from an already-committed orphan version — the
+                # changefeed must NOT emit it again (the orphan's own
+                # version already did); flagged like compaction's
+                # byte-movement (review r12)
+                reconciliation=True,
             )
         except StaleParentError:
             # a writer committed while this round computed: its commit

@@ -100,35 +100,54 @@ class ManifestChangefeedReader(DataSourceStreamReader):
 
     # -- planning (driver-side, manifest arithmetic only) ------------
     def partitions(self, start: dict, end: dict):
+        """Plan the (lo, hi] window reading ONLY the window's manifests
+        plus each one's parent — O(window), not O(history) per trigger
+        (review r12; the old full-history sweep re-inflated every
+        segmented file list on every micro-batch)."""
         lo, hi = start["version"], end["version"]
         versions = _committed_versions(self.vroot)
-        # a racing replace-commit may retract a just-listed version
-        # (manifest_dml._replace_commit). OUTSIDE the batch window that
-        # is ignorable bookkeeping; INSIDE (lo, hi] it would silently
-        # drop rows the offset range promises — the module contract is
-        # byte-identical replay, so fail loudly instead.
-        mans = {}
-        for v in versions:
-            try:
+        mans: dict = {}
+
+        def _load(v: int) -> dict:
+            if v not in mans:
                 mans[v] = _read_manifest(self.vroot, v)
-            except FileNotFoundError:
-                if lo < v <= hi:
-                    raise RuntimeError(
-                        f"manifest_changefeed: version {v} inside the "
-                        f"planned offset window ({lo}, {hi}] of table "
-                        f"{self.table} was retracted/GC'd — cannot "
-                        "replay the batch byte-identically"
-                    )
-                continue
-        versions = [v for v in versions if v in mans]
+            return mans[v]
+
         data_cols = [f.name for f in self.schema.fields if f.name != _META_COL]
         parts = []
         for v in versions:
             if not (lo < v <= hi):
                 continue
-            m = mans[v]
+            try:
+                m = _load(v)
+            except FileNotFoundError:
+                # GONE between listing and read. Distinguish by SHAPE:
+                # GC only ever drops the oldest prefix, so a missing
+                # version with a surviving OLDER sibling is a racing
+                # writer's post-flip self-retract — by definition not
+                # part of surviving history, contribution zero; skip it
+                # instead of bricking the checkpointed window forever
+                # (review r12: the WAL replays the same window on every
+                # restart, so an unconditional raise here required
+                # manual checkpoint surgery for a harmless retraction).
+                # No older survivor ⇒ the retention floor passed v: real
+                # replay loss, fail loud.
+                if any(x < v for x in versions):
+                    continue
+                raise RuntimeError(
+                    f"manifest_changefeed: version {v} inside the "
+                    f"planned offset window ({lo}, {hi}] of table "
+                    f"{self.table} was GC'd — cannot replay the batch; "
+                    "raise GC retention above the stream's checkpoint lag"
+                )
             if m.get("op", "append") == "compact":
                 continue  # byte movement, not a row change
+            if m.get("reconciliation"):
+                # heal's reconciliation: every added file is a re-add
+                # from an already-committed orphan version, which emits
+                # (or emitted) at its OWN version — emitting here would
+                # duplicate the orphan's rows downstream (review r12)
+                continue
             p = m.get("parent")
             if p is None and "parent" not in m:
                 # legacy manifest: linear-chain parent
@@ -136,17 +155,18 @@ class ManifestChangefeedReader(DataSourceStreamReader):
                 p = versions[idx - 1] if idx > 0 else None
             if p is None:
                 contrib = m["files"]
-            elif p in mans:
-                pf = set(mans[p]["files"])
-                contrib = [f for f in m["files"] if f not in pf]
             else:
-                raise RuntimeError(
-                    f"manifest_changefeed: version {v}'s parent {p} was "
-                    "GC'd inside the un-checkpointed offset window "
-                    f"({lo}, {hi}] of table {self.table} — cannot compute "
-                    "its contribution; raise GC retention above the "
-                    "stream's checkpoint lag"
-                )
+                try:
+                    pf = set(_load(p)["files"])
+                except FileNotFoundError:
+                    raise RuntimeError(
+                        f"manifest_changefeed: version {v}'s parent {p} "
+                        "was GC'd inside the un-checkpointed offset "
+                        f"window ({lo}, {hi}] of table {self.table} — "
+                        "cannot compute its contribution; raise GC "
+                        "retention above the stream's checkpoint lag"
+                    )
+                contrib = [f for f in m["files"] if f not in pf]
             for f in contrib:
                 parts.append(FilePartition(_local(f), v, data_cols))
         # an empty batch still needs ≥1 partition for Spark to plan it
@@ -158,8 +178,12 @@ class ManifestChangefeedReader(DataSourceStreamReader):
             return
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(partition.path)
-        names = set(tbl.column_names)
+        # project at the SCAN: read only the emitted columns that exist
+        # in this file (review r12 — a full-width read paid O(all
+        # columns) I/O per file for a fixed projection)
+        names = set(pq.ParquetFile(partition.path).schema_arrow.names)
+        wanted = [c for c in partition.columns if c in names]
+        tbl = pq.read_table(partition.path, columns=wanted)
         cols = []
         for c in partition.columns:
             if c in names:

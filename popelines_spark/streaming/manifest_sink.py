@@ -21,9 +21,23 @@ from pyspark.sql import DataFrame
 from popelines_spark.manifest import append_manifest_table
 
 
-def manifest_sink_writer(warehouse: str, table_name: str):
+def manifest_sink_writer(warehouse: str, table_name: str,
+                         app_id: str | None = None):
     """Build the foreachBatch callable:
-    ``df.writeStream.foreachBatch(manifest_sink_writer(wh, "t"))``."""
+    ``df.writeStream.foreachBatch(manifest_sink_writer(wh, "t"))``.
+
+    ``app_id`` NAMESPACES the dedup ids (the ``txnAppId`` half of
+    Delta's recipe): the bare foreachBatch epoch restarts from 0 for a
+    fresh checkpoint, so two DIFFERENT queries writing the same table
+    would silently no-op each other's batches 0..N (review r12).
+    ``write_stream_to_manifest`` passes a checkpoint-derived app_id
+    automatically — stable across restarts of the same checkpoint (the
+    replayed epoch still dedups), distinct across checkpoints (no
+    cross-query false dedup). Like Delta's txnAppId, REUSING a
+    checkpoint path for a logically new pipeline keeps the namespace:
+    point the new pipeline at a new checkpoint dir (or pass a fresh
+    explicit app_id). ``app_id=None`` keeps the legacy bare-epoch ids
+    for single-query tables written before this round."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         append_manifest_table(
@@ -31,7 +45,7 @@ def manifest_sink_writer(warehouse: str, table_name: str):
             warehouse,
             table_name,
             batch_df,
-            batch_id=batch_id,
+            batch_id=f"{app_id}:{batch_id}" if app_id else batch_id,
         )
 
     return write
@@ -43,13 +57,22 @@ def write_stream_to_manifest(
     table_name: str,
     checkpoint_dir: str,
     trigger_available_now: bool = True,
+    app_id: str | None = None,
 ):
     """Start (and return) the streaming query draining ``df`` into the
     manifest table exactly-once. ``trigger_available_now`` processes the
     currently-available data and stops — the batch-boundary replay shape
-    used by incremental pipelines."""
+    used by incremental pipelines. Dedup ids are namespaced by a
+    checkpoint-derived ``app_id`` (see manifest_sink_writer) unless one
+    is supplied."""
+    import hashlib
+
+    if app_id is None:
+        app_id = hashlib.sha256(
+            checkpoint_dir.encode("utf-8")
+        ).hexdigest()[:16]
     w = df.writeStream.foreachBatch(
-        manifest_sink_writer(warehouse, table_name)
+        manifest_sink_writer(warehouse, table_name, app_id=app_id)
     ).option("checkpointLocation", checkpoint_dir)
     if trigger_available_now:
         w = w.trigger(availableNow=True)

@@ -14,11 +14,27 @@ from pyspark.sql import functions as F
 from popelines_spark.queries._util import DEC
 
 
-def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+def _default_watermark(span: str, floor: str = "1 hour") -> str:
+    """Default watermark = max(window span, the legacy 1-hour floor):
+    a watermark NARROWER than the window finalized windows before they
+    closed and dropped in-window late data (review r12), while narrowing
+    the floor below 1 hour would silently change the lateness tolerance
+    existing callers were proven against."""
+    import pandas as pd
+
+    return span if pd.Timedelta(span) > pd.Timedelta(floor) else floor
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str | None = None
+) -> DataFrame:
     """Tumbling-window count+sum (the chunked fixed windows of
-    popelines/main.py:214-217, as a stream)."""
+    popelines/main.py:214-217, as a stream). ``watermark`` defaults to
+    max(width, 1 hour) — a fixed 1-hour watermark under a wider window
+    dropped in-window late data, the exact bug windowed_type_counts was
+    fixed for (review r12)."""
     return (
-        events.withWatermark("ts", "1 hour")
+        events.withWatermark("ts", watermark or _default_watermark(width))
         .groupBy(F.window("ts", width).alias("win"))
         .agg(
             F.count("*").alias("n"),
@@ -29,20 +45,28 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
 
 
 def sliding_counts(
-    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = None,
 ) -> DataFrame:
+    """``watermark`` defaults to max(width, 1 hour) (see tumbling_counts)."""
     return (
-        events.withWatermark("ts", "1 hour")
+        events.withWatermark("ts", watermark or _default_watermark(width))
         .groupBy(F.window("ts", width, slide).alias("win"))
         .agg(F.count("*").alias("n"))
         .select(F.col("win.start").alias("win_start"), "n")
     )
 
 
-def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
-    """Per-user session windows (gap-merged)."""
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str | None = None
+) -> DataFrame:
+    """Per-user session windows (gap-merged). ``watermark`` defaults to
+    max(gap, 1 hour) — an event later than the watermark but inside an
+    open session must still merge (review r12)."""
     return (
-        events.withWatermark("ts", "1 hour")
+        events.withWatermark("ts", watermark or _default_watermark(gap))
         .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
         .agg(F.count("*").alias("n_events"))
         .select(
@@ -62,11 +86,12 @@ def windowed_type_counts(
     (no windowed rank over an updating sink) — splitting agg(stream) from
     rank(serve) is the standard production shape.
 
-    ``watermark`` defaults to ``width`` so append/update-mode windows are
-    never finalized before they close (a fixed 1-hour watermark under a
-    wider window would drop in-window late data — ADVICE r5)."""
+    ``watermark`` defaults to max(width, 1 hour) so append/update-mode
+    windows are never finalized before they close (a fixed 1-hour
+    watermark under a wider window would drop in-window late data —
+    ADVICE r5; floor-maxed round 12 in step with the other grouped ops)."""
     return (
-        events.withWatermark("ts", watermark or width)
+        events.withWatermark("ts", watermark or _default_watermark(width))
         .groupBy(F.window("ts", width).alias("win"), F.col("event_type"))
         .agg(F.count("*").alias("n"))
         .select(F.col("win.start").alias("win_start"), "event_type", "n")

@@ -141,13 +141,17 @@ def run_to_completion(
         except Exception:
             prev_provider = None
         spark.conf.set(provider_conf, _PROVIDERS[STREAM_STATE_PROVIDER])
-    q = (
-        result.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    # start() sits INSIDE the try: a start-time AnalysisException (e.g.
+    # append mode without a watermark) must not leak the shuffle-
+    # partition / state-provider overrides into the session (review r12)
+    q = None
     try:
+        q = (
+            result.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
         q.processAllAvailable()
         metrics = {
             "batches": 0,
@@ -172,8 +176,9 @@ def run_to_completion(
         LAST_STATE_METRICS.clear()
         LAST_STATE_METRICS.update(metrics)
     finally:
-        q.stop()
-        q.awaitTermination()
+        if q is not None:
+            q.stop()
+            q.awaitTermination()
         if prev_shuffle is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         if STREAM_STATE_PROVIDER != "hdfs":

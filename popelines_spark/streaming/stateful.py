@@ -40,8 +40,13 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         for pdf in pdfs:
             n += len(pdf)
             # per-row cents are exact for 2-decimal values; Python-int sum
-            # is associative — no accumulation-order dependence
-            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            # is associative — no accumulation-order dependence. NULL
+            # values contribute 0, matching SQL SUM's ignore-NULL — the
+            # bare astype("int64") raised on NaN and failed the whole
+            # query on one null row (review r12)
+            cents += int(
+                pdf["value"].mul(100).round().fillna(0).astype("int64").sum()
+            )
             batch_max = pdf["ts"].max()
             if pd.notna(batch_max):
                 us = int(pd.Timestamp(batch_max).value // 1000)

@@ -222,9 +222,14 @@ def test_streaming_sink_exactly_once_across_replay(spark, scratch, tmp_path):
     q2 = write_stream_to_manifest(stream2, scratch, "msk", ckpt)
     q2.awaitTermination()
     assert read_manifest_table(spark, scratch, "msk").count() == 40
-    # simulate the crash-replay: re-deliver batch 0 by hand — idempotent
+    # simulate the crash-replay: re-deliver batch 0 by hand with the
+    # sink's checkpoint-derived namespace (review r12) — idempotent
+    import hashlib
+
+    app_id = hashlib.sha256(ckpt.encode()).hexdigest()[:16]
     v = append_manifest_table(
-        spark, scratch, "msk", _mk(spark, 40, "a"), batch_id=0
+        spark, scratch, "msk", _mk(spark, 40, "a"),
+        batch_id=f"{app_id}:0",
     )
     assert read_manifest_table(spark, scratch, "msk").count() == 40
     assert v == 1
