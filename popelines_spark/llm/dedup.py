@@ -467,29 +467,9 @@ def ngram_jaccard_pairs(
     # happened).
     if shingle_k < 1:
         raise ValueError("shingle_k must be >= 1")
-    tokp = df.select(
-        F.col(id_col),
-        *[F.col(c) for c in block_cols],
-        F.posexplode(F.split(F.col(text_col), " ")).alias("__pos", "__w"),
+    sh_rows = _shingle_hash_rows(
+        df, id_col, text_col, shingle_k, carry_cols=block_cols
     )
-    if shingle_k == 1:
-        shingled = tokp.select(
-            F.col(id_col), *[F.col(c) for c in block_cols], F.col("__w").alias("__s")
-        )
-    else:
-        wd = W.partitionBy(id_col).orderBy("__pos")
-        leads = [F.lead("__w", i).over(wd) for i in range(1, shingle_k)]
-        shingled = tokp.select(
-            F.col(id_col),
-            *[F.col(c) for c in block_cols],
-            F.concat_ws(" ", "__w", *leads).alias("__s"),
-            leads[-1].alias("__last"),
-        ).filter(F.col("__last").isNotNull())
-    sh_rows = shingled.select(
-        F.col(id_col),
-        *[F.col(c) for c in block_cols],
-        F.xxhash64("__s").alias("__h"),
-    ).distinct()
     # The shingle rows feed four plan branches (frequency, prefix, verify
     # set a/b); Spark has no cross-branch CSE, so without a lineage barrier
     # the shingling recomputes per branch. A lazy localCheckpoint
@@ -565,28 +545,39 @@ def ngram_jaccard_pairs(
 
 
 def _shingle_hash_rows(
-    df: DataFrame, id_col: str, text_col: str, shingle_k: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Distinct (id, xxhash64(k-gram shingle)) rows, fully in codegen —
-    the same posexplode + lead() assembly as ngram_jaccard_pairs (see the
-    collision note there: hash-set overlap equals shingle-set overlap up
-    to a ~|shingles|^2/2^64 collision probability)."""
+    """Distinct (id[, carry_cols], xxhash64(k-gram shingle)) rows, fully
+    in codegen (see the collision note in ngram_jaccard_pairs: hash-set
+    overlap equals shingle-set overlap up to a ~|shingles|^2/2^64
+    collision probability). ``carry_cols`` ride along unchanged — the
+    single shared assembly for ngram_jaccard_pairs' blocked variant
+    (review r12: the two inlined copies had to be kept in sync by hand)."""
+    carry = [F.col(c) for c in (carry_cols or [])]
     tokp = df.select(
         F.col(id_col),
+        *carry,
         F.posexplode(F.split(F.col(text_col), " ")).alias("__pos", "__w"),
     )
     if shingle_k == 1:
-        shingled = tokp.select(F.col(id_col), F.col("__w").alias("__s"))
+        shingled = tokp.select(
+            F.col(id_col), *carry, F.col("__w").alias("__s")
+        )
     else:
         wd = W.partitionBy(id_col).orderBy("__pos")
         leads = [F.lead("__w", i).over(wd) for i in range(1, shingle_k)]
         shingled = tokp.select(
             F.col(id_col),
+            *carry,
             F.concat_ws(" ", "__w", *leads).alias("__s"),
             leads[-1].alias("__last"),
         ).filter(F.col("__last").isNotNull())
     return shingled.select(
-        F.col(id_col), F.xxhash64("__s").alias("__h")
+        F.col(id_col), *carry, F.xxhash64("__s").alias("__h")
     ).distinct()
 
 

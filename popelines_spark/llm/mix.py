@@ -24,6 +24,25 @@ _KNUTH = 2654435761
 _FOLD = 1000003
 
 
+def _require_integral_id(df: DataFrame, id_col: str, fn: str) -> None:
+    """The bucket hash needs an integral id: a non-numeric id column
+    cast('long') yields NULL under non-ANSI Spark, the bucket goes NULL,
+    and the filter silently drops EVERY row (review r12) — fail at plan
+    time instead."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[id_col].dataType
+    if not isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"{fn}: id column {id_col!r} is {dt.simpleString()}, not an "
+            "integral type — the deterministic bucket hash would cast it "
+            "to NULL and silently keep zero rows; derive a surrogate "
+            "(e.g. xxhash64(id)) and pass that column"
+        )
+
+
 def sample_to_mixture(
     df: DataFrame,
     group_col: str,
@@ -43,6 +62,7 @@ def sample_to_mixture(
     plain-SQL mirror would diverge exactly at the 100 TB id scales this
     sampler targets. Bounded operand: max ≈ 1e6 * 2.65e9 ≈ 2.7e15 ≪ 2^63.
     """
+    _require_integral_id(df, id_col, "sample_to_mixture")
     folded = F.pmod(F.col(id_col).cast("long"), F.lit(_FOLD))
     bucket = F.pmod(folded * F.lit(_KNUTH), F.lit(10000))
     rate = None

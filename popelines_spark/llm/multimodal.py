@@ -320,6 +320,14 @@ def _png_decode(buf: bytes):
     pos, idat, ihdr = 8, [], None
     while pos + 8 <= len(buf):
         (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+        if pos + 12 + ln > len(buf):
+            # a payload cut off mid-chunk used to escape as struct.error
+            # from the short CRC slice — the decode contract is
+            # ValueError (review r12)
+            raise ValueError(
+                f"truncated PNG: chunk at offset {pos} claims {ln} bytes "
+                "but the payload ends first"
+            )
         typ = buf[pos + 4 : pos + 8]
         data = buf[pos + 8 : pos + 8 + ln]
         (crc,) = struct.unpack(">I", buf[pos + 8 + ln : pos + 12 + ln])

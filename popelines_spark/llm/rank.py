@@ -227,16 +227,22 @@ def bm25(
     query-term filter lands on the tf frame BEFORE the df join, so the
     scoring join carries |docs_with_hits| · |query_terms| rows at most.
     """
-    tf = (
-        _term_freqs(docs, id_col, text_col)
-        .filter(F.col("term").isin(*query_terms))
-        .localCheckpoint(eager=False)  # feeds df agg + scoring join
+    tf = checkpoint(
+        _term_freqs(docs, id_col, text_col).filter(
+            F.col("term").isin(*query_terms)
+        ),
+        "bm25-term-freqs",  # feeds df agg + scoring join
+        eager=False,
     )
     df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    stats = docs.select(
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("__dl"),
-        F.col(id_col),
-    ).localCheckpoint(eager=False)  # feeds the consts agg + per-doc join
+    stats = checkpoint(
+        docs.select(
+            F.size(F.split(F.col(text_col), " ")).cast("long").alias("__dl"),
+            F.col(id_col),
+        ),
+        "bm25-doc-stats",  # feeds the consts agg + per-doc join
+        eager=False,
+    )
     consts = stats.agg(
         F.count("*").cast("long").alias("__n"),
         F.sum("__dl").cast("double").alias("__dlsum"),

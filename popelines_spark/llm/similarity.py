@@ -137,7 +137,21 @@ def hyperplane_bucket(vec, n_planes: int = 12, dim: int = 64, salt: int = 42) ->
         plane = F.array(*[F.lit(float(c)) for c in planes[p]])
         bit = F.when(dot(vec, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bucket.bitwiseOR(bit)
-    return bucket
+    # A vector whose length differs from ``dim`` used to bucket SILENTLY
+    # to 0: zip_with null-pads the shorter side, the null propagates
+    # through the dot fold, when(null>=0) falls to otherwise(0) for every
+    # plane — and the bucketed self-join degenerates to all-pairs inside
+    # one giant bucket (review r12). Fail loud per row instead.
+    if isinstance(vec, str):
+        vec = F.col(vec)
+    msg = (
+        f"hyperplane_bucket: vector length != dim={dim} — pass the "
+        "embedding dimension explicitly (a mismatched vector would "
+        "silently land in bucket 0 and collapse the LSH join)"
+    )
+    return F.when(
+        F.assert_true(F.size(vec) == dim, F.lit(msg)).isNull(), bucket
+    )
 
 
 def knn_lsh(

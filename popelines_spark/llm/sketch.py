@@ -92,9 +92,21 @@ def cms_estimate(
     hashed there → that counter is 0, so the join is LEFT and a miss pins
     the estimate to 0 (never-seen keys estimate 0 unless every one of
     their depth buckets collides)."""
+    from popelines_spark.plans.inspect import checkpoint
+
     c = F.col(col)
-    ppos = probes.select(
-        "*",
+    # pin a per-row id and regroup on IT, not on probes' own columns —
+    # grouping on the full row collapsed duplicate probe rows and failed
+    # outright on map-typed columns (review r12); the explode now carries
+    # only the id, and the id assignment is checkpointed so the final
+    # self-join sees the same ids on both branches
+    base = checkpoint(
+        probes.withColumn("__probe_row", F.monotonically_increasing_id()),
+        "cms-probe-rows",
+        eager=False,
+    )
+    ppos = base.select(
+        "__probe_row",
         F.explode(
             F.array(
                 *[
@@ -105,11 +117,13 @@ def cms_estimate(
                 ]
             )
         ).alias("jb"),
-    ).select(*probes.columns, "jb.j", "jb.bucket")
-    joined = ppos.join(F.broadcast(cms), ["j", "bucket"], "left")
-    return joined.groupBy(*probes.columns).agg(
-        F.min(F.coalesce("c", F.lit(0).cast("long"))).alias(out_col)
+    ).select("__probe_row", "jb.j", "jb.bucket")
+    est = (
+        ppos.join(F.broadcast(cms), ["j", "bucket"], "left")
+        .groupBy("__probe_row")
+        .agg(F.min(F.coalesce("c", F.lit(0).cast("long"))).alias(out_col))
     )
+    return base.join(est, "__probe_row").drop("__probe_row")
 
 
 def bloom_build(
@@ -144,9 +158,18 @@ def bloom_probe(
     explode(×k) + left-join + groupBy-its-own-columns pass. A missing
     bitmap word means those bits were never set → the coalesce(FALSE).
     No false negatives: members set exactly these bits at build time."""
+    from popelines_spark.plans.inspect import checkpoint
+
     c = F.col(col)
-    ppos = df.select(
-        "*",
+    # per-row id instead of grouping on the full row — see cms_estimate
+    # (review r12: duplicate probe rows collapsed; map columns failed)
+    base = checkpoint(
+        df.withColumn("__probe_row", F.monotonically_increasing_id()),
+        "bloom-probe-rows",
+        eager=False,
+    )
+    ppos = base.select(
+        "__probe_row",
         F.explode(
             F.array(*[_bucket(c, j, m_bits) for j in range(k)])
         ).alias("pos"),
@@ -164,7 +187,8 @@ def bloom_probe(
             ),
         )
     )
-    return hit.groupBy(*df.columns).agg(F.min("__bit_set").alias(out_col))
+    est = hit.groupBy("__probe_row").agg(F.min("__bit_set").alias(out_col))
+    return base.join(est, "__probe_row").drop("__probe_row")
 
 
 # --- Misra-Gries heavy hitters (two-pass, mergeable candidates) ----------
@@ -222,7 +246,10 @@ def misra_gries_candidates(
                 }
         yield pd.DataFrame({"term": list(counters.keys())})
 
-    return df.select(F.col(col).alias(col)).mapInPandas(
+    # cast at the boundary: the declared schema is 'term string', and a
+    # numeric column's native values crash the Arrow conversion
+    # (review r12); heavy_hitters compares on the same cast
+    return df.select(F.col(col).cast("string").alias(col)).mapInPandas(
         fold, schema="term string"
     )
 
@@ -244,12 +271,23 @@ def heavy_hitters(
     an exact one-pass answer needs shuffles billions of distinct terms,
     while this shuffles ≤ capacity × n_partitions candidate rows."""
     capacity = capacity or 2 * denom
+    if capacity < denom - 1:
+        raise ValueError(
+            f"heavy_hitters: capacity={capacity} voids the guarantee — "
+            f"Misra-Gries with k counters only preserves items above "
+            f"N/(k+1), so catching every item above N/{denom} needs "
+            f"capacity >= {denom - 1} (review r12)"
+        )
     cand = misra_gries_candidates(df, col, capacity).distinct()
     total = df.where(F.col(col).isNotNull()).agg(
         F.count(col).cast("long").alias("total")
     )
     return (
-        df.join(F.broadcast(cand), df[col] == cand.term, "left_semi")
+        df.join(
+            F.broadcast(cand),
+            df[col].cast("string") == cand.term,
+            "left_semi",
+        )
         .groupBy(F.col(col).alias("term"))
         .agg(F.count("*").cast("long").alias("cnt"))
         .crossJoin(F.broadcast(total))

@@ -20,14 +20,17 @@ from popelines_spark.queries._util import T
       SELECT source, min(doc_id) AS a FROM documents GROUP BY source),
     tagged AS (
       SELECT source,
-             CASE WHEN (a % 1000003) * 2654435761 % 10000 < 8000
+             CASE WHEN (a % 1000003) * 2654435761 % 2147483647
+                         * 2246822519 % 10000 < 8000
                     THEN 'train'
-                  WHEN (a % 1000003) * 2654435761 % 10000 < 9000
+                  WHEN (a % 1000003) * 2654435761 % 2147483647
+                         * 2246822519 % 10000 < 9000
                     THEN 'val'
                   ELSE 'test' END AS split
       FROM anchors)
     SELECT d.doc_id, d.source, t.split
-    FROM documents d JOIN tagged t USING (source)
+    FROM documents d JOIN tagged t
+      ON d.source IS NOT DISTINCT FROM t.source
     """,
 )
 def c_split_holdout(spark, sf_dir):
