@@ -164,6 +164,17 @@ def time_rollup(
         # out-of-order grains would silently mislabel: date_trunc('hour')
         # over day-truncated buckets is a no-op, not an hourly rollup.
         raise ValueError(f"time_rollup: grains must be fine→coarse, got {grains}")
+    if "week" in grains[:-1]:
+        # ISO weeks do not NEST inside months/quarters/years: the
+        # cascading coarsen maps a whole week to date_trunc(coarser,
+        # week_start), so events from Feb 1-4 in a week starting Jan 29
+        # would be counted into JANUARY's monthly row — silent wrong
+        # output (review r12). Weeks may only terminate a chain.
+        raise ValueError(
+            "time_rollup: 'week' can only be the LAST grain — ISO weeks "
+            "straddle month/quarter/year boundaries, so no coarser grain "
+            "nests them; run a separate rollup for calendar grains"
+        )
     level = (
         events.groupBy(F.date_trunc(grains[0], F.col(ts_col)).alias("bucket_ts"))
         .agg(
@@ -214,11 +225,10 @@ def sample_per_group(
     order is a uniform pseudo-random permutation, identical across retries,
     partitionings, and engines. One keyed window shuffle; no RNG state.
     """
-    w = W.partitionBy(group_col).orderBy(id_hash(F.col(id_col)), F.col(id_col))
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
+    from popelines_spark.operators.keyed import keep_first
+
+    return keep_first(
+        df, [group_col], [id_hash(F.col(id_col)), F.col(id_col)], k
     )
 
 
@@ -430,9 +440,16 @@ def scd2_runs(
     both engines, so island numbering and interval bounds are exact.
     """
     w = W.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    # NULL-safe change detection (review r12): the old
+    # ``lag.isNull() | lag != attr`` form conflated "first row" with
+    # "previous value NULL" — an X→NULL transition produced a NULL
+    # marker (sum skips it, merging two distinct runs under one island
+    # id) and NULL→NULL rows each started a new island. eqNullSafe
+    # treats NULL as a value; the explicit first-row test starts every
+    # key's numbering at 1.
     changed = (
-        F.lag(attr_col).over(w).isNull()
-        | (F.lag(attr_col).over(w) != F.col(attr_col))
+        (F.row_number().over(w) == 1)
+        | ~F.lag(attr_col).over(w).eqNullSafe(F.col(attr_col))
     ).cast("int")
     islands = df.select(
         key_col, ts_col, attr_col, F.sum(changed).over(w).alias("__island")

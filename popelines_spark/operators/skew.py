@@ -15,6 +15,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _salt_col_for(*dfs: DataFrame) -> str:
+    """A salt column name absent from every input — a user column named
+    ``__salt`` used to be silently overwritten and then dropped from the
+    join output (review r12; same guard as bloom._bitmap_col_for)."""
+    name = "__salt"
+    existing = {c for df in dfs for c in df.columns}
+    while name in existing:
+        name += "_"
+    return name
+
+
 def with_salt(df: DataFrame, from_cols: list[str], buckets: int, col: str = "__salt") -> DataFrame:
     """Deterministic salt in [0, buckets) derived from row content."""
     return df.withColumn(
@@ -38,11 +49,12 @@ def salted_join(
     replication cost = |small| × buckets rows.
     """
     salt_from = salt_from or skewed.columns
-    s = with_salt(skewed, salt_from, buckets)
+    salt = _salt_col_for(skewed, small)
+    s = with_salt(skewed, salt_from, buckets, col=salt)
     r = small.withColumn(
-        "__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+        salt, F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
     )
-    return s.join(r, [on, "__salt"]).drop("__salt")
+    return s.join(r, [on, salt]).drop(salt)
 
 
 #: Salt-bucket bounds for the planner: 2 is the smallest split that
@@ -116,13 +128,16 @@ def salted_count_distinct(
     ``buckets`` reducers, then per-group sum of partial distinct counts.
     Exact because the salt is derived from x itself — equal values always
     land in the same bucket."""
+    salt = _salt_col_for(df)
     partial = (
         df.select(
             F.col(group_col),
-            F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(buckets)).alias("__salt"),
+            F.pmod(
+                F.xxhash64(F.col(distinct_col)), F.lit(buckets)
+            ).alias(salt),
             F.col(distinct_col),
         )
-        .groupBy(group_col, "__salt")
+        .groupBy(group_col, salt)
         .agg(F.countDistinct(distinct_col).alias("__partial"))
     )
     return partial.groupBy(group_col).agg(

@@ -57,6 +57,14 @@ def star_join(
     missing = [n for n in plan["order"] if n not in by_name]
     if missing:
         raise ValueError(f"star_join: plan orders unknown legs {missing}")
+    unplanned = [n for n in by_name if n not in set(plan["order"])]
+    if unplanned:
+        # the symmetric check: a dim handed to the executor but absent
+        # from the plan would be SILENTLY never joined (review r12)
+        raise ValueError(
+            f"star_join: dims {unplanned} are not in the plan's order — "
+            "re-plan with every leg, or drop them from dims"
+        )
     out = fact
     for name in plan["order"]:
         leg = plan["legs"][name]

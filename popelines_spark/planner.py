@@ -82,7 +82,16 @@ def plan_join(
             f"(est_memory_bytes={small_stats.get('est_memory_bytes')})"
         )
 
-    if runtime_filter is True:
+    if runtime_filter is True and decision["broadcast"]:
+        # the module contract: a broadcastable small side short-circuits
+        # bloom — the broadcast-hash join filters map-side for free, so
+        # building a bitmap duplicates that work (review r12: the forced
+        # flag used to leave BOTH set and join_tables built a pointless
+        # bitmap plus a per-row hash over the whole fact scan)
+        decision["reasons"].append(
+            "bloom prefilter skipped: broadcast join filters map-side"
+        )
+    elif runtime_filter is True:
         ensure_prefilter_safe(how)
         key_ndv = ((small_stats or {}).get("columns", {}).get(on) or {}).get(
             "approx_ndv"
@@ -342,7 +351,10 @@ def plan_shuffle_partitions(
     total = 0
     unknown = 0
     for s in all_stats:
-        if s and s.get("est_memory_bytes"):
+        # `is not None`, not truthiness: a legitimately EMPTY table's
+        # stats carry est_memory_bytes=0, which is an exact contribution,
+        # not a missing one (review r12)
+        if s and s.get("est_memory_bytes") is not None:
             total += int(s["est_memory_bytes"])
         else:
             unknown += 1

@@ -54,12 +54,33 @@ def plan_report(df: DataFrame) -> dict:
     }
 
 
+def _top_level_cols(read_schema: str) -> int:
+    """Count TOP-LEVEL fields of a ``struct<...>`` ReadSchema string.
+    A bare ``count(':')`` overcounts nested struct/map fields — a scan of
+    ``struct<a:int,b:struct<x:int,y:int>>`` reads 2 columns, not 3
+    (review r12)."""
+    inner = read_schema
+    if inner.startswith("struct<") and inner.endswith(">"):
+        inner = inner[len("struct<"):-1]
+    if not inner:
+        return 0
+    depth, n = 0, 1
+    for ch in inner:
+        if ch in "<([":
+            depth += 1
+        elif ch in ">)]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            n += 1
+    return n
+
+
 def assert_scan_pruned(df: DataFrame, table_cols: dict[str, int]) -> None:
     """Assert each ReadSchema reads no more columns than expected:
     ``table_cols`` maps a distinguishing column name to the max allowed
     width of the scan that contains it."""
     for schema in plan_report(df)["read_schemas"]:
-        fields = schema.count(":")
+        fields = _top_level_cols(schema)
         for marker, max_cols in table_cols.items():
             if f"{marker}:" in schema:
                 assert fields <= max_cols, (
