@@ -106,10 +106,14 @@ def _is_missing_file_error(exc: Exception) -> bool:
     # catalog "Table or view ... does not exist" errors, which are
     # deterministic bugs that must SURFACE, not be retried as races
     # (same rule as manifest._read_manifest_or_none)
+    # FAILED_READ_FILE is an UMBRELLA class that also covers corrupt
+    # footers and parquet type mismatches — deterministic failures that
+    # retrying as races would bury under a bogus ConcurrentWriteError
+    # (review r12); match only its vanished-file subclass
     return (
         "PATH_NOT_FOUND" in s
         or "FileNotFoundException" in s
-        or "FAILED_READ_FILE" in s
+        or "FAILED_READ_FILE.FILE_NOT_EXIST" in s
         or "Path does not exist" in s
     )
 
@@ -119,7 +123,6 @@ def _replace_commit(
     warehouse: str,
     table_name: str,
     build,  # (tip_manifest, schema) -> (affected, rewritten_df|None, extra_df|None, schema_out)
-    prune: list[tuple] | None = None,
     max_retries: int = 3,
 ):
     """Shared OCC skeleton for replace-type commits. ``build`` runs
@@ -205,17 +208,19 @@ def _replace_commit(
                 raise _Conflict(str(exc)) from exc
             try:
                 heal_manifest_table(spark, warehouse, table_name)
-            except ConcurrentWriteError:
-                # OUR replace is durably on the tip; a transiently
-                # orphaned replace from ANOTHER writer (its owner is
-                # about to retract it) must not convert this success
-                # into a caller-visible retry signal — the next
-                # writer/GC heals
+            except Exception:
+                # OUR replace is durably on the tip; NO best-effort heal
+                # failure (transient orphan ConcurrentWriteError, a
+                # racing retraction's FileNotFoundError, reservation
+                # churn) may convert this success into a caller-visible
+                # failure — an application-level retry of a
+                # non-idempotent UPDATE would double-apply (review r12).
+                # The next writer/GC heals.
                 import logging
 
                 logging.getLogger(__name__).warning(
-                    "post-replace heal of %s deferred: transient orphan",
-                    table_name,
+                    "post-replace heal of %s deferred", table_name,
+                    exc_info=True,
                 )
             return version
         except _Conflict as exc:
@@ -284,7 +289,7 @@ def delete_manifest_rows(
         return affected, kept, None, schema
 
     try:
-        v = _replace_commit(spark, warehouse, table_name, build, prune=prune)
+        v = _replace_commit(spark, warehouse, table_name, build)
     except _NoOp as noop:
         return noop.version, 0
     return v, n_deleted
@@ -325,9 +330,18 @@ def update_manifest_rows(
             raise _NoOp(man["version"])
         src = spark.read.schema(schema).parquet(*affected)
         n_updated = src.where(cond).count()  # assign: retries rebuild
+        # cast each SET expression back to the column's DECLARED type:
+        # a type-drifting expression (cnt/2 on a LONG returns DOUBLE)
+        # coerced the whole output column, wrote DOUBLE parquet under a
+        # manifest still declaring LONG, and every subsequent read
+        # failed far from the cause (review r12) — BigQuery UPDATE
+        # coerces to the column type at the statement the same way
+        types = {f.name: f.dataType for f in schema.fields}
         updated = src.select(
             *[
-                F.when(cond, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
+                F.when(
+                    cond, F.expr(set_exprs[c]).cast(types[c])
+                ).otherwise(F.col(c)).alias(c)
                 if c in set_exprs
                 else F.col(c)
                 for c in src.columns
@@ -336,7 +350,7 @@ def update_manifest_rows(
         return affected, updated, None, schema
 
     try:
-        v = _replace_commit(spark, warehouse, table_name, build, prune=prune)
+        v = _replace_commit(spark, warehouse, table_name, build)
     except _NoOp as noop:
         return noop.version, 0
     return v, n_updated
@@ -369,15 +383,32 @@ def upsert_manifest_table(
         # input_file_name() is stamped BEFORE the join: after a join of
         # two file sources the expression fails analysis
         # (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION).
-        probe = (
-            spark.read.schema(schema)
-            .parquet(*man["files"])
-            .select(F.input_file_name().alias("_f"), *keys)
-            .join(F.broadcast(keyset), on=keys, how="leftsemi")
-            .select("_f")
-            .distinct()
-            .collect()
-        ) if man["files"] else []
+        # NULL-SAFE key match, like the merge itself (operators/upsert
+        # joins via eqNullSafe): a plain on=keys probe never matches
+        # NULL=NULL, so a NULL-key target row's file was carried by
+        # reference while the merge re-inserted the source's NULL-key
+        # row — silent duplication (review r12)
+        if man["files"]:
+            tgt_probe = (
+                spark.read.schema(schema)
+                .parquet(*man["files"])
+                .select(F.input_file_name().alias("_f"), *keys)
+                .alias("__t")
+            )
+            cond = None
+            for k in keys:
+                c = F.col(f"__t.{k}").eqNullSafe(F.col(f"__s.{k}"))
+                cond = c if cond is None else (cond & c)
+            probe = (
+                tgt_probe.join(
+                    F.broadcast(keyset.alias("__s")), on=cond, how="leftsemi"
+                )
+                .select("_f")
+                .distinct()
+                .collect()
+            )
+        else:
+            probe = []
         hit_canon = {_canon(r["_f"]) for r in probe}
         affected = [f for f in man["files"] if _canon(f) in hit_canon]
         from popelines_spark.operators.upsert import upsert as _merge

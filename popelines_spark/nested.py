@@ -31,10 +31,21 @@ def _rebuild(col, dt: T.DataType, callback: Callable[[str], str]):
     projection — narrow, shuffle-free, works at any nesting depth."""
     if isinstance(dt, T.StructType):
         parts = []
+        seen: dict[str, str] = {}
         for f in dt.fields:
             new_name = callback(f.name)
             if not new_name:
                 continue
+            if new_name in seen:
+                # the same collision guard rename_fields applies at the
+                # top level, per struct level (review r12): a duplicate
+                # nested field name otherwise surfaces only at the
+                # parquet write, far from the cause
+                raise ValueError(
+                    f"rename_fields: nested fields {f.name!r} and "
+                    f"{seen[new_name]!r} both rename to {new_name!r}"
+                )
+            seen[new_name] = f.name
             parts.append(
                 _rebuild(col.getField(f.name), f.dataType, callback).alias(new_name)
             )
@@ -95,8 +106,17 @@ def flatten(
         out = out.drop(array_col)
     elem = out.schema[alias].dataType
     if isinstance(elem, T.StructType):
+        others = [c for c in out.columns if c != alias]
+        clash = {f"{alias}_{f.name}" for f in elem.fields} & set(others)
+        if clash:
+            # same guard as flatten_all's struct branch (review r11/r12):
+            # a silent duplicate column fails far from the cause
+            raise ValueError(
+                f"flatten: array {array_col!r} expands to column(s) "
+                f"{sorted(clash)} that already exist"
+            )
         out = out.select(
-            *[c for c in out.columns if c != alias],
+            *others,
             *[
                 F.col(f"{alias}.{f.name}").alias(f"{alias}_{f.name}")
                 for f in elem.fields

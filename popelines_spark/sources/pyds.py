@@ -87,6 +87,13 @@ class RestWindowsReader(DataSourceReader):
         return out
 
     def read(self, partition: WindowPartition):
+        if partition is None:
+            # an empty date range yields zero partitions, and pyspark's
+            # DataSource planner substitutes [None] for an empty list —
+            # read(None) must yield zero rows, not crash on
+            # partition.url (review r12; same empty-range class
+            # date_series fixed on the distributed path)
+            return
         import time
         import urllib.error
         import urllib.request

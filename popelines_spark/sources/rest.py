@@ -288,7 +288,16 @@ def fetch_pages_distributed(
                     if body is None:
                         break  # chain ends; the error row records why
                     try:
-                        nxt = _json.loads(body).get(next_cursor_key)
+                        doc = _json.loads(body)
+                        # a non-object body (JSON array/string/number —
+                        # common for list endpoints) has no cursor; end
+                        # the chain instead of AttributeError-killing
+                        # the whole job (review r12)
+                        nxt = (
+                            doc.get(next_cursor_key)
+                            if isinstance(doc, dict)
+                            else None
+                        )
                     except ValueError:
                         nxt = None
                     if nxt is None or nxt == "":
