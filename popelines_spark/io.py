@@ -107,6 +107,16 @@ def write_table(
     spark = df.sparkSession
     path = table_path(warehouse, table_name)
     exists = _path_exists(spark, path)
+    if exists:
+        # two metadata probes; skipped on first write. Without this an
+        # overwrite on a manifest table clobbers every committed version
+        # and an autodetect append on a snapshot table lands files no
+        # reader returns (review r12)
+        _refuse_nonpath_layout(
+            spark, warehouse, table_name, "write_table",
+            "manifest.append_manifest_table / manifest_dml",
+            "append_table_snapshot / write_table_snapshot",
+        )
     pcols = (
         [partition_by] if isinstance(partition_by, str) else partition_by
     )
@@ -477,20 +487,29 @@ def _hadoop_fs(spark: SparkSession, uri: str):
     return p.getFileSystem(conf), p, jvm
 
 
-def _refuse_manifest_layout(
+def _refuse_nonpath_layout(
     spark: SparkSession, warehouse: str, table_name: str,
-    op: str, alternative: str,
+    op: str, manifest_alt: str, snapshot_alt: str,
 ) -> None:
-    """Path-layout maintenance must not touch a manifest table: its
-    files are version-addressed and immutable — an in-place rewrite
-    would orphan every committed manifest. Fail with the right tool's
-    name instead of a schema-inference error three stack frames later."""
+    """Path-layout reads/writes must not touch a versioned table. On a
+    manifest (ACID) table a root glob hits versions/ JSON or
+    double-counts pre-GC rewrite files, and a root ``mode("overwrite")``
+    clobbers every committed manifest; on a snapshot table readers only
+    see the committed ``_versions`` tip, so a root write either errors
+    ("Unable to infer schema" — Spark hides the _-prefixed data) or, with
+    autodetect, lands files NO reader will ever return. Fail at the
+    operation with the right tool's name instead (review r12)."""
     from popelines_spark.manifest import is_manifest_table
 
     if is_manifest_table(spark, warehouse, table_name):
         raise ValueError(
             f"{op}: {table_name!r} is a manifest (ACID) table; its files "
-            f"are version-addressed and immutable — use {alternative}"
+            f"are version-addressed and immutable — use {manifest_alt}"
+        )
+    if is_snapshot_table(spark, warehouse, table_name):
+        raise ValueError(
+            f"{op}: {table_name!r} is a snapshot-versioned table; readers "
+            f"only see the committed tip — use {snapshot_alt}"
         )
 
 
@@ -527,8 +546,12 @@ def compact_table(
     doubly."""
     import math
 
-    _refuse_manifest_layout(spark, warehouse, table_name, "compact_table",
-                            "compact_manifest_table")
+    # the snapshot arm matters as much as the manifest one: a recursive
+    # file listing here would sweep EVERY version dir into one flat
+    # rewrite, destroying the committed layout (review r12)
+    _refuse_nonpath_layout(spark, warehouse, table_name, "compact_table",
+                           "compact_manifest_table",
+                           "compact_table_snapshot")
     path = table_path(warehouse, table_name)
     fs, root, jvm = _hadoop_fs(spark, path)
     HPath = jvm.org.apache.hadoop.fs.Path

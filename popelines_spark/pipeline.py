@@ -374,14 +374,20 @@ class Popeline:
         (io.write_table_snapshot). Engine-native extension — the
         reference delegates MERGE to BigQuery via bq_query."""
         from popelines_spark.operators.upsert import upsert
+        from popelines_spark.plans.inspect import checkpoint
 
+        io._refuse_nonpath_layout(
+            self.spark, self.warehouse, table_name, "upsert_table",
+            "manifest_dml.upsert_manifest_table",
+            "write_table_snapshot with the merged frame",
+        )
         target = io.read_table_evolved(self.spark, self.warehouse, table_name)
         merged = upsert(
             target, df, keys, dedup_source_order=dedup_source_order
         )
-        # localCheckpoint: the merged plan reads the files the write is
-        # about to truncate — materialize before overwriting.
-        merged = merged.localCheckpoint(eager=True)
+        # materialize before overwriting: the merged plan reads the files
+        # the write is about to truncate (audited lineage barrier)
+        merged = checkpoint(merged, "upsert_table")
         return io.write_table(
             merged, self.warehouse, table_name, append=False
         )
@@ -397,10 +403,17 @@ class Popeline:
         survive (``NOT (p)`` alone would drop them)."""
         from pyspark.sql import functions as F
 
+        from popelines_spark.plans.inspect import checkpoint
+
+        io._refuse_nonpath_layout(
+            self.spark, self.warehouse, table_name, "delete_rows",
+            "manifest_dml.delete_manifest_rows",
+            "write_table_snapshot with the filtered frame",
+        )
         target = io.read_table_evolved(self.spark, self.warehouse, table_name)
         total = target.count()
         cond = F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
-        kept = target.filter(~cond).localCheckpoint(eager=True)
+        kept = checkpoint(target.filter(~cond), "delete_rows")
         n_kept = kept.count()
         io.write_table(kept, self.warehouse, table_name, append=False)
         return total - n_kept
@@ -417,21 +430,35 @@ class Popeline:
         row, never sequentially."""
         from pyspark.sql import functions as F
 
+        from popelines_spark.plans.inspect import checkpoint
+
+        io._refuse_nonpath_layout(
+            self.spark, self.warehouse, table_name, "update_rows",
+            "manifest_dml.update_manifest_rows",
+            "write_table_snapshot with the updated frame",
+        )
         target = io.read_table_evolved(self.spark, self.warehouse, table_name)
         unknown = set(set_exprs) - set(target.columns)
         if unknown:
             raise ValueError(f"UPDATE of non-existent column(s): {sorted(unknown)}")
         cond = F.expr(predicate)
         n_match = target.filter(cond).count()
+        # cast each SET expression back to the column's DECLARED type:
+        # a type-drifting expression (cnt/2 on a LONG returns DOUBLE)
+        # would silently flip the column's at-rest type under readers —
+        # same BigQuery-UPDATE coercion manifest_dml applies (review r12)
+        types = {f.name: f.dataType for f in target.schema.fields}
         updated = target.select(
             *[
-                F.when(cond, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
+                F.when(
+                    cond, F.expr(set_exprs[c]).cast(types[c])
+                ).otherwise(F.col(c)).alias(c)
                 if c in set_exprs
                 else F.col(c)
                 for c in target.columns
             ]
         )
-        updated = updated.localCheckpoint(eager=True)
+        updated = checkpoint(updated, "update_rows")
         io.write_table(updated, self.warehouse, table_name, append=False)
         return n_match
 
@@ -531,9 +558,10 @@ class Popeline:
         applied layout."""
         from popelines_spark.operators.partitioned import apply_layout
 
-        io._refuse_manifest_layout(
-            self.spark, self.warehouse, table_name,
-            "relayout_table", "compact_manifest_table (then re-ANALYZE)",
+        io._refuse_nonpath_layout(
+            self.spark, self.warehouse, table_name, "relayout_table",
+            "compact_manifest_table (then re-ANALYZE)",
+            "write_table_snapshot with the relaid frame",
         )
         layout = self.suggest_layout(table_name, filter_columns)
         if layout is None:
@@ -599,10 +627,18 @@ class Popeline:
     def copy_and_replace_keys(self, table_name: str, key_callback) -> None:
         """popelines/main.py:288-310 re-grounded: no SQL-text generation —
         read table, deep-rename via struct cast, overwrite in place."""
+        from popelines_spark.plans.inspect import checkpoint
+
+        io._refuse_nonpath_layout(
+            self.spark, self.warehouse, table_name, "copy_and_replace_keys",
+            "manifest_dml + nested.rename_fields on a fresh table",
+            "write_table_snapshot with the renamed frame",
+        )
         df = io.read_table_evolved(self.spark, self.warehouse, table_name)
         renamed = nested.rename_fields(df, key_callback)
-        # Materialize before overwrite (source files are being replaced).
-        renamed.cache()
-        renamed.count()
+        # Materialize before overwrite (source files are being replaced) —
+        # through the audited barrier like every other lineage break; the
+        # cache()/count() it replaces could rebuild evicted partitions
+        # from the already-truncated source (review r12)
+        renamed = checkpoint(renamed, "copy_and_replace_keys")
         io.write_table(renamed, self.warehouse, table_name, append=False)
-        renamed.unpersist()

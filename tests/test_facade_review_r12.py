@@ -1,0 +1,125 @@
+"""Round-12 facade review pins (pipeline.py / io.py layout guards).
+
+The path-layout DML facade (write_table, delete_rows, update_rows,
+upsert_table, copy_and_replace_keys, compact_table, relayout_table) used
+to accept manifest/snapshot tables and silently corrupt them: an
+overwrite clobbered committed versions, an autodetect append landed
+files no snapshot reader returns, and compact_table would sweep every
+version dir into one flat rewrite. Each now refuses with the right
+tool's name. Plus: update_rows casts SET expressions back to the
+column's declared type (same BigQuery-UPDATE coercion manifest_dml
+applies).
+"""
+
+import pytest
+
+from popelines_spark import io
+from popelines_spark.manifest import append_manifest_table
+from popelines_spark.pipeline import Popeline
+
+
+def _manifest_table(spark, scratch, name):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    append_manifest_table(spark, scratch, name, df)
+    return df
+
+
+def _snapshot_table(spark, scratch, name):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    io.write_table_snapshot(spark, scratch, name, df)
+    return df
+
+
+def test_write_table_refuses_manifest_layout(spark, scratch):
+    df = _manifest_table(spark, scratch, "m1")
+    with pytest.raises(ValueError, match="append_manifest_table"):
+        io.write_table(df, scratch, "m1", append=True)
+    with pytest.raises(ValueError, match="manifest"):
+        io.write_table(df, scratch, "m1", append=False)
+
+
+def test_write_table_refuses_snapshot_layout(spark, scratch):
+    df = _snapshot_table(spark, scratch, "s1")
+    # autodetect=True used to append files NO snapshot reader returns
+    with pytest.raises(ValueError, match="append_table_snapshot"):
+        io.write_table(df, scratch, "s1", append=True, autodetect=True)
+    with pytest.raises(ValueError, match="snapshot"):
+        io.write_table(df, scratch, "s1", append=False)
+
+
+def test_facade_dml_refuses_manifest_layout(spark, scratch):
+    _manifest_table(spark, scratch, "m2")
+    p = Popeline(warehouse=scratch, spark=spark)
+    with pytest.raises(ValueError, match="delete_manifest_rows"):
+        p.delete_rows("m2", "id = 1")
+    with pytest.raises(ValueError, match="update_manifest_rows"):
+        p.update_rows("m2", {"id": "id + 1"}, "id = 1")
+    with pytest.raises(ValueError, match="upsert_manifest_table"):
+        p.upsert_table(
+            "m2", spark.createDataFrame([(1, "z")], "id long, v string"), ["id"]
+        )
+    with pytest.raises(ValueError, match="manifest"):
+        p.copy_and_replace_keys("m2", str.upper)
+
+
+def test_facade_dml_refuses_snapshot_layout(spark, scratch):
+    _snapshot_table(spark, scratch, "s2")
+    p = Popeline(warehouse=scratch, spark=spark)
+    with pytest.raises(ValueError, match="snapshot"):
+        p.delete_rows("s2", "id = 1")
+    with pytest.raises(ValueError, match="snapshot"):
+        p.update_rows("s2", {"id": "id + 1"}, "id = 1")
+
+
+def test_compact_table_refuses_snapshot_layout(spark, scratch):
+    _snapshot_table(spark, scratch, "s3")
+    # used to flat-rewrite every version dir, destroying the layout
+    with pytest.raises(ValueError, match="compact_table_snapshot"):
+        io.compact_table(spark, scratch, "s3")
+
+
+def test_relayout_table_refuses_snapshot_layout(spark, scratch):
+    _snapshot_table(spark, scratch, "s4")
+    p = Popeline(warehouse=scratch, spark=spark)
+    with pytest.raises(ValueError, match="snapshot"):
+        p.relayout_table("s4", ["id"])
+
+
+def test_path_table_writes_still_work(spark, scratch):
+    """The guard must not tax the plain layout: append + overwrite on a
+    path table are unchanged."""
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    io.write_table(df, scratch, "p1", append=False)
+    io.write_table(df, scratch, "p1", append=True)
+    assert io.read_table_evolved(spark, scratch, "p1").count() == 2
+
+
+def test_update_rows_casts_set_expressions_to_declared_type(spark, scratch):
+    """'cnt/2' on a LONG column returns DOUBLE in Spark SQL; the UPDATE
+    must coerce back to LONG so the column's at-rest type never drifts
+    under readers (mirrors manifest_dml's review-r12 fix)."""
+    df = spark.createDataFrame([(1, 10), (2, 11)], "id long, cnt long")
+    io.write_table(df, scratch, "u1", append=False)
+    p = Popeline(warehouse=scratch, spark=spark)
+    n = p.update_rows("u1", {"cnt": "cnt / 2"}, "id = 1")
+    assert n == 1
+    out = io.read_table_evolved(spark, scratch, "u1")
+    assert dict(out.dtypes)["cnt"] == "bigint"
+    got = {r["id"]: r["cnt"] for r in out.collect()}
+    assert got == {1: 5, 2: 11}
+
+
+def test_delete_rows_null_predicate_rows_survive(spark, scratch):
+    """SQL DELETE semantics through the audited-checkpoint path: rows
+    where the predicate is NULL survive, and the deleted count is
+    exact."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 3)], "id long, cnt long"
+    )
+    io.write_table(df, scratch, "d1", append=False)
+    p = Popeline(warehouse=scratch, spark=spark)
+    n = p.delete_rows("d1", "cnt > 5")
+    assert n == 1
+    assert sorted(
+        r["id"] for r in io.read_table_evolved(spark, scratch, "d1").collect()
+    ) == [2, 3]
