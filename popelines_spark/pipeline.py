@@ -69,11 +69,69 @@ class Popeline:
         opts into Hive-style directory partitioning (the engine-native
         analog of BigQuery's server-side partitioning; an extension, not a
         reference parameter). ``update_stats`` keeps ``_stats.json``
-        current across appends in O(batch) (io.update_stats_increment)."""
+        current across appends in O(batch) (io.update_stats_increment).
+
+        LAYOUT-TRANSPARENT (review r12): the reference's write_to_bq
+        appends regardless of how the table is stored server-side, so
+        appends here route by the live layout — manifest (ACID) tables
+        get an O(batch) manifest commit, snapshot tables a new committed
+        version, path tables the plain parquet append. Truncate on a
+        snapshot table becomes write_table_snapshot (the reader-isolated
+        replace); truncate on a manifest table stays a loud refusal
+        (an ACID truncate is delete_manifest_rows('true') — an explicit,
+        changefeed-visible choice the facade won't make silently).
+        Knobs a versioned layout cannot honor (partition_by,
+        update_stats, ignore_unknown_values, autodetect) raise rather
+        than silently no-op — both versioned appends already do the same
+        add-only evolution as the default path write."""
         if df is None:
             if file_name is None:
                 raise ValueError("need file_name or df")
             df = io.read_ndjson(self.spark, file_name)
+        from popelines_spark.manifest import (
+            append_manifest_table,
+            is_manifest_table,
+        )
+
+        layout = "path"
+        if is_manifest_table(self.spark, self.warehouse, table_name):
+            layout = "manifest"
+        elif io.is_snapshot_table(self.spark, self.warehouse, table_name):
+            layout = "snapshot"
+        if layout != "path":
+            unsupported = {
+                "partition_by": partition_by,
+                "update_stats": update_stats,
+                "ignore_unknown_values": ignore_unknown_values,
+                "schema_autodetect": schema_autodetect,
+            }
+            bad = [k for k, v in unsupported.items() if v]
+            if bad:
+                raise ValueError(
+                    f"write_to_table: {bad} not supported on the {layout} "
+                    f"layout of {table_name!r} — versioned appends always "
+                    "use add-only evolution and layout-native stats"
+                )
+        if layout == "manifest":
+            if not append:
+                raise ValueError(
+                    f"write_to_table: truncate on manifest table "
+                    f"{table_name!r} must be explicit — use "
+                    "manifest_dml.delete_manifest_rows(predicate='true') "
+                    "then append"
+                )
+            append_manifest_table(self.spark, self.warehouse, table_name, df)
+            return io.table_path(self.warehouse, table_name)
+        if layout == "snapshot":
+            if append:
+                io.append_table_snapshot(
+                    self.spark, self.warehouse, table_name, df
+                )
+            else:
+                io.write_table_snapshot(
+                    self.spark, self.warehouse, table_name, df
+                )
+            return io.table_path(self.warehouse, table_name)
         return io.write_table(
             df,
             self.warehouse,

@@ -109,6 +109,62 @@ def test_update_rows_casts_set_expressions_to_declared_type(spark, scratch):
     assert got == {1: 5, 2: 11}
 
 
+def test_write_to_table_appends_route_by_layout(spark, scratch):
+    """The reference's write_to_bq appends regardless of server-side
+    storage; the facade append must work on all three layouts."""
+    from popelines_spark.manifest import read_manifest_table
+
+    p = Popeline(warehouse=scratch, spark=spark)
+    batch = spark.createDataFrame([(3, "c")], "id long, v string")
+
+    _manifest_table(spark, scratch, "wm")
+    p.write_to_table("wm", df=batch, append=True)
+    assert read_manifest_table(spark, scratch, "wm").count() == 3
+
+    _snapshot_table(spark, scratch, "ws")
+    p.write_to_table("ws", df=batch, append=True)
+    assert io.read_table_snapshot(spark, scratch, "ws").count() == 3
+
+    p.write_to_table("wp", df=batch, append=True)  # first write, path
+    p.write_to_table("wp", df=batch, append=True)
+    assert io.read_table_evolved(spark, scratch, "wp").count() == 2
+
+
+def test_write_to_table_truncate_on_snapshot_is_reader_isolated(spark, scratch):
+    """Truncate on a snapshot table = a NEW committed version; a reader
+    pinned to the old version still sees the old rows."""
+    _snapshot_table(spark, scratch, "wt")  # v1: 2 rows
+    p = Popeline(warehouse=scratch, spark=spark)
+    p.write_to_table(
+        "wt",
+        df=spark.createDataFrame([(9, "z")], "id long, v string"),
+        append=False,
+    )
+    assert io.read_table_snapshot(spark, scratch, "wt").count() == 1
+    assert io.read_table_snapshot(spark, scratch, "wt", version=1).count() == 2
+
+
+def test_write_to_table_truncate_on_manifest_refuses(spark, scratch):
+    _manifest_table(spark, scratch, "wr")
+    p = Popeline(warehouse=scratch, spark=spark)
+    with pytest.raises(ValueError, match="delete_manifest_rows"):
+        p.write_to_table(
+            "wr",
+            df=spark.createDataFrame([(9, "z")], "id long, v string"),
+            append=False,
+        )
+
+
+def test_write_to_table_versioned_layouts_refuse_path_only_knobs(spark, scratch):
+    _manifest_table(spark, scratch, "wk")
+    p = Popeline(warehouse=scratch, spark=spark)
+    batch = spark.createDataFrame([(3, "c")], "id long, v string")
+    with pytest.raises(ValueError, match="partition_by"):
+        p.write_to_table("wk", df=batch, append=True, partition_by=["v"])
+    with pytest.raises(ValueError, match="update_stats"):
+        p.write_to_table("wk", df=batch, append=True, update_stats=True)
+
+
 def test_delete_rows_null_predicate_rows_survive(spark, scratch):
     """SQL DELETE semantics through the audited-checkpoint path: rows
     where the predicate is NULL survive, and the deleted count is
