@@ -1158,6 +1158,17 @@ def _stale_reservation_sec() -> float:
     )
 
 
+def _snapshot_crash_point(name: str) -> None:
+    """Fault injection for the snapshot-layout crash drills
+    (tests/test_snapshot_chaos.py) — same contract as
+    manifest._crash_point: when the environment names this point, die
+    the way a SIGKILL'd writer dies (``os._exit``, no finally blocks),
+    so the on-disk debris is exactly what real code produces up to that
+    instant. Production cost: one env lookup against an unset var."""
+    if os.environ.get("POPELINES_SNAPSHOT_CRASH_POINT") == name:
+        os._exit(42)
+
+
 def _reserved_versions(fs, root, jvm) -> list[tuple[int, float]]:
     """Outstanding ``v*.__reserved`` markers under the versions dir as
     ``(version, age_seconds)`` pairs — the in-flight half of the commit
@@ -1255,8 +1266,11 @@ def write_table_snapshot(
                     f"collisions under {root} — stale .__reserved files?"
                 ) from exc
             version += 1
+    _snapshot_crash_point("after_reserve")  # debris: bare .__reserved
     out = df.repartition(n_files) if n_files else df
     out.write.mode("overwrite").parquet(vpath)
+    # debris: .__reserved + a torn data dir with no _COMMITTED marker
+    _snapshot_crash_point("after_data_write")
     _flip_snapshot_commit(fs, vpath, reserved, jvm)
     return version
 
@@ -1286,6 +1300,8 @@ def _flip_snapshot_commit(fs, vpath: str, reserved, jvm) -> None:
         )
     # visibility flip: one atomic object creation
     fs.create(HPath(vpath + "/" + _COMMIT_MARKER), False).close()
+    # debris: a COMMITTED version whose .__reserved was never deleted
+    _snapshot_crash_point("after_flip")
     fs.delete(reserved, False)
 
 
@@ -1470,3 +1486,85 @@ def compact_table_snapshot(
     )
     n_after, _ = _parquet_files(newp)
     return n_before, n_after
+
+
+def vacuum_snapshot_debris(
+    spark: SparkSession,
+    warehouse: str,
+    table_name: str,
+    horizon_sec: float | None = None,
+) -> dict:
+    """Remove crash debris from a snapshot table's ``_versions`` dir.
+
+    Compaction's retention GC only deletes old COMMITTED versions; a
+    writer that died mid-commit leaves debris no other path reclaims:
+
+    - a bare ``.__reserved`` marker (died before/while writing data);
+    - a TORN data dir — files but no ``_COMMITTED`` marker (died before
+      the flip);
+    - a committed version still holding its ``.__reserved`` (died
+      between the flip and the marker delete — the version itself is
+      fine, only the marker is debris).
+
+    Safety rules, in order of strength:
+    - an uncommitted dir with NO reservation can never become visible
+      (the flip is lease-checked against the reservation,
+      ``_flip_snapshot_commit``), so it is deleted at ANY age;
+    - a reservation (and its torn dir) is only touched once its age
+      passes ``horizon_sec`` (default: the staleness horizon) — the
+      same presumed-dead lease compaction's rebase check applies. A
+      live-but-slow writer whose marker we break retracts at its flip
+      and retries; it never half-commits.
+
+    Returns ``{"markers": [...], "torn_dirs": [...], "orphan_dirs":
+    [...]}`` — the version ids cleaned per class. Idempotent; safe to
+    run on a live table (the worst case is making a slow writer retry,
+    identical to compaction's presumed-dead rule)."""
+    fs, root, jvm = _hadoop_fs(spark, table_path(warehouse, table_name))
+    HPath = jvm.org.apache.hadoop.fs.Path
+    horizon = (
+        _stale_reservation_sec() if horizon_sec is None else float(horizon_sec)
+    )
+    committed = set(_committed_versions(fs, root, jvm))
+    out: dict[str, list[int]] = {"markers": [], "torn_dirs": [], "orphan_dirs": []}
+    reserved = {v: age for v, age in _reserved_versions(fs, root, jvm)}
+    for v, age in reserved.items():
+        marker = HPath(
+            snapshot_version_path(warehouse, table_name, v) + ".__reserved"
+        )
+        if v in committed:
+            # the flip already happened; the writer's only remaining act
+            # was this delete — pure debris at ANY age
+            fs.delete(marker, False)
+            out["markers"].append(v)
+            continue
+        if age < horizon:
+            continue  # maybe a live writer — leave the lease alone
+        fs.delete(marker, False)
+        out["markers"].append(v)
+        dirp = HPath(snapshot_version_path(warehouse, table_name, v))
+        if fs.exists(dirp):
+            fs.delete(dirp, True)
+            out["torn_dirs"].append(v)
+    # orphan dirs: uncommitted, reservation already gone (broken by a
+    # compaction rebase or a prior vacuum) — unreachable at any age
+    vroot = HPath(root.toString() + "/" + _VERSIONS_DIR)
+    if fs.exists(vroot):
+        for st in fs.listStatus(vroot):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("v")):
+                continue
+            try:
+                v = int(name[1:])
+            except ValueError:
+                continue
+            if v in committed or v in reserved or v in out["torn_dirs"]:
+                continue
+            # re-check AT DELETE TIME: a writer that reserved after our
+            # scan (reservations always precede data dirs) must not have
+            # its live dir swept as an orphan
+            if fs.exists(HPath(st.getPath().toString() + ".__reserved")):
+                continue
+            fs.delete(st.getPath(), True)
+            out["orphan_dirs"].append(v)
+    return out

@@ -1,0 +1,180 @@
+"""Snapshot-layout crash drills on REAL debris (io._snapshot_crash_point).
+
+A subprocess writer is killed (``os._exit`` — SIGKILL semantics, no
+Python/JVM cleanup) at each fault point of the snapshot commit path:
+
+- ``after_reserve``   → bare ``.__reserved`` marker;
+- ``after_data_write``→ marker + a TORN data dir without ``_COMMITTED``;
+- ``after_flip``      → a committed version still holding its marker.
+
+Pinned invariants over that debris:
+- readers only ever see committed versions (torn dirs invisible);
+- the idempotent retry client (``incremental_append`` — the watermark
+  filter makes a replay of a secretly-committed batch a no-op) converges
+  to exactly-once for every fault point;
+- ``vacuum_snapshot_debris`` reclaims each debris class under its
+  safety rules (presumed-dead horizon for reservations, any-age for
+  unreachable dirs) and never touches live versions.
+
+The unit pins in test_snapshot_tables.py fabricate this debris by hand;
+these prove the real code path produces exactly the debris those rules
+were written for.
+"""
+
+import os
+import subprocess
+import sys
+import time
+
+from popelines_spark import io
+
+CHILD = """
+import os, sys
+from popelines_spark.session import get_spark
+from popelines_spark.incremental import incremental_append
+from popelines_spark.io import write_table_snapshot
+wh, b = sys.argv[1], int(sys.argv[2])
+spark = get_spark(app_name="snap_chaos_child", cpus=2, shuffle_partitions=2)
+spark.sparkContext.setLogLevel("ERROR")
+batch = spark.range(b * 100, (b + 1) * 100).selectExpr(
+    "id", "CAST(id AS timestamp) AS ts", "%d AS batch" % b)
+if b == 0:
+    # seed the SNAPSHOT layout explicitly: incremental_append on an
+    # empty table would create a plain path table and the drill would
+    # silently test the wrong protocol
+    write_table_snapshot(spark, wh, "t", batch)
+else:
+    incremental_append(batch, wh, "t", "ts")
+os._exit(0)
+"""
+
+FAULTS = ("after_reserve", "after_data_write", "after_flip")
+
+
+def _run_batch(scratch, b, crash_point=None):
+    env = dict(os.environ)
+    env.pop("POPELINES_SNAPSHOT_CRASH_POINT", None)
+    if crash_point:
+        env["POPELINES_SNAPSHOT_CRASH_POINT"] = crash_point
+    p = subprocess.run(
+        [sys.executable, "-c", CHILD, scratch, str(b)],
+        env=env, capture_output=True, timeout=600,
+    )
+    want = 42 if crash_point else 0
+    assert p.returncode == want, (
+        crash_point, p.returncode, p.stderr.decode()[-2000:],
+    )
+
+
+def _versions_dir(scratch):
+    return os.path.join(scratch, "t", "_versions")
+
+
+def _age_markers(scratch, sec=7200):
+    past = time.time() - sec
+    for name in os.listdir(_versions_dir(scratch)):
+        if name.endswith(".__reserved"):
+            p = os.path.join(_versions_dir(scratch), name)
+            os.utime(p, (past, past))
+
+
+def test_snapshot_chaos_retry_converges_exactly_once(spark, scratch):
+    """Drive 7 batches; batches 1/3/5 die at the three fault points and
+    are blindly re-run by the client. Quiesce: every batch's rows
+    present exactly once, and the debris classes are exactly as
+    documented."""
+    # seed (batch 0) + alternating crash/clean batches
+    _run_batch(scratch, 0)
+    for b, fault in ((1, "after_reserve"), (2, None),
+                     (3, "after_data_write"), (4, None),
+                     (5, "after_flip"), (6, None)):
+        if fault:
+            _run_batch(scratch, b, crash_point=fault)
+            # the client's blind retry of the dead batch
+            _run_batch(scratch, b)
+        else:
+            _run_batch(scratch, b)
+
+    live = io.read_table_snapshot(spark, scratch, "t")
+    assert live.count() == 7 * 100
+    per_batch = {
+        r["batch"]: r["n"]
+        for r in live.groupBy("batch").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert per_batch == {b: 100 for b in range(7)}, per_batch
+
+    # debris audit: the three fault points left exactly their classes
+    names = set(os.listdir(_versions_dir(scratch)))
+    markers = {n for n in names if n.endswith(".__reserved")}
+    torn = {
+        n for n in names
+        if n.startswith("v") and "." not in n
+        and not os.path.exists(
+            os.path.join(_versions_dir(scratch), n, "_COMMITTED")
+        )
+    }
+    assert markers, "crash points left no reservation debris?"
+    assert torn, "after_data_write left no torn dir?"
+
+    # vacuum under the presumed-dead horizon: age the markers past it,
+    # then everything reclaims and the live rows are untouched
+    _age_markers(scratch)
+    cleaned = io.vacuum_snapshot_debris(spark, scratch, "t")
+    assert cleaned["markers"] and cleaned["torn_dirs"]
+    names = set(os.listdir(_versions_dir(scratch)))
+    assert not any(n.endswith(".__reserved") for n in names)
+    for n in names:
+        assert os.path.exists(
+            os.path.join(_versions_dir(scratch), n, "_COMMITTED")
+        ), f"uncommitted dir {n} survived vacuum"
+    assert io.read_table_snapshot(spark, scratch, "t").count() == 7 * 100
+
+
+def test_vacuum_respects_live_writer_lease(spark, scratch):
+    """A FRESH reservation (and its torn dir) is a maybe-live writer:
+    vacuum must leave both alone until the horizon passes. A committed
+    version's leftover marker is debris at any age."""
+    _run_batch(scratch, 0)
+    _run_batch(scratch, 1, crash_point="after_data_write")  # fresh torn
+    _run_batch(scratch, 2, crash_point="after_flip")  # committed+marker
+    before = set(os.listdir(_versions_dir(scratch)))
+    cleaned = io.vacuum_snapshot_debris(spark, scratch, "t")
+    # the after_flip marker goes (any age); the fresh torn write stays
+    assert cleaned["markers"] and not cleaned["torn_dirs"]
+    assert not cleaned["orphan_dirs"]
+    after = set(os.listdir(_versions_dir(scratch)))
+    removed = {n for n in before - after if not n.endswith(".crc")}
+    assert removed == {
+        n for n in removed if n.endswith(".__reserved")
+    }, removed
+    torn_dirs = [
+        n for n in after
+        if n.startswith("v") and "." not in n
+        and not os.path.exists(
+            os.path.join(_versions_dir(scratch), n, "_COMMITTED")
+        )
+    ]
+    assert torn_dirs, "fresh torn dir must survive until the horizon"
+    # past the horizon it reclaims
+    _age_markers(scratch)
+    cleaned = io.vacuum_snapshot_debris(spark, scratch, "t")
+    assert cleaned["torn_dirs"]
+
+
+def test_torn_dirs_never_visible_and_table_stays_writable(spark, scratch):
+    """After every fault the table reads ONLY committed rows and accepts
+    the next write without any manual repair."""
+    _run_batch(scratch, 0)
+    for fault in FAULTS:
+        _run_batch(scratch, 90 + FAULTS.index(fault), crash_point=fault)
+        live = io.read_table_snapshot(spark, scratch, "t")
+        # every visible row belongs to a fully-committed batch
+        assert live.count() % 100 == 0
+    # next clean write lands fine over all that debris
+    _run_batch(scratch, 99)
+    assert (
+        io.read_table_snapshot(spark, scratch, "t")
+        .filter("batch = 99").count() == 100
+    )
