@@ -527,6 +527,38 @@ class Popeline:
             self.spark, self.warehouse, table_name, target_file_bytes
         )
 
+    def vacuum_table(self, table_name: str, horizon_sec: float | None = None):
+        """Reclaim crash debris, routed by the table's layout (the
+        maintenance sibling of the layout-transparent write path):
+        manifest tables sweep data files no committed manifest
+        references (manifest.cleanup_orphan_files — returns the file
+        count), snapshot tables sweep torn/orphaned version dirs and
+        stale reservations (io.vacuum_snapshot_debris — returns the
+        per-class dict), path tables have no commit protocol and
+        therefore no debris (returns None). ``horizon_sec`` overrides
+        the presumed-dead lease in both versioned layouts; keep it
+        above the longest in-flight write."""
+        from popelines_spark.manifest import (
+            cleanup_orphan_files,
+            is_manifest_table,
+        )
+
+        if is_manifest_table(self.spark, self.warehouse, table_name):
+            kwargs = (
+                {"reservation_timeout_sec": float(horizon_sec)}
+                if horizon_sec is not None
+                else {}
+            )
+            return cleanup_orphan_files(
+                self.spark, self.warehouse, table_name, **kwargs
+            )
+        if io.is_snapshot_table(self.spark, self.warehouse, table_name):
+            return io.vacuum_snapshot_debris(
+                self.spark, self.warehouse, table_name,
+                horizon_sec=horizon_sec,
+            )
+        return None
+
     def analyze_table(
         self, table_name: str, key_columns: list[str] | None = None
     ) -> dict:

@@ -165,6 +165,35 @@ def test_write_to_table_versioned_layouts_refuse_path_only_knobs(spark, scratch)
         p.write_to_table("wk", df=batch, append=True, update_stats=True)
 
 
+def test_vacuum_table_routes_by_layout(spark, scratch):
+    """The facade's maintenance vacuum routes like the write path:
+    snapshot debris through vacuum_snapshot_debris, manifest orphans
+    through cleanup_orphan_files, path tables are a no-op None."""
+    import os
+    import time
+
+    p = Popeline(warehouse=scratch, spark=spark)
+
+    _snapshot_table(spark, scratch, "vs")
+    # fabricate after_flip debris: a committed version's leftover marker
+    vdir = os.path.join(scratch, "vs", "_versions")
+    marker = os.path.join(vdir, "v00000001.__reserved")
+    open(marker, "w").close()
+    past = time.time() - 7200
+    os.utime(marker, (past, past))
+    cleaned = p.vacuum_table("vs")
+    assert cleaned["markers"] == [1]
+
+    _manifest_table(spark, scratch, "vm")
+    assert p.vacuum_table("vm") == 0  # no orphans on a healthy table
+
+    io.write_table(
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        scratch, "vp", append=False,
+    )
+    assert p.vacuum_table("vp") is None
+
+
 def test_delete_rows_null_predicate_rows_survive(spark, scratch):
     """SQL DELETE semantics through the audited-checkpoint path: rows
     where the predicate is NULL survive, and the deleted count is
