@@ -163,6 +163,98 @@ def test_vacuum_respects_live_writer_lease(spark, scratch):
     assert cleaned["torn_dirs"]
 
 
+APPENDER = """
+import os, sys
+from popelines_spark.session import get_spark
+from popelines_spark.incremental import incremental_append
+wh, n = sys.argv[1], int(sys.argv[2])
+spark = get_spark(app_name="snap_race_appender", cpus=2, shuffle_partitions=2)
+spark.sparkContext.setLogLevel("ERROR")
+for b in range(1, n + 1):
+    batch = spark.range(b * 100, (b + 1) * 100).selectExpr(
+        "id", "CAST(id AS timestamp) AS ts", "%d AS batch" % b)
+    # the documented client contract: a writer whose lease was broken
+    # (or whose base was superseded) retracts and RETRIES; the watermark
+    # filter makes a replay of a secretly-committed batch a no-op
+    for attempt in range(20):
+        try:
+            incremental_append(batch, wh, "t", "ts")
+            break
+        except Exception:
+            pass
+    else:
+        os._exit(3)
+os._exit(0)
+"""
+
+COMPACTOR = """
+import os, sys, time
+from popelines_spark.session import get_spark
+from popelines_spark.io import (
+    compact_table_snapshot, ConcurrentSnapshotWriteError)
+wh, stop_flag = sys.argv[1], sys.argv[2]
+spark = get_spark(app_name="snap_race_compactor", cpus=2,
+                  shuffle_partitions=2)
+spark.sparkContext.setLogLevel("ERROR")
+retracts = commits = 0
+while not os.path.exists(stop_flag):
+    try:
+        compact_table_snapshot(spark, wh, "t", keep_versions=3)
+        commits += 1
+    except ConcurrentSnapshotWriteError:
+        retracts += 1  # lost the race to the appender: by design
+    except FileNotFoundError:
+        pass
+    time.sleep(0.1)
+print("RESULT compactor commits=%d retracts=%d" % (commits, retracts))
+os._exit(0)
+"""
+
+
+def test_append_vs_compaction_race_loses_no_batch(spark, scratch):
+    """The snapshot layout's supported concurrency: ONE appender racing
+    a compaction loop (plus retention GC at keep_versions=3). The
+    rebase/retract protocol must lose no appended batch: a compaction
+    that raced an in-flight append retracts itself and retries; an
+    append whose lease broke retracts and the client retries. Quiesce:
+    every batch present exactly once in the live view."""
+    import subprocess as sp
+
+    _run_batch(scratch, 0)  # seed the snapshot layout
+    stop_flag = os.path.join(scratch, "stop")
+    n_batches = 8
+    compactor = sp.Popen(
+        [sys.executable, "-c", COMPACTOR, scratch, stop_flag],
+        stdout=sp.PIPE, stderr=sp.PIPE,
+    )
+    try:
+        appender = sp.run(
+            [sys.executable, "-c", APPENDER, scratch, str(n_batches)],
+            capture_output=True, timeout=900,
+        )
+        assert appender.returncode == 0, appender.stderr.decode()[-2000:]
+    finally:
+        open(stop_flag, "w").close()
+        out, err = compactor.communicate(timeout=600)
+    assert compactor.returncode == 0, err.decode()[-2000:]
+    # the drill is vacuous unless the compactor actually ran loops
+    result = [
+        l for l in out.decode().splitlines() if l.startswith("RESULT")
+    ]
+    assert result, out.decode()[-500:]
+    commits = int(result[0].split("commits=")[1].split()[0])
+    assert commits >= 1, result[0]
+
+    live = io.read_table_snapshot(spark, scratch, "t")
+    assert live.count() == (n_batches + 1) * 100
+    per_batch = {
+        r["batch"]: r["n"]
+        for r in live.groupBy("batch").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert per_batch == {b: 100 for b in range(n_batches + 1)}, per_batch
+
+
 def test_torn_dirs_never_visible_and_table_stays_writable(spark, scratch):
     """After every fault the table reads ONLY committed rows and accepts
     the next write without any manual repair."""
