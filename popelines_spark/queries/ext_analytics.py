@@ -19,6 +19,7 @@ from pyspark.sql.window import Window as W
 
 from popelines_spark.llm import rank
 from popelines_spark.operators import eventseq, zorder
+from popelines_spark.plans.inspect import checkpoint
 from popelines_spark.registry import query
 from popelines_spark.queries._util import T
 
@@ -609,7 +610,10 @@ def c_dq_checks(spark, sf_dir):
         .cast("long")
         .alias("rng"),
         F.count_if(F.col("o_orderdate").isNull()).cast("long").alias("dn"),
-    ).localCheckpoint(eager=False)  # one scan feeds three output branches
+    )
+    scalars = checkpoint(  # one scan feeds three output branches
+        scalars, "dq_checks scalars", eager=False
+    )
     dups = (
         o.groupBy("o_orderkey")
         .agg(F.count("*").alias("n"))

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from popelines_spark.plans.inspect import checkpoint
 from popelines_spark.registry import query
 from popelines_spark.queries._util import T, dsum, sql_dsum
 
@@ -542,7 +543,8 @@ def c_ivf_cells_scale(spark, sf_dir):
         (F.col("flat_cell") == F.col("full_cell")).alias("__exact"),
         (F.col("flat_cell") == F.col("approx_cell")).cast("int")
         .alias("__hit"),
-    ).localCheckpoint(eager=False)
+    )
+    per_row = checkpoint(per_row, "ivf two-level per_row", eager=False)
     agg = per_row.agg(
         F.min("__exact").alias("exact_match_ok"),
         (F.avg("__hit") >= 0.5).alias("approx_floor_ok"),

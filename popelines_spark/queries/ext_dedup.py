@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from popelines_spark.llm import dedup as D
+from popelines_spark.plans.inspect import checkpoint
 from popelines_spark.registry import query
 from popelines_spark.queries._util import T
 
@@ -116,8 +117,8 @@ def _planted_invariant(spark, sf_dir, pairs, near_threshold: float):
             F.coalesce("__e", F.lit(False)).alias("exact_copy_found"),
             F.coalesce("__n", F.lit(False)).alias("__near_found"),
         )
-        .localCheckpoint(eager=False)
     )
+    per_doc = checkpoint(per_doc, "dedup recall per_doc", eager=False)
     near_ok = per_doc.agg(
         (F.avg(F.col("__near_found").cast("double")) >= near_threshold).alias(
             "near_recall_ok"
@@ -262,8 +263,8 @@ def c_dedup_embedding(spark, sf_dir):
         .select(
             "vec_id", F.coalesce("__found", F.lit(False)).alias("__found")
         )
-        .localCheckpoint(eager=False)
     )
+    per_vec = checkpoint(per_vec, "embedding recall per_vec", eager=False)
     ok = per_vec.agg(
         (F.avg(F.col("__found").cast("double")) >= 0.6).alias(
             "planted_recall_ok"

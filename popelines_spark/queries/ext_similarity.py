@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from popelines_spark.llm import similarity as S
-from popelines_spark.plans.inspect import audit_side_plan
+from popelines_spark.plans.inspect import audit_side_plan, checkpoint
 from popelines_spark.registry import query
 from popelines_spark.queries._util import T
 
@@ -99,10 +99,16 @@ def _mean_recall_invariant(
     # per_q feeds the mean aggregate AND the final projection — the lazy
     # checkpoint keeps the approx pipeline from executing once per
     # consumer (it is |queries| rows; the probe upstream is the real cost).
-    per_q = queries.select("q_id").join(hits, "q_id", "left").select(
-        "q_id",
-        (F.coalesce(F.col("__hits"), F.lit(0)) / float(k)).alias("__recall"),
-    ).localCheckpoint(eager=False)
+    per_q = checkpoint(
+        queries.select("q_id").join(hits, "q_id", "left").select(
+            "q_id",
+            (F.coalesce(F.col("__hits"), F.lit(0)) / float(k)).alias(
+                "__recall"
+            ),
+        ),
+        "knn recall per_q",
+        eager=False,
+    )
     mean_ok = per_q.agg(
         (F.avg("__recall") >= threshold).alias("mean_recall_ok")
     )
@@ -237,8 +243,8 @@ def c_knn_ivf_scale(spark, sf_dir):
                 <= 6.0 * F.col("__N") * n_probe / n_cells
             ).alias("__bok"),
         )
-        .localCheckpoint(eager=False)
     )
+    per_q = checkpoint(per_q, "ivf probe per_q", eager=False)
     chance = n_probe / n_cells
     agg = per_q.agg(
         F.min("__bok").alias("probe_bounded_ok"),
