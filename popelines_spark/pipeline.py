@@ -63,6 +63,7 @@ class Popeline:
         schema_autodetect: bool = False,
         partition_by: list[str] | str | None = None,
         update_stats: bool = False,
+        batch_id: str | int | None = None,
     ) -> str:
         """popelines/main.py:100-155 — load NDJSON (or a DataFrame) into a
         table with append/truncate + add-only evolution. ``partition_by``
@@ -83,7 +84,13 @@ class Popeline:
         Knobs a versioned layout cannot honor (partition_by,
         update_stats, ignore_unknown_values, autodetect) raise rather
         than silently no-op — both versioned appends already do the same
-        add-only evolution as the default path write."""
+        add-only evolution as the default path write.
+
+        ``batch_id`` (manifest layout only) makes the append IDEMPOTENT:
+        re-running a load that already committed this id is a no-op —
+        the exactly-once contract a retried ingestion job needs
+        (manifest.append_manifest_table). Layouts without a commit log
+        to record the id against refuse it."""
         if df is None:
             if file_name is None:
                 raise ValueError("need file_name or df")
@@ -112,6 +119,12 @@ class Popeline:
                     f"layout of {table_name!r} — versioned appends always "
                     "use add-only evolution and layout-native stats"
                 )
+        if layout != "manifest" and batch_id is not None:
+            raise ValueError(
+                f"write_to_table: batch_id needs a commit log to record "
+                f"the id against — {table_name!r} has the {layout} "
+                "layout (manifest tables only)"
+            )
         if layout == "manifest":
             if not append:
                 raise ValueError(
@@ -120,7 +133,10 @@ class Popeline:
                     "manifest_dml.delete_manifest_rows(predicate='true') "
                     "then append"
                 )
-            append_manifest_table(self.spark, self.warehouse, table_name, df)
+            append_manifest_table(
+                self.spark, self.warehouse, table_name, df,
+                batch_id=batch_id,
+            )
             return io.table_path(self.warehouse, table_name)
         if layout == "snapshot":
             if append:

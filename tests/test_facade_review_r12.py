@@ -165,6 +165,24 @@ def test_write_to_table_versioned_layouts_refuse_path_only_knobs(spark, scratch)
         p.write_to_table("wk", df=batch, append=True, update_stats=True)
 
 
+def test_write_to_table_batch_id_is_idempotent_on_manifest(spark, scratch):
+    """batch_id through the facade: replaying a committed load is a
+    no-op (exactly-once for retried ingestion jobs); layouts without a
+    commit log refuse the knob."""
+    from popelines_spark.manifest import read_manifest_table
+
+    _manifest_table(spark, scratch, "bi")
+    p = Popeline(warehouse=scratch, spark=spark)
+    batch = spark.createDataFrame([(7, "g")], "id long, v string")
+    p.write_to_table("bi", df=batch, append=True, batch_id="load-1")
+    p.write_to_table("bi", df=batch, append=True, batch_id="load-1")
+    assert read_manifest_table(spark, scratch, "bi").count() == 3
+
+    io.write_table(batch, scratch, "bp", append=False)
+    with pytest.raises(ValueError, match="batch_id"):
+        p.write_to_table("bp", df=batch, append=True, batch_id="load-1")
+
+
 def test_vacuum_table_routes_by_layout(spark, scratch):
     """The facade's maintenance vacuum routes like the write path:
     snapshot debris through vacuum_snapshot_debris, manifest orphans
