@@ -1327,7 +1327,14 @@ def append_table_snapshot(
     reservation: two RACING appends would both base on the same parent
     and the later commit would omit the earlier's rows. Concurrent
     appenders belong on the manifest layout
-    (manifest.append_manifest_table), which rebases and heals."""
+    (manifest.append_manifest_table), which rebases and heals.
+
+    COST: O(table) data written per append — each version dir is
+    self-contained (that is what makes reads a plain ``spark.read`` of
+    one directory and retention GC a directory delete). Right for
+    replace-mostly / append-rarely tables; a frequently-appended large
+    table belongs on the manifest layout, whose appends write O(batch)
+    and carry parent files by reference."""
     try:
         current = read_table_snapshot(spark, warehouse, table_name)
     except FileNotFoundError:

@@ -76,7 +76,9 @@ class Popeline:
         appends regardless of how the table is stored server-side, so
         appends here route by the live layout — manifest (ACID) tables
         get an O(batch) manifest commit, snapshot tables a new committed
-        version, path tables the plain parquet append. Truncate on a
+        version (O(table) per append — version dirs are self-contained;
+        put frequently-appended large tables on the manifest layout),
+        path tables the plain parquet append. Truncate on a
         snapshot table becomes write_table_snapshot (the reader-isolated
         replace); truncate on a manifest table stays a loud refusal
         (an ACID truncate is delete_manifest_rows('true') — an explicit,
