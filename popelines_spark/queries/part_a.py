@@ -6,6 +6,9 @@ are API-level; the entries here exercise the composite pipelines
 
  - a_load_evolve:      write_to_bq append + ALLOW_FIELD_ADDITION
                        (popelines/main.py:100-155) through Popeline.
+ - a_load_layouts:     the same write_to_table call shape appending to
+                       manifest/snapshot/path layouts, with exactly-once
+                       batch_id on the manifest (round-12 facade).
  - a_chunk_dates:      chunk_date_range exact port (popelines/main.py:208-223).
  - a_fix_values:       fix_json_values callback contract
                        (popelines/main.py:264-286), driver-side at the API
@@ -31,6 +34,16 @@ from popelines_spark.queries._util import T
 _SCRATCH = "/tmp/popelines_spark_scratch"
 
 
+def _fresh(name: str) -> str:
+    """PID-scoped scratch dir: two engines running the same registered
+    query concurrently (driver gate + parity + plan tests) must not
+    rmtree each other's warehouse mid-read — the same guard
+    manifest_queries/rel_scan_sink already carry (review r12)."""
+    path = os.path.join(_SCRATCH, f"{name}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
 @query(
     "a_load_evolve",
     oracle="""
@@ -46,8 +59,7 @@ def a_load_evolve(spark, sf_dir):
     c_acctbal; the v2 append adds the column; v1 rows read back NULL."""
     from popelines_spark.pipeline import Popeline
 
-    wh = os.path.join(_SCRATCH, "a_load_evolve_wh")
-    shutil.rmtree(wh, ignore_errors=True)
+    wh = _fresh("a_load_evolve_wh")
     p = Popeline(warehouse=wh, spark=spark)
     c = T(spark, sf_dir, "customer")
     v1 = c.filter(F.col("c_nationkey") < 10).select("c_custkey", "c_name")
@@ -59,6 +71,74 @@ def a_load_evolve(spark, sf_dir):
     from popelines_spark.io import read_table_evolved
 
     return read_table_evolved(spark, wh, "Cust-Evolved")
+
+
+@query(
+    "a_load_layouts",
+    oracle="""
+    SELECT 'manifest' AS layout, c_custkey, c_name FROM customer
+      WHERE c_nationkey < 5
+         OR (c_nationkey >= 15 AND c_nationkey < 18)
+    UNION ALL
+    SELECT 'snapshot' AS layout, c_custkey, c_name FROM customer
+      WHERE (c_nationkey >= 5 AND c_nationkey < 10)
+         OR (c_nationkey >= 18 AND c_nationkey < 21)
+    UNION ALL
+    SELECT 'path' AS layout, c_custkey, c_name FROM customer
+      WHERE (c_nationkey >= 10 AND c_nationkey < 15)
+         OR c_nationkey >= 21
+    """,
+)
+def a_load_layouts(spark, sf_dir):
+    """The layout-transparent facade append (round-12 flagship): ONE
+    write_to_table call shape appends to a manifest (ACID) table, a
+    snapshot-versioned table, and a plain path table — and a retried
+    manifest load with the same batch_id is exactly-once (re-appended
+    rows would double the manifest slice and hash-mismatch the oracle).
+    The reference's write_to_bq contract (popelines/main.py:100-155):
+    callers never know how the table is stored."""
+    from popelines_spark.io import read_table_auto, write_table_snapshot
+    from popelines_spark.manifest import append_manifest_table
+    from popelines_spark.pipeline import Popeline
+
+    wh = _fresh("a_load_layouts_wh")
+    p = Popeline(warehouse=wh, spark=spark)
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+    def slice_(lo, hi):
+        cond = F.col("c_nationkey") >= lo
+        if hi is not None:
+            cond = cond & (F.col("c_nationkey") < hi)
+        return c.filter(cond).drop("c_nationkey")
+
+    # seed each layout with its native writer...
+    append_manifest_table(spark, wh, "t_manifest", slice_(0, 5))
+    write_table_snapshot(spark, wh, "t_snapshot", slice_(5, 10))
+    p.write_to_table("t_path", df=slice_(10, 15), append=True)
+    # ...then append through the SAME facade call on all three
+    p.write_to_table(
+        "t_manifest", df=slice_(15, 18), append=True, batch_id="b15"
+    )
+    p.write_to_table("t_snapshot", df=slice_(18, 21), append=True)
+    p.write_to_table("t_path", df=slice_(21, None), append=True)
+    # idempotent retry: same batch_id, must be a no-op
+    p.write_to_table(
+        "t_manifest", df=slice_(15, 18), append=True, batch_id="b15"
+    )
+
+    out = None
+    for layout, name in (
+        ("manifest", "t_manifest"),
+        ("snapshot", "t_snapshot"),
+        ("path", "t_path"),
+    ):
+        part = read_table_auto(spark, wh, name).select(
+            F.lit(layout).alias("layout"), "c_custkey", "c_name"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 @query(
@@ -139,8 +219,7 @@ def a_copy_replace_keys(spark, sf_dir):
     from popelines_spark.pipeline import Popeline
     from popelines_spark.schemas import sanitize_identifier
 
-    wh = os.path.join(_SCRATCH, "a_copy_replace_wh")
-    shutil.rmtree(wh, ignore_errors=True)
+    wh = _fresh("a_copy_replace_wh")
     p = Popeline(warehouse=wh, spark=spark)
     s = T(spark, sf_dir, "supplier")
     nested = s.select(
@@ -175,8 +254,7 @@ def a_source_rest(spark, sf_dir):
     keep the test hermetic; the code path is byte-identical for http(s)."""
     from popelines_spark.sources.rest import fetch_json_distributed
 
-    pages_dir = os.path.join(_SCRATCH, "rest_pages")
-    shutil.rmtree(pages_dir, ignore_errors=True)
+    pages_dir = _fresh("rest_pages")
     os.makedirs(pages_dir)
     for i in range(6):
         with open(os.path.join(pages_dir, f"page{i}.json"), "w") as f:
@@ -219,8 +297,7 @@ def a_source_rest_fanout(spark, sf_dir):
     from popelines_spark.incremental import chunk_date_range
     from popelines_spark.sources.rest import fetch_windows_distributed
 
-    pages = os.path.join(_SCRATCH, "rest_windows")
-    shutil.rmtree(pages, ignore_errors=True)
+    pages = _fresh("rest_windows")
     os.makedirs(pages)
     chunks = list(
         chunk_date_range(
@@ -272,8 +349,7 @@ def a_source_rest_pyds(spark, sf_dir):
     stub-server tests."""
     from popelines_spark.sources.pyds import RestWindowsDataSource
 
-    pages = os.path.join(_SCRATCH, "rest_pyds")
-    shutil.rmtree(pages, ignore_errors=True)
+    pages = _fresh("rest_pyds")
     os.makedirs(pages)
     import datetime as dt
 
@@ -330,8 +406,7 @@ def a_source_rest_paged(spark, sf_dir):
     against a live stub server in tests/test_rest_fanout.py."""
     from popelines_spark.sources.rest import fetch_pages_distributed
 
-    pages = os.path.join(_SCRATCH, "rest_paged")
-    shutil.rmtree(pages, ignore_errors=True)
+    pages = _fresh("rest_paged")
     os.makedirs(pages)
     for seed in range(4):
         for cur in range(seed + 1):

@@ -59,9 +59,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # impossible to miss).  (tools/parity.py still covers the full registry
 # every round at sf{0.001,0.01,0.1}.)
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # -- round-12 window: never-scored ids first (none remain), then the
-    # stalest driver-green cohort (r5/r7-era sketch/ext-analytics/
-    # streaming/TPC-H ids), emitted verbatim by tools/rotate_window.py
+    # -- round-12 window (re-rotated after a_load_layouts registered):
+    # the new never-scored id first, then the stalest driver-green
+    # cohort, emitted verbatim by tools/rotate_window.py
+    "a_load_layouts",
     "b_sketch_bloom",
     "b_sketch_cms",
     "b_sketch_hll_merge",
@@ -111,7 +112,6 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "a_fix_values",
     "a_load_evolve",
     "a_source_rest",
-    "b_agg_collect",
 )
 
 
