@@ -1534,27 +1534,59 @@ def vacuum_snapshot_debris(
     )
     committed = set(_committed_versions(fs, root, jvm))
     out: dict[str, list[int]] = {"markers": [], "torn_dirs": [], "orphan_dirs": []}
-    reserved = {v: age for v, age in _reserved_versions(fs, root, jvm)}
-    for v, age in reserved.items():
-        marker = HPath(
+
+    def _marker(v: int):
+        return HPath(
             snapshot_version_path(warehouse, table_name, v) + ".__reserved"
         )
+
+    def _delete_dir_under_claim(v: int, cls: str) -> None:
+        """Delete version dir ``v`` while HOLDING its reservation.
+
+        The reservation is the protocol's mutual-exclusion primitive:
+        while we hold it no new writer can claim id ``v`` and write into
+        the dir we are deleting, and the dead writer whose marker was
+        broken can never flip (lease check). The commit marker is
+        re-read UNDER the claim — a writer that flipped before the
+        break keeps its dir; only a provably-unreachable dir is swept.
+        Losing the claim race to a live writer is a skip, never a
+        delete. A vacuum crash mid-claim leaves one more bare marker —
+        the very debris class the next vacuum reclaims."""
+        try:
+            fs.create(_marker(v), False).close()
+        except Exception:
+            return  # a racer claimed v — it is live, leave it alone
+        try:
+            dirp = HPath(snapshot_version_path(warehouse, table_name, v))
+            if fs.exists(HPath(dirp, _COMMIT_MARKER)):
+                return  # flipped before the marker break — live version
+            if fs.exists(dirp):
+                fs.delete(dirp, True)
+                out[cls].append(v)
+        finally:
+            fs.delete(_marker(v), False)
+
+    reserved = {v: age for v, age in _reserved_versions(fs, root, jvm)}
+    for v, age in reserved.items():
         if v in committed:
             # the flip already happened; the writer's only remaining act
             # was this delete — pure debris at ANY age
-            fs.delete(marker, False)
+            fs.delete(_marker(v), False)
             out["markers"].append(v)
             continue
         if age < horizon:
             continue  # maybe a live writer — leave the lease alone
-        fs.delete(marker, False)
+        # break the presumed-dead writer's marker FIRST: after it is
+        # gone its lease-checked flip can never succeed (same rule as
+        # compaction's rebase check) — then re-claim the id ourselves
+        # so no NEW writer can land on the dir mid-delete
+        fs.delete(_marker(v), False)
         out["markers"].append(v)
-        dirp = HPath(snapshot_version_path(warehouse, table_name, v))
-        if fs.exists(dirp):
-            fs.delete(dirp, True)
-            out["torn_dirs"].append(v)
+        _delete_dir_under_claim(v, "torn_dirs")
     # orphan dirs: uncommitted, reservation already gone (broken by a
-    # compaction rebase or a prior vacuum) — unreachable at any age
+    # compaction rebase or a prior vacuum) — unreachable at any age,
+    # but deleted under the same claim so a racing writer that re-used
+    # the id is never half-deleted
     vroot = HPath(root.toString() + "/" + _VERSIONS_DIR)
     if fs.exists(vroot):
         for st in fs.listStatus(vroot):
@@ -1567,11 +1599,5 @@ def vacuum_snapshot_debris(
                 continue
             if v in committed or v in reserved or v in out["torn_dirs"]:
                 continue
-            # re-check AT DELETE TIME: a writer that reserved after our
-            # scan (reservations always precede data dirs) must not have
-            # its live dir swept as an orphan
-            if fs.exists(HPath(st.getPath().toString() + ".__reserved")):
-                continue
-            fs.delete(st.getPath(), True)
-            out["orphan_dirs"].append(v)
+            _delete_dir_under_claim(v, "orphan_dirs")
     return out

@@ -163,6 +163,31 @@ def test_vacuum_respects_live_writer_lease(spark, scratch):
     assert cleaned["torn_dirs"]
 
 
+def test_vacuum_never_deletes_a_committed_dir_on_a_stale_scan(
+    spark, scratch, monkeypatch
+):
+    """The data-loss hole the claim-based delete closes: a version that
+    COMMITS between vacuum's committed-versions scan and its delete
+    must survive. Simulated by pinning the scan to a stale empty view —
+    the commit marker is re-read under the claim, so the committed dir
+    is kept in BOTH branches (aged leftover marker, and no marker at
+    all)."""
+    _run_batch(scratch, 0)  # v1 committed, no reservation left
+    # aged leftover marker on the committed version (after_flip debris)
+    marker = os.path.join(_versions_dir(scratch), "v00000001.__reserved")
+    open(marker, "w").close()
+    _age_markers(scratch)
+    monkeypatch.setattr(io, "_committed_versions", lambda fs, root, jvm: [])
+    cleaned = io.vacuum_snapshot_debris(spark, scratch, "t")
+    # the stale scan saw nothing committed, yet the dir survived both
+    # the torn-dir branch (marker broken, then _COMMITTED re-read under
+    # the claim) and the orphan sweep
+    assert cleaned["torn_dirs"] == [] and cleaned["orphan_dirs"] == []
+    assert not os.path.exists(marker)  # the leftover marker is debris
+    monkeypatch.undo()
+    assert io.read_table_snapshot(spark, scratch, "t").count() == 100
+
+
 APPENDER = """
 import os, sys
 from popelines_spark.session import get_spark
