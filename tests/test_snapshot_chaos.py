@@ -189,7 +189,7 @@ def test_vacuum_never_deletes_a_committed_dir_on_a_stale_scan(
 
 
 APPENDER = """
-import os, sys
+import os, sys, time
 from popelines_spark.session import get_spark
 from popelines_spark.incremental import incremental_append
 wh, n = sys.argv[1], int(sys.argv[2])
@@ -201,12 +201,12 @@ for b in range(1, n + 1):
     # the documented client contract: a writer whose lease was broken
     # (or whose base was superseded) retracts and RETRIES; the watermark
     # filter makes a replay of a secretly-committed batch a no-op
-    for attempt in range(20):
+    for attempt in range(40):
         try:
             incremental_append(batch, wh, "t", "ts")
             break
         except Exception:
-            pass
+            time.sleep(0.2)
     else:
         os._exit(3)
 os._exit(0)
@@ -269,6 +269,78 @@ def test_append_vs_compaction_race_loses_no_batch(spark, scratch):
     assert result, out.decode()[-500:]
     commits = int(result[0].split("commits=")[1].split()[0])
     assert commits >= 1, result[0]
+
+    live = io.read_table_snapshot(spark, scratch, "t")
+    assert live.count() == (n_batches + 1) * 100
+    per_batch = {
+        r["batch"]: r["n"]
+        for r in live.groupBy("batch").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert per_batch == {b: 100 for b in range(n_batches + 1)}, per_batch
+
+
+VACUUMER = """
+import os, sys, time
+from popelines_spark.session import get_spark
+from popelines_spark.io import vacuum_snapshot_debris
+wh, stop_flag = sys.argv[1], sys.argv[2]
+spark = get_spark(app_name="snap_race_vacuum", cpus=2,
+                  shuffle_partitions=2)
+spark.sparkContext.setLogLevel("ERROR")
+loops = 0
+while not os.path.exists(stop_flag):
+    try:
+        # AGGRESSIVELY low horizon (2 s vs ~1 s writes): slow appends
+        # get their lease broken mid-write and must retract + retry —
+        # the worst case the docstring's "safe on a live table" claim
+        # must survive; committed data is never touched either way.
+        # (horizon 0 at a 50 ms cadence is a designed LIVELOCK — every
+        # write's lease breaks before it can flip — so the drill uses
+        # the harshest setting that still lets writes land.)
+        vacuum_snapshot_debris(spark, wh, "t", horizon_sec=2.0)
+        loops += 1
+    except FileNotFoundError:
+        pass
+    time.sleep(0.5)
+print("RESULT vacuum loops=%d" % loops)
+os._exit(0)
+"""
+
+
+def test_vacuum_racing_live_appender_loses_no_batch(spark, scratch):
+    """vacuum_snapshot_debris's 'safe on a live table' contract at its
+    worst survivable case: a 2 s horizon under ~1 s writes presumes a
+    slow in-flight writer dead and breaks its lease mid-write; the
+    writer retracts at its flip and the client retries (never a
+    half-commit), and the claim-based delete plus under-claim commit
+    re-read keep every committed version intact — exactly-once holds
+    with an adversarial vacuum running the whole time."""
+    import subprocess as sp
+
+    _run_batch(scratch, 0)
+    stop_flag = os.path.join(scratch, "stop")
+    n_batches = 6
+    vac = sp.Popen(
+        [sys.executable, "-c", VACUUMER, scratch, stop_flag],
+        stdout=sp.PIPE, stderr=sp.PIPE,
+    )
+    try:
+        appender = sp.run(
+            [sys.executable, "-c", APPENDER, scratch, str(n_batches)],
+            capture_output=True, timeout=900,
+        )
+        assert appender.returncode == 0, appender.stderr.decode()[-2000:]
+    finally:
+        open(stop_flag, "w").close()
+        out, err = vac.communicate(timeout=600)
+    assert vac.returncode == 0, err.decode()[-2000:]
+    result = [
+        l for l in out.decode().splitlines() if l.startswith("RESULT")
+    ]
+    assert result, out.decode()[-500:]
+    loops = int(result[0].split("loops=")[1])
+    assert loops >= 1, result[0]
 
     live = io.read_table_snapshot(spark, scratch, "t")
     assert live.count() == (n_batches + 1) * 100
