@@ -1218,25 +1218,38 @@ def write_table_snapshot(
 ) -> int:
     """Write ``df`` as the table's next committed version; returns the new
     version id. Concurrent writers are serialized by an atomic
-    create-no-overwrite reservation file (loser retries on the next id),
-    so two compactions racing produce two distinct versions, never a
-    corrupt mix. CAVEAT (same as manifest._claim_path): the reservation
-    is atomic on POSIX and HDFS; object stores without conditional
-    create (plain s3a://) implement create(overwrite=False) as
-    exists-check-then-PUT, so racing writers there need an external
-    lock — or the manifest layout, whose commit lock carries the same
-    documented object-store caveat in one place."""
+    reservation claim (loser retries on the next id), so two compactions
+    racing produce two distinct versions, never a corrupt mix. The claim
+    goes through the active ``manifest.CommitArbiter`` — ONE plug point
+    covers both layouts: the default is genuinely atomic on file://
+    (POSIX O_CREAT|O_EXCL) and HDFS (NameNode-atomic create); object
+    stores without conditional create (plain s3a://) need an arbiter
+    backed by the store's conditional PUT, installed via
+    ``manifest.set_commit_arbiter`` (the same caveat table as the
+    manifest commit lock, in one place)."""
+    from popelines_spark.manifest import get_commit_arbiter
+
     fs, root, jvm = _hadoop_fs(spark, table_path(warehouse, table_name))
     HPath = jvm.org.apache.hadoop.fs.Path
+    # the claim primitive (java.io.File.createNewFile on file://) does
+    # not create parents — same mkdirs manifest._reserve_version does
+    fs.mkdirs(HPath(root.toString() + "/" + _VERSIONS_DIR))
     existing = _committed_versions(fs, root, jvm)
     version = (existing[-1] + 1) if existing else 1
     attempts = 0
+    arbiter = get_commit_arbiter()
     while True:
         vpath = snapshot_version_path(warehouse, table_name, version)
         reserved = HPath(vpath + ".__reserved")
-        try:
-            # atomic create(overwrite=False): exactly one writer wins id N
-            fs.create(reserved, False).close()
+        # arbiter.claim: exactly one writer wins id N. The arbiter seam
+        # matters on BOTH ends of the spectrum — Hadoop's
+        # LocalFileSystem implements create(overwrite=False) as
+        # exists-check-then-create (two local racers could both "win"),
+        # and raw object stores need the store's conditional PUT; the
+        # default routes file:// through POSIX O_CREAT|O_EXCL and lets
+        # non-already-exists errors SURFACE instead of spinning ids
+        # (review r12, unifying with manifest._claim_marker)
+        if arbiter.claim(fs, vpath + ".__reserved", jvm):
             # the marker is deleted AFTER a commit, so a claim won with a
             # STALE committed listing can land on an already-committed id
             # — recheck the tip under the claim and move past it, else
@@ -1248,24 +1261,13 @@ def write_table_snapshot(
                 version = latest[-1] + 1
                 continue
             break
-        except Exception as exc:
-            # Only an already-reserved id means "another writer won —
-            # try the next one". Anything else (permissions, closed FS,
-            # expired credentials) must SURFACE, not spin version ids
-            # forever (code-review r7).
-            msg = str(exc)
-            if (
-                "FileAlreadyExists" not in msg
-                and "already exists" not in msg.lower()
-            ):
-                raise
-            attempts += 1
-            if attempts > 10_000:
-                raise RuntimeError(
-                    f"write_table_snapshot: {attempts} reservation "
-                    f"collisions under {root} — stale .__reserved files?"
-                ) from exc
-            version += 1
+        attempts += 1
+        if attempts > 10_000:
+            raise RuntimeError(
+                f"write_table_snapshot: {attempts} reservation "
+                f"collisions under {root} — stale .__reserved files?"
+            )
+        version += 1
     _snapshot_crash_point("after_reserve")  # debris: bare .__reserved
     out = df.repartition(n_files) if n_files else df
     out.write.mode("overwrite").parquet(vpath)
@@ -1552,9 +1554,13 @@ def vacuum_snapshot_debris(
         Losing the claim race to a live writer is a skip, never a
         delete. A vacuum crash mid-claim leaves one more bare marker —
         the very debris class the next vacuum reclaims."""
-        try:
-            fs.create(_marker(v), False).close()
-        except Exception:
+        from popelines_spark.manifest import get_commit_arbiter
+
+        if not get_commit_arbiter().claim(
+            fs,
+            snapshot_version_path(warehouse, table_name, v) + ".__reserved",
+            jvm,
+        ):
             return  # a racer claimed v — it is live, leave it alone
         try:
             dirp = HPath(snapshot_version_path(warehouse, table_name, v))

@@ -442,8 +442,10 @@ def _claim_path(fs, path: str, jvm) -> bool:
 
 
 def _claim_marker(fs, vroot, version, jvm) -> bool:
-    """Atomically claim ``{version}.__reserved`` (see _claim_path)."""
-    return _claim_path(fs, f"{vroot}/{version}.__reserved", jvm)
+    """Atomically claim ``{version}.__reserved`` — through the active
+    arbiter, so a store-native conditional-PUT plug covers version
+    reservations the same way it covers the commit lock."""
+    return _COMMIT_ARBITER.claim(fs, f"{vroot}/{version}.__reserved", jvm)
 
 
 class StaleParentError(RuntimeError):
@@ -480,6 +482,22 @@ class CommitArbiter:
     def run_locked(self, fs, vroot, jvm, fn, timeout_sec=None,
                    stale_sec=None):
         raise NotImplementedError
+
+    def claim(self, fs, path: str, jvm) -> bool:
+        """Atomically create ``path``; True iff THIS caller created it;
+        False ONLY when the path already exists (lost the race); any
+        other failure propagates. This is the second primitive both
+        layouts' protocols rest on — manifest version reservations and
+        snapshot version reservations/vacuum claims all funnel through
+        the active arbiter's ``claim`` (review r12; the snapshot layer
+        used raw ``fs.create(overwrite=False)``, which Hadoop's
+        LocalFileSystem implements as exists-check-then-create — two
+        local racers could both claim one version id). Stores with
+        conditional writes override this with the store-native
+        compare-and-set (S3 ``If-None-Match: *``, GCS
+        ``ifGenerationMatch=0``); the default routes file:// through
+        ``java.io.File.createNewFile`` (POSIX O_CREAT|O_EXCL)."""
+        return _claim_path(fs, path, jvm)
 
 
 class LockFileArbiter(CommitArbiter):

@@ -211,3 +211,54 @@ def test_commit_arbiter_mutual_exclusion_contract(spark, scratch):
         assert read_manifest_table(spark, scratch, "nolock").count() == 4
     finally:
         set_commit_arbiter(prev)
+
+
+def test_arbiter_claim_covers_both_layouts(spark, scratch):
+    """Round-12 unification: version reservations — manifest AND
+    snapshot — and the snapshot vacuum's delete-claims all funnel
+    through CommitArbiter.claim, so one store-native conditional-PUT
+    plug covers every atomic-create in both protocols. (The raw
+    fs.create(overwrite=False) they replaced is exists-check-then-create
+    on Hadoop's LocalFileSystem — not atomic even locally.)"""
+    import os
+    import time
+
+    from popelines_spark import io
+    from popelines_spark.manifest import (
+        LockFileArbiter,
+        set_commit_arbiter,
+    )
+
+    class RecordingClaims(LockFileArbiter):
+        def __init__(self):
+            self.claims = []
+
+        def claim(self, fs, path, jvm):
+            self.claims.append(str(path))
+            return super().claim(fs, path, jvm)
+
+    rec = RecordingClaims()
+    prev = set_commit_arbiter(rec)
+    try:
+        df = spark.range(3).selectExpr("id")
+        append_manifest_table(spark, scratch, "cl_m", df)
+        assert any("cl_m" in p and ".__reserved" in p for p in rec.claims)
+
+        io.write_table_snapshot(spark, scratch, "cl_s", df)
+        assert any("cl_s" in p and ".__reserved" in p for p in rec.claims)
+
+        # vacuum's delete-claim: fabricate an aged torn dir + marker
+        vdir = os.path.join(scratch, "cl_s", "_versions")
+        os.makedirs(os.path.join(vdir, "v00000009"))
+        marker = os.path.join(vdir, "v00000009.__reserved")
+        open(marker, "w").close()
+        past = time.time() - 7200
+        os.utime(marker, (past, past))
+        n_before = len(rec.claims)
+        cleaned = io.vacuum_snapshot_debris(spark, scratch, "cl_s")
+        assert cleaned["torn_dirs"] == [9]
+        assert any(
+            "v00000009.__reserved" in p for p in rec.claims[n_before:]
+        )
+    finally:
+        set_commit_arbiter(prev)
