@@ -159,14 +159,20 @@ def c_kendall_tau(spark, sf_dir):
            FROM joint GROUP BY priority),
     n AS (SELECT CAST(SUM(obs) AS BIGINT) AS total FROM joint),
     terms AS (
-      SELECT j.segment,
-             j.obs,
-             round(pow(j.obs - CAST(r.row_tot * c.col_tot AS DOUBLE) / n.total,
+      -- FULL row x column cross, not just observed cells: an EMPTY
+      -- contingency cell still contributes its expected count to the
+      -- chi-squared sum (obs=0 -> term = expected); joining through
+      -- observed cells only understates the statistic on sparse data
+      SELECT r.segment,
+             COALESCE(j.obs, 0) AS obs,
+             round(pow(COALESCE(j.obs, 0)
+                       - CAST(r.row_tot * c.col_tot AS DOUBLE) / n.total,
                        2)
                    / (CAST(r.row_tot * c.col_tot AS DOUBLE) / n.total),
                    9) AS term
-      FROM joint j JOIN rt r USING (segment) JOIN ct c USING (priority)
-           CROSS JOIN n)
+      FROM rt r CROSS JOIN ct c CROSS JOIN n
+           LEFT JOIN joint j
+             ON j.segment = r.segment AND j.priority = c.priority)
     SELECT segment,
            CAST(SUM(obs) AS BIGINT) AS n_orders,
            CAST(SUM(CAST(term AS DECIMAL(24,9))) AS DOUBLE) AS chi2_part
@@ -208,10 +214,15 @@ def c_chi2_independence(spark, sf_dir):
     term = F.round(
         F.pow(F.col("obs") - expected, F.lit(2)) / expected, 9
     )
+    # FULL row x column cross (category-bounded, broadcast), not just
+    # observed cells: an empty contingency cell still contributes its
+    # expected count (obs=0 -> term = expected) — joining through
+    # observed cells only understates chi-squared on sparse data
     return (
-        joint.join(F.broadcast(rt), "segment")
-        .join(F.broadcast(ct), "priority")
+        rt.crossJoin(F.broadcast(ct))
         .crossJoin(F.broadcast(n))
+        .join(F.broadcast(joint), ["segment", "priority"], "left")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
         .select("segment", "obs", term.alias("term"))
         .groupBy("segment")
         .agg(
@@ -823,9 +834,17 @@ def c_heaps_law(spark, sf_dir):
     src_n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n1
               FROM grain GROUP BY source),
     cdf_src AS (
-      SELECT g.source, s.v, CAST(SUM(g.c) AS BIGINT) AS cum1
-      FROM support s JOIN grain g ON g.v <= s.v
-      GROUP BY g.source, s.v),
+      -- FULL source x support grid: a support point BELOW a source's
+      -- minimum value has cum1 = 0 but the rest-of-corpus CDF there can
+      -- be large — the inner-join staircase dropped those points and
+      -- understated the KS max whenever it occurred below the source's
+      -- min (review r12: caught by an independent numpy third engine,
+      -- invisible to DuckDB parity because both sides colluded)
+      SELECT src.source, s.v, CAST(COALESCE(SUM(g.c), 0) AS BIGINT) AS cum1
+      FROM support s
+      CROSS JOIN (SELECT DISTINCT source FROM grain) src
+      LEFT JOIN grain g ON g.source = src.source AND g.v <= s.v
+      GROUP BY src.source, s.v),
     cdf_all AS (
       SELECT s.v, CAST(SUM(a.c) AS BIGINT) AS cum
       FROM support s JOIN all_g a ON a.v <= s.v
@@ -872,10 +891,21 @@ def c_ks_source(spark, sf_dir):
         F.col("source").alias("src2"), F.col("v").alias("v2"),
         F.col("c").alias("c2"),
     )
+    # FULL source x support grid (both sides bounded: support by the
+    # length domain, sources by the corpus design): a support point
+    # BELOW a source's minimum has cum1 = 0 while the rest-of-corpus
+    # CDF there can be large — the inner-join staircase dropped those
+    # points and understated the KS max whenever it occurred below the
+    # source's min (review r12, numpy third-engine find)
     cdf_src = (
-        support.join(F.broadcast(g2), F.col("v2") <= F.col("v"))
-        .groupBy(F.col("src2").alias("source"), "v")
-        .agg(F.sum("c2").cast("long").alias("cum1"))
+        support.crossJoin(F.broadcast(grain.select("source").distinct()))
+        .join(
+            F.broadcast(g2),
+            (F.col("src2") == F.col("source")) & (F.col("v2") <= F.col("v")),
+            "left",
+        )
+        .groupBy("source", "v")
+        .agg(F.coalesce(F.sum("c2"), F.lit(0)).cast("long").alias("cum1"))
     )
     a2 = all_g.select(F.col("v").alias("va"), F.col("ca").alias("ca2"))
     cdf_all = (
