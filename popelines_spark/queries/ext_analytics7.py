@@ -127,13 +127,16 @@ def c_anova_oneway(spark, sf_dir):
                  CAST(count(DISTINCT st) AS BIGINT) AS m
           FROM cell),
     chi AS (
+      -- FULL row x column cross (an EMPTY cell still contributes its
+      -- expected count; observed-cells-only understates chi2 on sparse
+      -- categoricals — same hardening as c_chi2_independence, r12)
       SELECT CAST(SUM(CAST(round(
-               (c.obs - CAST(r.rn AS DOUBLE) * ct.cn / t.n)
-               * (c.obs - CAST(r.rn AS DOUBLE) * ct.cn / t.n)
+               (COALESCE(c.obs, 0) - CAST(r.rn AS DOUBLE) * ct.cn / t.n)
+               * (COALESCE(c.obs, 0) - CAST(r.rn AS DOUBLE) * ct.cn / t.n)
                / (CAST(r.rn AS DOUBLE) * ct.cn / t.n), 9)
                AS DECIMAL(24,9))) AS DOUBLE) AS chi2
-      FROM cell c JOIN rowt r ON r.p = c.p
-                  JOIN colt ct ON ct.st = c.st, t
+      FROM rowt r CROSS JOIN colt ct CROSS JOIN t
+           LEFT JOIN cell c ON c.p = r.p AND c.st = ct.st
       GROUP BY t.n, t.k, t.m)
     SELECT t.n, t.k, t.m, round(chi.chi2, 6) AS chi2,
            round(sqrt(chi.chi2 / (t.n * (least(t.k, t.m) - 1))), 6)
@@ -161,10 +164,15 @@ def c_cramers_v(spark, sf_dir):
         F.countDistinct("st").cast("long").alias("m"),
     )
     exp = F.col("rn").cast("double") * F.col("cn") / F.col("n")
+    # FULL row x column cross (category-bounded, broadcast): an empty
+    # cell still contributes its expected count — observed-cells-only
+    # understates chi2 on sparse categoricals (same hardening as
+    # c_chi2_independence, review r12)
     chi = (
-        cell.join(F.broadcast(rowt), "p")
-        .join(F.broadcast(colt), "st")
+        rowt.crossJoin(F.broadcast(colt))
         .crossJoin(F.broadcast(t))
+        .join(F.broadcast(cell), ["p", "st"], "left")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
         .groupBy("n", "k", "m")
         .agg(
             F.sum(

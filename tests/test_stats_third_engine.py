@@ -99,6 +99,83 @@ def test_mannwhitney_matches_numpy(run):
         assert abs(q["auc"] - round(u2 / (2 * n1 * float(n2)), 6)) < 1e-9
 
 
+def test_anova_and_levene_match_numpy(run):
+    od = pd.read_parquet(f"{SF}/orders.parquet")[
+        ["o_orderpriority", "o_totalprice"]
+    ]
+
+    def f_stat(values, groups):
+        df = pd.DataFrame({"g": groups, "v": values})
+        grp = df.groupby("g")["v"]
+        k, n = grp.ngroups, len(df)
+        gm = df.v.mean()
+        ssb = float((grp.size() * (grp.mean() - gm) ** 2).sum())
+        sst = float(((df.v - gm) ** 2).sum())
+        return k, n, (ssb / (k - 1)) / ((sst - ssb) / (n - k)), ssb / sst
+
+    got = run("c_anova_oneway").iloc[0]
+    k, n, f, eta2 = f_stat(od.o_totalprice, od.o_orderpriority)
+    assert (got["k"], got["n"]) == (k, n)
+    assert abs(got["f_stat"] - f) < 1e-4 and abs(got["eta2"] - eta2) < 1e-6
+
+    got = run("c_levene_test").iloc[0]
+    z = (
+        od.o_totalprice
+        - od.groupby("o_orderpriority")["o_totalprice"].transform("median")
+    ).abs()
+    k, n, w, _ = f_stat(z, od.o_orderpriority)
+    assert (got["k"], got["n"]) == (k, n)
+    assert abs(got["w_stat"] - w) < 1e-4
+
+
+def test_cramers_v_matches_numpy(run):
+    got = run("c_cramers_v").iloc[0]
+    od = pd.read_parquet(f"{SF}/orders.parquet")[
+        ["o_orderpriority", "o_orderstatus"]
+    ]
+    tab = pd.crosstab(od.o_orderpriority, od.o_orderstatus)
+    exp = np.outer(tab.sum(1), tab.sum(0)) / tab.values.sum()
+    # full-table chi2 including empty cells
+    chi2 = float((((tab.values - exp) ** 2) / exp).sum())
+    v = np.sqrt(chi2 / (tab.values.sum() * (min(tab.shape) - 1)))
+    assert (got["n"], got["k"], got["m"]) == (
+        tab.values.sum(), tab.shape[0], tab.shape[1],
+    )
+    assert abs(got["chi2"] - chi2) < 1e-4
+    assert abs(got["cramers_v"] - v) < 1e-6
+
+
+def test_spearman_brand_matches_numpy(run):
+    got = run("c_spearman_brand").set_index("p_brand").sort_index()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_partkey", "l_quantity", "l_extendedprice"]
+    ]
+    pt = pd.read_parquet(f"{SF}/part.parquet")[["p_partkey", "p_brand"]]
+    j = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    for brand, g in j.groupby("p_brand"):
+        rx = g.l_quantity.rank(method="average")
+        ry = g.l_extendedprice.rank(method="average")
+        rho = np.corrcoef(rx, ry)[0, 1]
+        if brand in got.index:
+            assert abs(got.loc[brand, "spearman_rho"] - rho) < 1e-6, brand
+
+
+def test_auc_roc_matches_numpy(run):
+    got = run("c_auc_roc").iloc[0]
+    od = pd.read_parquet(f"{SF}/orders.parquet")[
+        ["o_totalprice", "o_orderstatus"]
+    ]
+    b = np.floor(od.o_totalprice / 100).astype(np.int64)
+    y = (od.o_orderstatus == "F").astype(int)
+    pos = np.sort(b[y == 1].to_numpy())
+    neg = np.sort(b[y == 0].to_numpy())
+    gt = int(np.searchsorted(neg, pos, side="left").sum())
+    ties = int(np.searchsorted(neg, pos, side="right").sum()) - gt
+    auc = (gt + 0.5 * ties) / (len(pos) * float(len(neg)))
+    assert (got["n1"], got["n0"]) == (len(pos), len(neg))
+    assert abs(got["auc"] - auc) < 1e-6
+
+
 def test_ks_source_matches_numpy(run):
     """The regression pin for the collusion find: the KS max must range
     over the FULL support, including points below a source's minimum
