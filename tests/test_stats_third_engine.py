@@ -176,6 +176,87 @@ def test_auc_roc_matches_numpy(run):
     assert abs(got["auc"] - auc) < 1e-6
 
 
+def test_mutual_info_matches_numpy(run):
+    got = run("c_mutual_info").iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")[["event_type", "ts"]]
+    # MI is invariant to the weekday labeling, so pandas' Monday=0
+    # convention vs Spark's Sunday=1 doesn't matter
+    tab = pd.crosstab(ev.event_type, ev.ts.dt.dayofweek).values.astype(float)
+    pxy = tab / tab.sum()
+    px = pxy.sum(1, keepdims=True)
+    py = pxy.sum(0, keepdims=True)
+    nz = pxy > 0
+    mi = float((pxy[nz] * np.log(pxy[nz] / (px @ py)[nz])).sum())
+    assert got["n_cells"] == int(nz.sum())
+    assert abs(got["mi_nats"] - mi) < 1e-5
+
+
+def test_groupwise_ols_matches_numpy(run):
+    got = run("c_groupwise_ols").set_index("event_type").sort_index()
+    ev = pd.read_parquet(f"{SF}/events.parquet")[
+        ["event_type", "ts", "value"]
+    ]
+    x = (ev.ts.dt.floor("D") - pd.Timestamp("2024-01-01")).dt.days
+    df = pd.DataFrame(
+        {"g": ev.event_type, "x": x.astype(np.int64), "y": ev.value}
+    )
+    for g_, gg in df.groupby("g"):
+        n = len(gg)
+        sx, sy = gg.x.sum(), gg.y.sum()
+        sxx, sxy, syy = (gg.x ** 2).sum(), (gg.x * gg.y).sum(), (gg.y ** 2).sum()
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx <= 0 or vy <= 0:
+            continue
+        slope = (n * sxy - sx * sy) / vx
+        q = got.loc[g_]
+        assert abs(q["slope"] - slope) < 1e-4, g_
+        assert abs(q["intercept"] - (sy / n - slope * (sx / n))) < 1e-3, g_
+        assert abs(q["r2"] - (n * sxy - sx * sy) ** 2 / (vx * vy)) < 1e-4, g_
+
+
+def test_km_curve_matches_numpy(run):
+    """Kaplan-Meier in log space: risk sets, event-time hazards, and
+    the cumulative -ln S(t), recomputed from the raw life table."""
+    got = run("c_km_curve").set_index("t").sort_index()
+    od = pd.read_parquet(f"{SF}/orders.parquet")[
+        ["o_custkey", "o_orderdate", "o_orderkey"]
+    ]
+    od["d"] = pd.to_datetime(od.o_orderdate).dt.floor("D")
+    od = od.sort_values(["o_orderdate", "o_orderkey"])
+    od["rn"] = od.groupby("o_custkey").cumcount()
+    f = od[od.rn == 0].set_index("o_custkey")["d"]
+    sec = od[od.rn == 1].set_index("o_custkey")["d"]
+    maxd = od.d.max()
+    life = pd.DataFrame({"first": f}).join(pd.DataFrame({"second": sec}))
+    life["dur"] = np.where(
+        life.second.notna(),
+        (life.second - life["first"]).dt.days,
+        (maxd - life["first"]).dt.days,
+    )
+    life["evt"] = life.second.notna().astype(int)
+    gr = (
+        life.groupby("dur")
+        .agg(n_all=("evt", "size"), d_evt=("evt", "sum"))
+        .reset_index()
+        .sort_values("dur")
+    )
+    total, below, cum, rows = int(gr.n_all.sum()), 0, 0.0, []
+    for _, r in gr.iterrows():
+        n_risk = total - below
+        if r.d_evt > 0 and r.d_evt < n_risk:
+            cum += -np.log(1 - r.d_evt / float(n_risk))
+            rows.append((int(r.dur), int(r.d_evt), int(n_risk), cum))
+        below += int(r.n_all)
+    ind = pd.DataFrame(
+        rows, columns=["t", "d_t", "n_risk", "km_nls"]
+    ).set_index("t")
+    assert len(got) == len(ind)
+    for t in got.index:
+        q, i = got.loc[t], ind.loc[t]
+        assert (q["d_t"], q["n_risk"]) == (i["d_t"], i["n_risk"]), t
+        assert abs(q["km_nls"] - i["km_nls"]) < 1e-4, t
+
+
 def test_ks_source_matches_numpy(run):
     """The regression pin for the collusion find: the KS max must range
     over the FULL support, including points below a source's minimum
