@@ -385,20 +385,38 @@ def psi_terms(
     empty buckets finite. Proportions come from exact integer counts; the
     single ln per row is per-row IEEE arithmetic.
 
-    Plan: one groupBy over (group, bucket, side) then a pivot-free
-    conditional agg — a single shuffle sized |groups|·|buckets|.
+    The smoothing runs over the FULL declared bucket grid (every group ×
+    all ``n_buckets``): a bucket empty in BOTH halves still carries mass
+    1/(n+n_buckets) on each side, and its term is nonzero whenever the
+    halves' sizes differ — counting only observed buckets both dropped
+    those terms and skewed every present bucket's denominator (review
+    r12: caught by an independent numpy third engine; the DuckDB oracle
+    mirrored the same observed-only logic, so parity never saw it).
+
+    Plan: one groupBy over (group, bucket, side) left-joined onto the
+    groups × buckets grid (|groups|·n_buckets rows, broadcast) — a
+    single data shuffle sized |groups|·|buckets|.
     """
     bucket = F.least(
         F.greatest(F.floor(F.col(value_col) / bucket_width), F.lit(0)),
         F.lit(n_buckets - 1),
     ).cast("long")
-    counted = (
+    observed = (
         df.select(F.col(group_col), bucket.alias("bucket"), split.alias("__cmp"))
         .groupBy(group_col, "bucket")
         .agg(
             F.count_if(~F.col("__cmp")).cast("long").alias("n_ref"),
             F.count_if(F.col("__cmp")).cast("long").alias("n_cmp"),
         )
+    )
+    spark = df.sparkSession
+    grid = observed.select(group_col).distinct().crossJoin(
+        spark.range(n_buckets).select(F.col("id").cast("long").alias("bucket"))
+    )
+    counted = (
+        grid.join(F.broadcast(observed), [group_col, "bucket"], "left")
+        .withColumn("n_ref", F.coalesce("n_ref", F.lit(0)))
+        .withColumn("n_cmp", F.coalesce("n_cmp", F.lit(0)))
     )
     totals = W.partitionBy(group_col)
     p = (F.col("n_ref") + 1) / (F.sum(F.col("n_ref") + 1).over(totals))

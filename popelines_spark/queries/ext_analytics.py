@@ -151,12 +151,24 @@ def c_anomaly_zscore(spark, sf_dir):
 @query(
     "c_drift_psi",
     oracle="""
-    WITH counted AS (
+    WITH observed AS (
       SELECT event_type,
              CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT) AS bucket,
              CAST(count_if(event_id % 2 = 0) AS BIGINT) AS n_ref,
              CAST(count_if(event_id % 2 = 1) AS BIGINT) AS n_cmp
       FROM events GROUP BY 1, 2),
+    -- FULL group x bucket grid: +1 smoothing runs over the DECLARED 10
+    -- buckets, not just observed ones (review r12 — observed-only
+    -- dropped the empty buckets' nonzero terms and skewed every
+    -- denominator; both engines colluded so parity never saw it)
+    counted AS (
+      SELECT g.event_type, b.bucket,
+             COALESCE(o.n_ref, 0) AS n_ref,
+             COALESCE(o.n_cmp, 0) AS n_cmp
+      FROM (SELECT DISTINCT event_type FROM observed) g
+      CROSS JOIN (SELECT CAST(unnest(range(10)) AS BIGINT) AS bucket) b
+      LEFT JOIN observed o
+        ON o.event_type = g.event_type AND o.bucket = b.bucket),
     tot AS (SELECT *,
             sum(n_ref + 1) OVER (PARTITION BY event_type) AS tr,
             sum(n_cmp + 1) OVER (PARTITION BY event_type) AS tc

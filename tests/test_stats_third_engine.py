@@ -257,6 +257,81 @@ def test_km_curve_matches_numpy(run):
         assert abs(q["km_nls"] - i["km_nls"]) < 1e-4, t
 
 
+def test_drift_psi_matches_numpy_full_grid(run):
+    """Regression pin for the second collusion find: +1 smoothing must
+    run over the DECLARED 10-bucket grid — observed-buckets-only dropped
+    the empty buckets' nonzero terms and skewed every present bucket's
+    denominator (21 of 50 cells missing, 27 of 29 present terms wrong at
+    sf0.001), identically in Spark and the DuckDB oracle."""
+    got = run("c_drift_psi")
+    ev = pd.read_parquet(f"{SF}/events.parquet")[
+        ["event_type", "value", "event_id"]
+    ]
+    ev["bucket"] = np.clip(np.floor(ev.value / 50.0), 0, 9).astype(np.int64)
+    ev["half"] = (ev.event_id % 2).astype(int)
+    assert len(got) == ev.event_type.nunique() * 10  # the full grid
+    for t in ev.event_type.unique():
+        g = ev[ev.event_type == t]
+        nref = g[g.half == 0].groupby("bucket").size().reindex(
+            range(10), fill_value=0
+        )
+        ncmp = g[g.half == 1].groupby("bucket").size().reindex(
+            range(10), fill_value=0
+        )
+        tr, tc = (nref + 1).sum(), (ncmp + 1).sum()
+        pr, pc = (nref + 1) / tr, (ncmp + 1) / tc
+        term = (pr - pc) * np.log(pr / pc)
+        sub = got[got.event_type == t].set_index("bucket")
+        for b in range(10):
+            assert b in sub.index, (t, b)
+            assert abs(sub.loc[b, "psi_term"] - term[b]) < 2e-6, (t, b)
+            assert sub.loc[b, "n_ref"] == nref[b] and (
+                sub.loc[b, "n_cmp"] == ncmp[b]
+            ), (t, b)
+
+
+def test_pagerank_nations_matches_numpy_power_iteration(run):
+    """The oracle is a loop-unrolled twin of the same algorithm, so it
+    can't catch an algorithmic error both encode; this float power
+    iteration is structurally independent."""
+    got = run("c_pagerank_nations").set_index("n_name").sort_index()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_orderkey", "l_suppkey"]
+    ]
+    sup = pd.read_parquet(f"{SF}/supplier.parquet")[
+        ["s_suppkey", "s_nationkey"]
+    ]
+    od = pd.read_parquet(f"{SF}/orders.parquet")[["o_orderkey", "o_custkey"]]
+    cu = pd.read_parquet(f"{SF}/customer.parquet")[
+        ["c_custkey", "c_nationkey"]
+    ]
+    na = pd.read_parquet(f"{SF}/nation.parquet")[["n_nationkey", "n_name"]]
+    j = (
+        li.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(od, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cu, left_on="o_custkey", right_on="c_custkey")
+    )
+    cnt = j.groupby(["s_nationkey", "c_nationkey"]).size().reset_index(
+        name="w"
+    )
+    edges = cnt[cnt.w.astype(float) > cnt.w.astype(float).mean()][
+        ["s_nationkey", "c_nationkey"]
+    ].to_numpy()
+    N, d = len(na), 0.85
+    deg = {}
+    for src, _ in edges:
+        deg[src] = deg.get(src, 0) + 1
+    pr = {n: 1.0 / N for n in na.n_nationkey}
+    for _ in range(10):
+        infl = {n: 0.0 for n in na.n_nationkey}
+        for src, dst in edges:
+            infl[dst] += pr[src] / deg[src]
+        pr = {n: (1 - d) / N + d * infl[n] for n in na.n_nationkey}
+    names = na.set_index("n_nationkey").n_name
+    for k, v in pr.items():
+        assert abs(got.loc[names[k], "pr"] - v) < 1e-8, names[k]
+
+
 def test_ks_source_matches_numpy(run):
     """The regression pin for the collusion find: the KS max must range
     over the FULL support, including points below a source's minimum
