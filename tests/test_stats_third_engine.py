@@ -332,6 +332,60 @@ def test_pagerank_nations_matches_numpy_power_iteration(run):
         assert abs(got.loc[names[k], "pr"] - v) < 1e-8, names[k]
 
 
+def test_ab_test_matches_numpy(run):
+    got = run("c_ab_test").iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")[["user_id", "event_type"]]
+    u = (
+        ev.assign(conv=(ev.event_type == "purchase").astype(int))
+        .groupby("user_id")
+        .conv.max()
+    )
+    b = u.index % 2 == 1
+    n_a, n_b = int((~b).sum()), int(b.sum())
+    conv_a, conv_b = int(u[~b].sum()), int(u[b].sum())
+    assert (got["n_a"], got["n_b"], got["conv_a"], got["conv_b"]) == (
+        n_a, n_b, conv_a, conv_b,
+    )
+    p = (conv_a + conv_b) / (n_a + n_b)
+    if 0 < p < 1:
+        z = (conv_a / n_a - conv_b / n_b) / np.sqrt(
+            p * (1 - p) * (1 / n_a + 1 / n_b)
+        )
+        assert abs(got["z"] - z) < 1e-6
+    else:
+        # pooled rate degenerate (p=1 on this testdata: every user has a
+        # purchase): the z statistic is undefined and must be NULL
+        assert pd.isna(got["z"])
+
+
+def test_theilsen_trend_matches_numpy(run):
+    got = run("c_theilsen_trend").iloc[0]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_shipdate", "l_extendedprice"]
+    ]
+    days = pd.to_datetime(li.l_shipdate).dt.floor("D")
+    t = (days - days.min()).dt.days
+    rev = li.groupby(t).l_extendedprice.sum()
+    ts_, rv = rev.index.to_numpy(), rev.to_numpy()
+    i, k = np.triu_indices(len(ts_), 1)
+    slopes = (rv[k] - rv[i]) / (ts_[k] - ts_[i])
+    assert (got["n_days"], got["n_pairs"]) == (len(ts_), len(slopes))
+    assert abs(got["theil_slope"] - np.median(slopes)) < 1e-4
+
+
+def test_benford_matches_numpy(run):
+    got = run("c_benford").set_index("digit").sort_index()
+    od = pd.read_parquet(f"{SF}/orders.parquet")["o_totalprice"]
+    cnt = np.floor(od).astype(np.int64).astype(str).str[0].value_counts()
+    for dg in got.index:
+        assert got.loc[dg, "n"] == cnt[dg], dg
+        assert abs(got.loc[dg, "frac"] - cnt[dg] / float(cnt.sum())) < 1e-12
+        assert (
+            abs(got.loc[dg, "benford_expected"] - np.log10(1 + 1 / float(dg)))
+            < 1e-12
+        )
+
+
 def test_ks_source_matches_numpy(run):
     """The regression pin for the collusion find: the KS max must range
     over the FULL support, including points below a source's minimum
