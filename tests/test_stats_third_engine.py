@@ -386,6 +386,49 @@ def test_benford_matches_numpy(run):
         )
 
 
+def test_markov_steady_matches_numpy_power_iteration(run):
+    """Like PageRank, the oracle is loop-unrolled — this matrix power
+    iteration is the structurally independent check."""
+    got = run("c_markov_steady").set_index("event_type").sort_index()
+    ev = pd.read_parquet(f"{SF}/events.parquet")[
+        ["user_id", "ts", "event_id", "event_type"]
+    ].sort_values(["user_id", "ts", "event_id"])
+    ev["nxt"] = ev.groupby("user_id").event_type.shift(-1)
+    seq = ev.dropna(subset=["nxt"])
+    trans = seq.groupby(["event_type", "nxt"]).size().reset_index(name="c")
+    types = sorted(set(trans.event_type) | set(trans.nxt))
+    idx = {t: i for i, t in enumerate(types)}
+    P = np.zeros((len(types), len(types)))
+    outc = trans.groupby("event_type").c.sum()
+    for _, r in trans.iterrows():
+        P[idx[r.event_type], idx[r.nxt]] = r.c / outc[r.event_type]
+    v = np.full(len(types), 1.0 / len(types))
+    for _ in range(8):
+        v = v @ P
+    for t in got.index:
+        assert got.loc[t, "out_transitions"] == int(outc.get(t, 0)), t
+        assert abs(got.loc[t, "steady"] - v[idx[t]]) < 1e-9, t
+
+
+def test_unigram_xent_matches_numpy(run):
+    from collections import Counter
+
+    got = run("c_unigram_xent").set_index("doc_id").sort_index()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    vocab, per_doc = Counter(), {}
+    for _, r in docs.iterrows():
+        c = Counter(r.text.split(" "))  # engines split on the literal ' '
+        per_doc[r.doc_id] = c
+        vocab.update(c)
+    total = sum(vocab.values())
+    for did, c in per_doc.items():
+        n = sum(c.values())
+        xent = -sum(tf * np.log(vocab[t] / total) for t, tf in c.items()) / n
+        q = got.loc[did]
+        assert q["n_toks"] == n, did
+        assert abs(q["xent"] - xent) < 1e-4, did
+
+
 def test_ks_source_matches_numpy(run):
     """The regression pin for the collusion find: the KS max must range
     over the FULL support, including points below a source's minimum
