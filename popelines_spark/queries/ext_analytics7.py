@@ -934,11 +934,21 @@ def c_levene_test(spark, sf_dir):
                   AS DOUBLE) AS dcg,
              CAST(SUM(rel) AS BIGINT) AS n_rel
       FROM top GROUP BY 1),
+    -- the IDEAL ranking places min(TOTAL relevant candidates, 10) ones
+    -- at the top — normalizing by the relevance RETRIEVED in the top 10
+    -- (the old n_rel) inflated the score whenever recall < 1 and turned
+    -- NDCG into a pure within-top-10 ordering metric (review r12,
+    -- third-engine find; standard NDCG@k convention)
+    reltot AS (
+      SELECT lq.vec_id AS q, CAST(count(*) AS BIGINT) AS r_tot
+      FROM lab lq JOIN lab lc
+        ON lc.label = lq.label AND lc.vec_id <> lq.vec_id
+      WHERE lq.vec_id < 8 GROUP BY 1),
     ideal AS (
-      SELECT d.q,
+      SELECT rt.q,
              CAST(SUM(CAST(round(1.0 / log2(r.r + 1), 9) AS DECIMAL(20,9)))
                   AS DOUBLE) AS idcg
-      FROM dcg d JOIN range(1, 11) r(r) ON r.r <= d.n_rel
+      FROM reltot rt JOIN range(1, 11) r(r) ON r.r <= least(rt.r_tot, 10)
       GROUP BY 1)
     SELECT d.q AS probe_id, d.n_rel,
            round(COALESCE(d.dcg / i.idcg, 0.0), 6) AS ndcg10
@@ -1017,9 +1027,26 @@ def c_ndcg_eval(spark, sf_dir):
         .alias("dcg"),
         F.sum("rel").cast("long").alias("n_rel"),
     )
+    # the IDEAL ranking places min(TOTAL relevant candidates, 10) ones
+    # at the top — normalizing by the relevance retrieved in the top 10
+    # inflated the score whenever recall < 1 (review r12, third-engine
+    # find; standard NDCG@k convention)
+    lq = lab.select(F.col("vec_id").alias("q"), F.col("label").alias("lq"))
+    lc = lab.select(F.col("vec_id").alias("c2"), F.col("label").alias("lc2"))
+    reltot = (
+        lq.where(F.col("q") < 8)
+        .join(
+            F.broadcast(lc),
+            (F.col("lc2") == F.col("lq")) & (F.col("c2") != F.col("q")),
+        )
+        .groupBy("q")
+        .agg(F.count("*").cast("long").alias("r_tot"))
+    )
     ranks = spark.range(1, 11).select(F.col("id").alias("r"))
     ideal = (
-        dcg.join(F.broadcast(ranks), F.col("r") <= F.col("n_rel"))
+        reltot.join(
+            F.broadcast(ranks), F.col("r") <= F.least(F.col("r_tot"), F.lit(10))
+        )
         .groupBy("q")
         .agg(
             F.sum(

@@ -429,6 +429,35 @@ def test_unigram_xent_matches_numpy(run):
         assert abs(q["xent"] - xent) < 1e-4, did
 
 
+def test_ndcg_eval_matches_numpy_standard_convention(run):
+    """Regression pin for the third collusion find: IDCG must come from
+    min(TOTAL relevant candidates, 10) — normalizing by the relevance
+    retrieved in the top 10 inflated the score whenever recall < 1."""
+    got = run("c_ndcg_eval").set_index("probe_id").sort_index()
+    em = pd.read_parquet(f"{SF}/embeddings.parquet")[
+        ["vec_id", "label", "embedding"]
+    ]
+    M = np.vstack(em.embedding.to_numpy()).astype(float)
+    ids, labels = em.vec_id.to_numpy(), em.label.to_numpy()
+    nrm = np.sqrt((M * M).sum(1))
+    for q in range(8):
+        qi = int(np.where(ids == q)[0][0])
+        cs = (M @ M[qi]) / (nrm * nrm[qi])
+        mask = ids != q
+        order = sorted(zip(np.round(-cs[mask], 9), ids[mask]))
+        top = [int(v) for _, v in order[:10]]
+        rel = [
+            1 if labels[np.where(ids == v)[0][0]] == labels[qi] else 0
+            for v in top
+        ]
+        dcg = sum(r / np.log2(i + 2) for i, r in enumerate(rel))
+        R = int((labels[mask] == labels[qi]).sum())
+        idcg = sum(1 / np.log2(i + 2) for i in range(min(R, 10)))
+        g = got.loc[q]
+        assert g["n_rel"] == sum(rel), q
+        assert abs(g["ndcg10"] - (dcg / idcg if idcg > 0 else 0.0)) < 1e-4, q
+
+
 def test_ks_source_matches_numpy(run):
     """The regression pin for the collusion find: the KS max must range
     over the FULL support, including points below a source's minimum
