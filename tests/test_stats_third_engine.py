@@ -458,6 +458,64 @@ def test_ndcg_eval_matches_numpy_standard_convention(run):
         assert abs(g["ndcg10"] - (dcg / idcg if idcg > 0 else 0.0)) < 1e-4, q
 
 
+def test_bm25_matches_numpy(run):
+    from collections import Counter
+
+    got = run("c_bm25").set_index("doc_id").sort_index()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    terms, k1, b = ("spark", "join", "stream"), 1.2, 0.75
+    tf, dl = {}, {}
+    for _, r in docs.iterrows():
+        toks = r.text.split(" ")
+        dl[r.doc_id] = len(toks)
+        c = Counter(t for t in toks if t in terms)
+        if c:
+            tf[r.doc_id] = c
+    df_ = Counter()
+    for c in tf.values():
+        for t in c:
+            df_[t] += 1
+    N, avgdl = len(docs), sum(dl.values()) / len(docs)
+    assert len(got) == len(tf)
+    for did, c in tf.items():
+        score = sum(
+            np.log(1 + (N - df_[t] + 0.5) / (df_[t] + 0.5))
+            * (tfi * (k1 + 1) / (tfi + k1 * (1 - b + b * dl[did] / avgdl)))
+            for t, tfi in c.items()
+        )
+        assert abs(got.loc[did, "bm25"] - score) < 1e-5, did
+
+
+def test_pmi_bigrams_matches_numpy(run):
+    from collections import Counter
+
+    got = run("c_pmi_bigrams")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")["text"]
+    bg = Counter()
+    for t in docs:
+        toks = t.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            bg[(a, b)] += 1
+    c1, c2 = Counter(), Counter()
+    for (a, b), c in bg.items():
+        c1[a] += c
+        c2[b] += c
+    N = sum(bg.values())
+    scored = sorted(
+        (
+            (c * N / (c1[a] * float(c2[b])), a, b, c)
+            for (a, b), c in bg.items()
+            if c >= 5
+        ),
+        key=lambda x: (-x[0], x[1], x[2]),
+    )[:50]
+    assert len(got) == len(scored)
+    for i, (ratio, a, b, c) in enumerate(scored):
+        q = got.iloc[i]
+        assert (q["w1"], q["w2"], q["c_xy"]) == (a, b, c), i
+        assert abs(q["pmi"] - np.log(ratio)) < 1e-6, i
+
+
 def test_ks_source_matches_numpy(run):
     """The regression pin for the collusion find: the KS max must range
     over the FULL support, including points below a source's minimum
