@@ -516,6 +516,74 @@ def test_pmi_bigrams_matches_numpy(run):
         assert abs(q["pmi"] - np.log(ratio)) < 1e-6, i
 
 
+def test_cusum_revenue_matches_exact_integer_recomputation(run):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    got = run("c_cusum_revenue")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_shipdate", "l_extendedprice"]
+    ]
+    d = li.groupby("l_shipdate").l_extendedprice.sum().sort_index()
+    rev = (d * 10000).round().astype(object)  # exact 4dp units
+    cum, n, total = rev.cumsum(), len(d), rev.sum()
+    t = pd.Series(range(1, n + 1), index=d.index, dtype=object)
+    dev = n * cum - t * total
+    cand = sorted(
+        ((int(abs(v)), k) for k, v in dev.items()), key=lambda x: (-x[0], x[1])
+    )[:5]
+    for i, (_, k) in enumerate(cand):
+        q = got.iloc[i]
+        assert str(q["day"])[:10] == str(k)[:10], i
+        # both engines round(dev, 0) HALF_UP on the 4dp value
+        want = int(
+            (Decimal(int(dev[k])) / Decimal(10000)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        )
+        assert int(q["dev_scaled"]) == want, (i, k)
+
+
+def test_forecast_smape_matches_numpy(run):
+    """Observed-join convention: a (type, day) pair scores only when
+    both the actual and the 7-day-earlier count exist."""
+    got = run("c_forecast_smape").set_index("event_type").sort_index()
+    ev = pd.read_parquet(f"{SF}/events.parquet")[["event_type", "ts"]]
+    d = (
+        ev.groupby(["event_type", ev.ts.dt.floor("D")])
+        .size()
+        .rename("n")
+        .reset_index()
+    )
+    d.columns = ["event_type", "day", "n"]
+    f = d.copy()
+    f["day"] = f.day + pd.Timedelta(days=7)
+    j = d.merge(f.rename(columns={"n": "fc"}), on=["event_type", "day"])
+    for t_, g in j.groupby("event_type"):
+        sm = (2.0 * np.abs(g.n - g.fc) / (g.n + g.fc)).mean()
+        q = got.loc[t_]
+        assert q["n_days"] == len(g), t_
+        assert abs(q["smape"] - sm) < 1e-6, t_
+
+
+def test_readability_matches_numpy(run):
+    import re
+
+    got = run("c_readability").set_index("doc_id").sort_index()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    for _, r in docs.iterrows():
+        w = len(re.findall(r"[A-Za-z]+", r.text))
+        if w < 1:
+            continue
+        sent = max(len(re.findall(r"[.!?]+", r.text)), 1)
+        vg = len(re.findall(r"[aeiouyAEIOUY]+", r.text))
+        fl = 206.835 - 1.015 * (w / sent) - 84.6 * (vg / w)
+        q = got.loc[r.doc_id]
+        assert (q["words"], q["sentences"], q["vowel_groups"]) == (
+            w, sent, vg,
+        ), r.doc_id
+        assert abs(q["flesch"] - fl) < 1e-9, r.doc_id
+
+
 def test_ks_source_matches_numpy(run):
     """The regression pin for the collusion find: the KS max must range
     over the FULL support, including points below a source's minimum
