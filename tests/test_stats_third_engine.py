@@ -584,6 +584,32 @@ def test_readability_matches_numpy(run):
         assert abs(q["flesch"] - fl) < 1e-9, r.doc_id
 
 
+def test_lorenz_points_match_numpy(run):
+    got = run("c_lorenz_points").set_index(["seg", "decile"]).sort_index()
+    od = pd.read_parquet(f"{SF}/orders.parquet")[["o_custkey", "o_totalprice"]]
+    cu = pd.read_parquet(f"{SF}/customer.parquet")[
+        ["c_custkey", "c_mktsegment"]
+    ]
+    j = od.merge(cu, left_on="o_custkey", right_on="c_custkey")
+    spend = (
+        j.groupby(["c_mktsegment", "o_custkey"]).o_totalprice.sum()
+        .reset_index()
+    )
+    for seg, g in spend.groupby("c_mktsegment"):
+        g = g.sort_values(["o_totalprice", "o_custkey"]).reset_index(drop=True)
+        g["decile"] = g.index * 10 // len(g)
+        bands = g.groupby("decile").agg(
+            n_customers=("o_custkey", "size"),
+            band_spend=("o_totalprice", "sum"),
+        )
+        cum, total = bands.band_spend.cumsum(), bands.band_spend.sum()
+        for dec in bands.index:
+            q = got.loc[(seg, dec)]
+            assert q["n_customers"] == bands.loc[dec, "n_customers"], (seg, dec)
+            assert abs(q["band_spend"] - bands.loc[dec, "band_spend"]) < 1e-2
+            assert abs(q["cum_share"] - cum[dec] / total) < 1e-5, (seg, dec)
+
+
 def test_ks_source_matches_numpy(run):
     """The regression pin for the collusion find: the KS max must range
     over the FULL support, including points below a source's minimum
