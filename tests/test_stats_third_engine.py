@@ -610,6 +610,23 @@ def test_lorenz_points_match_numpy(run):
             assert abs(q["cum_share"] - cum[dec] / total) < 1e-5, (seg, dec)
 
 
+def test_retention_cohort_matches_numpy(run):
+    got = run("c_retention_cohort").set_index(
+        ["cohort_week", "week_offset"]
+    ).sort_index()
+    ev = pd.read_parquet(f"{SF}/events.parquet")[["user_id", "ts"]]
+    first = ev.groupby("user_id").ts.min().rename("first_ts")
+    j = ev.join(first, on="user_id")
+    j["week_offset"] = (
+        (j.ts - j.first_ts) // pd.Timedelta(weeks=1)
+    ).astype(np.int64)
+    j["cohort_week"] = j.first_ts.dt.to_period("W-SUN").dt.start_time
+    ind = j.groupby(["cohort_week", "week_offset"]).user_id.nunique()
+    assert len(got) == len(ind)
+    for k in got.index:
+        assert k in ind.index and got.loc[k, "n_users"] == ind[k], k
+
+
 def test_ks_source_matches_numpy(run):
     """The regression pin for the collusion find: the KS max must range
     over the FULL support, including points below a source's minimum
