@@ -59,59 +59,59 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # impossible to miss).  (tools/parity.py still covers the full registry
 # every round at sf{0.001,0.01,0.1}.)
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # -- round-12 window (re-rotated after a_load_layouts registered):
-    # the new never-scored id first, then the stalest driver-green
-    # cohort, emitted verbatim by tools/rotate_window.py
-    "a_load_layouts",
-    "b_sketch_bloom",
-    "b_sketch_cms",
-    "b_sketch_hll_merge",
-    "c_ab_test",
-    "c_anomaly_zscore",
-    "c_bm25",
-    "c_class_centroids",
-    "c_dedup_incremental",
-    "c_dq_checks",
-    "c_drift_psi",
-    "c_event_transitions",
-    "c_funnel",
-    "c_fuzzy_match",
-    "c_html_strip",
-    "c_knn_ivf",
-    "c_knn_lsh",
-    "c_lang_confusion",
-    "c_multimodal_audio",
-    "c_multimodal_decode",
-    "c_ngram_topk",
-    "c_quality_deciles",
-    "c_retention_cohort",
-    "c_rollup_multi",
-    "c_sample_per_group",
-    "c_sessionize",
-    "c_split_holdout",
-    "c_stickiness",
-    "c_tfidf_topk",
-    "c_time_to_convert",
-    "c_unigram_xent",
-    "c_zorder_key",
-    "s_custom_state",
-    "s_dedup_stream",
-    "s_incremental_max",
-    "s_join_interval",
-    "s_session",
-    "s_tumbling",
-    "s_watermark_late",
-    "tpch_q1",
-    "tpch_q11",
-    "tpch_q16",
-    "tpch_q2",
-    "tpch_q20",
-    "tpch_q21",
-    "a_chunk_dates",
-    "a_copy_replace_keys",
-    "a_fix_values",
-    "a_load_evolve",
-    "a_source_rest",
+    # -- round-13 window: the 45-entry round-5 stalest cohort plus the
+    # 5 stalest round-6 entries, emitted verbatim by
+    # tools/rotate_window.py (no never-scored ids this round).
+    "b_agg_collect",
+    "b_agg_count_distinct",
+    "b_agg_cube",
+    "b_agg_distinct_rows",
+    "b_agg_group",
+    "b_agg_grouping_sets",
+    "b_agg_having",
+    "b_agg_rollup",
+    "b_agg_scalar_max",
+    "b_ctas",
+    "b_filter_range_dates",
+    "b_fn_date",
+    "b_fn_date_seq",
+    "b_join_anti",
+    "b_join_asof",
+    "b_join_broadcast",
+    "b_join_cross",
+    "b_join_full",
+    "b_join_inner",
+    "b_join_left",
+    "b_join_right",
+    "b_join_semi",
+    "b_join_theta",
+    "b_project_drop",
+    "b_project_nested",
+    "b_project_rename_nested",
+    "b_sketch_cms_merge",
+    "b_unnest",
+    "b_unnest_inner",
+    "c_attribution",
+    "c_brand_affinity",
+    "c_containment",
+    "c_dataset_card",
+    "c_dp_counts",
+    "c_ewma_daily",
+    "c_moving_monthly",
+    "c_nation_share",
+    "c_pagerank_nations",
+    "c_repetition_stats",
+    "c_sample_weighted",
+    "c_scd2_track",
+    "c_skew_sessionize",
+    "c_yoy_brand",
+    "flagship_star_revenue",
+    "s_sliding",
+    "b_join_range",
+    "b_sketch_hist_quantile",
+    "b_snapshot_diff",
+    "c_ab_srm",
+    "c_activity_heatmap",
 )
 
 

@@ -5,23 +5,43 @@ round; round 9 shipped without rotating `_DRIVER_WINDOW_FIRST` and
 burned its 50 slots re-proving already-green entries (VERDICT r9 #1).
 This test is the round-opening checklist item in executable form: when
 a new CORRECTNESS_r{N}.json lands (i.e. a new round starts), the window
-computed from the scoring history changes and this test FAILS until
-`python tools/rotate_window.py` output is pasted into registry.py.
+computed from the scoring history changes and this test XFAILs (with a
+loud console warning) until `python tools/rotate_window.py` output is
+pasted into registry.py.  It is ``xfail(strict=False)`` per VERDICT
+r12 nit #2 so a stale window never reads as a broken tree to someone
+who hasn't read this docstring — the rotation demand shows up as an
+``XFAIL`` plus a stderr banner instead of a red ``FAILED``.
 No Spark session needed — pure JSON + registry import.
 """
 
 import sys
+import warnings
+
+import pytest
 
 sys.path.insert(0, "/root/repo/tools") if "/root/repo/tools" not in sys.path else None
 
 from rotate_window import canonical_window, scored_rounds  # noqa: E402
 
 
+@pytest.mark.xfail(
+    strict=False,
+    reason="driver window stale for this round — run tools/rotate_window.py",
+)
 def test_driver_window_is_canonical():
     import __spark_entry__ as e
     from popelines_spark.registry import _DRIVER_WINDOW_FIRST
 
     want = canonical_window(list(e.queries()), scored_rounds())
+    if list(_DRIVER_WINDOW_FIRST) != want:
+        warnings.warn(
+            "\n" + "=" * 70 + "\n"
+            "DRIVER WINDOW IS STALE FOR THIS ROUND.\n"
+            "Run `python tools/rotate_window.py` and paste the printed tuple\n"
+            "into popelines_spark/registry.py:_DRIVER_WINDOW_FIRST.\n"
+            + "=" * 70,
+            stacklevel=1,
+        )
     assert list(_DRIVER_WINDOW_FIRST) == want, (
         "driver correctness window is stale for this round — run "
         "`python tools/rotate_window.py` and paste the printed tuple "
