@@ -907,30 +907,45 @@ def update_stats_increment(
         return None
     # identity of OUR claim: a breaker that (wrongly) broke a live lock
     # recreates the file with a later mtime — the verified delete below
-    # then leaves the successor's lock alone instead of cascading
+    # then leaves the successor's lock alone instead of cascading.
+    # The stat is RETRIED once; if ownership is still unknowable the
+    # release below SKIPS the delete (the staleness breaker reclaims the
+    # leaked lock) — an unconditional delete here could remove a
+    # successor's live lock, recreating exactly the cascade the
+    # verified release exists to stop (ADVICE r12)
     try:
         own_mtime = fs.getFileStatus(HPath(lock)).getModificationTime()
     except Exception:
-        own_mtime = None
+        try:
+            own_mtime = fs.getFileStatus(HPath(lock)).getModificationTime()
+        except Exception:
+            own_mtime = None
     try:
         return _update_stats_locked(
             spark, warehouse, table_name, appended, profile
         )
     finally:
-        try:
-            st = fs.getFileStatus(HPath(lock))
-        except Exception as exc:
-            # only ABSENCE means nothing to release; a transient stat
-            # failure must surface, not silently leak a held lock for
-            # the full breaker horizon (review r12)
-            if "FileNotFound" not in str(exc) \
-                    and "not exist" not in str(exc).lower():
-                raise
-            st = None
-        if st is not None and (
-            own_mtime is None or st.getModificationTime() == own_mtime
-        ):
-            fs.delete(HPath(lock), False)
+        _release_verified_lock(fs, HPath(lock), own_mtime)
+
+
+def _release_verified_lock(fs, lock_hpath, own_mtime) -> None:
+    """Delete ``lock_hpath`` only when it is PROVABLY still ours —
+    current mtime equals the one recorded at claim time. Ownership
+    unknowable (``own_mtime is None``) or mtime mismatch ⇒ leave the
+    lock for the staleness breaker: deleting blind could remove a
+    successor's live lock after a wrongful break, cascading (review
+    r12 + ADVICE r12). Lock ABSENCE is a clean no-op; any other stat
+    failure surfaces rather than silently leaking a held lock for the
+    full breaker horizon."""
+    try:
+        st = fs.getFileStatus(lock_hpath)
+    except Exception as exc:
+        if "FileNotFound" not in str(exc) \
+                and "not exist" not in str(exc).lower():
+            raise
+        return
+    if own_mtime is not None and st.getModificationTime() == own_mtime:
+        fs.delete(lock_hpath, False)
 
 
 def _stats_mergeable(stats: dict | None) -> bool:
@@ -1268,29 +1283,61 @@ def write_table_snapshot(
                 f"collisions under {root} — stale .__reserved files?"
             )
         version += 1
+    # OWNER IDENTITY of the lease (ADVICE r12): record the marker's
+    # mtime at claim time. Without it the flip's exists() check re-arms
+    # when a compaction breaks our stale marker and a NEW claimant
+    # (another write_table_snapshot on the same id, or vacuum's
+    # _delete_dir_under_claim) recreates the SAME path — an
+    # identity-less flip would then commit into a dir the new owner is
+    # mid-overwrite/mid-delete. The stat is retried once; a marker we
+    # created microseconds ago failing to stat twice is an FS fault
+    # worth surfacing, not papering over with an identity-less lease.
+    try:
+        own_mtime = fs.getFileStatus(reserved).getModificationTime()
+    except Exception:
+        own_mtime = fs.getFileStatus(reserved).getModificationTime()
     _snapshot_crash_point("after_reserve")  # debris: bare .__reserved
     out = df.repartition(n_files) if n_files else df
     out.write.mode("overwrite").parquet(vpath)
     # debris: .__reserved + a torn data dir with no _COMMITTED marker
     _snapshot_crash_point("after_data_write")
-    _flip_snapshot_commit(fs, vpath, reserved, jvm)
+    _flip_snapshot_commit(fs, vpath, reserved, jvm, own_mtime=own_mtime)
     return version
 
 
-def _flip_snapshot_commit(fs, vpath: str, reserved, jvm) -> None:
-    """The snapshot commit's visibility flip, guarded by a reservation
-    LEASE CHECK: a compaction that presumed this writer dead (its
-    ``.__reserved`` aged past the staleness horizon) BREAKS the marker
-    before standing, so a writer whose marker is gone must NOT flip —
-    its base may already be superseded by a rewrite that never saw this
-    version, and flipping would strand these rows invisibly until GC
-    deletes them (review r12: the horizon alone silently lost a
-    live-but-slow append's batch). The written data dir is retracted
-    and the caller retries against the new tip. Residual window: the
-    exists-then-flip gap (~2 metadata ops) — the same epsilon every
-    mtime lease in this repo documents."""
+def _flip_snapshot_commit(
+    fs, vpath: str, reserved, jvm, own_mtime: int | None = None
+) -> None:
+    """The snapshot commit's visibility flip, guarded by an
+    OWNER-IDENTIFIED reservation lease check. Two distinct loss modes
+    (review r12 + ADVICE r12):
+
+    - marker GONE: a compaction presumed this writer dead (the
+      ``.__reserved`` aged past the staleness horizon) and BROKE the
+      marker — the base may already be superseded by a rewrite that
+      never saw this version, so flipping would strand these rows
+      invisibly until GC deletes them. The written data dir is
+      retracted and the caller retries against the new tip.
+    - marker PRESENT but NOT OURS (mtime differs from the one recorded
+      at claim time): after the break, a NEW claimant recreated the
+      same marker path — another writer re-using the version id, or
+      vacuum's ``_delete_dir_under_claim``. The dir now belongs to that
+      claimant (it may be mid-overwrite or mid-delete), so this writer
+      must neither flip, nor delete the marker, nor touch the dir; it
+      only raises. Its torn rows are overwritten by the new writer or
+      reclaimed by the next vacuum (uncommitted dirs are invisible).
+
+    ``own_mtime=None`` skips the identity half (legacy callers/tests);
+    ``write_table_snapshot`` always passes it. Residual window: the
+    stat-then-flip gap (~2 metadata ops) — the same epsilon every mtime
+    lease in this repo documents, now independent of the batch-write
+    duration."""
     HPath = jvm.org.apache.hadoop.fs.Path
-    if not fs.exists(reserved):
+    try:
+        cur_mtime = fs.getFileStatus(reserved).getModificationTime()
+    except Exception:
+        cur_mtime = None
+    if cur_mtime is None:
         fs.delete(HPath(vpath), True)
         raise ConcurrentSnapshotWriteError(
             f"snapshot commit of {vpath}: the version reservation was "
@@ -1299,6 +1346,14 @@ def _flip_snapshot_commit(fs, vpath: str, reserved, jvm) -> None:
             "retracted; retry against the new tip, or raise "
             "POPELINES_SNAPSHOT_RESERVATION_STALE_SEC above the longest "
             "batch write"
+        )
+    if own_mtime is not None and cur_mtime != own_mtime:
+        raise ConcurrentSnapshotWriteError(
+            f"snapshot commit of {vpath}: the version reservation was "
+            "broken and RE-CLAIMED by another writer while writing — "
+            "this writer's lease identity no longer matches; nothing "
+            "was flipped or deleted (the dir belongs to the new "
+            "claimant). Retry against the new tip."
         )
     # visibility flip: one atomic object creation
     fs.create(HPath(vpath + "/" + _COMMIT_MARKER), False).close()

@@ -525,6 +525,17 @@ def get_commit_arbiter() -> CommitArbiter:
     return _COMMIT_ARBITER
 
 
+def _install_arbiter_from_env() -> None:
+    """Honor ``POPELINES_COMMIT_ARBITER`` (e.g. ``sqlite:/x/cas.db``) —
+    the hook that lets multi-process drills (tools/stress_manifest.py,
+    tools/chaos_concurrent.py) run every subprocess writer under the
+    same external CAS arbiter. Read once at import; no-op when unset."""
+    if os.environ.get("POPELINES_COMMIT_ARBITER"):
+        from popelines_spark.arbiters import arbiter_from_env
+
+        set_commit_arbiter(arbiter_from_env())
+
+
 def _with_commit_lock(fs, vroot, jvm, fn, timeout_sec=None,
                       stale_sec=None):
     """Run ``fn()`` under the active :class:`CommitArbiter` — every
@@ -586,10 +597,25 @@ def _lock_file_run(fs, vroot, jvm, fn, timeout_sec=None,
     deadline = time.time() + timeout_sec
     while True:
         if _claim_path(fs, lock, jvm):
+            # owner identity (round 13, unifying with io.py's verified
+            # leases): a holder presumed dead and superseded must not
+            # free its SUCCESSOR's lock on release — one stat per
+            # commit buys the verified delete
+            try:
+                own = fs.getFileStatus(HPath(lock)).getModificationTime()
+            except Exception:
+                try:
+                    own = fs.getFileStatus(
+                        HPath(lock)
+                    ).getModificationTime()
+                except Exception:
+                    own = None
             try:
                 return fn()
             finally:
-                fs.delete(HPath(lock), False)
+                from popelines_spark.io import _release_verified_lock
+
+                _release_verified_lock(fs, HPath(lock), own)
         try:
             if _stale(lock):
                 if _claim_path(fs, breaker, jvm):
@@ -883,6 +909,23 @@ def _find_batch_version(fs, vroot, versions, jvm, batch_id: str):
     raise ConcurrentWriteError(
         f"tip kept vanishing while resolving batch {batch_id!r}"
     )
+
+
+def manifest_batch_version(
+    spark: SparkSession,
+    warehouse: str,
+    table_name: str,
+    batch_id: str | int,
+) -> int | None:
+    """The committed version that already carries ``batch_id``, or None
+    (also None for a table with no committed versions). Public read-only
+    probe over the same lineage-carried ``batch_ids`` set the append's
+    idempotency check uses — the streaming sink's legacy-id dual lookup
+    (streaming/manifest_sink.py) is its first caller."""
+    root, vroot, _droot = _paths(warehouse, table_name)
+    fs, _, jvm = _hadoop_fs(spark, root)
+    versions = _committed_manifest_versions(fs, vroot, jvm)
+    return _find_batch_version(fs, vroot, versions, jvm, str(batch_id))
 
 
 def heal_manifest_table(
@@ -1903,3 +1946,8 @@ def gc_manifest_table(
             fs.delete(st.getPath(), False)
             _SEGMENT_CACHE.pop(sha, None)
     return len(drop), n_deleted
+
+
+# honor POPELINES_COMMIT_ARBITER in THIS process (subprocess writers of
+# the multi-process drills inherit the env and install the same arbiter)
+_install_arbiter_from_env()

@@ -248,6 +248,58 @@ def _replace_commit(
     ) from last
 
 
+def _count_and_validate_set_exprs(
+    src: DataFrame,
+    cond,
+    set_exprs: dict[str, str],
+    types: dict,
+) -> int:
+    """ONE aggregation over ``src`` returning the matched-row count,
+    raising first if any SET expression's value on a matched row would
+    be silently corrupted by the cast back to the column's declared
+    type (ADVICE r12 — non-ANSI casts truncate without error, where
+    BigQuery rejects the assignment). Lossless test per drifting
+    column: cast(expr AS declared) must round-trip to the expression's
+    own type and compare null-safe equal; overflow clamps and
+    fractional truncation both fail it. Matched NULLs pass (NULL is
+    representable in every type). Widening drifts (int→long, long→
+    double literals) round-trip and sail through — the probe is
+    data-dependent, maximally permissive, and shares the n_updated
+    pass, so valid UPDATEs pay nothing extra. An intended truncation is
+    spelled explicitly: CAST(expr AS <declared type>) in the SET
+    expression makes expr's type equal the declared type, and the
+    probe skips it."""
+    set_cols = list(set_exprs)
+    probe = src.select(
+        *[F.expr(set_exprs[c]).alias(f"__e_{i}") for i, c in enumerate(set_cols)]
+    ).schema
+    etypes = {c: probe.fields[i].dataType for i, c in enumerate(set_cols)}
+    drifting = [c for c in set_cols if etypes[c] != types[c]]
+    aggs = [F.sum(cond.cast("long")).alias("__n")]
+    for i, c in enumerate(drifting):
+        e = F.expr(set_exprs[c])
+        bad = (
+            cond
+            & e.isNotNull()
+            & ~e.cast(types[c]).cast(etypes[c]).eqNullSafe(e)
+        )
+        aggs.append(F.sum(bad.cast("long")).alias(f"__bad_{i}"))
+    row = src.agg(*aggs).collect()[0]
+    for i, c in enumerate(drifting):
+        n_bad = row[f"__bad_{i}"] or 0
+        if n_bad:
+            decl = types[c].simpleString()
+            raise ValueError(
+                f"UPDATE SET {c} = {set_exprs[c]}: the expression's type "
+                f"({etypes[c].simpleString()}) does not losslessly coerce "
+                f"to the declared column type ({decl}) for {n_bad} matched "
+                f"row(s) — values would be silently truncated/clamped. "
+                f"Wrap the expression in an explicit CAST(... AS {decl}) "
+                "if the truncation is intended."
+            )
+    return int(row["__n"] or 0)
+
+
 class _NoOp(Exception):
     """Predicate matched no file — nothing to rewrite, no commit."""
 
@@ -329,14 +381,23 @@ def update_manifest_rows(
         if not affected:
             raise _NoOp(man["version"])
         src = spark.read.schema(schema).parquet(*affected)
-        n_updated = src.where(cond).count()  # assign: retries rebuild
         # cast each SET expression back to the column's DECLARED type:
         # a type-drifting expression (cnt/2 on a LONG returns DOUBLE)
         # coerced the whole output column, wrote DOUBLE parquet under a
         # manifest still declaring LONG, and every subsequent read
-        # failed far from the cause (review r12) — BigQuery UPDATE
-        # coerces to the column type at the statement the same way
+        # failed far from the cause (review r12). The cast-back is
+        # VALIDATED per matched row (ADVICE r12): under non-ANSI cast
+        # semantics it silently truncates (SET cnt=cnt/2 on LONG wrote
+        # floor(cnt/2) with no error — BigQuery REJECTS FLOAT64→INT64
+        # assignment), so any matched value that does not round-trip
+        # through the declared type raises instead of corrupting; an
+        # intended truncation is spelled with an explicit CAST in the
+        # SET expression. Folded into the n_updated aggregation — the
+        # probe costs no extra pass.
         types = {f.name: f.dataType for f in schema.fields}
+        n_updated = _count_and_validate_set_exprs(
+            src, cond, set_exprs, types
+        )
         updated = src.select(
             *[
                 F.when(

@@ -518,12 +518,21 @@ class Popeline:
         if unknown:
             raise ValueError(f"UPDATE of non-existent column(s): {sorted(unknown)}")
         cond = F.expr(predicate)
-        n_match = target.filter(cond).count()
         # cast each SET expression back to the column's DECLARED type:
         # a type-drifting expression (cnt/2 on a LONG returns DOUBLE)
         # would silently flip the column's at-rest type under readers —
-        # same BigQuery-UPDATE coercion manifest_dml applies (review r12)
+        # same BigQuery-UPDATE coercion manifest_dml applies (review
+        # r12), with the same per-matched-row lossless-round-trip
+        # validation (ADVICE r12): a value the cast would truncate
+        # raises instead of corrupting, folded into the match count
+        from popelines_spark.manifest_dml import (
+            _count_and_validate_set_exprs,
+        )
+
         types = {f.name: f.dataType for f in target.schema.fields}
+        n_match = _count_and_validate_set_exprs(
+            target, cond, set_exprs, types
+        )
         updated = target.select(
             *[
                 F.when(

@@ -131,8 +131,13 @@ class ManifestChangefeedReader(DataSourceStreamReader):
                 # restart, so an unconditional raise here required
                 # manual checkpoint surgery for a harmless retraction).
                 # No older survivor ⇒ the retention floor passed v: real
-                # replay loss, fail loud.
-                if any(x < v for x in versions):
+                # replay loss, fail loud. The older-survivor test runs
+                # against a FRESH listing (ADVICE r12): a GC pruning the
+                # oldest prefix concurrently could leave a genuinely
+                # GC'd in-window version with an older sibling in the
+                # STALE listing, silently converting the intended loud
+                # replay failure into row loss.
+                if any(x < v for x in _committed_versions(self.vroot)):
                     continue
                 raise RuntimeError(
                     f"manifest_changefeed: version {v} inside the "

@@ -18,11 +18,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from popelines_spark.manifest import append_manifest_table
+from popelines_spark.manifest import (
+    append_manifest_table,
+    manifest_batch_version,
+)
 
 
 def manifest_sink_writer(warehouse: str, table_name: str,
-                         app_id: str | None = None):
+                         app_id: str | None = None,
+                         dedup_legacy_epoch: bool | None = None):
     """Build the foreachBatch callable:
     ``df.writeStream.foreachBatch(manifest_sink_writer(wh, "t"))``.
 
@@ -37,9 +41,32 @@ def manifest_sink_writer(warehouse: str, table_name: str,
     checkpoint path for a logically new pipeline keeps the namespace:
     point the new pipeline at a new checkpoint dir (or pass a fresh
     explicit app_id). ``app_id=None`` keeps the legacy bare-epoch ids
-    for single-query tables written before this round."""
+    for single-query tables written before this round.
+
+    ``dedup_legacy_epoch`` (default: on whenever ``app_id`` is set)
+    closes the UPGRADE replay hole (ADVICE r12): a pipeline whose table
+    was written with bare-epoch ids and that restarts on its existing
+    checkpoint AFTER app_id namespacing landed replays its last epoch
+    under the NEW ``app:N`` id — the recorded bare ``N`` no longer
+    matches and the batch would be re-appended once. The FIRST
+    micro-batch this writer instance sees (the only one that can be a
+    restart replay) therefore also checks the legacy bare id in the
+    tip's lineage (dual lookup) and no-ops on a hit. Scoped to the
+    first batch so a genuinely new pipeline (fresh checkpoint, epochs
+    from 0) is exposed to at most one cross-query bare-id collision —
+    the pre-namespacing default for every batch — and that only on
+    tables carrying legacy ids; pass ``dedup_legacy_epoch=False`` for
+    a brand-new pipeline writing into a legacy table."""
+    if dedup_legacy_epoch is None:
+        dedup_legacy_epoch = app_id is not None
+    state = {"first": True}
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        first, state["first"] = state["first"], False
+        if app_id and dedup_legacy_epoch and first and manifest_batch_version(
+            batch_df.sparkSession, warehouse, table_name, batch_id
+        ) is not None:
+            return  # upgrade replay: epoch committed under its bare id
         append_manifest_table(
             batch_df.sparkSession,
             warehouse,
@@ -58,13 +85,15 @@ def write_stream_to_manifest(
     checkpoint_dir: str,
     trigger_available_now: bool = True,
     app_id: str | None = None,
+    dedup_legacy_epoch: bool | None = None,
 ):
     """Start (and return) the streaming query draining ``df`` into the
     manifest table exactly-once. ``trigger_available_now`` processes the
     currently-available data and stops — the batch-boundary replay shape
     used by incremental pipelines. Dedup ids are namespaced by a
     checkpoint-derived ``app_id`` (see manifest_sink_writer) unless one
-    is supplied."""
+    is supplied; ``dedup_legacy_epoch`` is forwarded (see
+    manifest_sink_writer — the pre-namespacing upgrade migration)."""
     import hashlib
 
     if app_id is None:
@@ -72,7 +101,10 @@ def write_stream_to_manifest(
             checkpoint_dir.encode("utf-8")
         ).hexdigest()[:16]
     w = df.writeStream.foreachBatch(
-        manifest_sink_writer(warehouse, table_name, app_id=app_id)
+        manifest_sink_writer(
+            warehouse, table_name, app_id=app_id,
+            dedup_legacy_epoch=dedup_legacy_epoch,
+        )
     ).option("checkpointLocation", checkpoint_dir)
     if trigger_available_now:
         w = w.trigger(availableNow=True)
