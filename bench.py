@@ -208,6 +208,107 @@ def calibration_probe(spark) -> float:
     return round(_time.time() - t0, 3)
 
 
+def bench_write_paths(spark) -> dict:
+    """ACID write-path latencies (VERDICT r12 next #4): per-commit wall
+    time at a FIXED batch size plus per-commit metadata bytes, so a
+    refactor of the commit path can't silently double commit latency.
+    Data-independent (spark.range batches into a temp warehouse), so
+    like the calibration probe it measures the code + host, not the SF.
+
+    Rows reported (all median of 5 except where noted):
+      - manifest_append_ms: append_manifest_table of a 100k-row batch —
+        the O(batch) commit the streaming sink and incremental loads pay
+        per trigger; meta_bytes_per_commit is the versions-dir growth
+        per commit (the 100 TB metadata story's measured slope).
+      - manifest_update_ms: one copy-on-write UPDATE hitting a bounded
+        key range (median of 3).
+      - snapshot_append_ms: append_table_snapshot of the same batch
+        (median of 3) — O(table) by design; the row exists so the
+        documented cost stays measured, not asserted.
+      - changefeed_drain_ms: availableNow drain of the manifest table's
+        changefeed over all commits (one run) — replay throughput.
+    """
+    import shutil
+    import statistics
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from popelines_spark import io as pio
+    from popelines_spark.manifest import append_manifest_table
+    from popelines_spark.manifest_dml import update_manifest_rows
+
+    def batch(lo: int) -> "object":
+        return spark.range(lo, lo + 100_000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 97).cast("long").alias("g"),
+            (F.col("id") % 10_000).cast("double").alias("v"),
+        )
+
+    def dirsize(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    wh = tempfile.mkdtemp(prefix="bench_write_paths_")
+    out: dict = {"batch_rows": 100_000}
+    try:
+        # manifest appends: first commit creates the table (excluded —
+        # it pays mkdir/schema costs the steady state doesn't)
+        append_manifest_table(spark, wh, "m", batch(0), batch_id="b0")
+        vdir = os.path.join(wh, "m", "versions")
+        meta0 = dirsize(vdir)
+        times = []
+        for i in range(1, 6):
+            t0 = time.time()
+            append_manifest_table(
+                spark, wh, "m", batch(i * 100_000), batch_id=f"b{i}"
+            )
+            times.append((time.time() - t0) * 1000)
+        out["manifest_append_ms"] = round(statistics.median(times), 1)
+        out["meta_bytes_per_commit"] = int((dirsize(vdir) - meta0) / 5)
+
+        times = []
+        for i in range(3):
+            lo = i * 1000
+            t0 = time.time()
+            update_manifest_rows(
+                spark, wh, "m",
+                {"v": "v + 1.0"},
+                f"k BETWEEN {lo} AND {lo + 999}",
+            )
+            times.append((time.time() - t0) * 1000)
+        out["manifest_update_ms"] = round(statistics.median(times), 1)
+
+        from popelines_spark.streaming.changefeed import read_changefeed
+
+        t0 = time.time()
+        (
+            read_changefeed(spark, wh, "m")
+            .writeStream.format("noop")
+            .option(
+                "checkpointLocation", os.path.join(wh, "_feed_ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        out["changefeed_drain_ms"] = round((time.time() - t0) * 1000, 1)
+
+        pio.write_table_snapshot(spark, wh, "s", batch(0))
+        times = []
+        for i in range(1, 4):
+            t0 = time.time()
+            pio.append_table_snapshot(spark, wh, "s", batch(i * 100_000))
+            times.append((time.time() - t0) * 1000)
+        out["snapshot_append_ms"] = round(statistics.median(times), 1)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -263,6 +364,7 @@ def main() -> None:
     run1 = {name: run_once(name) for name in BENCH_QUERIES}
     run2 = {name: run_once(name) for name in BENCH_QUERIES}
     timings = {name: min(run1[name], run2[name]) for name in BENCH_QUERIES}
+    write_paths = bench_write_paths(spark)
     calib_end = min(calibration_probe(spark), calibration_probe(spark))
     calibration = {
         "start_sec": calib_start,
@@ -287,7 +389,15 @@ def main() -> None:
     # the LAST stdout line, so the final line carries the full per-query
     # timings (driver contract) but only the WORST-5 ratios, and self-trims
     # until it fits with margin.
-    detail = {"queries_run1": run1, "queries_run2": run2, "ratios": ratios}
+    detail = {
+        "queries_run1": run1,
+        "queries_run2": run2,
+        "ratios": ratios,
+        # ACID write-path rows (VERDICT r12 next #4) — baselines in
+        # BASELINE.md §Round 13 write paths; the summary line stays
+        # query-only to protect the driver's 2000-char tail capture
+        "write_paths": write_paths,
+    }
     print(json.dumps({"detail": detail}))
     try:
         with open(os.path.join(REPO, "bench_detail.json"), "w") as f:
