@@ -278,10 +278,16 @@ def _count_and_validate_set_exprs(
     aggs = [F.sum(cond.cast("long")).alias("__n")]
     for i, c in enumerate(drifting):
         e = F.expr(set_exprs[c])
+        # try_cast, not cast: under ANSI (the session default) a cast
+        # overflow in the PROBE would throw a raw ArithmeticException
+        # mid-aggregation; try_cast nulls it and the null fails the
+        # round-trip below, so every lossy value funnels into the one
+        # friendly ValueError
+        tc = e.try_cast(types[c])
         bad = (
             cond
             & e.isNotNull()
-            & ~e.cast(types[c]).cast(etypes[c]).eqNullSafe(e)
+            & (tc.isNull() | ~tc.try_cast(etypes[c]).eqNullSafe(e))
         )
         aggs.append(F.sum(bad.cast("long")).alias(f"__bad_{i}"))
     row = src.agg(*aggs).collect()[0]

@@ -354,6 +354,23 @@ def test_update_manifest_lossless_drift_still_allowed(spark, scratch):
     )["cnt"] == "bigint"
 
 
+def test_update_manifest_raises_on_overflow_not_ansi_error(spark, scratch):
+    """An overflowing SET value must surface as the probe's friendly
+    ValueError, not a raw ANSI ArithmeticException from inside the
+    validation aggregation (the session runs ANSI-on)."""
+    from popelines_spark.manifest import append_manifest_table
+    from popelines_spark.manifest_dml import update_manifest_rows
+
+    df = spark.createDataFrame([(1, 100)], "id long, cnt int")
+    append_manifest_table(spark, scratch, "ov", df)
+    with pytest.raises(ValueError, match="losslessly"):
+        update_manifest_rows(
+            spark, scratch, "ov",
+            {"cnt": "CAST(3000000000 AS BIGINT)"},  # > int32 max
+            "id = 1",
+        )
+
+
 def test_pipeline_update_rows_raises_on_lossy_set_value(spark, scratch):
     from popelines_spark.pipeline import Popeline
 
