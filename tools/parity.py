@@ -48,6 +48,11 @@ def _canon(v):
         v = int(v)
     if isinstance(v, np.bool_):
         v = bool(v)
+    if isinstance(v, np.datetime64):
+        # to_numpy() on a datetime frame yields np.datetime64 where
+        # iterrows boxed pd.Timestamp; normalize to the same ("ts", iso)
+        # canonical form so engines with different time units still agree
+        v = pd.Timestamp(v)
     if isinstance(v, pd.Timestamp):
         v = v.to_pydatetime()
     if isinstance(v, dt.datetime):
@@ -67,9 +72,13 @@ def _canon(v):
 
 def _frame_key(pdf):
     cols = sorted(pdf.columns)
-    rows = []
-    for _, row in pdf[cols].iterrows():
-        rows.append(tuple(_canon(row[c]) for c in cols))
+    # to_numpy() applies the SAME common-dtype promotion iterrows applied
+    # per row Series (np.result_type over all columns), so canonical
+    # values are unchanged — but the row loop is ~20x faster, which is
+    # what makes the sf1.0 sweep's million-row frames tractable
+    # (b_fn_bitwise spent ~8 min per SIDE in iterrows).
+    vals = pdf[cols].to_numpy() if cols else []
+    rows = [tuple(_canon(v) for v in r) for r in vals]
     rows.sort(key=repr)
     return cols, rows
 
