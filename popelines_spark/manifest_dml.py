@@ -306,6 +306,30 @@ def _count_and_validate_set_exprs(
     return int(row["__n"] or 0)
 
 
+def _apply_set_exprs(
+    src: DataFrame,
+    cond,
+    set_exprs: dict[str, str],
+    types: dict,
+) -> DataFrame:
+    """The UPDATE projection both layouts share: each SET expression is
+    evaluated against the PRE-update row (``SET a=b, b=a`` swaps) and
+    cast back to the column's DECLARED type so at-rest types never
+    drift; unmatched rows pass through untouched. Callers run
+    :func:`_count_and_validate_set_exprs` first — the cast here is only
+    reached for values the probe proved lossless."""
+    return src.select(
+        *[
+            F.when(
+                cond, F.expr(set_exprs[c]).cast(types[c])
+            ).otherwise(F.col(c)).alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in src.columns
+        ]
+    )
+
+
 class _NoOp(Exception):
     """Predicate matched no file — nothing to rewrite, no commit."""
 
@@ -404,16 +428,7 @@ def update_manifest_rows(
         n_updated = _count_and_validate_set_exprs(
             src, cond, set_exprs, types
         )
-        updated = src.select(
-            *[
-                F.when(
-                    cond, F.expr(set_exprs[c]).cast(types[c])
-                ).otherwise(F.col(c)).alias(c)
-                if c in set_exprs
-                else F.col(c)
-                for c in src.columns
-            ]
-        )
+        updated = _apply_set_exprs(src, cond, set_exprs, types)
         return affected, updated, None, schema
 
     try:

@@ -52,6 +52,19 @@ class Popeline:
         """popelines/main.py:77-98 — add-only recursive merge."""
         return schemas.merge_schemas(old_schm, new_schm)
 
+    def _table_layout(self, table_name: str) -> str:
+        """'manifest' | 'snapshot' | 'path' — the live storage layout the
+        layout-transparent methods (write_to_table, the DML trio,
+        vacuum_table) route on. A table that exists in none of the
+        layouts is 'path' (the create-on-first-write default)."""
+        from popelines_spark.manifest import is_manifest_table
+
+        if is_manifest_table(self.spark, self.warehouse, table_name):
+            return "manifest"
+        if io.is_snapshot_table(self.spark, self.warehouse, table_name):
+            return "snapshot"
+        return "path"
+
     # --- load / extract --------------------------------------------------
     def write_to_table(
         self,
@@ -97,16 +110,9 @@ class Popeline:
             if file_name is None:
                 raise ValueError("need file_name or df")
             df = io.read_ndjson(self.spark, file_name)
-        from popelines_spark.manifest import (
-            append_manifest_table,
-            is_manifest_table,
-        )
+        from popelines_spark.manifest import append_manifest_table
 
-        layout = "path"
-        if is_manifest_table(self.spark, self.warehouse, table_name):
-            layout = "manifest"
-        elif io.is_snapshot_table(self.spark, self.warehouse, table_name):
-            layout = "snapshot"
+        layout = self._table_layout(table_name)
         if layout != "path":
             unsupported = {
                 "partition_by": partition_by,
@@ -442,21 +448,44 @@ class Popeline:
         keys: list[str],
         dedup_source_order=None,
     ) -> str:
-        """BigQuery/Delta MERGE for path tables: rows matched on ``keys``
-        take ``df``'s values, unmatched rows on both sides survive
-        (operators/upsert.py carries the duplicate-source-key guard). The
-        merged result replaces the table in one truncate-write; for
-        reader-isolated replacement use the snapshot-table path
-        (io.write_table_snapshot). Engine-native extension — the
-        reference delegates MERGE to BigQuery via bq_query."""
+        """BigQuery/Delta MERGE, routed by the table's live layout (same
+        rule as delete_rows/update_rows): rows matched on ``keys`` take
+        ``df``'s values, unmatched rows on both sides survive
+        (operators/upsert.py carries the duplicate-source-key guard).
+        Manifest tables rewrite only the files holding matched keys
+        (manifest_dml.upsert_manifest_table — which raises on duplicate
+        source keys, so ``dedup_source_order`` is applied to the source
+        FIRST via the same keep-first operator), snapshot tables commit
+        the merged frame as a NEW version (reader-isolated by
+        construction), path tables replace in one truncate-write.
+        Returns the table path on every layout. Engine-native extension
+        — the reference delegates MERGE to BigQuery via bq_query."""
         from popelines_spark.operators.upsert import upsert
         from popelines_spark.plans.inspect import checkpoint
 
-        io._refuse_nonpath_layout(
-            self.spark, self.warehouse, table_name, "upsert_table",
-            "manifest_dml.upsert_manifest_table",
-            "write_table_snapshot with the merged frame",
-        )
+        layout = self._table_layout(table_name)
+        if layout == "manifest":
+            from popelines_spark.manifest_dml import upsert_manifest_table
+            from popelines_spark.operators.keyed import keep_first
+
+            src = df
+            if dedup_source_order is not None:
+                src = keep_first(src, keys, dedup_source_order)
+            upsert_manifest_table(
+                self.spark, self.warehouse, table_name, src, keys
+            )
+            return io.table_path(self.warehouse, table_name)
+        if layout == "snapshot":
+            target = io.read_table_snapshot(
+                self.spark, self.warehouse, table_name
+            )
+            merged = upsert(
+                target, df, keys, dedup_source_order=dedup_source_order
+            )
+            io.write_table_snapshot(
+                self.spark, self.warehouse, table_name, merged
+            )
+            return io.table_path(self.warehouse, table_name)
         target = io.read_table_evolved(self.spark, self.warehouse, table_name)
         merged = upsert(
             target, df, keys, dedup_source_order=dedup_source_order
@@ -469,26 +498,47 @@ class Popeline:
         )
 
     def delete_rows(self, table_name: str, predicate: str) -> int:
-        """BigQuery DML DELETE for path tables: drop rows matching the
-        SQL ``predicate``, keep everything else; returns the deleted
-        count. With upsert_table (MERGE) and write_to_table (INSERT /
-        TRUNCATE) this completes the DML surface the reference reaches
-        through bq_query. Same materialize-before-truncate discipline as
-        upsert_table. SQL DELETE semantics: only rows where the
-        predicate is TRUE are deleted — rows where it evaluates to NULL
-        survive (``NOT (p)`` alone would drop them)."""
+        """BigQuery DML DELETE, routed by the table's live layout (the
+        reference's DELETE-via-bq_query works regardless of how the
+        table is stored — review r12's write_to_table rule, applied to
+        the DML trio in round 13): manifest (ACID) tables get the
+        copy-on-write file-granularity commit
+        (manifest_dml.delete_manifest_rows — unmatched files carried by
+        reference), snapshot tables a NEW committed version holding the
+        surviving rows (old versions stay time-travel readable), path
+        tables the materialize-then-truncate rewrite. Returns the
+        deleted count on every layout. SQL DELETE semantics everywhere:
+        only rows where the predicate is TRUE are deleted — rows where
+        it evaluates to NULL survive (``NOT (p)`` alone would drop
+        them)."""
         from pyspark.sql import functions as F
 
         from popelines_spark.plans.inspect import checkpoint
 
-        io._refuse_nonpath_layout(
-            self.spark, self.warehouse, table_name, "delete_rows",
-            "manifest_dml.delete_manifest_rows",
-            "write_table_snapshot with the filtered frame",
-        )
+        layout = self._table_layout(table_name)
+        if layout == "manifest":
+            from popelines_spark.manifest_dml import delete_manifest_rows
+
+            _, n_deleted = delete_manifest_rows(
+                self.spark, self.warehouse, table_name, predicate
+            )
+            return n_deleted
+        cond = F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
+        if layout == "snapshot":
+            target = io.read_table_snapshot(
+                self.spark, self.warehouse, table_name
+            )
+            n_deleted = target.filter(cond).count()
+            if n_deleted:
+                # the new version's files never overlap the tip being
+                # read, so no lineage barrier is needed before the write
+                io.write_table_snapshot(
+                    self.spark, self.warehouse, table_name,
+                    target.filter(~cond),
+                )
+            return n_deleted
         target = io.read_table_evolved(self.spark, self.warehouse, table_name)
         total = target.count()
-        cond = F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
         kept = checkpoint(target.filter(~cond), "delete_rows")
         n_kept = kept.count()
         io.write_table(kept, self.warehouse, table_name, append=False)
@@ -497,35 +547,61 @@ class Popeline:
     def update_rows(
         self, table_name: str, set_exprs: dict[str, str], predicate: str
     ) -> int:
-        """BigQuery DML UPDATE for path tables: for rows matching the SQL
-        ``predicate``, assign each ``column: sql_expression`` in
-        ``set_exprs``; other rows pass through untouched. Returns the
-        updated count. SQL UPDATE semantics: every SET expression is
-        evaluated against the PRE-update row — ``SET a=b, b=a`` swaps —
-        so all updated columns are built in ONE select over the original
-        row, never sequentially."""
+        """BigQuery DML UPDATE, routed by the table's live layout (same
+        rule as delete_rows): manifest tables rewrite only the files
+        holding matched rows (manifest_dml.update_manifest_rows),
+        snapshot tables commit a NEW version with the updates applied
+        (old versions stay time-travel readable), path tables rewrite in
+        place. Returns the updated count on every layout. SQL UPDATE
+        semantics everywhere: every SET expression is evaluated against
+        the PRE-update row — ``SET a=b, b=a`` swaps — so all updated
+        columns are built in ONE select over the original row, never
+        sequentially; and every layout runs the same per-matched-row
+        lossless-coercion probe (ADVICE r12) before writing."""
         from pyspark.sql import functions as F
 
         from popelines_spark.plans.inspect import checkpoint
 
-        io._refuse_nonpath_layout(
-            self.spark, self.warehouse, table_name, "update_rows",
-            "manifest_dml.update_manifest_rows",
-            "write_table_snapshot with the updated frame",
-        )
+        layout = self._table_layout(table_name)
+        if layout == "manifest":
+            from popelines_spark.manifest_dml import update_manifest_rows
+
+            _, n_updated = update_manifest_rows(
+                self.spark, self.warehouse, table_name, set_exprs, predicate
+            )
+            return n_updated
+        if layout == "snapshot":
+            from popelines_spark.manifest_dml import (
+                _apply_set_exprs,
+                _count_and_validate_set_exprs,
+            )
+
+            target = io.read_table_snapshot(
+                self.spark, self.warehouse, table_name
+            )
+            unknown = set(set_exprs) - set(target.columns)
+            if unknown:
+                raise ValueError(
+                    f"UPDATE of non-existent column(s): {sorted(unknown)}"
+                )
+            cond = F.expr(predicate)
+            types = {f.name: f.dataType for f in target.schema.fields}
+            n_updated = _count_and_validate_set_exprs(
+                target, cond, set_exprs, types
+            )
+            if n_updated:
+                io.write_table_snapshot(
+                    self.spark, self.warehouse, table_name,
+                    _apply_set_exprs(target, cond, set_exprs, types),
+                )
+            return n_updated
         target = io.read_table_evolved(self.spark, self.warehouse, table_name)
         unknown = set(set_exprs) - set(target.columns)
         if unknown:
             raise ValueError(f"UPDATE of non-existent column(s): {sorted(unknown)}")
         cond = F.expr(predicate)
-        # cast each SET expression back to the column's DECLARED type:
-        # a type-drifting expression (cnt/2 on a LONG returns DOUBLE)
-        # would silently flip the column's at-rest type under readers —
-        # same BigQuery-UPDATE coercion manifest_dml applies (review
-        # r12), with the same per-matched-row lossless-round-trip
-        # validation (ADVICE r12): a value the cast would truncate
-        # raises instead of corrupting, folded into the match count
         from popelines_spark.manifest_dml import (
+            _apply_set_exprs,
             _count_and_validate_set_exprs,
         )
 
@@ -533,17 +609,9 @@ class Popeline:
         n_match = _count_and_validate_set_exprs(
             target, cond, set_exprs, types
         )
-        updated = target.select(
-            *[
-                F.when(
-                    cond, F.expr(set_exprs[c]).cast(types[c])
-                ).otherwise(F.col(c)).alias(c)
-                if c in set_exprs
-                else F.col(c)
-                for c in target.columns
-            ]
+        updated = checkpoint(
+            _apply_set_exprs(target, cond, set_exprs, types), "update_rows"
         )
-        updated = checkpoint(updated, "update_rows")
         io.write_table(updated, self.warehouse, table_name, append=False)
         return n_match
 

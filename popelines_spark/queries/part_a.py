@@ -142,6 +142,73 @@ def a_load_layouts(spark, sf_dir):
 
 
 @query(
+    "a_dml_layouts",
+    oracle="""
+    WITH dml AS (
+      SELECT c_custkey, c_nationkey,
+             CASE WHEN c_custkey % 3 = 0 THEN upper(c_name) ELSE c_name END
+               AS c_name
+      FROM customer WHERE c_custkey % 5 <> 0)
+    SELECT 'manifest' AS layout, c_custkey, c_name FROM dml
+      WHERE c_nationkey < 8
+    UNION ALL
+    SELECT 'snapshot' AS layout, c_custkey, c_name FROM dml
+      WHERE c_nationkey >= 8 AND c_nationkey < 16
+    UNION ALL
+    SELECT 'path' AS layout, c_custkey, c_name FROM dml
+      WHERE c_nationkey >= 16
+    """,
+)
+def a_dml_layouts(spark, sf_dir):
+    """Layout-transparent facade DML (round 13 — the DML sibling of
+    a_load_layouts): the SAME update_rows + delete_rows calls run
+    against a manifest (ACID) table, a snapshot-versioned table and a
+    plain path table, and every layout must land the identical SQL
+    semantics — UPDATE evaluated per pre-update row with the lossless
+    coercion probe, DELETE removing only predicate-TRUE rows. The
+    reference reaches UPDATE/DELETE through bq_query regardless of
+    server-side storage (popelines/main.py:240); callers here never
+    know the layout either. Manifest tables rewrite only matched files
+    (CoW), snapshot tables commit a new time-travelable version, path
+    tables truncate-rewrite."""
+    from popelines_spark.io import read_table_auto, write_table_snapshot
+    from popelines_spark.manifest import append_manifest_table
+    from popelines_spark.pipeline import Popeline
+
+    wh = _fresh("a_dml_layouts_wh")
+    p = Popeline(warehouse=wh, spark=spark)
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    append_manifest_table(
+        spark, wh, "t_manifest", c.filter(F.col("c_nationkey") < 8)
+    )
+    write_table_snapshot(
+        spark, wh, "t_snapshot",
+        c.filter((F.col("c_nationkey") >= 8) & (F.col("c_nationkey") < 16)),
+    )
+    p.write_to_table(
+        "t_path", df=c.filter(F.col("c_nationkey") >= 16), append=False
+    )
+    out = None
+    for layout, name in (
+        ("manifest", "t_manifest"),
+        ("snapshot", "t_snapshot"),
+        ("path", "t_path"),
+    ):
+        # the SAME DML call shape on every layout
+        p.update_rows(
+            name, {"c_name": "upper(c_name)"}, "c_custkey % 3 = 0"
+        )
+        p.delete_rows(name, "c_custkey % 5 = 0")
+        part = read_table_auto(spark, wh, name).select(
+            F.lit(layout).alias("layout"), "c_custkey", "c_name"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+@query(
     "a_chunk_dates",
     oracle="""
     SELECT gs AS chunk_start,

@@ -47,28 +47,57 @@ def test_write_table_refuses_snapshot_layout(spark, scratch):
         io.write_table(df, scratch, "s1", append=False)
 
 
-def test_facade_dml_refuses_manifest_layout(spark, scratch):
+def test_facade_dml_routes_manifest_layout(spark, scratch):
+    """Round 13 upgraded the r12 refusal to full routing (the same
+    layout-transparency rule write_to_table follows): the facade DML
+    trio now delegates to the manifest CoW machinery instead of naming
+    it in an error. Non-routed ops (copy_and_replace_keys) still
+    refuse loudly."""
+    from popelines_spark.manifest import read_manifest_table
+
     _manifest_table(spark, scratch, "m2")
     p = Popeline(warehouse=scratch, spark=spark)
-    with pytest.raises(ValueError, match="delete_manifest_rows"):
-        p.delete_rows("m2", "id = 1")
-    with pytest.raises(ValueError, match="update_manifest_rows"):
-        p.update_rows("m2", {"id": "id + 1"}, "id = 1")
-    with pytest.raises(ValueError, match="upsert_manifest_table"):
-        p.upsert_table(
-            "m2", spark.createDataFrame([(1, "z")], "id long, v string"), ["id"]
-        )
+    assert p.delete_rows("m2", "id = 1") == 1
+    assert p.update_rows("m2", {"v": "upper(v)"}, "id = 2") == 1
+    rows = {
+        (r.id, r.v)
+        for r in read_manifest_table(spark, scratch, "m2").collect()
+    }
+    assert rows == {(2, "B")}
+    p.upsert_table(
+        "m2",
+        spark.createDataFrame([(2, "z"), (3, "c")], "id long, v string"),
+        ["id"],
+    )
+    rows = {
+        (r.id, r.v)
+        for r in read_manifest_table(spark, scratch, "m2").collect()
+    }
+    assert rows == {(2, "z"), (3, "c")}
     with pytest.raises(ValueError, match="manifest"):
         p.copy_and_replace_keys("m2", str.upper)
 
 
-def test_facade_dml_refuses_snapshot_layout(spark, scratch):
+def test_facade_dml_routes_snapshot_layout(spark, scratch):
+    """Snapshot-layout DML commits a NEW version; the pre-DML version
+    stays time-travel readable."""
     _snapshot_table(spark, scratch, "s2")
     p = Popeline(warehouse=scratch, spark=spark)
-    with pytest.raises(ValueError, match="snapshot"):
-        p.delete_rows("s2", "id = 1")
-    with pytest.raises(ValueError, match="snapshot"):
-        p.update_rows("s2", {"id": "id + 1"}, "id = 1")
+    assert p.delete_rows("s2", "id = 1") == 1
+    assert p.update_rows("s2", {"v": "upper(v)"}, "id = 2") == 1
+    tip = {
+        (r.id, r.v)
+        for r in io.read_table_snapshot(spark, scratch, "s2").collect()
+    }
+    assert tip == {(2, "B")}
+    # version 1 was the original write; both DML versions stack above it
+    v1 = {
+        (r.id, r.v)
+        for r in io.read_table_snapshot(
+            spark, scratch, "s2", version=1
+        ).collect()
+    }
+    assert v1 == {(1, "a"), (2, "b")}
 
 
 def test_compact_table_refuses_snapshot_layout(spark, scratch):
