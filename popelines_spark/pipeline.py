@@ -618,6 +618,46 @@ class Popeline:
     # --- table maintenance (engine-native; no reference analog — BigQuery
     # does both server-side) -----------------------------------------------
     def compact_table(self, table_name: str, target_file_bytes: int = 128 << 20):
+        """Small-file compaction, routed by the table's live layout
+        (completing the maintenance transparency vacuum_table started):
+        manifest tables commit a compaction version through the
+        linearized commit path (prior versions keep their file lists;
+        racing appends are healed in), snapshot tables rewrite the tip
+        as a NEW version + retention-GC (readers see old or new file
+        set, never a mix), path tables get the in-place rewrite. Returns
+        ``(files_before, files_after)`` on every layout."""
+        layout = self._table_layout(table_name)
+        if layout == "manifest":
+            import math
+
+            from popelines_spark.manifest import (
+                _paths,
+                _resolve_tip,
+                compact_manifest_table,
+            )
+
+            root, vroot, _ = _paths(self.warehouse, table_name)
+            fs, _, jvm = io._hadoop_fs(self.spark, root)
+            _, man = _resolve_tip(fs, vroot, jvm, table_name)
+            files_before = len(man["files"])
+            # O(files) metadata stats — a maintenance-path cost, same
+            # order as the rewrite's own listing
+            total = sum(
+                fs.getFileStatus(
+                    jvm.org.apache.hadoop.fs.Path(f)
+                ).getLen()
+                for f in man["files"]
+            )
+            n_files = max(1, math.ceil(total / target_file_bytes))
+            compact_manifest_table(
+                self.spark, self.warehouse, table_name, n_files=n_files
+            )
+            _, man2 = _resolve_tip(fs, vroot, jvm, table_name)
+            return files_before, len(man2["files"])
+        if layout == "snapshot":
+            return io.compact_table_snapshot(
+                self.spark, self.warehouse, table_name, target_file_bytes
+            )
         return io.compact_table(
             self.spark, self.warehouse, table_name, target_file_bytes
         )

@@ -115,6 +115,34 @@ def test_snapshot_dml_is_versioned_and_noop_free(spark, scratch):
     assert {(r.id, r.cnt) for r in tip.collect()} == {(2, 21), (3, 30)}
 
 
+def test_compact_routes_manifest_layout(spark, scratch):
+    """Facade compaction on a manifest table commits a compaction
+    version (rows unchanged, fewer files, history intact)."""
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(40)], "id long, v string")
+    for lo in range(0, 40, 10):
+        append_manifest_table(
+            spark, scratch, "t",
+            df.filter(f"id >= {lo} AND id < {lo + 10}").repartition(4),
+        )
+    p = Popeline(warehouse=scratch, spark=spark)
+    before, after = p.compact_table("t")
+    assert before > after >= 1
+    got = io.read_table_auto(spark, scratch, "t")
+    assert got.count() == 40
+    assert got.select("id").distinct().count() == 40
+
+
+def test_compact_routes_snapshot_layout(spark, scratch):
+    """Facade compaction on a snapshot table = new version + GC, rows
+    unchanged."""
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(40)], "id long, v string")
+    io.write_table_snapshot(spark, scratch, "t", df, n_files=16)
+    p = Popeline(warehouse=scratch, spark=spark)
+    before, after = p.compact_table("t")
+    assert before == 16 and after < before
+    assert io.read_table_snapshot(spark, scratch, "t").count() == 40
+
+
 def test_manifest_dml_routing_preserves_exactly_once_lineage(
     spark, scratch
 ):
