@@ -851,14 +851,33 @@ class Popeline:
 
     def copy_and_replace_keys(self, table_name: str, key_callback) -> None:
         """popelines/main.py:288-310 re-grounded: no SQL-text generation —
-        read table, deep-rename via struct cast, overwrite in place."""
+        read table, deep-rename via struct cast, rewrite. Snapshot
+        tables commit the renamed frame as a NEW version (each version
+        dir is schema-self-contained, so the pre-rename schema stays
+        time-travel readable); path tables overwrite in place. Manifest
+        tables still refuse: the manifest's interned scan stats, batch
+        lineage and file carries are all keyed by column name, so a
+        whole-schema rename needs an explicit fresh-table rebuild, not a
+        silent in-place mutation."""
         from popelines_spark.plans.inspect import checkpoint
 
-        io._refuse_nonpath_layout(
-            self.spark, self.warehouse, table_name, "copy_and_replace_keys",
-            "manifest_dml + nested.rename_fields on a fresh table",
-            "write_table_snapshot with the renamed frame",
-        )
+        layout = self._table_layout(table_name)
+        if layout == "manifest":
+            raise ValueError(
+                f"copy_and_replace_keys: {table_name!r} is a manifest "
+                "(ACID) table whose stats/lineage are column-name-keyed "
+                "— rebuild explicitly: read_manifest_table + "
+                "nested.rename_fields into a fresh table"
+            )
+        if layout == "snapshot":
+            df = io.read_table_snapshot(
+                self.spark, self.warehouse, table_name
+            )
+            io.write_table_snapshot(
+                self.spark, self.warehouse, table_name,
+                nested.rename_fields(df, key_callback),
+            )
+            return
         df = io.read_table_evolved(self.spark, self.warehouse, table_name)
         renamed = nested.rename_fields(df, key_callback)
         # Materialize before overwrite (source files are being replaced) —

@@ -143,6 +143,23 @@ def test_compact_routes_snapshot_layout(spark, scratch):
     assert io.read_table_snapshot(spark, scratch, "t").count() == 40
 
 
+def test_replace_keys_routes_snapshot_layout(spark, scratch):
+    """fix_table_keys on a snapshot table commits a renamed NEW version;
+    the pre-rename schema stays time-travel readable. Manifest tables
+    still refuse with the rebuild recipe."""
+    df = spark.createDataFrame([(1, "a")], "`user id` long, v string")
+    io.write_table_snapshot(spark, scratch, "t", df)
+    p = Popeline(warehouse=scratch, spark=spark)
+    p.copy_and_replace_keys("t", lambda k: k.replace(" ", "_"))
+    tip = io.read_table_snapshot(spark, scratch, "t")
+    assert tip.columns == ["user_id", "v"]
+    assert io.read_table_snapshot(spark, scratch, "t", version=1).columns \
+        == ["user id", "v"]
+    append_manifest_table(spark, scratch, "m", df)
+    with pytest.raises(ValueError, match="rebuild explicitly"):
+        p.copy_and_replace_keys("m", str.upper)
+
+
 def test_manifest_dml_routing_preserves_exactly_once_lineage(
     spark, scratch
 ):
