@@ -457,7 +457,8 @@ class Popeline:
         source keys, so ``dedup_source_order`` is applied to the source
         FIRST via the same keep-first operator), snapshot tables commit
         the merged frame as a NEW version (reader-isolated by
-        construction), path tables replace in one truncate-write.
+        construction; single-writer shape — see delete_rows' concurrency
+        note), path tables replace in one truncate-write.
         Returns the table path on every layout. Engine-native extension
         — the reference delegates MERGE to BigQuery via bq_query."""
         from popelines_spark.operators.upsert import upsert
@@ -551,7 +552,8 @@ class Popeline:
         rule as delete_rows): manifest tables rewrite only the files
         holding matched rows (manifest_dml.update_manifest_rows),
         snapshot tables commit a NEW version with the updates applied
-        (old versions stay time-travel readable), path tables rewrite in
+        (old versions stay time-travel readable; single-writer shape —
+        see delete_rows' concurrency note), path tables rewrite in
         place. Returns the updated count on every layout. SQL UPDATE
         semantics everywhere: every SET expression is evaluated against
         the PRE-update row — ``SET a=b, b=a`` swaps — so all updated
