@@ -132,6 +132,21 @@ def test_compact_routes_manifest_layout(spark, scratch):
     assert got.select("id").distinct().count() == 40
 
 
+def test_compact_manifest_noops_when_already_compact(spark, scratch):
+    """A manifest table already at/below the target file count must not
+    pay the O(table) rewrite — no new version, same counts back."""
+    from popelines_spark.manifest import _committed_manifest_versions
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    append_manifest_table(spark, scratch, "t", df.coalesce(1))
+    p = Popeline(warehouse=scratch, spark=spark)
+    vroot = io.table_path(scratch, "t") + "/versions"
+    fs, _, jvm = io._hadoop_fs(spark, vroot)
+    before_versions = _committed_manifest_versions(fs, vroot, jvm)
+    assert p.compact_table("t") == (1, 1)
+    assert _committed_manifest_versions(fs, vroot, jvm) == before_versions
+
+
 def test_compact_routes_snapshot_layout(spark, scratch):
     """Facade compaction on a snapshot table = new version + GC, rows
     unchanged."""
