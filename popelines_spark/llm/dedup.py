@@ -30,6 +30,7 @@ from pyspark.sql.window import Window as W
 from popelines_spark.llm.text import shingle_hashes
 from popelines_spark.plans.inspect import checkpoint
 from popelines_spark.operators.keyed import keep_first
+from popelines_spark.operators.par import spread
 
 _MERSENNE31 = (1 << 31) - 1
 
@@ -89,6 +90,10 @@ def minhash_signatures(
     array_distinct would spend interpreter time to shrink rows the partial
     aggregate collapses anyway."""
     params = _hash_params(num_hashes)
+    # r13: the shingle explode + 64 partial-min aggregates fuse into the
+    # scan stage; on a single-row-group input that stage is one task —
+    # spread repairs it (no-op on multi-split inputs; operators/par.py).
+    df = spread(df)
     sh = df.select(
         F.col(id_col),
         F.explode(shingle_hashes(F.col(text_col), shingle_k)).alias("__h"),
@@ -185,7 +190,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash: bigint) — 64-bit majority-vote over token xxhash64
     bits. One explode + one groupBy(id); the 64 bit-votes are sums with
     map-side combine."""
-    tok = df.select(
+    # r13: same scan-parallelism repair as minhash_signatures — the token
+    # explode + 63 partial bit-vote sums fuse into the scan stage.
+    tok = spread(df).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__w")
     ).withColumn("__h", F.xxhash64("__w"))
     votes = [
@@ -558,6 +565,10 @@ def _shingle_hash_rows(
     single shared assembly for ngram_jaccard_pairs' blocked variant
     (review r12: the two inlined copies had to be kept in sync by hand)."""
     carry = [F.col(c) for c in (carry_cols or [])]
+    # r13: tokenize + posexplode + the doc-window exchange write fuse into
+    # the scan stage (one task on a single-row-group input) — spread them
+    # across the cores; measured on c_dedup_ngram in OPTIMIZATION_r13.md.
+    df = spread(df)
     tokp = df.select(
         F.col(id_col),
         *carry,

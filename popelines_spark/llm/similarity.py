@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from popelines_spark.operators.par import spread
 from popelines_spark.plans.inspect import audit_side_plan, checkpoint
 
 
@@ -59,8 +60,10 @@ def knn_bruteforce(
     stage is the per-query top-k window over |q|·k candidates."""
     # Precompute norms once per row (not per pair): cuts the per-pair work
     # to one dot product + one multiply.
+    # r13: the |q|·k dot products per corpus row fuse into the corpus scan
+    # stage; spread repairs single-split inputs (operators/par.py).
     queries = queries.withColumn("__qn", norm(F.col(q_vec)))
-    corpus = corpus.withColumn("__cn", norm(F.col(c_vec)))
+    corpus = spread(corpus).withColumn("__cn", norm(F.col(c_vec)))
     q = F.broadcast(queries) if broadcast_queries else queries
     pairs = corpus.crossJoin(q)
     if exclude_self:

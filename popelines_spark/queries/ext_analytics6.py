@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from popelines_spark.operators.par import spread
 from popelines_spark.plans.inspect import checkpoint
 from popelines_spark.registry import query
 from popelines_spark.queries._util import T, dsum, sql_dsum
@@ -1130,6 +1131,9 @@ def c_bootstrap_ci(spark, sf_dir):
         .cast("long")
         .alias("price_u"),
     )
+    # r13: the ×100 resample fan-out + partial aggregate fuse onto the
+    # scan (single-row-group input = one task) — spread first.
+    base = spread(base)
     m31 = F.lit(2147483647)
     u = (
         (F.lit(48271) * ((F.lit(16807)
@@ -1433,7 +1437,10 @@ def c_permutation_test(spark, sf_dir):
         .otherwise(0)
         .alias("ingrp"),
     )
-    base = checkpoint(base, "perm-base", eager=False)
+    # r13: same scan-parallelism repair as c_bootstrap_ci — the ×200
+    # fan-out runs on the checkpoint's partitioning, so spread BEFORE
+    # the checkpoint or the whole Monte-Carlo pass is one task.
+    base = checkpoint(spread(base), "perm-base", eager=False)
     in_sum = F.sum(F.when(F.col("ingrp") == 1, F.col("price_u")).otherwise(0))
     out_sum = F.sum(F.when(F.col("ingrp") == 0, F.col("price_u")).otherwise(0))
     obs = base.agg(
@@ -1643,7 +1650,11 @@ def c_label_margin(spark, sf_dir):
     before the per-label decimal average. Scale shape: explode → three
     keyed aggs; the ×K centroid fan-out is label-bounded and the
     centroid table broadcasts."""
-    em = T(spark, sf_dir, "embeddings")
+    # r13: the ×dim explode, the decimal round/cast terms and the ×K
+    # centroid fan-out all fuse onto the scan (one task on an unsplittable
+    # single-row-group input) — spread across the cores first; the lazy
+    # checkpoint then keeps that parallelism for all three consumers.
+    em = spread(T(spark, sf_dir, "embeddings"))
     ex = em.select(
         "vec_id",
         F.col("label").alias("own"),

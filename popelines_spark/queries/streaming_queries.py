@@ -13,7 +13,6 @@ point is dropping late rows, which has no batch equivalent.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import functions as F
 
@@ -110,10 +109,9 @@ def s_watermark_late(spark, sf_dir):
     by the watermark (window end ≤ max ts − 10 min), which is exactly
     what the oracle computes. The withheld unfinalized tail window and
     the dropped stragglers are what distinguish this from s_tumbling."""
-    import glob
+    from popelines_spark.streaming.runner import write_replay_stages
 
     scratch = "/tmp/popelines_spark_scratch/late_events"
-    shutil.rmtree(scratch, ignore_errors=True)
     ev = T(spark, sf_dir, "events")
     max_ts = ev.agg(F.max("ts")).collect()[0][0]  # driver scalar: test setup
     bulk = ev.filter(F.col("ts") >= F.lit(max_ts) - F.expr("interval 6 hours"))
@@ -121,15 +119,9 @@ def s_watermark_late(spark, sf_dir):
     late = bulk.filter(F.col("event_id") % 5 == 0).withColumn(
         "ts", F.col("ts") - F.expr("interval 2 hours")
     )
-    for i, df in enumerate((bulk, nudge, late)):
-        tmp = os.path.join(scratch, f"_stage{i}")
-        df.coalesce(1).write.parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dest = os.path.join(scratch, f"{i}.parquet")
-        os.rename(part, dest)
-        shutil.rmtree(tmp)
-        # file-source trigger order is by modification time; pin it
-        os.utime(dest, (1600000000 + i * 10,) * 2)
+    # r13: one union write job instead of three coalesce(1) jobs (runner
+    # helper; mtime-pinned trigger order unchanged)
+    write_replay_stages(spark, scratch, (bulk, nudge, late))
 
     raw = spark.read.parquet(os.path.join(scratch, "0.parquet"))
     stream = (
@@ -367,10 +359,9 @@ def s_join_interval_left(spark, sf_dir):
     tail flushes deterministically. Sentinels are filtered from the
     output by their negative ids, making the append result exactly the
     batch LEFT JOIN the oracle runs."""
-    import glob
+    from popelines_spark.streaming.runner import write_replay_stages
 
     scratch = "/tmp/popelines_spark_scratch/outer_join_events"
-    shutil.rmtree(scratch, ignore_errors=True)
     ev = T(spark, sf_dir, "events")
     max_ts = ev.agg(F.max("ts")).collect()[0][0]  # driver scalar: replay setup
     far = F.lit(max_ts) + F.expr("interval 30 days")
@@ -390,18 +381,12 @@ def s_join_interval_left(spark, sf_dir):
             )
         )
 
-    for i, df in enumerate(
+    write_replay_stages(
+        spark, scratch,
         (ev.select("event_id", "ts", "user_id", "event_type", "value",
                    "props"),
-         sentinels(-1), sentinels(-2))
-    ):
-        tmp = os.path.join(scratch, f"_stage{i}")
-        df.coalesce(1).write.parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dest = os.path.join(scratch, f"{i}.parquet")
-        os.rename(part, dest)
-        shutil.rmtree(tmp)
-        os.utime(dest, (1600000000 + i * 10,) * 2)
+         sentinels(-1), sentinels(-2)),
+    )
 
     raw = spark.read.parquet(os.path.join(scratch, "0.parquet"))
     stream = (
@@ -459,10 +444,9 @@ def s_dedup_watermarked(spark, sf_dir):
     computes. The state-store peak is bounded by keys active within the
     watermark horizon (vs the full-history key set in s_dedup_stream;
     both recorded in BASELINE.md)."""
-    import glob
+    from popelines_spark.streaming.runner import write_replay_stages
 
     scratch = "/tmp/popelines_spark_scratch/wm_dedup_events"
-    shutil.rmtree(scratch, ignore_errors=True)
     ev = T(spark, sf_dir, "events")
     max_ts = ev.agg(F.max("ts")).collect()[0][0]  # driver scalar: replay setup
     bulk = ev.filter(
@@ -472,14 +456,7 @@ def s_dedup_watermarked(spark, sf_dir):
     late = bulk.filter(F.col("event_id") % 5 == 0).withColumn(
         "ts", F.col("ts") - F.expr("interval 2 hours")
     )
-    for i, df in enumerate((bulk, nudge, late)):
-        tmp = os.path.join(scratch, f"_stage{i}")
-        df.coalesce(1).write.parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dest = os.path.join(scratch, f"{i}.parquet")
-        os.rename(part, dest)
-        shutil.rmtree(tmp)
-        os.utime(dest, (1600000000 + i * 10,) * 2)
+    write_replay_stages(spark, scratch, (bulk, nudge, late))
 
     raw = spark.read.parquet(os.path.join(scratch, "0.parquet"))
     stream = (

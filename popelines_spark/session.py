@@ -36,6 +36,21 @@ _RUNTIME_CONFS = {
     # Read them as session-tz (UTC) timestamps instead — identical instants,
     # and exactly how the DuckDB oracle sees them.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # --- round-13 optimization confs (OPTIMIZATION_r13.md, measured) ---
+    # AQE's parallelism-first coalescing floors partitions at 1 MB, but
+    # bytes are a bad proxy for compute when rows carry arrays that the
+    # generated code loops over (shingle sets, signatures, embeddings):
+    # CPU-dense post-shuffle stages here shuffle ~10 MB yet burn ~25 s of
+    # executor time, and the 1 MB floor coalesced them to ~10 tasks on 32
+    # cores. 64 KB keeps such stages at the session's parallelism while
+    # leaving real data volumes (partitions >= cores x 1 MB) coalesced
+    # exactly as before — at cluster scale this conf is a no-op.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    # Let the planner pick shuffled-hash join when its size conditions
+    # hold instead of always sort-merge (guide §3.1/§9): same results,
+    # no per-partition sort. Planner-gated (not a forced hint), so the
+    # SMJ fallback for oversized build sides is unchanged.
+    "spark.sql.join.preferSortMergeJoin": "false",
 }
 
 
