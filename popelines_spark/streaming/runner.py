@@ -131,6 +131,23 @@ STREAM_STATE_PROVIDER = os.environ.get(
     "POPELINES_STREAM_STATE_PROVIDER", "hdfs"
 ).lower()
 
+#: Base dir for the replay harness's TRANSIENT checkpoints. Each drain
+#: gets a fresh uuid subdir (no offset/state reuse across runs — every
+#: invocation recomputes from the parquet inputs) deleted after the
+#: drain. Default: tmpfs (/dev/shm) when present — the micro-batch loop
+#: commits offsets + one delta file per (state store x partition) per
+#: batch, and at replay state sizes those synchronous little writes are
+#: a measurable constant of every micro-batch (OPTIMIZATION_r13.md:
+#: 0.2-0.6 s/query on this host's disk). PRODUCTION streams must point
+#: this at durable shared storage (object store/HDFS) — a RAM-backed
+#: checkpoint cannot survive a node loss; it is correct here only
+#: because the drain is a synchronous single-process replay whose
+#: checkpoint is garbage the moment it returns.
+STREAM_CHECKPOINT_BASE = os.environ.get(
+    "POPELINES_STREAM_CHECKPOINT_DIR",
+    "/dev/shm/popelines_stream_ckpt" if os.path.isdir("/dev/shm") else "",
+)
+
 
 def run_to_completion(
     result: DataFrame,
@@ -183,13 +200,21 @@ def run_to_completion(
     # append mode without a watermark) must not leak the shuffle-
     # partition / state-provider overrides into the session (review r12)
     q = None
+    ckpt = None
     try:
-        q = (
+        writer = (
             result.writeStream.outputMode(output_mode)
             .format("memory")
             .queryName(name)
-            .start()
         )
+        if STREAM_CHECKPOINT_BASE:
+            import uuid
+
+            ckpt = os.path.join(
+                STREAM_CHECKPOINT_BASE, f"{name}_{uuid.uuid4().hex}"
+            )
+            writer = writer.option("checkpointLocation", ckpt)
+        q = writer.start()
         q.processAllAvailable()
         metrics = {
             "batches": 0,
@@ -217,6 +242,10 @@ def run_to_completion(
         if q is not None:
             q.stop()
             q.awaitTermination()
+        if ckpt is not None:
+            import shutil
+
+            shutil.rmtree(ckpt, ignore_errors=True)
         if prev_shuffle is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         if STREAM_STATE_PROVIDER != "hdfs":
