@@ -495,6 +495,12 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("__rk") <= prefix_len)
     )
+    # r13 examined, kept as-is: checkpointing `prefix` (it feeds both
+    # sides of the candidate self-join, so the freq join + windows run
+    # twice) measured SLOWER (4.8 -> 5.4 s interleaved): the barrier
+    # gives Catalyst the true ~20 MB size, demoting the candidate join
+    # from broadcast to shuffle, which costs more than the duplicated
+    # window pipeline saves. Same story for the `sets` build below.
     a = prefix.select(
         *block_cols,
         F.col(id_col).alias("id_a"),

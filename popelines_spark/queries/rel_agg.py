@@ -47,8 +47,15 @@ def b_agg_scalar_max(spark, sf_dir):
     """,
 )
 def b_agg_group(spark, sf_dir):
-    """TPC-H Q1-shaped pricing summary: the canonical partial+final hash agg."""
-    li = T(spark, sf_dir, "lineitem").filter(
+    """TPC-H Q1-shaped pricing summary: the canonical partial+final hash agg.
+
+    r13: spread_by(l_orderkey) parallelizes the scan-fused decimal
+    partial agg across the cores (single-row-group input = one task
+    otherwise); hash spread avoids round-robin's sort. 0.77 s → 0.63 s
+    interleaved; no-op at cluster scale."""
+    from popelines_spark.operators.par import spread_by
+
+    li = spread_by(T(spark, sf_dir, "lineitem"), "l_orderkey").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
     return li.groupBy("l_returnflag", "l_linestatus").agg(

@@ -109,3 +109,33 @@ def test_snapshot_diff_classification(spark):
     got = {r["k"]: r["status"] for r in snapshot_diff(
         old, new, ["k"], ["price", "status"]).collect()}
     assert got == {2: "update", 3: "update", 4: "delete", 5: "insert"}
+
+
+def test_spread_contract(spark):
+    """r13 scan-parallelism repair: spread/spread_by fan a narrow frame
+    out to the session's default parallelism, are a NO-OP when the plan
+    already fills the cores, and never change results."""
+    from popelines_spark.operators.par import spread, spread_by
+
+    par = spark.sparkContext.defaultParallelism
+    few = spark.range(0, 1000).coalesce(1)
+
+    assert spread(few).rdd.getNumPartitions() == par
+    assert spread_by(few, "id").rdd.getNumPartitions() == par
+
+    # no-op contract: already at/above target -> same frame, no exchange
+    many = spark.range(0, 1000, numPartitions=par)
+    assert spread(many) is many
+    assert spread_by(many, "id") is many
+
+    # spread_by hash-partitions on the key (no round-robin sort barrier);
+    # spread is round-robin
+    plan_by = spread_by(few, "id")._jdf.queryExecution().executedPlan().toString()
+    plan_rr = spread(few)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(id" in plan_by
+    assert "roundrobinpartitioning" in plan_rr.lower()
+
+    # results identical either way
+    base = {r.id for r in few.collect()}
+    assert {r.id for r in spread(few).collect()} == base
+    assert {r.id for r in spread_by(few, "id").collect()} == base
