@@ -501,6 +501,14 @@ def ngram_jaccard_pairs(
     # gives Catalyst the true ~20 MB size, demoting the candidate join
     # from broadcast to shuffle, which costs more than the duplicated
     # window pipeline saves. Same story for the `sets` build below.
+    # Re-tested with explicit F.broadcast() hints pinning the join
+    # strategy (tools/exp_ngram2.py): STILL slower — A 2.66 s vs
+    # ckpt(prefix+sets)+hints 4.73 s vs ckpt(sets)+hints 3.11 s
+    # interleaved minima. The duplicated branches are independent
+    # subtrees that the scheduler runs CONCURRENTLY on otherwise-idle
+    # cores, while a lineage barrier serializes the plan; deduplication
+    # saves CPU-seconds but loses wall-clock. Would flip only when the
+    # cluster is CPU-saturated; revisit then.
     a = prefix.select(
         *block_cols,
         F.col(id_col).alias("id_a"),

@@ -53,6 +53,16 @@ def pagerank(
     so ranks sum to < 1 when danglers exist (documented classic variant).
     Use :func:`pagerank_redistributed` for the mass-conserving variant
     (one broadcast scalar per iteration).
+
+    r13 examined, kept as-is (tools/exp_pagerank.py): replacing the
+    per-iteration init⋈inflow broadcast join with a union + keyed
+    re-aggregate (one shuffle stage inside the main job instead of a
+    tiny broadcast-build job per iteration) measured SLOWER — 4.28 vs
+    3.54 s interleaved minima at sf0.1 — the extra 25-row exchange per
+    iteration costs more than the broadcast build it replaces, and the
+    plan gained nothing at cluster scale (rank state is node-bounded
+    either way). The per-iteration costs here are scheduling constants
+    of a 10-iteration loop, not data volume.
     """
     # Pin the literal's decimal type: Python Decimal lits default to
     # DecimalType(38,18), whose product with (14,12) overflows precision 38

@@ -396,7 +396,10 @@ def b_join_star_planned(spark, sf_dir):
     evidence; tests/test_star_planner.py covers the bloom regime from
     synthetic stats)."""
     from popelines_spark.operators.star import star_join
-    from popelines_spark.planner import estimate_stats, plan_star_join
+    from popelines_spark.planner import (
+        estimate_stats_concurrent,
+        plan_star_join,
+    )
     from popelines_spark.queries._util import dsum
 
     fact = T(spark, sf_dir, "lineitem").select(
@@ -418,18 +421,21 @@ def b_join_star_planned(spark, sf_dir):
     ord_d = T(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("ok"), "o_orderpriority"
     )
+    # r13: the 4 one-row stats passes run CONCURRENTLY (guide §2.6) —
+    # values identical to sequential calls, planning latency overlapped.
+    st_f, st_o, st_s, st_p = estimate_stats_concurrent(
+        [(fact, ["pk", "sk", "ok"]), (ord_d, ["ok"]),
+         (supp_d, ["sk"]), (part_d, ["pk"])]
+    )
     plan = plan_star_join(
-        estimate_stats(fact, keys=["pk", "sk", "ok"]),
+        st_f,
         [
             # described in DELIBERATELY suboptimal user order: the
             # non-filtering left leg first, least selective inner next —
             # the planner must reorder to part → supplier → orders
-            {"name": "orders", "on": "ok", "how": "left",
-             "stats": estimate_stats(ord_d, keys=["ok"])},
-            {"name": "supplier", "on": "sk",
-             "stats": estimate_stats(supp_d, keys=["sk"])},
-            {"name": "part", "on": "pk",
-             "stats": estimate_stats(part_d, keys=["pk"])},
+            {"name": "orders", "on": "ok", "how": "left", "stats": st_o},
+            {"name": "supplier", "on": "sk", "stats": st_s},
+            {"name": "part", "on": "pk", "stats": st_p},
         ],
     )
     joined = star_join(

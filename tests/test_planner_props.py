@@ -161,3 +161,20 @@ def test_plan_join_flags_stale_stats():
     d = plan_join({"columns": {}, "stale": True}, stale, "k")
     assert d["broadcast"] is True  # stale stats still decide
     assert sum("stale" in r for r in d["reasons"]) == 2
+
+
+def test_estimate_stats_concurrent_matches_sequential(spark):
+    """r13: the overlapped multi-relation stats pass returns the exact
+    dicts sequential estimate_stats calls produce, in input order."""
+    from popelines_spark.planner import (
+        estimate_stats,
+        estimate_stats_concurrent,
+    )
+
+    a = spark.range(0, 1000).selectExpr("id AS k", "CAST(id AS STRING) AS s")
+    b = spark.range(0, 10).selectExpr("id AS k")
+    c = spark.range(0, 0).selectExpr("id AS k")  # empty frame
+    specs = [(a, ["k"]), (b, ["k"]), (c, None)]
+    seq = [estimate_stats(df, keys=k) for df, k in specs]
+    conc = estimate_stats_concurrent(specs)
+    assert conc == seq
