@@ -170,6 +170,13 @@ def minhash_lsh_pairs(
     sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     cand = cand.join(sig_a, "id_a").join(sig_b, "id_b")
+    # r13 examined, kept as-is (tools/exp_fuzzy_agree.py): unrolling this
+    # fold into a 64-term element_at comparison chain ("codegen instead
+    # of interpreted HOF") measured SLOWER — 3.97 vs 2.92 s interleaved
+    # minima, identical output — the giant expression tree loses to
+    # Spark 4's HOF evaluation at this width. The 20x HOF penalty
+    # documented for minhash_signatures applies to per-SHINGLE transform
+    # streams, not to one fixed-width fold per verified pair.
     agree = F.aggregate(
         F.zip_with(
             "sig_a", "sig_b", lambda x, y: (x == y).cast("int")

@@ -109,9 +109,12 @@ def s_watermark_late(spark, sf_dir):
     by the watermark (window end ≤ max ts − 10 min), which is exactly
     what the oracle computes. The withheld unfinalized tail window and
     the dropped stragglers are what distinguish this from s_tumbling."""
-    from popelines_spark.streaming.runner import write_replay_stages
+    from popelines_spark.streaming.runner import (
+        replay_scratch,
+        write_replay_stages,
+    )
 
-    scratch = "/tmp/popelines_spark_scratch/late_events"
+    scratch = replay_scratch("late_events")
     ev = T(spark, sf_dir, "events")
     max_ts = ev.agg(F.max("ts")).collect()[0][0]  # driver scalar: test setup
     bulk = ev.filter(F.col("ts") >= F.lit(max_ts) - F.expr("interval 6 hours"))
@@ -359,9 +362,12 @@ def s_join_interval_left(spark, sf_dir):
     tail flushes deterministically. Sentinels are filtered from the
     output by their negative ids, making the append result exactly the
     batch LEFT JOIN the oracle runs."""
-    from popelines_spark.streaming.runner import write_replay_stages
+    from popelines_spark.streaming.runner import (
+        replay_scratch,
+        write_replay_stages,
+    )
 
-    scratch = "/tmp/popelines_spark_scratch/outer_join_events"
+    scratch = replay_scratch("outer_join_events")
     ev = T(spark, sf_dir, "events")
     max_ts = ev.agg(F.max("ts")).collect()[0][0]  # driver scalar: replay setup
     far = F.lit(max_ts) + F.expr("interval 30 days")
@@ -444,9 +450,12 @@ def s_dedup_watermarked(spark, sf_dir):
     computes. The state-store peak is bounded by keys active within the
     watermark horizon (vs the full-history key set in s_dedup_stream;
     both recorded in BASELINE.md)."""
-    from popelines_spark.streaming.runner import write_replay_stages
+    from popelines_spark.streaming.runner import (
+        replay_scratch,
+        write_replay_stages,
+    )
 
-    scratch = "/tmp/popelines_spark_scratch/wm_dedup_events"
+    scratch = replay_scratch("wm_dedup_events")
     ev = T(spark, sf_dir, "events")
     max_ts = ev.agg(F.max("ts")).collect()[0][0]  # driver scalar: replay setup
     bulk = ev.filter(

@@ -50,6 +50,26 @@ def events_stream(spark: SparkSession, sf_dir: str, path: str | None = None) -> 
     return tables._ntz_to_ltz(stream)
 
 
+#: Base dir for the replay harness's TRANSIENT stage files (the
+#: multi-micro-batch parquet stages write_replay_stages lays out);
+#: rewritten from the parquet inputs on every invocation, never reused
+#: across runs. r13 examined (tools/exp_replay_scratch.py): pointing
+#: this at /dev/shm like the checkpoints measured NEUTRAL (±0.1 s,
+#: inside noise, all three replay queries) — unlike the per-micro-batch
+#: checkpoint commits, the stage files are a few large sequential
+#: writes the page cache already absorbs — so the default stays on
+#: disk; the env knob exists for hosts where it matters.
+REPLAY_SCRATCH_BASE = os.environ.get(
+    "POPELINES_REPLAY_SCRATCH_DIR", "/tmp/popelines_spark_scratch"
+)
+
+
+def replay_scratch(name: str) -> str:
+    """Scratch dir for a named replay's stage files (see
+    REPLAY_SCRATCH_BASE)."""
+    return os.path.join(REPLAY_SCRATCH_BASE, name)
+
+
 def write_replay_stages(spark, scratch: str, stages) -> None:
     """Write each frame of ``stages`` as ``<i>.parquet`` under ``scratch``
     with pinned ascending mtimes (the file source triggers in mtime order)
