@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from popelines_spark.operators.par import rebalance_output
 from popelines_spark.schemas import merge_schemas
 
 
@@ -1297,7 +1298,11 @@ def write_table_snapshot(
     except Exception:
         own_mtime = fs.getFileStatus(reserved).getModificationTime()
     _snapshot_crash_point("after_reserve")  # debris: bare .__reserved
-    out = df.repartition(n_files) if n_files else df
+    # r13 (guide §6): same REBALANCE output sizing as the manifest
+    # append — a snapshot version is a full-table rewrite, so carrying
+    # the input's partition count writes one tiny file per partition on
+    # small tables and unsized files on big ones; AQE sizes both.
+    out = df.repartition(n_files) if n_files else rebalance_output(df)
     out.write.mode("overwrite").parquet(vpath)
     # debris: .__reserved + a torn data dir with no _COMMITTED marker
     _snapshot_crash_point("after_data_write")

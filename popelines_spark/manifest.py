@@ -65,6 +65,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from popelines_spark.io import _align_to, _hadoop_fs, table_path
+from popelines_spark.operators.par import rebalance_output
 from popelines_spark.schemas import merge_schemas
 
 _COMMIT = "_COMMITTED"
@@ -1315,7 +1316,13 @@ def append_manifest_table(
         # burned-number rebase re-commits under a fresh version WITHOUT
         # rewriting data, so the commit records this marker for heal
         own_marker = f"/data/v{version}/"
-        out = df.repartition(n_files) if n_files else df
+        # r13 (guide §6): default-path appends are REBALANCE-sized so a
+        # micro-batch lands as one advisory-sized file instead of one
+        # tiny file per input partition — every commit's manifest carries
+        # the full live file list, so the batch's file count IS the
+        # metadata slope (measured: bench.py write_paths
+        # meta_bytes_per_commit). Explicit n_files still wins.
+        out = df.repartition(n_files) if n_files else rebalance_output(df)
         batch_stats = None
         if stats_cols:
             from pyspark.sql import functions as F

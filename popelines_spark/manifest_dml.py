@@ -52,6 +52,7 @@ from popelines_spark.manifest import (
     _reserve_version,
     heal_manifest_table,
 )
+from popelines_spark.operators.par import rebalance_output
 from popelines_spark.schemas import merge_schemas
 
 
@@ -161,6 +162,12 @@ def _replace_commit(
                     out = frames[0]
                     for f in frames[1:]:
                         out = out.unionByName(f, allowMissingColumns=True)
+                    # r13 (guide §6): the survivor rewrite otherwise
+                    # inherits one partition per affected input file, so
+                    # a CoW UPDATE touching N small files writes ~N small
+                    # files again — rebalance heals the layout instead of
+                    # perpetuating it (same sizing as the append path).
+                    out = rebalance_output(out)
                     out.write.mode("overwrite").parquet(ddir)
                     # debris: survivor rewrite on disk, commit never ran
                     _crash_point("after_rewrite_write")

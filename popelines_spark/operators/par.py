@@ -46,6 +46,64 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     return df if n >= target else df.repartition(target)
 
 
+def rebalance_output(df: DataFrame, target_bytes: int | None = None) -> DataFrame:
+    """Size a table write's partitions by BYTES, not by the input's
+    partition count (guide §6 "Aim for output files in the 128 MB - 1 GB
+    range"): merge the write-side partitions down to
+    ``ceil(estimated_bytes / target_bytes)`` so a small append lands as
+    ONE right-sized file instead of one tiny file per input partition.
+    Scale-adaptive by construction — the target is a byte size
+    (``POPELINES_TARGET_FILE_BYTES``, default 128 MB of estimated
+    in-memory/source bytes; parquet encoding compresses below that),
+    never a local core count.
+
+    Why it matters for the manifest layout specifically: every commit's
+    manifest carries the FULL live file list, so a 32-partition 100k-row
+    micro-batch appended as 32 files grows the metadata slope 32x faster
+    than the same rows as one file (measured in bench.py write_paths:
+    meta_bytes_per_commit).
+
+    Mechanics, and why not AQE's REBALANCE hint: the hint's coalescing
+    obeys ``coalescePartitions.{parallelismFirst,minPartitionSize}``,
+    which this session tunes for CPU-dense POST-SHUFFLE compute stages
+    (64k floor, parallelism-first — OPTIMIZATION_r13.md batch 1); a
+    write wants the opposite, and flipping those confs around a write
+    would race concurrently-executing queries on the shared session. So
+    the partition count is derived from the optimizer's own size
+    estimate instead — deterministic, no conf mutation, and MERGE-ONLY
+    (capped at the incoming partition count): an overestimated plan
+    degrades toward the legacy layout, never toward more/smaller files.
+    The exchange it inserts is a keyless repartition, deterministic
+    under task retry (SPARK-23207 sort-before-repartition), costing one
+    O(batch) local sort + shuffle of exactly the bytes being written.
+
+    ``POPELINES_WRITE_REBALANCE=0`` restores the legacy
+    carry-input-partitioning behavior (escape hatch for callers that
+    already sized the batch upstream)."""
+    import os
+
+    if os.environ.get("POPELINES_WRITE_REBALANCE", "1") == "0":
+        return df
+    if target_bytes is None:
+        target_bytes = int(
+            os.environ.get("POPELINES_TARGET_FILE_BYTES", str(128 << 20))
+        )
+    try:
+        est = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        n_in = df.rdd.getNumPartitions()
+    except Exception:
+        # defensive: stats/planning for inspection failed — keep layout
+        return df
+    if est <= 0 or est >= (1 << 62):
+        # unknown/absurd estimate (e.g. unstatted join fanout): the cap
+        # would pin n to n_in anyway; skip the exchange entirely
+        return df
+    n = min(max(n_in, 1), max(1, -(-est // target_bytes)))
+    return df if n >= n_in else df.repartition(n)
+
+
 def spread_by(df: DataFrame, *keys, factor: int = 1) -> DataFrame:
     """``spread`` with HASH partitioning on ``keys`` instead of
     round-robin. Round-robin repartition first pays a full local sort of

@@ -393,3 +393,28 @@ def test_lossless_key_casts_skip_probe_and_append_fine(spark, scratch):
         for r in pio.read_table_evolved(spark, scratch, "mkl").collect()
     }
     assert got == {1: {7: 70}, 2: {8: 80}}
+
+
+def test_snapshot_default_output_is_rebalance_sized(spark, scratch):
+    """r13 guide §6: write_table_snapshot's default path sizes output by
+    bytes (REBALANCE) instead of carrying the input partitioning — a
+    16-partition small frame lands as few files; explicit n_files wins;
+    append_table_snapshot reads back the exact union."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    wide = spark.range(50_000).repartition(16).select(
+        F.col("id"), (F.col("id") % 7).alias("g")
+    )
+    pio.write_table_snapshot(spark, scratch, "szd", wide)
+    v1 = glob.glob(f"{scratch}/szd/_versions/v*/*.parquet")
+    assert 1 <= len(v1) <= 2, f"expected coalesced output, got {len(v1)}"
+    pio.append_table_snapshot(
+        spark, scratch, "szd", spark.range(50_000, 50_100).select(
+            F.col("id"), (F.col("id") % 7).alias("g")
+        )
+    )
+    assert pio.read_table_snapshot(spark, scratch, "szd").count() == 50_100
+    pio.write_table_snapshot(spark, scratch, "szd2", wide, n_files=3)
+    assert len(glob.glob(f"{scratch}/szd2/_versions/v*/*.parquet")) == 3

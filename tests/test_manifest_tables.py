@@ -863,3 +863,48 @@ def test_heal_replays_orphaned_replace(spark, scratch):
     # appends after the replay proceed without retract churn
     append_manifest_table(spark, scratch, "mrp", _mk(spark, 3, "c"))
     assert read_manifest_table(spark, scratch, "mrp").count() == 7
+
+
+def test_append_default_output_is_rebalance_sized(spark, scratch, monkeypatch):
+    """r13 guide §6: the default (no n_files) append sizes its output by
+    BYTES via a REBALANCE hint — a many-partition micro-batch lands as
+    few advisory-sized files, not one tiny file per input partition
+    (each commit's manifest carries the full file list, so the batch's
+    file count is the metadata-growth slope). Explicit n_files still
+    wins; POPELINES_WRITE_REBALANCE=0 restores the legacy behavior."""
+    wide = spark.range(100_000).repartition(16).select(
+        F.col("id"), F.lit("a").alias("tag")
+    )
+    append_manifest_table(spark, scratch, "mrb", wide, batch_id="b1")
+    files_v1 = glob.glob(f"{scratch}/mrb/data/v1/*.parquet")
+    assert len(files_v1) <= 2, "AQE should coalesce a ~1 MB batch"
+    assert read_manifest_table(spark, scratch, "mrb").count() == 100_000
+
+    append_manifest_table(spark, scratch, "mrb", wide, n_files=2,
+                          batch_id="b2")
+    assert len(glob.glob(f"{scratch}/mrb/data/v2/*.parquet")) == 2
+
+    monkeypatch.setenv("POPELINES_WRITE_REBALANCE", "0")
+    append_manifest_table(spark, scratch, "mrb", wide, batch_id="b3")
+    assert len(glob.glob(f"{scratch}/mrb/data/v3/*.parquet")) == 16
+    assert read_manifest_table(spark, scratch, "mrb").count() == 300_000
+
+
+def test_append_rebalance_composes_with_stats_cols(spark, scratch):
+    """The stats path localCheckpoints the batch before writing; the
+    rebalance must land BEFORE that barrier so stats + write share one
+    sized computation and the written files stay coalesced."""
+    wide = spark.range(5_000).repartition(16).select(
+        F.col("id"), F.lit("s").alias("tag")
+    )
+    append_manifest_table(
+        spark, scratch, "mrs", wide, stats_cols=["id"]
+    )
+    assert len(glob.glob(f"{scratch}/mrs/data/v1/*.parquet")) <= 2
+    from popelines_spark.manifest import manifest_file_list
+
+    hit = manifest_file_list(spark, scratch, "mrs", prune=[("id", 0, 10)])
+    assert len(hit) >= 1
+    assert read_manifest_table(
+        spark, scratch, "mrs", prune=[("id", 0, 10)]
+    ).where("id <= 10").count() == 11
