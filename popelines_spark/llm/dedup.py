@@ -30,7 +30,7 @@ from pyspark.sql.window import Window as W
 from popelines_spark.llm.text import shingle_hashes
 from popelines_spark.plans.inspect import checkpoint
 from popelines_spark.operators.keyed import keep_first
-from popelines_spark.operators.par import spread
+from popelines_spark.operators.par import spread_by
 
 _MERSENNE31 = (1 << 31) - 1
 
@@ -93,7 +93,13 @@ def minhash_signatures(
     # r13: the shingle explode + 64 partial-min aggregates fuse into the
     # scan stage; on a single-row-group input that stage is one task —
     # spread repairs it (no-op on multi-split inputs; operators/par.py).
-    df = spread(df)
+    # r13 batch 6: HASH-spread on the doc id, not round-robin — the
+    # groupBy(id) below then reuses hashpartitioning(id), so the 64-way
+    # min-aggregate collapses fully in the scan stage and its Exchange
+    # disappears (2 -> 1, plan-pinned); round-robin scattered each id
+    # across every partition, shipping ~n_partitions partial states per
+    # id. Measured 0.9x/0.72x on fuzzy/ngram (tools/exp_spread_key.py).
+    df = spread_by(df, id_col)
     sh = df.select(
         F.col(id_col),
         F.explode(shingle_hashes(F.col(text_col), shingle_k)).alias("__h"),
@@ -199,7 +205,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     map-side combine."""
     # r13: same scan-parallelism repair as minhash_signatures — the token
     # explode + 63 partial bit-vote sums fuse into the scan stage.
-    tok = spread(df).select(
+    # r13 batch 6: keyed spread — groupBy(id) reuses the partitioning
+    # (same exchange-elision win as minhash_signatures).
+    tok = spread_by(df, id_col).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__w")
     ).withColumn("__h", F.xxhash64("__w"))
     votes = [
@@ -589,7 +597,10 @@ def _shingle_hash_rows(
     # r13: tokenize + posexplode + the doc-window exchange write fuse into
     # the scan stage (one task on a single-row-group input) — spread them
     # across the cores; measured on c_dedup_ngram in OPTIMIZATION_r13.md.
-    df = spread(df)
+    # r13 batch 6: keyed on the doc id — the shingle-assembly window AND
+    # the trailing distinct() both reuse hashpartitioning(id) (subset
+    # rule), so their Exchanges vanish with the keyed spread.
+    df = spread_by(df, id_col)
     tokp = df.select(
         F.col(id_col),
         *carry,

@@ -117,6 +117,29 @@ def test_multi_table_lsh_recall_dominates_single_table(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_keyed_spread_elides_aggregate_exchange(spark):
+    """r13 batch 6 (tools/exp_spread_key.py): the compute-fan-out spread
+    in minhash_signatures/_shingle_hash_rows hash-partitions on the doc
+    id, so the keyed groupBy / window / distinct downstream REUSE that
+    partitioning — exactly ONE Exchange (the spread itself, shaped
+    hashpartitioning(id)) in each subtree, not two."""
+    docs = _docs(spark).coalesce(1)  # force the spread to fire
+
+    sig_plan = (
+        D.minhash_signatures(docs, "doc_id", "text", num_hashes=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert sig_plan.count("Exchange") == 1
+    assert "hashpartitioning(doc_id" in sig_plan
+
+    sh_plan = (
+        D._shingle_hash_rows(docs, "doc_id", "text", 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert sh_plan.count("Exchange") == 1
+    assert "hashpartitioning(doc_id" in sh_plan
+
+
 def test_lsh_join_plan_has_no_cartesian(spark):
     """The 100 TB guarantee: MinHash candidate generation is an equi-join on
     (band, bucket) — the physical plan must not contain a cartesian/BNLJ."""
