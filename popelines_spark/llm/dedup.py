@@ -567,6 +567,17 @@ def ngram_jaccard_pairs(
     sets = sh_rows.groupBy(id_col).agg(F.collect_list("__h").alias("__sh"))
     sets_a = sets.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
     sets_b = sets.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    # r13 examined, kept as-is (tools/exp_verify_once.py): the optimizer
+    # pushes the jaccard test below into the verify join's condition AND
+    # keeps a copy in the output Project (the plan shows array_intersect
+    # in both), which LOOKS like a 2x-per-candidate evaluation — but a
+    # single-evaluation rewrite (project (|A∩B|,|A|,|B|) once behind a
+    # lazy barrier, rebuild the identical IEEE expression from scalars)
+    # measured SLIGHTLY SLOWER interleaved (1.741 vs 1.693 s minima on
+    # c_dedup_ngram, 0.936 vs 0.911 on c_containment; outputs verified
+    # bit-identical both ways first). Spark 4's codegen already
+    # de-duplicates the common subexpression here, so the barrier's
+    # extra materialization job buys nothing.
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (
         F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
