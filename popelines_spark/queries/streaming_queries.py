@@ -227,8 +227,15 @@ def s_join_interval(spark, sf_dir):
     joined = ops.stream_interval_join(
         err, pur, "user_id", "p_user_id", "ts", "pur_ts", lookback="1 hour"
     )
+    # r13: stream-stream joins keep TWO state stores per shuffle
+    # partition, so the drain uses the join-sized partition count
+    # (runner.STREAM_JOIN_SHUFFLE_PARTITIONS — measured, env-tunable,
+    # results partitioning-invariant).
+    from popelines_spark.streaming.runner import STREAM_JOIN_SHUFFLE_PARTITIONS
+
     return run_to_completion(
-        joined.select("err_id", "pur_id", "pur_ts"), "append"
+        joined.select("err_id", "pur_id", "pur_ts"), "append",
+        shuffle_partitions=STREAM_JOIN_SHUFFLE_PARTITIONS,
     )
 
 
@@ -412,8 +419,12 @@ def s_join_interval_left(spark, sf_dir):
         err, pur, "user_id", "p_user_id", "ts", "pur_ts",
         lookback="1 hour", how="left_outer",
     )
+    # r13: join-sized drain partitions (see s_join_interval note).
+    from popelines_spark.streaming.runner import STREAM_JOIN_SHUFFLE_PARTITIONS
+
     out = run_to_completion(
-        joined.select("err_id", "pur_id", "pur_ts"), "append"
+        joined.select("err_id", "pur_id", "pur_ts"), "append",
+        shuffle_partitions=STREAM_JOIN_SHUFFLE_PARTITIONS,
     )
     return out.where(F.col("err_id") >= 0).select(
         "err_id",

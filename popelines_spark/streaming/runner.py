@@ -128,6 +128,22 @@ STREAM_SHUFFLE_PARTITIONS = int(
     os.environ.get("POPELINES_STREAM_SHUFFLE_PARTITIONS", "8")
 )
 
+#: Shuffle-partition count for STREAM-STREAM JOIN drains specifically.
+#: A stream-stream join keeps TWO state stores per shuffle partition
+#: (left and right side), so its per-micro-batch checkpoint constant is
+#: 2 x partitions x (delta + commit files) — double every other
+#: stateful operator's. r13 measured (tools/exp_stream_parts2.py,
+#: interleaved calm-gated minima, every round won): s_join_interval
+#: 2.119 -> 1.720 s and s_join_interval_left 3.801 -> 3.317 s at 2
+#: partitions vs the uniform 8, while non-join stateful operators were
+#: neutral (s_cdc_latest, s_topk_windowed) or SLOWER (s_session — the
+#: sessionization compute wants the width). PRODUCTION deployments size
+#: this to state volume exactly like STREAM_SHUFFLE_PARTITIONS (the
+#: count is fixed at first checkpoint), hence env-tunable.
+STREAM_JOIN_SHUFFLE_PARTITIONS = int(
+    os.environ.get("POPELINES_STREAM_JOIN_SHUFFLE_PARTITIONS", "2")
+)
+
 #: State-store provider for the replay harness. Default "hdfs" (Spark's
 #: in-JVM-heap HDFSBackedStateStoreProvider) — at replay state sizes
 #: (10^2..10^5 rows) it measures faster than RocksDB, whose JNI +
