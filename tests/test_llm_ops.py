@@ -499,6 +499,119 @@ def test_ngram_prefix_filter_is_complete(spark):
         assert got == brute, f"threshold {thr}: {got.keys() ^ brute.keys()}"
 
 
+def _random_corpus(spark, seed: int, n_docs: int = 48, vocab: int = 12):
+    """Deterministic random corpus built to stress the candidate bounds:
+    a small vocabulary forces heavy cross-doc shingle collisions, doc
+    lengths vary 5..60 tokens, and a third of the docs are mutations
+    (token drops/edits) of earlier docs so true pairs exist at every
+    threshold. Pure python stdlib randomness with a fixed seed — the
+    corpus is identical on every run."""
+    import random
+
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    rows = []
+    for i in range(n_docs):
+        if i >= 2 * n_docs // 3 and rng.random() < 0.8:
+            # mutate an earlier doc: drop/replace a few tokens
+            base = rows[rng.randrange(len(rows))][1].split()
+            for _ in range(rng.randrange(0, 4)):
+                if len(base) > 6:
+                    base.pop(rng.randrange(len(base)))
+            if base and rng.random() < 0.5:
+                base[rng.randrange(len(base))] = rng.choice(words)
+            toks = base
+        else:
+            toks = [rng.choice(words) for _ in range(rng.randrange(5, 61))]
+        rows.append((i, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_match_count_bound_is_complete(spark):
+    """r14 property harness (VERDICT r13 next #2): ngram_jaccard_pairs
+    must return EXACTLY the brute-force all-pairs result on randomized
+    high-collision corpora at every threshold — a false prune silently
+    loses qualifying pairs, the failure mode that kept suffix filtering
+    out of round 13. This harness gated the r14 match-count-bound
+    experiment (built, proven complete, measured 0% pruning on the sf0.1
+    corpus, rejected — tools/exp_ngram_match_count.py) and stays as the
+    completeness gate for any future candidate-bound tightening."""
+    from popelines_spark.llm.text import shingles as _sh
+
+    for seed in (7, 23):
+        df = _random_corpus(spark, seed).withColumn("blk", F.lit(1))
+        base = df.select(
+            "doc_id", F.array_distinct(_sh(F.col("text"), 3)).alias("s")
+        ).filter(F.size("s") > 0)
+        a = base.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+        b = base.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+        inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+        union = (
+            F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb"))
+        )
+        for thr in (0.3, 0.5, 0.7):
+            got = {
+                (r.id_a, r.id_b): round(r.jaccard, 9)
+                for r in D.ngram_jaccard_pairs(
+                    df, "doc_id", "text", ["blk"], threshold=thr
+                ).collect()
+            }
+            brute = {
+                (r.id_a, r.id_b): round(r.j, 9)
+                for r in a.crossJoin(b)
+                .filter(F.col("id_a") < F.col("id_b"))
+                .withColumn("j", inter / union.cast("double"))
+                .filter(F.col("j") >= thr)
+                .collect()
+            }
+            assert got == brute, (
+                f"seed {seed} thr {thr}: {got.keys() ^ brute.keys()}"
+            )
+
+
+def test_containment_pairs_complete_on_random_corpus(spark):
+    """Containment twin of the randomized completeness property: the
+    bench-side prefix filter (the only prune the asymmetric path has —
+    r14 re-derived that an A-side positional bound is vacuous, see
+    OPTIMIZATION_r14.md) must match brute-force containment exactly."""
+    from popelines_spark.llm.text import shingles as _sh
+
+    corpus = _random_corpus(spark, 11)
+    bench = _random_corpus(spark, 13, n_docs=16).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    sa = bench.select(
+        F.col("doc_id").alias("id_a"),
+        F.array_distinct(_sh(F.col("text"), 3)).alias("sa"),
+    ).filter(F.size("sa") > 0)
+    sb = corpus.select(
+        F.col("doc_id").alias("id_b"),
+        F.array_distinct(_sh(F.col("text"), 3)).alias("sb"),
+    ).filter(F.size("sb") > 0)
+    for thr in (0.4, 0.6):
+        got = {
+            (r.id_a, r.id_b): r.containment
+            for r in D.containment_pairs(
+                bench, corpus, "doc_id", "text", 3, thr
+            ).collect()
+        }
+        brute = {
+            (r.id_a, r.id_b): r.c
+            for r in sa.crossJoin(sb)
+            .withColumn(
+                "c",
+                F.round(
+                    F.size(F.array_intersect("sa", "sb")).cast("double")
+                    / F.size("sa").cast("double"),
+                    6,
+                ),
+            )
+            .filter(F.col("c") >= thr)
+            .collect()
+        }
+        assert got == brute, f"thr {thr}: {got.keys() ^ brute.keys()}"
+
+
 def test_connected_components_chain(spark):
     """Min-label propagation must converge past diameter 1: a 4-node chain
     collapses to its min id, disconnected pair keeps its own, singleton

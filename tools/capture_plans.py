@@ -1,4 +1,5 @@
-"""Capture .explain("formatted") for bench queries into plans/r13/.
+"""Capture .explain("formatted") for bench queries into plans/<round>/
+(round dir from $POPELINES_PLANS_ROUND, default r14).
 
 Usage:
     python tools/capture_plans.py before            # all BENCH_QUERIES
@@ -38,7 +39,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="popelines_plan_capture")
     qs = entrymod.queries()
-    out_dir = os.path.join(REPO, "plans", "r13")
+    out_dir = os.path.join(
+        REPO, "plans", os.environ.get("POPELINES_PLANS_ROUND", "r14")
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     names = only or bench.BENCH_QUERIES

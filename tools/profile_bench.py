@@ -111,8 +111,20 @@ def main() -> None:
             continue
         per_query.setdefault(desc[2:], []).append(j)
 
-    report = {"timings": timings, "queries": {}}
+    report = {"timings": timings, "queries": {}, "jobs": {}}
     for qname, qjobs in per_query.items():
+        # r14: per-job wall times too — iterative queries (pagerank) pay
+        # per-JOB scheduling constants that stage rows alone can't show
+        report["jobs"][qname] = [
+            {
+                "job": j["jobId"],
+                "submitted": j.get("submissionTime"),
+                "completed": j.get("completionTime"),
+                "stages": len(j.get("stageIds", [])),
+                "tasks": j.get("numTasks"),
+            }
+            for j in sorted(qjobs, key=lambda x: x["jobId"])
+        ]
         rows = []
         for j in sorted(qjobs, key=lambda x: x["jobId"]):
             for sid in j.get("stageIds", []):
@@ -141,7 +153,11 @@ def main() -> None:
                 )
         report["queries"][qname] = rows
 
-    out = os.path.join(REPO, "plans", "r13", "profile_report.json")
+    out = os.path.join(
+        REPO, "plans",
+        os.environ.get("POPELINES_PLANS_ROUND", "r14"),
+        os.environ.get("POPELINES_PROFILE_NAME", "profile_report.json"),
+    )
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
