@@ -45,6 +45,7 @@ def pagerank(
     node_col: str = "node",
     n_iter: int = 10,
     damping: float = 0.85,
+    broadcast_edges: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over distinct ``edges`` (src, dst), ranks
     for every row of ``nodes`` (node_col). Returns (node_col, pr DECIMAL).
@@ -54,15 +55,40 @@ def pagerank(
     Use :func:`pagerank_redistributed` for the mass-conserving variant
     (one broadcast scalar per iteration).
 
-    r13 examined, kept as-is (tools/exp_pagerank.py): replacing the
-    per-iteration init⋈inflow broadcast join with a union + keyed
-    re-aggregate (one shuffle stage inside the main job instead of a
-    tiny broadcast-build job per iteration) measured SLOWER — 4.28 vs
-    3.54 s interleaved minima at sf0.1 — the extra 25-row exchange per
-    iteration costs more than the broadcast build it replaces, and the
-    plan gained nothing at cluster scale (rank state is node-bounded
-    either way). The per-iteration costs here are scheduling constants
-    of a 10-iteration loop, not data volume.
+    r13 examined (tools/exp_pagerank.py): replacing the per-iteration
+    init⋈inflow broadcast join with a union + keyed RE-aggregate (a
+    SECOND exchange after the inflow aggregate) measured SLOWER — 4.28
+    vs 3.54 s interleaved minima at sf0.1. r14 ships the shape that
+    experiment pointed at but did not try: union the static zero-rank
+    rows INTO the inflow aggregate's input, so the base term folds into
+    the one per-iteration exchange and the update join disappears —
+    NOT a second aggregate. Per-iteration plan: one keyed join (ranks ⋈
+    edges) + ONE keyed aggregate + a projection; the only per-iteration
+    driver work left is that aggregate's AQE stage job (the r13 profile
+    showed ~5 tiny jobs/iteration — broadcast builds of the changing
+    rank/inflow sides + the update join — with 30-60 ms driver gaps
+    between them dominating the query, plans/r14/profile_report.json).
+    ``broadcast_edges=True`` additionally pins the contrib join's build
+    side to the STATIC checkpointed edge relation, so its broadcast is
+    built once per lineage segment (ReusedExchange) instead of
+    rebuilding the changing rank side every iteration. Callers assert
+    their edge relation is bounded when they pass it (c_pagerank_nations:
+    ≤ |nations|² rows by construction); the default keeps the planner's
+    choice — at web scale neither side broadcasts and the join degrades
+    to the usual shuffled form, exactly as before.
+
+    Decimal equivalence of the fold (the output must stay bit-identical
+    to the r13 form — the DuckDB oracle mirrors it term by term): the
+    zero rows add an exact decimal 0 to each node's contribution sum, so
+    sum-with-zero == sum (decimal addition is exact), and a node with no
+    inflow now sums to 0 instead of NULL — (damping × 0) narrowed to
+    12dp is 0, the same value the old coalesce supplied. Nodes with no
+    inflow appear exactly once in the zero rows, so the row set is
+    unchanged. Edges whose dst is OUTSIDE ``nodes`` are dropped once at
+    the checkpointed edge build (left_semi against nodes) — the r13 form
+    dropped those contributions per iteration at the update join
+    instead, AFTER they consumed out-degree; out-degree still counts
+    them here because the semi-join runs after the degree join.
     """
     # Pin the literal's decimal type: Python Decimal lits default to
     # DecimalType(38,18), whose product with (14,12) overflows precision 38
@@ -74,11 +100,26 @@ def pagerank(
     init = nodes.crossJoin(F.broadcast(n)).select(
         F.col(node_col),
         (F.lit(1.0) / F.col("__n")).cast(_DEC).alias("pr"),
-        (F.lit(base_lit) / F.col("__n")).cast(_DEC).alias("__base"),
     )
+    # the uniform base term (1-d)/n as a one-row broadcast: static across
+    # iterations, so its BroadcastExchange is built once and reused
+    base_row = n.select(
+        (F.lit(base_lit) / F.col("__n")).cast(_DEC).alias("__base")
+    )
+    zero = F.lit(Decimal(0)).cast(_DEC)
+    # one zero-contribution row per node: guarantees every node surfaces
+    # in the per-iteration aggregate (replacing the old left join's
+    # null-side) without changing any sum
+    zero_rows = nodes.select(F.col(node_col), zero.alias("__c"))
     deg = edges.groupBy(src).agg(F.count("*").alias("__d"))
     e = checkpoint(
-        edges.join(deg, src).select(
+        edges.join(deg, src)
+        .join(
+            nodes.select(F.col(node_col).alias("__dst_ok")),
+            F.col(dst) == F.col("__dst_ok"),
+            "left_semi",
+        )
+        .select(
             F.col(src),
             F.col(dst),
             (F.lit(1.0) / F.col("__d")).cast("decimal(13,12)").alias("__recip"),
@@ -86,26 +127,28 @@ def pagerank(
         "pagerank-edges",
         eager=False,
     )
+    if broadcast_edges:
+        e = F.broadcast(e)
     ranks = init
-    zero = F.lit(Decimal(0)).cast(_DEC)
     for i in range(n_iter):
         contrib = ranks.join(e, ranks[node_col] == e[src]).select(
             F.col(dst).alias(node_col),
             (F.col("pr") * F.col("__recip")).cast(_DEC).alias("__c"),
         )
-        inflow = contrib.groupBy(node_col).agg(F.sum("__c").alias("__in"))
-        ranks = init.join(inflow, node_col, "left").select(
-            node_col,
-            (
-                F.col("__base")
-                + F.coalesce(
-                    (damping_dec * F.col("__in").cast(_DEC)).cast(_DEC),
-                    zero,
+        ranks = (
+            contrib.unionByName(zero_rows)
+            .groupBy(node_col)
+            .agg(F.sum("__c").alias("__in"))
+            .crossJoin(F.broadcast(base_row))
+            .select(
+                node_col,
+                (
+                    F.col("__base")
+                    + (damping_dec * F.col("__in").cast(_DEC)).cast(_DEC)
                 )
+                .cast(_DEC)
+                .alias("pr"),
             )
-            .cast(_DEC)
-            .alias("pr"),
-            "__base",
         )
         if i % 3 == 2 and i < n_iter - 1:
             ranks = checkpoint(ranks, f"pagerank-iter{i}", eager=False)

@@ -435,6 +435,10 @@ def c_pagerank_nations(spark, sf_dir):
     ranks = pagerank(
         edges, nation.select(F.col("n_nationkey").alias("node")),
         node_col="node", n_iter=10, damping=0.85,
+        # the trade graph is ≤ |nations|² rows by construction: pin the
+        # contrib join's build side to the STATIC edge relation so its
+        # broadcast is reused across iterations (operators/graph.py r14)
+        broadcast_edges=True,
     )
     return ranks.join(
         F.broadcast(nation), ranks.node == nation.n_nationkey
